@@ -1,0 +1,69 @@
+"""Table loading + event-time normalization.
+
+The reference ingests CSVs with hand-written ``split(",")`` parsing
+(SURVEY §2.1 S1/S2 [U]). Here ingest is declarative: schema'd parquet
+scans so Catalyst gets column pruning + predicate pushdown at the file
+level — at 100 TB the scan is the single biggest cost and every filter
+we can push into the footer/row-group skip layer is free speedup.
+
+``events.ts`` arrives as raw TIMESTAMP(NANOS) read as BIGINT (see
+session.py). Normalization casts once — integer division, NOT float —
+because ``ts / 1000`` via double loses microsecond precision at 2024
+epoch magnitudes (1.7e18 ns >> 2^53) and a ±1 µs wobble breaks both
+window bucketing and the DuckDB oracle hash compare.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Plain parquet scan of one testdata table (no normalization)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with event-time normalized to TimestampType.
+
+    Columns out: event_id, ts (timestamp, µs precision), ts_ns (original
+    BIGINT nanos), user_id, event_type, value, props (raw JSON string),
+    item_id (INT, parsed from props.k — the reference's itemId analog,
+    FIXTURES.md §B).
+    """
+    raw = load_table(spark, sf_dir, "events")
+    return raw.select(
+        "event_id",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        F.col("ts").alias("ts_ns"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+        F.get_json_object("props", "$.k").cast("int").alias("item_id"),
+    )
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
+    """Register each table as a temp view (events normalized) for spark.sql use."""
+    for name in tables or TABLES:
+        df = load_events(spark, sf_dir) if name == "events" else load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)

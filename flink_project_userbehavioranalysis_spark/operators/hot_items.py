@@ -1,0 +1,87 @@
+"""W1 — Top-N hot items per sliding event-time window (the flagship).
+
+Reference capability: HotItemsAnalysis/.../HotItems.scala :: main +
+CountAgg + ItemViewWindowResult + TopNHotItems [~L25-L115 est., U]
+(SURVEY §2.5 W1, §3.1): filter pv → keyBy(itemId) → 1h/5min sliding
+count → keyBy(windowEnd) → buffer+timer → sort desc → take(5).
+
+Spark-first design (not a translation):
+  filter('view') → groupBy(window(ts,1h,5m), item).count()
+  → row_number() over (partition by window_end order by cnt desc)
+  → rn <= n
+
+Scale notes (100 TB posture):
+- The sliding window expands each event into size/slide (=12) window
+  copies, but Catalyst places a *partial* HashAggregate before the
+  shuffle, so shuffle volume is O(distinct (window,item) per task),
+  not O(12 × events). This is the same two-stage shape the reference
+  hand-codes with CountAgg (partial) + TopNHotItems (final).
+- The rank is per-window (partition by window_end), never a global
+  sort: each window's items fit one task; no collect-to-driver.
+- Filter + JSON projection sit directly on the scan → parquet predicate
+  pushdown on event_type and column pruning to (ts, event_type, props).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from flink_project_userbehavioranalysis_spark.io import load_events
+
+
+def hot_items(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "1 hour",
+    slide: str = "5 minutes",
+    n: int = 5,
+    event_type: str = "view",
+) -> DataFrame:
+    """Top-``n`` items per sliding window, deterministic tie-break by item_id."""
+    events = load_events(spark, sf_dir)
+    counts = (
+        events.filter(F.col("event_type") == event_type)
+        .filter(F.col("item_id").isNotNull())
+        .groupBy(F.window("ts", window, slide).alias("w"), "item_id")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.end").cast("long").alias("window_end"), "item_id", "cnt")
+    )
+    rank = Window.partitionBy("window_end").orderBy(
+        F.desc("cnt"), F.asc("item_id")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(rank))
+        .filter(F.col("rn") <= n)
+        .select("window_end", "item_id", "cnt", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+def hot_items_oracle_sql(
+    window_minutes: int = 60, slide_minutes: int = 5, n: int = 5, event_type: str = "view"
+) -> str:
+    """DuckDB-equivalent SQL. Sliding windows are expanded explicitly:
+    a row in 5-min bucket b belongs to the 12 windows ending at
+    b + j*5min, j=1..12 (same [start, end) bucketing as Spark window()).
+    """
+    slides = window_minutes // slide_minutes
+    return f"""
+WITH views AS (
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS item_id, ts
+    FROM events
+    WHERE event_type = '{event_type}'
+      AND json_extract_string(props, '$.k') IS NOT NULL
+),
+counts AS (
+    SELECT CAST(epoch(time_bucket(INTERVAL '{slide_minutes} minutes', ts)
+                      + INTERVAL '{slide_minutes} minutes' * j) AS BIGINT) AS window_end,
+           item_id,
+           COUNT(*) AS cnt
+    FROM views CROSS JOIN (SELECT unnest(generate_series(1, {slides})) AS j)
+    GROUP BY 1, 2
+)
+SELECT window_end, item_id, cnt,
+       CAST(row_number() OVER (PARTITION BY window_end ORDER BY cnt DESC, item_id ASC) AS BIGINT) AS rn
+FROM counts
+QUALIFY rn <= {n}
+"""
