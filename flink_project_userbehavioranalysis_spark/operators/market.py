@@ -1,0 +1,102 @@
+"""MarketAnalysis capabilities: windowed counts by (channel, behavior),
+global marketing totals, click-fraud blacklist threshold.
+
+Reference: MarketAnalysis/.../{AppMarketingByChannel, AppMarketing,
+AdClickAnalysis}.scala [U] (SURVEY §2.4 A7-A9, §2.7 ST4).
+
+Mapping onto driver testdata (FIXTURES §B): behavior := event_type,
+channel := user_id % 4 bucket (deterministic synthetic channel),
+ad := item_id (props.k).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_project_userbehavioranalysis_spark.functions import win_end_s
+from flink_project_userbehavioranalysis_spark.io import load_events
+
+CHANNELS = 4  # synthetic channel buckets
+
+
+def count_by_channel_behavior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — tumbling 1 h counts keyed by (channel, behavior)
+    (reference AppMarketingByChannel.scala :: MarketingCountByChannel [U]).
+    One shuffle, map-side partial agg; composite grouping key adds no
+    extra exchange."""
+    events = load_events(spark, sf_dir)
+    return (
+        events.filter(F.col("event_type") != "error")  # P3 inequality filter (≈ UNINSTALL exclusion)
+        .withColumn("channel", F.concat(F.lit("ch"), (F.col("user_id") % CHANNELS).cast("string")))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "channel", F.col("event_type").alias("behavior"))
+        .agg(F.count("*").alias("cnt"))
+        .select(win_end_s(), "channel", "behavior", "cnt")
+    )
+
+
+def marketing_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 — global sliding-window count, no key (reference
+    AppMarketing.scala [U] uses a dummy-key hack; Spark windows don't
+    need a key)."""
+    events = load_events(spark, sf_dir)
+    return (
+        events.filter(F.col("event_type") != "error")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("total"))
+        .select(win_end_s(), "total")
+    )
+
+
+def blacklist(spark: SparkSession, sf_dir: str, threshold: int = 3) -> DataFrame:
+    """A9/ST4 batch — (user, ad) pairs whose same-day click count
+    reaches the threshold (reference AdClickAnalysis.scala ::
+    FilterBlackListUserResult [U]: ValueState counter + daily-midnight
+    reset timer + fire-once). Batch formulation = day-scoped GROUP BY
+    + HAVING; fire-once/pass-through live in streaming/processors.py.
+    Threshold is data-calibrated (FIXTURES §B: 100 is unreachable in
+    the synthetic events)."""
+    events = load_events(spark, sf_dir)
+    return (
+        events.filter((F.col("event_type") == "click") & F.col("item_id").isNotNull())
+        .groupBy(
+            F.date_trunc("day", "ts").cast("long").alias("day_start"),
+            "user_id",
+            F.col("item_id").alias("ad_id"),
+        )
+        .agg(F.count("*").alias("clicks"))
+        .filter(F.col("clicks") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------- oracle SQL
+
+COUNT_BY_CHANNEL_BEHAVIOR_SQL = f"""
+SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour') AS BIGINT) AS window_end,
+       'ch' || CAST(user_id % {CHANNELS} AS VARCHAR) AS channel,
+       event_type AS behavior,
+       COUNT(*) AS cnt
+FROM events WHERE event_type <> 'error'
+GROUP BY 1, 2, 3
+"""
+
+MARKETING_TOTAL_SQL = """
+SELECT CAST(epoch(time_bucket(INTERVAL '15 minutes', ts) + INTERVAL '15 minutes' * j) AS BIGINT) AS window_end,
+       COUNT(*) AS total
+FROM events CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS j)
+WHERE event_type <> 'error'
+GROUP BY 1
+"""
+
+
+def blacklist_oracle_sql(threshold: int = 3) -> str:
+    return f"""
+SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_start,
+       user_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS ad_id,
+       COUNT(*) AS clicks
+FROM events
+WHERE event_type = 'click' AND json_extract_string(props, '$.k') IS NOT NULL
+GROUP BY 1, 2, 3
+HAVING COUNT(*) >= {threshold}
+"""

@@ -1,0 +1,143 @@
+"""NetworkFlowAnalysis capabilities: hourly PV, hourly UV (exact +
+approx), hot-pages Top-N with a shorter sliding window.
+
+Reference: NetworkFlowAnalysis/.../{PageView,UniqueVisitor,UvWithBloom,
+HotPagesNetworkFlow}.scala [U] (SURVEY §2.4 A3-A6, §2.5 W2).
+
+Scale notes:
+- pv/uv are single-shuffle windowed aggregations with partial
+  (map-side) aggregation — the shape that scales linearly with input.
+- uv_exact is count(DISTINCT) → Spark plans a two-phase expand+agg;
+  at 100 TB prefer uv_approx (HLL++, constant memory per group,
+  mergeable across partitions) — both are exposed, mirroring the
+  reference's exact-Set vs Bloom pair, minus the external Redis.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from flink_project_userbehavioranalysis_spark.functions import win_end_s
+from flink_project_userbehavioranalysis_spark.io import load_events
+
+
+def pv_hourly(spark: SparkSession, sf_dir: str, event_type: str = "view") -> DataFrame:
+    """A3 — tumbling 1 h page-view count (reference PageView.scala [U])."""
+    events = load_events(spark, sf_dir)
+    return (
+        events.filter(F.col("event_type") == event_type)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("pv"))
+        .select(win_end_s(), "pv")
+    )
+
+
+def uv_hourly(spark: SparkSession, sf_dir: str, event_type: str = "view") -> DataFrame:
+    """A5 — tumbling 1 h exact distinct users (reference UniqueVisitor.scala [U])."""
+    events = load_events(spark, sf_dir)
+    return (
+        events.filter(F.col("event_type") == event_type)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.countDistinct("user_id").alias("uv"))
+        .select(win_end_s(), "uv")
+    )
+
+
+def uv_approx_hourly(spark: SparkSession, sf_dir: str, event_type: str = "view") -> DataFrame:
+    """A6 — tumbling 1 h approx distinct users via HLL++ (replaces the
+    reference's hand-rolled Bloom-filter-on-Redis UvWithBloom.scala [U];
+    constant memory per group, mergeable, no external store).
+    Rows-only oracle check (sketch estimates are engine-specific)."""
+    events = load_events(spark, sf_dir)
+    return (
+        events.filter(F.col("event_type") == event_type)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("uv_approx"))
+        .select(win_end_s(), "uv_approx")
+    )
+
+
+def uv_daily_sketch_rollup(spark: SparkSession, sf_dir: str, event_type: str = "view") -> DataFrame:
+    """A6-scale — hourly HLL sketches merged into daily UV without
+    re-scanning raw data (hll_sketch_agg / hll_union_agg): the mergeable
+    -sketch pattern that replaces the reference's Redis bitmap at scale.
+    Rows-only oracle check."""
+    events = load_events(spark, sf_dir)
+    hourly = (
+        events.filter(F.col("event_type") == event_type)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.hll_sketch_agg("user_id").alias("sketch"))
+        .select(F.date_trunc("day", F.col("w.start")).alias("day"), "sketch")
+    )
+    return (
+        hourly.groupBy("day")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("uv_daily"))
+        .select(F.col("day").cast("long").alias("day_start"), "uv_daily")
+    )
+
+
+def hot_pages_topn(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    n: int = 3,
+) -> DataFrame:
+    """W2 — Top-N hot 'pages' per short sliding window (reference
+    HotPagesNetworkFlow.scala :: TopNHotPages [U]). Page analog =
+    item_id of click events (FIXTURES §B). Late-update overwrite
+    semantics are a streaming concern (streaming/topn.py); batch rank
+    is the oracle-checkable core."""
+    events = load_events(spark, sf_dir)
+    counts = (
+        events.filter((F.col("event_type") == "click") & F.col("item_id").isNotNull())
+        .groupBy(F.window("ts", window, slide).alias("w"), "item_id")
+        .agg(F.count("*").alias("cnt"))
+        .select(win_end_s(), F.col("item_id").alias("page_id"), "cnt")
+    )
+    rank = Window.partitionBy("window_end").orderBy(F.desc("cnt"), F.asc("page_id"))
+    return (
+        counts.withColumn("rn", F.row_number().over(rank))
+        .filter(F.col("rn") <= n)
+        .select("window_end", "page_id", "cnt", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+# ---------------------------------------------------------------- oracle SQL
+
+PV_HOURLY_SQL = """
+SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour') AS BIGINT) AS window_end,
+       COUNT(*) AS pv
+FROM events WHERE event_type = 'view'
+GROUP BY 1
+"""
+
+UV_HOURLY_SQL = """
+SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour') AS BIGINT) AS window_end,
+       COUNT(DISTINCT user_id) AS uv
+FROM events WHERE event_type = 'view'
+GROUP BY 1
+"""
+
+
+def hot_pages_oracle_sql(window_minutes: int = 10, slide_minutes: int = 5, n: int = 3) -> str:
+    slides = window_minutes // slide_minutes
+    return f"""
+WITH clicks AS (
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS page_id, ts
+    FROM events
+    WHERE event_type = 'click' AND json_extract_string(props, '$.k') IS NOT NULL
+),
+counts AS (
+    SELECT CAST(epoch(time_bucket(INTERVAL '{slide_minutes} minutes', ts)
+                      + INTERVAL '{slide_minutes} minutes' * j) AS BIGINT) AS window_end,
+           page_id, COUNT(*) AS cnt
+    FROM clicks CROSS JOIN (SELECT unnest(generate_series(1, {slides})) AS j)
+    GROUP BY 1, 2
+)
+SELECT window_end, page_id, cnt,
+       CAST(row_number() OVER (PARTITION BY window_end ORDER BY cnt DESC, page_id ASC) AS BIGINT) AS rn
+FROM counts
+QUALIFY rn <= {n}
+"""
