@@ -4,6 +4,10 @@ The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Queries without an ``oracle_sql()`` entry get a weaker rows-only
+check — used only for genuinely engine-specific results (sketch
+estimates).
 """
 
 from __future__ import annotations
@@ -13,6 +17,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from flink_project_userbehavioranalysis_spark.operators import hot_items as _hot
+from flink_project_userbehavioranalysis_spark.operators import login as _login
+from flink_project_userbehavioranalysis_spark.operators import market as _market
+from flink_project_userbehavioranalysis_spark.operators import network_flow as _nf
 
 
 def _configure(spark: SparkSession) -> SparkSession:
@@ -31,6 +38,40 @@ def entry(spark: SparkSession) -> DataFrame:
     return _hot.hot_items(spark, "/root/testdata/sf0.001")
 
 
+# name → (spark_fn, oracle_sql | None for rows-only)
+def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
+    return {
+        # W1/W3/W4 flagship
+        "hot_items_topn": (_hot.hot_items, _hot.hot_items_oracle_sql()),
+        # A3 / T4
+        "pv_hourly": (_nf.pv_hourly, _nf.PV_HOURLY_SQL),
+        # A5 / T5
+        "uv_hourly": (_nf.uv_hourly, _nf.UV_HOURLY_SQL),
+        # A6 (sketch estimate — rows-only)
+        "uv_approx": (_nf.uv_approx_hourly, None),
+        # A6-scale (mergeable sketches — rows-only)
+        "uv_daily_sketch": (_nf.uv_daily_sketch_rollup, None),
+        # W2 batch core
+        "hot_pages_topn": (_nf.hot_pages_topn, _nf.hot_pages_oracle_sql()),
+        # A7 / P3
+        "count_by_channel_behavior": (
+            _market.count_by_channel_behavior,
+            _market.COUNT_BY_CHANNEL_BEHAVIOR_SQL,
+        ),
+        # A8 / T5
+        "marketing_total": (_market.marketing_total, _market.MARKETING_TOTAL_SQL),
+        # A9 / ST4 batch
+        "blacklist": (_market.blacklist, _market.blacklist_oracle_sql()),
+        # ST2
+        "consec_fail": (_login.consec_fail, _login.consec_fail_oracle_sql()),
+        # ST3
+        "consec_fail_triple": (
+            _login.consec_fail_triple,
+            _login.consec_fail_triple_oracle_sql(),
+        ),
+    }
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
 
@@ -41,13 +82,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return wrapped
 
-    return {
-        "hot_items_topn": q(_hot.hot_items),
-    }
+    return {name: q(fn) for name, (fn, _) in _registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalent for each queries() entry."""
-    return {
-        "hot_items_topn": _hot.hot_items_oracle_sql(),
-    }
+    return {name: sql for name, (_, sql) in _registry().items() if sql is not None}

@@ -11,8 +11,6 @@ Layout:
     operators/    batch implementations of every SURVEY §2 capability
     streaming/    Structured Streaming variants + stateful processors
     functions/    reusable column-expression helpers (JSON, text, vectors)
-    sources/      synthetic / rate sources (reference S4 parity)
-    plans/        plan-inspection helpers (explain audits for scale review)
 """
 
 from flink_project_userbehavioranalysis_spark.session import get_spark

@@ -67,10 +67,10 @@ def hot_items_oracle_sql(
     slides = window_minutes // slide_minutes
     return f"""
 WITH views AS (
-    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS item_id, ts
+    SELECT TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS item_id, ts
     FROM events
     WHERE event_type = '{event_type}'
-      AND json_extract_string(props, '$.k') IS NOT NULL
+      AND TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) IS NOT NULL
 ),
 counts AS (
     SELECT CAST(epoch(time_bucket(INTERVAL '{slide_minutes} minutes', ts)

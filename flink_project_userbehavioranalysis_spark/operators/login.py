@@ -5,10 +5,9 @@ Reference: LoginFailDetect/.../{LoginFail, LoginFailWithCep}.scala [U]
 'error'; any other event_type = success (clears the run).
 
 Batch formulation is pure window functions (lag over user partitions)
-— one shuffle on user_id, linear scan per partition, no state. The
+— one shuffle on user_id, linear scan per partition, no state. A
 streaming-exact variant (ValueState of last fail, emit immediately)
-lives in streaming/processors.py; batch ≡ streaming on finite input
-is asserted in tests.
+is planned as a transformWithStateInPandas processor.
 
 Ordering determinism: events are ordered by (ts, event_id) in BOTH
 engines — microsecond timestamps could in principle tie, and a tie

@@ -48,14 +48,16 @@ def marketing_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def blacklist(spark: SparkSession, sf_dir: str, threshold: int = 3) -> DataFrame:
+def blacklist(spark: SparkSession, sf_dir: str, threshold: int = 2) -> DataFrame:
     """A9/ST4 batch — (user, ad) pairs whose same-day click count
     reaches the threshold (reference AdClickAnalysis.scala ::
     FilterBlackListUserResult [U]: ValueState counter + daily-midnight
     reset timer + fire-once). Batch formulation = day-scoped GROUP BY
-    + HAVING; fire-once/pass-through live in streaming/processors.py.
-    Threshold is data-calibrated (FIXTURES §B: 100 is unreachable in
-    the synthetic events)."""
+    + HAVING; fire-once/pass-through is a streaming concern (planned
+    streaming processor). Threshold default 2 is data-calibrated: the
+    max same-day (user, ad) click count in the synthetic events is 2
+    at sf0.01 and sf0.1 (4 resp. 42 qualifying groups), so any higher
+    threshold returns an always-empty — vacuously passing — result."""
     events = load_events(spark, sf_dir)
     return (
         events.filter((F.col("event_type") == "click") & F.col("item_id").isNotNull())
@@ -89,14 +91,15 @@ GROUP BY 1
 """
 
 
-def blacklist_oracle_sql(threshold: int = 3) -> str:
+def blacklist_oracle_sql(threshold: int = 2) -> str:
     return f"""
 SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_start,
        user_id,
-       CAST(json_extract_string(props, '$.k') AS INTEGER) AS ad_id,
+       TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS ad_id,
        COUNT(*) AS clicks
 FROM events
-WHERE event_type = 'click' AND json_extract_string(props, '$.k') IS NOT NULL
+WHERE event_type = 'click'
+  AND TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) IS NOT NULL
 GROUP BY 1, 2, 3
 HAVING COUNT(*) >= {threshold}
 """

@@ -87,8 +87,8 @@ def hot_pages_topn(
     """W2 — Top-N hot 'pages' per short sliding window (reference
     HotPagesNetworkFlow.scala :: TopNHotPages [U]). Page analog =
     item_id of click events (FIXTURES §B). Late-update overwrite
-    semantics are a streaming concern (streaming/topn.py); batch rank
-    is the oracle-checkable core."""
+    semantics are a streaming concern (planned foreachBatch re-rank);
+    batch rank is the oracle-checkable core."""
     events = load_events(spark, sf_dir)
     counts = (
         events.filter((F.col("event_type") == "click") & F.col("item_id").isNotNull())
@@ -125,9 +125,10 @@ def hot_pages_oracle_sql(window_minutes: int = 10, slide_minutes: int = 5, n: in
     slides = window_minutes // slide_minutes
     return f"""
 WITH clicks AS (
-    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS page_id, ts
+    SELECT TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS page_id, ts
     FROM events
-    WHERE event_type = 'click' AND json_extract_string(props, '$.k') IS NOT NULL
+    WHERE event_type = 'click'
+      AND TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) IS NOT NULL
 ),
 counts AS (
     SELECT CAST(epoch(time_bucket(INTERVAL '{slide_minutes} minutes', ts)

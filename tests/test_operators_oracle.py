@@ -1,0 +1,87 @@
+"""Oracle-match tests for every registered batch operator (driver t2
+mirror at sf0.001 for speed; tools/check_all.py runs sf0.01)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from flink_project_userbehavioranalysis_spark.operators import login, market, network_flow
+from tests.oracle import assert_matches_oracle
+
+
+def test_pv_hourly(spark, sf_dir):
+    assert_matches_oracle(network_flow.pv_hourly(spark, sf_dir), network_flow.PV_HOURLY_SQL, sf_dir)
+
+
+def test_uv_hourly(spark, sf_dir):
+    assert_matches_oracle(network_flow.uv_hourly(spark, sf_dir), network_flow.UV_HOURLY_SQL, sf_dir)
+
+
+def test_uv_approx_close_to_exact(spark, sf_dir):
+    """HLL++ estimate within 5% of the exact per-window UV (rsd=0.01)."""
+    approx = {r["window_end"]: r["uv_approx"] for r in network_flow.uv_approx_hourly(spark, sf_dir).collect()}
+    exact = {r["window_end"]: r["uv"] for r in network_flow.uv_hourly(spark, sf_dir).collect()}
+    assert approx.keys() == exact.keys()
+    for k, v in exact.items():
+        assert abs(approx[k] - v) <= max(1, 0.05 * v)
+
+
+def test_uv_daily_sketch_vs_exact_daily(spark, sf_dir):
+    """Merged hourly sketches ≈ exact daily distinct count."""
+    from flink_project_userbehavioranalysis_spark.io import load_events
+
+    got = {r["day_start"]: r["uv_daily"] for r in network_flow.uv_daily_sketch_rollup(spark, sf_dir).collect()}
+    exact_df = (
+        load_events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .groupBy(F.date_trunc("day", "ts").cast("long").alias("day_start"))
+        .agg(F.countDistinct("user_id").alias("uv"))
+    )
+    exact = {r["day_start"]: r["uv"] for r in exact_df.collect()}
+    assert got.keys() == exact.keys()
+    for k, v in exact.items():
+        assert abs(got[k] - v) <= max(1, 0.05 * v)
+
+
+def test_hot_pages_topn(spark, sf_dir):
+    assert_matches_oracle(
+        network_flow.hot_pages_topn(spark, sf_dir), network_flow.hot_pages_oracle_sql(), sf_dir
+    )
+
+
+def test_count_by_channel_behavior(spark, sf_dir):
+    assert_matches_oracle(
+        market.count_by_channel_behavior(spark, sf_dir), market.COUNT_BY_CHANNEL_BEHAVIOR_SQL, sf_dir
+    )
+
+
+def test_marketing_total(spark, sf_dir):
+    assert_matches_oracle(market.marketing_total(spark, sf_dir), market.MARKETING_TOTAL_SQL, sf_dir)
+
+
+def test_blacklist_matches_oracle_and_nonempty_at_sf001(spark):
+    """Threshold 2 must produce a non-trivial result at sf0.01 — a 0=0
+    oracle pass is vacuous (round-1 verdict)."""
+    sf = "/root/testdata/sf0.01"
+    df = market.blacklist(spark, sf)
+    assert_matches_oracle(df, market.blacklist_oracle_sql(), sf)
+    assert df.count() > 0
+
+
+def test_consec_fail(spark, sf_dir):
+    assert_matches_oracle(login.consec_fail(spark, sf_dir), login.consec_fail_oracle_sql(), sf_dir)
+
+
+def test_consec_fail_triple(spark, sf_dir):
+    assert_matches_oracle(
+        login.consec_fail_triple(spark, sf_dir), login.consec_fail_triple_oracle_sql(), sf_dir
+    )
+
+
+def test_entry_contract():
+    """queries() and oracle_sql() stay consistent: every oracle key is a
+    query key, and the flagship is registered."""
+    import __spark_entry__ as e
+
+    qs, os = e.queries(), e.oracle_sql()
+    assert set(os) <= set(qs)
+    assert "hot_items_topn" in os

@@ -1,0 +1,48 @@
+"""Local mirror of the driver's t2 correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry at sf0.01 and compares
+it against its ``oracle_sql()`` via the same normalize-sort-hash logic
+as tests/oracle.py. Rows-only entries just assert the query runs.
+
+Usage: python tools/check_all.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entry_mod
+from flink_project_userbehavioranalysis_spark import get_spark
+from tests.oracle import assert_matches_oracle
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(app_name="check-all", streaming=True)
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            if name in oracles:
+                assert_matches_oracle(df, oracles[name], sf_dir)
+                status = "oracle-match"
+            else:
+                n = df.count()
+                status = f"rows-only ({n} rows)"
+        except Exception as e:  # noqa: BLE001
+            failed.append(name)
+            status = f"FAIL: {type(e).__name__}: {e}"
+        dt = time.perf_counter() - t0
+        print(f"{name:35s} {dt:7.2f}s  {status}")
+    print(f"\n{len(qs) - len(failed)}/{len(qs)} pass")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
