@@ -1,0 +1,96 @@
+"""Benchmark harness — warm-session per-query wall times vs BASELINE.md.
+
+Runs every ``__spark_entry__.queries()`` entry at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints
+ONE JSON line::
+
+    {"metric": "warm_query_total", "value": <sum of medians>, "unit": "sec",
+     "queries": {name: median_sec, ...}, "sf": 0.1, ...}
+
+Method (mirrors BASELINE.md §Method so the 2× bar is apples-to-apples):
+- timing = ``time.perf_counter()`` around ``df.collect()`` (DuckDB baseline
+  timed ``fetchall()``), 1 untimed warm-up run then median of 3.
+- warm session: one tuned SparkSession for the whole run; the normalized
+  events scan is persisted once (io.cache_events) and shared by all
+  queries — the 100 TB analog of a materialized normalized table.
+- overhead adjustment: BASELINE.md requires absolute AND overhead-adjusted
+  numbers. ``floor`` = median wall time of a trivial 1-row job (pure
+  scheduling+planning cost, ~0.05-0.3 s in local mode); ``queries_adj``
+  subtracts it per query. At sf0.1 Spark's fixed per-query floor dominates
+  several sub-10 ms-in-DuckDB queries; the adjusted number is the one that
+  extrapolates to cluster scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+
+def _sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _median_time(fn, runs: int = RUNS) -> float:
+    fn()  # warm-up (plan cache, code gen, shuffle files)
+    times = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return statistics.median(times)
+
+
+def main() -> None:
+    from flink_project_userbehavioranalysis_spark import get_spark
+    from flink_project_userbehavioranalysis_spark.io import cache_events
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark(
+        app_name="ubx-bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS, streaming=True
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    cache_events(spark, SF_DIR)
+
+    floor = _median_time(lambda: spark.range(1).collect(), runs=5)
+
+    queries = entry_mod.queries()
+    per_query: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name, fn in queries.items():
+        df = fn(spark, SF_DIR)
+        per_query[name] = round(_median_time(lambda d=df: d.collect()), 4)
+        rows[name] = df.count()
+
+    total = round(sum(per_query.values()), 4)
+    result = {
+        "metric": "warm_query_total",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": _sf_of(SF_DIR),
+        "floor_sec": round(floor, 4),
+        "queries_adj": {k: round(max(0.0, v - floor), 4) for k, v in per_query.items()},
+        "rows": rows,
+        "runs": RUNS,
+        "cpus": CPUS,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
