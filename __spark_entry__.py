@@ -20,6 +20,7 @@ from flink_project_userbehavioranalysis_spark.operators import hot_items as _hot
 from flink_project_userbehavioranalysis_spark.operators import login as _login
 from flink_project_userbehavioranalysis_spark.operators import market as _market
 from flink_project_userbehavioranalysis_spark.operators import network_flow as _nf
+from flink_project_userbehavioranalysis_spark.operators import order_pay as _op
 
 
 def _configure(spark: SparkSession) -> SparkSession:
@@ -69,6 +70,14 @@ def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str
             _login.consec_fail_triple,
             _login.consec_fail_triple_oracle_sql(),
         ),
+        # J3/ST5/ST6 timeout branch (broadcast anti-join)
+        "order_timeout": (_op.order_timeout, _op.order_timeout_oracle_sql()),
+        # J3 matched branch (first pay within horizon)
+        "order_pay_matched": (_op.order_pay_matched, _op.order_pay_matched_oracle_sql()),
+        # J2 interval join
+        "interval_join": (_op.interval_join, _op.interval_join_oracle_sql()),
+        # J1/ST7 full-outer reconcile
+        "tx_reconcile": (_op.tx_reconcile, _op.tx_reconcile_oracle_sql()),
     }
 
 
