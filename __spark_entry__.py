@@ -17,6 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from flink_project_userbehavioranalysis_spark.operators import hot_items as _hot
+from flink_project_userbehavioranalysis_spark.operators import llm_text as _text
 from flink_project_userbehavioranalysis_spark.operators import login as _login
 from flink_project_userbehavioranalysis_spark.operators import market as _market
 from flink_project_userbehavioranalysis_spark.operators import network_flow as _nf
@@ -78,6 +79,17 @@ def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str
         "interval_join": (_op.interval_join, _op.interval_join_oracle_sql()),
         # J1/ST7 full-outer reconcile
         "tx_reconcile": (_op.tx_reconcile, _op.tx_reconcile_oracle_sql()),
+        # §2.10 exact dedup (documents text grain)
+        "dedup_exact_docs": (_text.dedup_exact_docs, _text.DEDUP_EXACT_DOCS_SQL),
+        # §2.10 exact dedup (event interaction grain — non-trivial at sf0.01)
+        "dedup_exact_events": (_text.dedup_exact_events, _text.DEDUP_EXACT_EVENTS_SQL),
+        # §2.10 text analysis
+        "token_counts": (_text.token_counts, _text.TOKEN_COUNTS_SQL),
+        "doc_quality_stats": (_text.doc_quality_stats, _text.DOC_QUALITY_STATS_SQL),
+        "lang_stats": (_text.lang_stats, _text.LANG_STATS_SQL),
+        "tfidf_top_term": (_text.tfidf_top_term, _text.TFIDF_TOP_TERM_SQL),
+        "doc_fingerprint": (_text.doc_fingerprint, _text.DOC_FINGERPRINT_SQL),
+        "lang_id_rules": (_text.lang_id_rules, _text.LANG_ID_RULES_SQL),
     }
 
 

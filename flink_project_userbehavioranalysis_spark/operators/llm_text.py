@@ -1,0 +1,277 @@
+"""LLM-training-data text pipeline: exact dedup, token analysis,
+quality stats, tf-idf, fingerprints, language-ID.
+
+No reference analog (the Flink project has no text ops) — this is the
+north-star extension pillar (SURVEY §2.10) over the ``documents``
+table (doc_id, text, lang, source, n_chars).
+
+Design rules for the 100 TB posture:
+- everything is expression-level (split / explode / md5 / window
+  functions) — whole-stage codegen, zero Python UDFs;
+- dedup NEVER uses dropDuplicates(): which row survives is
+  partition-order-dependent there. Survivor = min(id) per group, a
+  deterministic associative aggregate that partial-aggregates map-side;
+- fingerprints are md5 hex strings so Spark and the DuckDB oracle agree
+  bit-for-bit (xxhash64 seeds differ between engines);
+- float ranking (tf-idf) is rounded to 9 decimals before row_number so
+  sub-ulp libm differences between JVM and C can't flip ranks, with a
+  token-ascending tie-break after that.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from flink_project_userbehavioranalysis_spark.io import load_events, load_table
+
+
+def _tokens(df: DataFrame) -> DataFrame:
+    """Explode whitespace tokens (documents.text is space-delimited)."""
+    return df.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("token"))
+
+
+# --------------------------------------------------------------- exact dedup
+
+
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact text dedup: one surviving row per distinct text, survivor =
+    min(doc_id), with the duplicate-cluster size. Single hash shuffle on
+    a fingerprint-sized key; at 100 TB group on md5(text) instead of the
+    raw text to keep shuffle rows narrow (done here)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5(F.col("text").cast("binary")).alias("text_md5"), "doc_id")
+        .groupBy("text_md5")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def dedup_exact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup at interaction grain (user_id, event_type, item_id):
+    survivor = min(event_id) + cluster size. Non-trivial at every sf
+    (events repeat interactions heavily)."""
+    events = load_events(spark, sf_dir)
+    return (
+        events.filter(F.col("item_id").isNotNull())
+        .groupBy("user_id", "event_type", "item_id")
+        .agg(F.min("event_id").alias("keep_event_id"), F.count("*").alias("n_copies"))
+    )
+
+
+# ------------------------------------------------------------- token analysis
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global token frequencies — explode + count, the canonical
+    two-phase (partial agg before shuffle) word count."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _tokens(docs).groupBy("token").agg(F.count("*").alias("cnt"))
+
+
+def doc_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality signals (all exact integers): token count,
+    distinct-token count (lexical diversity), char count, stopword
+    count, max token length. Downstream quality filters threshold these;
+    keeping them integer makes the oracle hash exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.length("text").alias("n_chars"),
+        F.size(F.filter(toks, lambda t: t.isin("the", "a"))).alias("n_stopwords"),
+        F.array_max(F.transform(toks, F.length)).alias("max_token_len"),
+    )
+
+
+def lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats (doc count, total chars, total tokens)
+    — exact-integer sums so avg = sum/count is reproducible downstream."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", "n_chars", F.size(F.split("text", " ")).alias("n_tokens"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+    )
+
+
+def tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-distinctive term per document by tf-idf (tf × ln(N/df)).
+
+    Emits exact integers (tf, df) for the winning term; the float score
+    is rank-internal only, rounded to 9 decimals before row_number so
+    JVM-vs-C libm ulp noise can't flip the order (tie-break token asc).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar constant into the plan (tiny, intentional)
+    tf = _tokens(docs).groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(df_), "token").withColumn(
+        "score", F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 9)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "token", "tf", "df")
+    )
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: md5 of the raw text plus md5 of the sorted
+    token bag (order-insensitive near-key — catches shuffled-token
+    duplicates that exact dedup misses)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bag = F.array_join(F.sort_array(F.split("text", " ")), " ")
+    return docs.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("text_md5"),
+        F.md5(bag.cast("binary")).alias("bag_md5"),
+    )
+
+
+def lang_id_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-chain language ID: CJK codepoints → zh, distinctive accents
+    → fr/es/de, else stopword profile, else 'en'. Deterministic CASE
+    expression (oracle-matchable); on the synthetic English-vocab corpus
+    it predicts 'en' throughout — the labels are not recoverable from
+    characters, which this output makes visible. A statistical token-
+    profile classifier (naive Bayes) is exercised in tests Spark-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    pred = (
+        F.when(F.col("text").rlike("[\\u4e00-\\u9fff]"), "zh")
+        .when(F.col("text").rlike("[àâçéèêëîïôùûü]"), "fr")
+        .when(F.col("text").rlike("[áéíñóúü¿¡]"), "es")
+        .when(F.col("text").rlike("[äößü]"), "de")
+        .when(F.size(F.filter(toks, lambda t: t.isin("the", "a"))) > 0, "en")
+        .otherwise("und")
+    )
+    return docs.select("doc_id", pred.alias("predicted_lang"), F.col("lang").alias("label_lang"))
+
+
+def lang_id_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical language ID: add-one-smoothed multinomial NB over
+    token unigrams, trained on the corpus's own (lang, token) counts.
+    Spark-side only (float log-likelihood sums are not reproducible
+    bit-for-bit across engines, so no oracle entry): explode → broadcast
+    join of per-(lang, token) log-probs → per-(doc, lang) sum → argmax."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(docs)
+    lang_tok = toks.groupBy("lang", "token").agg(F.count("*").alias("c"))
+    lang_tot = toks.groupBy("lang").agg(F.count("*").alias("tot"))
+    vocab = toks.select("token").distinct().count()
+    doc_tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    langs = docs.select("lang").distinct().withColumnRenamed("lang", "cand_lang")
+    grid = doc_tf.crossJoin(F.broadcast(langs))
+    scored = (
+        grid.join(
+            F.broadcast(lang_tok.withColumnRenamed("lang", "cand_lang")),
+            ["cand_lang", "token"],
+            "left",
+        )
+        .join(F.broadcast(lang_tot.withColumnRenamed("lang", "cand_lang")), "cand_lang")
+        .withColumn(
+            "ll",
+            F.col("tf")
+            * F.log((F.coalesce(F.col("c"), F.lit(0)) + 1.0) / (F.col("tot") + F.lit(vocab))),
+        )
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.sum("ll").alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cand_lang"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("cand_lang").alias("predicted_lang"))
+    )
+
+
+# ---------------------------------------------------------------- oracle SQL
+
+DEDUP_EXACT_DOCS_SQL = """
+SELECT md5(text) AS text_md5,
+       min(doc_id) AS keep_doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+DEDUP_EXACT_EVENTS_SQL = """
+SELECT user_id, event_type,
+       TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS item_id,
+       min(event_id) AS keep_event_id,
+       count(*) AS n_copies
+FROM events
+WHERE TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) IS NOT NULL
+GROUP BY 1, 2, 3
+"""
+
+TOKEN_COUNTS_SQL = """
+SELECT token, count(*) AS cnt
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY 1
+"""
+
+DOC_QUALITY_STATS_SQL = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+       length(text) AS n_chars,
+       len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS n_stopwords,
+       list_max(list_transform(string_split(text, ' '), t -> length(t))) AS max_token_len
+FROM documents
+"""
+
+LANG_STATS_SQL = """
+SELECT lang,
+       count(*) AS n_docs,
+       sum(n_chars) AS sum_chars,
+       sum(len(string_split(text, ' '))) AS sum_tokens
+FROM documents
+GROUP BY 1
+"""
+
+TFIDF_TOP_TERM_SQL = """
+WITH tf AS (
+    SELECT doc_id, token, count(*) AS tf
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY 1, 2
+), df AS (
+    SELECT token, count(*) AS df FROM tf GROUP BY 1
+), n AS (
+    SELECT count(*) AS n_docs FROM documents
+), scored AS (
+    SELECT tf.doc_id, tf.token, tf.tf, df.df,
+           round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 9) AS score
+    FROM tf JOIN df USING (token) CROSS JOIN n
+)
+SELECT doc_id, token, tf, df
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token ASC) = 1
+"""
+
+DOC_FINGERPRINT_SQL = """
+SELECT doc_id,
+       md5(text) AS text_md5,
+       md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS bag_md5
+FROM documents
+"""
+
+LANG_ID_RULES_SQL = r"""
+SELECT doc_id,
+       CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+            WHEN regexp_matches(text, '[àâçéèêëîïôùûü]') THEN 'fr'
+            WHEN regexp_matches(text, '[áéíñóúü¿¡]') THEN 'es'
+            WHEN regexp_matches(text, '[äößü]') THEN 'de'
+            WHEN len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) > 0 THEN 'en'
+            ELSE 'und' END AS predicted_lang,
+       lang AS label_lang
+FROM documents
+"""

@@ -1,0 +1,67 @@
+"""LLM text-pipeline operators: oracle-match + semantic properties."""
+
+import pyspark.sql.functions as F
+
+from flink_project_userbehavioranalysis_spark.operators import llm_text
+from tests.oracle import assert_matches_oracle
+
+
+def test_dedup_exact_docs(spark, sf_dir):
+    assert_matches_oracle(llm_text.dedup_exact_docs(spark, sf_dir), llm_text.DEDUP_EXACT_DOCS_SQL, sf_dir)
+
+
+def test_dedup_exact_events_nontrivial(spark, sf_dir):
+    df = llm_text.dedup_exact_events(spark, sf_dir)
+    assert_matches_oracle(df, llm_text.DEDUP_EXACT_EVENTS_SQL, sf_dir)
+    # real duplicate clusters must exist, else the dedup is vacuous
+    assert df.filter(F.col("n_copies") > 1).count() > 0
+
+
+def test_token_counts(spark, sf_dir):
+    df = llm_text.token_counts(spark, sf_dir)
+    assert_matches_oracle(df, llm_text.TOKEN_COUNTS_SQL, sf_dir)
+
+
+def test_token_counts_sum_equals_total_tokens(spark, sf_dir):
+    """Σ token counts == Σ per-doc token counts (conservation)."""
+    total = llm_text.token_counts(spark, sf_dir).agg(F.sum("cnt")).collect()[0][0]
+    per_doc = (
+        llm_text.doc_quality_stats(spark, sf_dir).agg(F.sum("n_tokens")).collect()[0][0]
+    )
+    assert total == per_doc
+
+
+def test_doc_quality_stats(spark, sf_dir):
+    assert_matches_oracle(llm_text.doc_quality_stats(spark, sf_dir), llm_text.DOC_QUALITY_STATS_SQL, sf_dir)
+
+
+def test_lang_stats(spark, sf_dir):
+    assert_matches_oracle(llm_text.lang_stats(spark, sf_dir), llm_text.LANG_STATS_SQL, sf_dir)
+
+
+def test_tfidf_top_term(spark, sf_dir):
+    df = llm_text.tfidf_top_term(spark, sf_dir)
+    assert_matches_oracle(df, llm_text.TFIDF_TOP_TERM_SQL, sf_dir)
+    # exactly one winner per document
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert df.count() == n_docs
+
+
+def test_doc_fingerprint(spark, sf_dir):
+    df = llm_text.doc_fingerprint(spark, sf_dir)
+    assert_matches_oracle(df, llm_text.DOC_FINGERPRINT_SQL, sf_dir)
+
+
+def test_lang_id_rules(spark, sf_dir):
+    assert_matches_oracle(llm_text.lang_id_rules(spark, sf_dir), llm_text.LANG_ID_RULES_SQL, sf_dir)
+
+
+def test_lang_id_naive_bayes_shape(spark, sf_dir):
+    """NB classifier (Spark-only, float scores): one prediction per doc,
+    predictions drawn from the label set."""
+    df = llm_text.lang_id_naive_bayes(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert df.count() == docs.count()
+    labels = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    preds = {r["predicted_lang"] for r in df.select("predicted_lang").distinct().collect()}
+    assert preds <= labels
