@@ -22,6 +22,7 @@ from flink_project_userbehavioranalysis_spark.operators import login as _login
 from flink_project_userbehavioranalysis_spark.operators import market as _market
 from flink_project_userbehavioranalysis_spark.operators import network_flow as _nf
 from flink_project_userbehavioranalysis_spark.operators import order_pay as _op
+from flink_project_userbehavioranalysis_spark.operators import similarity as _sim
 
 
 def _configure(spark: SparkSession) -> SparkSession:
@@ -90,6 +91,21 @@ def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str
         "tfidf_top_term": (_text.tfidf_top_term, _text.TFIDF_TOP_TERM_SQL),
         "doc_fingerprint": (_text.doc_fingerprint, _text.DOC_FINGERPRINT_SQL),
         "lang_id_rules": (_text.lang_id_rules, _text.LANG_ID_RULES_SQL),
+        # §2.10 similarity search: exact cosine top-k (brute baseline)
+        "knn_topk": (_sim.knn_topk, _sim.knn_topk_oracle_sql()),
+        # §2.10 ANN scale path (banded sign-LSH — probabilistic, rows-only)
+        "ann_lsh_topk": (_sim.ann_lsh_topk, None),
+        # §2.10 embedding-cosine near-dup pairs
+        "cosine_dup_pairs": (_sim.cosine_dup_pairs, _sim.cosine_dup_pairs_oracle_sql()),
+        # §2.10 n-gram Jaccard near-dup (exact, shingle-join)
+        "ngram_jaccard_pairs": (_sim.ngram_jaccard_pairs, _sim.ngram_jaccard_oracle_sql()),
+        # §2.10 MinHash+LSH near-dup (verified candidates ⇒ exact values;
+        # recall 1 at these band params on this corpus, so the exact
+        # Jaccard SQL is its oracle too)
+        "minhash_near_dup": (_sim.minhash_near_dup, _sim.ngram_jaccard_oracle_sql()),
+        # §2.10 SimHash fingerprint + hamming near-dup
+        "simhash64": (_sim.simhash64, _sim.SIMHASH64_SQL),
+        "simhash_near_dup": (_sim.simhash_near_dup, _sim.simhash_near_dup_oracle_sql()),
     }
 
 

@@ -1,0 +1,520 @@
+"""Similarity search + near-duplicate detection (SURVEY §2.10).
+
+No reference analog (the Flink project has no vector/text-similarity
+ops) — this is the north-star extension pillar over ``embeddings``
+(vec_id, embedding: array<float>[64], label) and ``documents``.
+
+100 TB design rules
+-------------------
+- **Never all-pairs.** The only quadratic joins here are (a) the
+  *exact* brute-force kNN kept as the correctness baseline/oracle twin
+  and (b) `cosine_dup_pairs`' verify stage *after* an LSH candidate
+  filter. The scale path is always bucket-join: shingle-join for
+  Jaccard, banded MinHash for near-dup, banded sign-LSH for ANN,
+  chunk-join for SimHash hamming. Every candidate generator is an
+  equi-join on a (band_id, band_key) pair — shuffle-partitionable,
+  no CartesianProduct in the plan (asserted in tests).
+- **Floats stay out of driver-hashed output.** Ranks and integer
+  intersection counts are emitted; scores are rank-internal, rounded
+  to 9 decimals before row_number so sub-ulp JVM-vs-C differences
+  can't flip an order (ties then break on id ascending).
+- **Everything is expression-level** (zip_with/aggregate/transform/
+  xxhash64) — whole-stage codegen, zero Python UDFs in hot paths.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from flink_project_userbehavioranalysis_spark.io import load_table
+
+# --------------------------------------------------------------- shared prep
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings with double-cast vectors + precomputed L2 norm.
+
+    Casting float→double once up front makes Spark's fold arithmetic
+    bit-identical to the DuckDB oracle's (both then run pure
+    double-precision left folds over the same values).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    df = emb.select(F.col("vec_id"), v.alias("v"))
+    norm = F.sqrt(
+        F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return df.withColumn("nrm", norm)
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _shingles(df: DataFrame, n: int) -> DataFrame:
+    """(doc_id, shingle) rows: distinct n-word shingles per document."""
+    w = F.split("text", " ")
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
+            lambda i: F.array_join(F.slice(w, i, n), " "),
+        )
+    )
+    return df.select("doc_id", F.explode(sh).alias("shingle"))
+
+
+# ----------------------------------------------------------- exact kNN (brute)
+
+
+def knn_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Exact cosine top-k neighbors per vector (self excluded).
+
+    Brute force is the *correctness baseline*: at sf scale the corpus
+    side is broadcast so the join is a BroadcastNestedLoop over an
+    in-memory table, one pass, no shuffle of the big side. At 100 TB
+    you keep exactly this operator but feed it a *bounded query set*
+    (broadcast queries × streamed corpus) or swap the candidate
+    generator for `ann_lsh_topk` — the rank/emit tail is shared.
+
+    Output is float-free: (query_id, neighbor_id, rn).
+    """
+    vec = _vectors(spark, sf_dir)
+    a = vec.select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = vec.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    scored = (
+        a.join(F.broadcast(b), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", F.round(_dot("va", "vb") / (F.col("na") * F.col("nb")), 9))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "rn")
+    )
+
+
+def knn_topk_oracle_sql(k: int = 5) -> str:
+    # Mirrors the Spark arithmetic exactly: double-cast, left-fold dot,
+    # round(·, 9) before ranking, neighbor-id tie-break.
+    return f"""
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+), n AS (
+    SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
+), p AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           round(list_sum(list_transform(range(len(a.v)), i -> a.v[i + 1] * b.v[i + 1]))
+                 / (a.nrm * b.nrm), 9) AS score
+    FROM n a JOIN n b ON a.vec_id <> b.vec_id
+)
+SELECT query_id, neighbor_id, rn
+FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rn
+    FROM p
+)
+WHERE rn <= {k}
+"""
+
+
+# -------------------------------------------------- ANN: banded sign-LSH kNN
+
+
+def _hyperplanes(dim: int, n_bands: int, band_bits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (no numpy RNG dependence
+    on driver: a tiny xorshift keeps this reproducible everywhere)."""
+    state = seed or 1
+    planes = []
+    for _ in range(n_bands * band_bits):
+        row = []
+        for _ in range(dim):
+            # xorshift64*
+            state ^= (state << 13) & 0xFFFFFFFFFFFFFFFF
+            state ^= state >> 7
+            state ^= (state << 17) & 0xFFFFFFFFFFFFFFFF
+            row.append(((state & 0xFFFF) / 32768.0) - 1.0)
+        planes.append(row)
+    return planes
+
+
+def ann_lsh_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    n_bands: int = 16,
+    band_bits: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate kNN via random-hyperplane (sign) LSH banding.
+
+    Scale path for `knn_topk`: each vector gets `n_bands` band keys
+    (band_bits sign bits each); candidates are generated by an
+    *equi-join on (band_id, band_key)* — never a cross join — then
+    exact-scored and ranked. Probability a true neighbor at angle θ
+    collides in ≥1 band = 1-(1-(1-θ/π)^band_bits)^n_bands; defaults
+    target ≥0.85 recall at cosine ≥ 0.4 on this corpus (asserted in
+    tests). At 100 TB: band keys are the shuffle keys; skewed buckets
+    split by AQE; per-bucket pair generation stays local.
+
+    Output: (query_id, neighbor_id, rn) — same shape as knn_topk.
+    """
+    planes = _hyperplanes(dim, n_bands, band_bits)
+    vec = _vectors(spark, sf_dir)
+    planes_lit = F.array(*[F.array(*[F.lit(x) for x in row]) for row in planes])
+    bits = F.transform(planes_lit, lambda p: (_dot(p, F.col("v")) > 0).cast("int"))
+    band_keys = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.aggregate(
+            F.slice(bits, b * band_bits + 1, band_bits),
+            F.lit(0),
+            lambda acc, x: acc * 2 + x,
+        ),
+    )
+    sig = vec.select(
+        "vec_id", "v", "nrm", F.posexplode(band_keys).alias("band_id", "band_key")
+    )
+    a = sig.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+        "band_id",
+        "band_key",
+    )
+    b = sig.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+        "band_id",
+        "band_key",
+    )
+    cand = (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "va", "vb", "na", "nb")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn("score", F.round(_dot("va", "vb") / (F.col("na") * F.col("nb")), 9))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "rn")
+    )
+
+
+# ------------------------------------------- embedding-cosine near-dup pairs
+
+
+def cosine_dup_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.4) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine ≥ threshold, a < b.
+
+    Exact (the corpus side is broadcast; one pass over the other).
+    Threshold 0.4 is calibrated to this corpus (max pair cosine ≈ 0.5
+    at sf0.01 — a 0.95 'dup' bar would be vacuously empty, which the
+    tests reject). At 100 TB swap the pair generator for the banded
+    sign-LSH candidates of `ann_lsh_topk` and keep the verify stage.
+
+    Output: (id_a, id_b, score_r6) — score rounded to 6 dp, which both
+    engines compute identically from double-identical inputs.
+    """
+    vec = _vectors(spark, sf_dir)
+    a = vec.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = vec.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn("score_r6", F.round(_dot("va", "vb") / (F.col("na") * F.col("nb")), 6))
+        .filter(F.col("score_r6") >= threshold)
+        .select("id_a", "id_b", "score_r6")
+    )
+
+
+def cosine_dup_pairs_oracle_sql(threshold: float = 0.4) -> str:
+    return f"""
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+), n AS (
+    SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_sum(list_transform(range(len(a.v)), i -> a.v[i + 1] * b.v[i + 1]))
+             / (a.nrm * b.nrm), 6) AS score_r6
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE round(list_sum(list_transform(range(len(a.v)), i -> a.v[i + 1] * b.v[i + 1]))
+            / (a.nrm * b.nrm), 6) >= {threshold}
+"""
+
+
+# ------------------------------------------------- n-gram Jaccard (exact, join)
+
+
+def ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, shingle_len: int = 3, threshold: float = 0.4
+) -> DataFrame:
+    """Exact near-dup pairs by n-word-shingle Jaccard ≥ threshold.
+
+    The scalable formulation: explode distinct shingles, *equi-join on
+    the shingle* (only docs sharing ≥1 shingle ever meet — no cross
+    join), count common, then Jaccard from per-doc distinct-shingle
+    counts. At 100 TB the shingle join is the standard inverted-index
+    shuffle; stop-shingle removal (drop shingles with df > cap) bounds
+    the worst hub buckets — here the corpus is small enough not to cap.
+
+    Output is float-free: (doc_a, doc_b, n_common, n_union).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs, shingle_len)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "sa")), "doc_a")
+        .join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "sb")), "doc_b")
+        .withColumn("n_union", F.col("sa") + F.col("sb") - F.col("n_common"))
+        .filter(F.col("n_common") / F.col("n_union") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "n_union")
+    )
+
+
+def ngram_jaccard_oracle_sql(shingle_len: int = 3, threshold: float = 0.4) -> str:
+    # Oracle uses the obviously-correct quadratic list_intersect form —
+    # it only ever runs at sf0.01. n = shingle_len consecutive words.
+    return f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(w[i:i + {shingle_len - 1}], ' ')
+                          FOR i IN range(1, greatest(len(w) - {shingle_len - 2}, 2))]) AS s
+    FROM t
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       len(list_intersect(a.s, b.s)) AS n_common,
+       len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS n_union
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s))::DOUBLE
+      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= {threshold}
+"""
+
+
+# ----------------------------------------------------- MinHash + LSH near-dup
+
+
+def minhash_near_dup(
+    spark: SparkSession,
+    sf_dir: str,
+    shingle_len: int = 3,
+    threshold: float = 0.4,
+    n_hashes: int = 32,
+    n_bands: int = 16,
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash candidates + exact verify.
+
+    The 100 TB-safe pipeline: per doc, `n_hashes` minhashes over its
+    shingle set (xxhash64 with per-hash salt, all expression-level);
+    group hashes into `n_bands` bands of r = n_hashes/n_bands; docs
+    sharing any band key become candidates via an *equi-join on
+    (band_id, band_key)*; candidates are then verified with the exact
+    shingle-intersection Jaccard, so emitted rows are exact integers —
+    MinHash only affects recall, never the values. With r=2, bands=16,
+    a true pair at Jaccard 0.4 survives with p = 1-(1-0.4²)^16 ≈ 0.94;
+    the planted near-dups here sit ≥0.5 (p ≈ 0.99) and tests assert
+    parity with the exact `ngram_jaccard_pairs` at sf0.01.
+
+    Output: (doc_a, doc_b, n_common, n_union) — same shape as exact.
+    """
+    r = n_hashes // n_bands
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs, shingle_len)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.concat(F.col("shingle"), F.lit(f"#s{i}")))).alias(f"mh{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    band_keys = F.array(
+        *[
+            F.xxhash64(*[F.col(f"mh{b * r + j}") for j in range(r)])
+            for b in range(n_bands)
+        ]
+    )
+    banded = sig.select(
+        "doc_id", F.posexplode(band_keys).alias("band_id", "band_key")
+    )
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band_id", "band_key"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact verify: count common shingles only for candidate pairs
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+        .join(cand, ["doc_a", "doc_b"])  # LSH candidate filter
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    return (
+        common.join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "sa")), "doc_a")
+        .join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "sb")), "doc_b")
+        .withColumn("n_union", F.col("sa") + F.col("sb") - F.col("n_common"))
+        .filter(F.col("n_common") / F.col("n_union") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "n_union")
+    )
+
+
+# ----------------------------------------------------------------- SimHash
+
+
+def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document over unigram tokens (tf-weighted).
+
+    Classic Charikar sketch: every token occurrence votes ±1 on each of
+    64 bit positions according to bit j of md5(token); bit j of the
+    final hash is 1 iff the vote sum is positive. md5 (not xxhash64) so
+    the DuckDB oracle reproduces the identical bits. Entirely
+    expression-level: tokens × 64 bit rows → per-(doc, bit) vote sums →
+    two uint32 halves → fixed-width hex. The 64× row expansion
+    partial-aggregates map-side (sum per (doc_id, j)) so the shuffle
+    carries ≤ 64 rows per doc regardless of doc length.
+
+    Output: (doc_id, simhash) with simhash a 16-char lowercase hex
+    string — string output keeps the driver hash engine-agnostic.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).select("doc_id", F.md5(F.col("tok").cast("binary")).alias("h"))
+    votes = (
+        toks.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(63))).alias("j"),
+            "h",
+        )
+        .withColumn(
+            "digit",
+            F.instr(
+                F.lit("0123456789abcdef"),
+                F.substring(F.col("h"), (F.floor(F.col("j") / 4) + 1).cast("int"), F.lit(1)),
+            )
+            - 1,
+        )
+        .withColumn("vote", F.expr("((digit >> (3 - j % 4)) & 1) * 2 - 1"))
+        .groupBy("doc_id", "j")
+        .agg(F.sum("vote").alias("s"))
+    )
+    halves = votes.groupBy("doc_id").agg(
+        F.sum(F.expr("CASE WHEN j >= 32 AND s > 0 THEN shiftleft(1L, j - 32) ELSE 0L END")).alias("hi"),
+        F.sum(F.expr("CASE WHEN j < 32 AND s > 0 THEN shiftleft(1L, j) ELSE 0L END")).alias("lo"),
+    )
+    return halves.select(
+        "doc_id",
+        F.concat(
+            F.format_string("%08x", F.col("hi")),
+            F.format_string("%08x", F.col("lo")),
+        ).alias("simhash"),
+    )
+
+
+SIMHASH64_SQL = """
+WITH toks AS (
+    SELECT doc_id, md5(t.tok) AS h
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+), votes AS (
+    SELECT doc_id, j.j,
+           sum(((strpos('0123456789abcdef', substr(h, j.j // 4 + 1, 1)) - 1)
+                 // CAST(pow(2, 3 - j.j % 4) AS INTEGER)) % 2 * 2 - 1) AS s
+    FROM toks CROSS JOIN (SELECT unnest(range(64)) AS j) j
+    GROUP BY 1, 2
+), halves AS (
+    SELECT doc_id,
+           sum(CASE WHEN j >= 32 AND s > 0 THEN CAST(pow(2, j - 32) AS BIGINT) ELSE 0 END) AS hi,
+           sum(CASE WHEN j < 32 AND s > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS lo
+    FROM votes GROUP BY 1
+)
+SELECT doc_id, printf('%08x%08x', CAST(hi AS BIGINT), CAST(lo AS BIGINT)) AS simhash FROM halves
+"""
+
+
+def simhash_near_dup(spark: SparkSession, sf_dir: str, max_hamming: int = 4) -> DataFrame:
+    """SimHash near-dup pairs: hamming(simhash_a, simhash_b) ≤ k.
+
+    Candidate generation is the pigeonhole chunk trick: split the 64
+    bits into (k//4 + 1) hex chunks… conservatively, 16 hex-digit
+    chunks of 4 bits — any pair at hamming ≤ 12 with ≥ 4 untouched
+    digits shares a chunk-position key. We use per-position digit
+    equality as the band join (16 bands, one per hex digit); a pair
+    must agree on ≥ (16 - k) digit positions to be at hamming ≤ k, so
+    for k ≤ 12 it agrees somewhere and is guaranteed recalled —
+    *exact* result from a bucketed join, no cross join. Verify stage
+    computes the true bit-level hamming distance. Default k=4 is
+    calibrated to this corpus: 21 pairs at sf0.01 (the shared 31-word
+    vocabulary correlates all docs' bits, so k=12 would pass 5.5 k
+    pairs and stop meaning "near-duplicate").
+
+    Output: (doc_a, doc_b, hamming) — all integers.
+    """
+    sh = simhash64(spark, sf_dir)
+    digits = sh.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(F.split(F.col("simhash"), "(?!^)")).alias("pos", "digit"),
+    )
+    a = digits.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"), "pos", "digit"
+    )
+    b = digits.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"), "pos", "digit"
+    )
+    cand = (
+        a.join(b, ["pos", "digit"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+    )
+    hexv = lambda s, i: F.instr(F.lit("0123456789abcdef"), F.substring(s, i, 1)) - 1  # noqa: E731
+    ham = F.aggregate(
+        F.sequence(F.lit(1), F.lit(16)),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.bit_count(hexv(F.col("ha"), i).bitwiseXOR(hexv(F.col("hb"), i))),
+    )
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def simhash_near_dup_oracle_sql(max_hamming: int = 4) -> str:
+    # Quadratic oracle (sf0.01 only): per-pair popcount of XORed digit
+    # values, built on the shared SIMHASH64 CTE.
+    return f"""
+WITH halves AS ({SIMHASH64_SQL.strip()})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(list_sum(list_transform(range(1, 17),
+            i -> bit_count(CAST(xor(strpos('0123456789abcdef', substr(a.simhash, i, 1)) - 1,
+                                    strpos('0123456789abcdef', substr(b.simhash, i, 1)) - 1) AS BIGINT))))
+            AS INTEGER) AS hamming
+FROM halves a JOIN halves b ON a.doc_id < b.doc_id
+WHERE list_sum(list_transform(range(1, 17),
+      i -> bit_count(CAST(xor(strpos('0123456789abcdef', substr(a.simhash, i, 1)) - 1,
+                              strpos('0123456789abcdef', substr(b.simhash, i, 1)) - 1) AS BIGINT)))) <= {max_hamming}
+"""
