@@ -22,6 +22,7 @@ from flink_project_userbehavioranalysis_spark.operators import login as _login
 from flink_project_userbehavioranalysis_spark.operators import market as _market
 from flink_project_userbehavioranalysis_spark.operators import network_flow as _nf
 from flink_project_userbehavioranalysis_spark.operators import order_pay as _op
+from flink_project_userbehavioranalysis_spark.operators import relational as _rel
 from flink_project_userbehavioranalysis_spark.operators import similarity as _sim
 
 
@@ -106,6 +107,16 @@ def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str
         # §2.10 SimHash fingerprint + hamming near-dup
         "simhash64": (_sim.simhash64, _sim.SIMHASH64_SQL),
         "simhash_near_dup": (_sim.simhash_near_dup, _sim.simhash_near_dup_oracle_sql()),
+        # BASELINE.md engine sanity op (exact DECIMAL money math)
+        "tpch_q1ish": (_rel.tpch_q1ish, _rel.TPCH_Q1ISH_SQL),
+        # §2.8 set operations
+        "user_set_ops": (_rel.user_set_ops, _rel.USER_SET_OPS_SQL),
+        # T9 session windows
+        "user_sessions": (_rel.user_sessions, _rel.user_sessions_oracle_sql()),
+        # P5 regex extract/filter family
+        "regex_extract_props": (_rel.regex_extract_props, _rel.REGEX_EXTRACT_PROPS_SQL),
+        # P6/P7 date parse + format round trip
+        "date_roundtrip": (_rel.date_roundtrip, _rel.DATE_ROUNDTRIP_SQL),
     }
 
 

@@ -1,0 +1,234 @@
+"""Relational coverage ops: TPC-H-Q1-style pricing summary, set
+operations, session windows, regex scalar family, date parse/format.
+
+Reference mapping (SURVEY.md §2, all [U] — checkout empty):
+- set ops (§2.8): absent in the reference (streams are unioned by
+  running separate jobs); exposed here because the engine is a
+  superset and the driver oracle can check them for free.
+- session windows (T9): absent in reference (course-mentioned only);
+  Spark has first-class ``session_window``.
+- P5 regex filter/extract: ``HotPagesNetworkFlow.scala :: main``
+  [~L42] filters static-resource URLs by pattern; here the analog is
+  regex extraction over the ``events.props`` JSON string (treating it
+  as an unparsed log line, exactly the reference's hand-parse idiom).
+- P6/P7 date parse + format: ``SimpleDateFormat`` parse in
+  ``HotPagesNetworkFlow`` [~L32], ``new Timestamp(...)`` formatting in
+  ``TopNHotItems.onTimer`` [~L100].
+- tpch_q1ish: engine sanity op from BASELINE.md (80.2 ms @ sf0.1) —
+  exercises exact DECIMAL money sums + deterministic averages.
+
+Scale posture: every query is a single partial-aggregated shuffle
+(or none); money math is DECIMAL so partial-agg order can't change
+results; session windows shuffle once on user_id.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_project_userbehavioranalysis_spark.functions import exact_avg, money
+from flink_project_userbehavioranalysis_spark.io import load_events, load_table
+
+# ------------------------------------------------------------------ TPC-H Q1
+
+
+def tpch_q1ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing-summary aggregate on lineitem (TPC-H Q1 shape).
+
+    Sums run in DECIMAL(18,2)/(22,4) so partial-aggregation order can
+    never wobble a cent; averages divide the exact sum by the exact
+    count (one IEEE division — deterministic, oracle-identical).
+    At 100 TB this is one map-side-combined shuffle over 6 groups.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = money("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - money("l_discount"))
+    charge = disc_price * (F.lit(1).cast("decimal(3,2)") + money("l_tax"))
+    out = (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(money("l_quantity")).alias("sum_qty"),
+            F.sum(money("l_extendedprice")).alias("sum_base_price"),
+            F.sum(disc_price).alias("sum_disc_price"),
+            F.sum(charge).alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+        .withColumn("avg_qty", exact_avg(F.col("sum_qty"), F.col("count_order")))
+        .withColumn("avg_price", exact_avg(F.col("sum_base_price"), F.col("count_order")))
+    )
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("sum_base_price").cast("double").alias("sum_base_price"),
+        F.col("sum_disc_price").cast("double").alias("sum_disc_price"),
+        F.col("sum_charge").cast("double").alias("sum_charge"),
+        "avg_qty",
+        "avg_price",
+        "count_order",
+    )
+
+
+TPCH_Q1ISH_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE)
+           AS sum_charge,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------------------- set ops
+
+
+def user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 set operations over two derived relations: users who
+    viewed vs users who purchased → INTERSECT / EXCEPT / UNION, tagged.
+    Each set op is a distinct-aggregated co-partitioned join under the
+    hood — one shuffle per branch on user_id, no driver round-trip."""
+    events = load_events(spark, sf_dir)
+    viewers = events.filter(F.col("event_type") == "view").select("user_id").distinct()
+    buyers = events.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return (
+        viewers.intersect(buyers).select(F.lit("both").alias("op"), "user_id")
+        .unionByName(viewers.exceptAll(buyers).select(F.lit("view_only").alias("op"), "user_id"))
+        .unionByName(buyers.exceptAll(viewers).select(F.lit("buy_only").alias("op"), "user_id"))
+        .unionByName(viewers.union(buyers).distinct().select(F.lit("any").alias("op"), "user_id"))
+    )
+
+
+USER_SET_OPS_SQL = """
+WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+     b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+SELECT 'both' AS op, user_id FROM (SELECT user_id FROM v INTERSECT SELECT user_id FROM b)
+UNION ALL
+SELECT 'view_only', user_id FROM (SELECT user_id FROM v EXCEPT SELECT user_id FROM b)
+UNION ALL
+SELECT 'buy_only', user_id FROM (SELECT user_id FROM b EXCEPT SELECT user_id FROM v)
+UNION ALL
+SELECT 'any', user_id FROM (SELECT user_id FROM v UNION SELECT user_id FROM b)
+"""
+
+
+# ------------------------------------------------------------ session windows
+
+
+def user_sessions(spark: SparkSession, sf_dir: str, gap: str = "30 minutes") -> DataFrame:
+    """T9 session windows: per-user sessions with a 30-min inactivity
+    gap — session bounds (epoch s) + event count. One shuffle on
+    user_id; Spark's session_window merges adjacent rows server-side.
+    Oracle = classic gaps-and-islands (lag + running sum)."""
+    events = load_events(spark, sf_dir)
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("session_start"),
+            F.col("w.end").cast("long").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def user_sessions_oracle_sql(gap_seconds: int = 1800) -> str:
+    # session_window's end = last event + gap (half-open), per Spark
+    # docs. All comparisons in integer microseconds (epoch_us) so the
+    # gap test and the final floor-to-seconds match Spark's µs
+    # arithmetic exactly (a plain epoch() would truncate before the
+    # gap compare and misclassify gaps with fractional seconds).
+    return f"""
+WITH t AS (
+    SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+           CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                     - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                           OVER (PARTITION BY user_id ORDER BY ts) > {gap_seconds} * 1000000
+                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+), s AS (
+    SELECT user_id, us,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+    FROM t
+)
+SELECT user_id,
+       min(us) // 1000000 AS session_start,
+       max(us) // 1000000 + {gap_seconds} AS session_end,
+       count(*) AS n_events
+FROM s
+GROUP BY user_id, sid
+"""
+
+
+# ----------------------------------------------------- regex scalar family P5
+
+
+def regex_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/P6 analog: treat ``props`` as an unparsed log line (the
+    reference hand-parses apache.log with patterns) — regex-extract the
+    numeric k, keep only two-digit values ending in 0–4 (the 'exclude
+    static resources' filter shape, inverted match), count per k."""
+    events = load_events(spark, sf_dir)
+    k_str = F.regexp_extract("props", r'"k":\s*(\d+)', 1)
+    # regexp_extract yields '' on no match; ANSI mode would throw on
+    # cast, so route through NULL explicitly.
+    k = F.when(k_str == "", F.lit(None)).otherwise(k_str).cast("int")
+    return (
+        events.select(k.alias("k"))
+        .filter(F.col("k").isNotNull() & F.col("k").cast("string").rlike(r"^\d[0-4]$"))
+        .groupBy("k")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+REGEX_EXTRACT_PROPS_SQL = r"""
+SELECT CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) AS k, count(*) AS cnt
+FROM events
+WHERE regexp_matches(CAST(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) AS VARCHAR),
+                     '^\d[0-4]$')
+GROUP BY 1
+"""
+
+
+# ------------------------------------------------- date parse/format P6 + P7
+
+
+def date_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6+P7: format event-time to 'yyyy-MM-dd HH:mm' strings
+    (reference: SimpleDateFormat in TopNHotItems.onTimer [~L100] [U])
+    and parse back with to_timestamp, proving the round trip is exact
+    at minute grain. Output: minute string + epoch + count."""
+    events = load_events(spark, sf_dir)
+    minute_str = F.date_format(F.date_trunc("minute", F.col("ts")), "yyyy-MM-dd HH:mm")
+    return (
+        events.select(minute_str.alias("minute_str"))
+        .groupBy("minute_str")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "minute_epoch",
+            F.unix_timestamp(F.to_timestamp("minute_str", "yyyy-MM-dd HH:mm")),
+        )
+        .select("minute_str", "minute_epoch", "cnt")
+    )
+
+
+DATE_ROUNDTRIP_SQL = """
+SELECT strftime(date_trunc('minute', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M') AS minute_str,
+       CAST(epoch(date_trunc('minute', CAST(ts AS TIMESTAMP))) AS BIGINT) AS minute_epoch,
+       count(*) AS cnt
+FROM events
+GROUP BY 1, 2
+"""

@@ -1,0 +1,43 @@
+"""Relational coverage ops: oracle-match + invariants."""
+
+import pyspark.sql.functions as F
+
+from flink_project_userbehavioranalysis_spark.operators import relational as R
+from tests.oracle import assert_matches_oracle
+
+
+def test_tpch_q1ish(spark, sf_dir):
+    df = R.tpch_q1ish(spark, sf_dir)
+    assert_matches_oracle(df, R.TPCH_Q1ISH_SQL, sf_dir)
+    assert df.count() == 6  # R/A/N × O/F minus impossible combos
+
+
+def test_user_set_ops(spark, sf_dir):
+    df = R.user_set_ops(spark, sf_dir)
+    assert_matches_oracle(df, R.USER_SET_OPS_SQL, sf_dir)
+    # |any| == |both| + |view_only| + |buy_only| (partition invariant)
+    c = {r["op"]: r["cnt"] for r in df.groupBy("op").agg(F.count("*").alias("cnt")).collect()}
+    assert c["any"] == c.get("both", 0) + c.get("view_only", 0) + c.get("buy_only", 0)
+
+
+def test_user_sessions(spark, sf_dir):
+    df = R.user_sessions(spark, sf_dir)
+    assert_matches_oracle(df, R.user_sessions_oracle_sql(), sf_dir)
+    # Σ session event counts == total events (conservation)
+    total = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert df.agg(F.sum("n_events")).collect()[0][0] == total
+    # sessions are non-degenerate: end - start >= gap
+    assert df.filter(F.col("session_end") - F.col("session_start") < 1800).count() == 0
+
+
+def test_regex_extract_props(spark, sf_dir):
+    df = R.regex_extract_props(spark, sf_dir)
+    assert_matches_oracle(df, R.REGEX_EXTRACT_PROPS_SQL, sf_dir)
+    assert df.count() > 0
+
+
+def test_date_roundtrip(spark, sf_dir):
+    df = R.date_roundtrip(spark, sf_dir)
+    assert_matches_oracle(df, R.DATE_ROUNDTRIP_SQL, sf_dir)
+    # parse(format(t)) == t at minute grain: epoch is minute-aligned
+    assert df.filter(F.col("minute_epoch") % 60 != 0).count() == 0
