@@ -24,6 +24,7 @@ from flink_project_userbehavioranalysis_spark.operators import network_flow as _
 from flink_project_userbehavioranalysis_spark.operators import order_pay as _op
 from flink_project_userbehavioranalysis_spark.operators import relational as _rel
 from flink_project_userbehavioranalysis_spark.operators import similarity as _sim
+from flink_project_userbehavioranalysis_spark.streaming import windowed as _stw
 
 
 def _configure(spark: SparkSession) -> SparkSession:
@@ -117,6 +118,13 @@ def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str
         "regex_extract_props": (_rel.regex_extract_props, _rel.REGEX_EXTRACT_PROPS_SQL),
         # P6/P7 date parse + format round trip
         "date_roundtrip": (_rel.date_roundtrip, _rel.DATE_ROUNDTRIP_SQL),
+        # ---- Structured Streaming twins (T1-T5, A3/A5, W1/W2 streaming).
+        # Each replays events through readStream micro-batches with
+        # watermarks and returns the final state — so the batch oracle
+        # doubles as the streaming oracle (streaming ≡ batch ≡ oracle).
+        "pv_hourly_stream": (_stw.pv_hourly_stream, _nf.PV_HOURLY_SQL),
+        "uv_hourly_stream": (_stw.uv_hourly_stream, _nf.UV_HOURLY_SQL),
+        "hot_items_stream": (_stw.hot_items_stream, _hot.hot_items_oracle_sql()),
     }
 
 

@@ -66,6 +66,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def normalize_events(raw: DataFrame) -> DataFrame:
+    """Shared batch/streaming event normalization (raw BIGINT-nanos ts →
+    TimestampType + item_id projection). Works identically on a batch
+    scan and a readStream source — the single implementation both
+    layers share, so batch≡streaming tests compare the same logic."""
+    return raw.select(
+        "event_id",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        F.col("ts").alias("ts_ns"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+        F.get_json_object("props", "$.k").cast("int").alias("item_id"),
+    )
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with event-time normalized to TimestampType.
 
@@ -77,17 +94,7 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark), os.path.abspath(sf_dir))
     if key in _EVENTS_CACHE:
         return _EVENTS_CACHE[key]
-    raw = load_table(spark, sf_dir, "events")
-    return raw.select(
-        "event_id",
-        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
-        F.col("ts").alias("ts_ns"),
-        "user_id",
-        "event_type",
-        "value",
-        "props",
-        F.get_json_object("props", "$.k").cast("int").alias("item_id"),
-    )
+    return normalize_events(load_table(spark, sf_dir, "events"))
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:

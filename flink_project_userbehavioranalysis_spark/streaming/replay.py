@@ -1,0 +1,164 @@
+"""File-source micro-batch replay of the events table (S1 streaming).
+
+The reference replays bundled CSVs through ``env.readTextFile`` /
+FlinkKafkaConsumer (SURVEY §2.1 S1/S3 [U]); here the analog is the
+Structured Streaming *file source*: the events parquet is split into
+``n_chunks`` time-ordered files in a temp dir, then read with
+``readStream.option("maxFilesPerTrigger", 1)`` so each micro-batch
+advances event time the way a live stream would.
+
+End-of-input watermark parity: Flink sends a ``MAX_WATERMARK`` when a
+bounded source finishes, which fires all pending event-time timers.
+Structured Streaming's final watermark stops at ``max(ts) - delay``, so
+pending windows/timers near the end of input would stay unflushed and
+batch≡streaming equality would fail spuriously. ``sentinel=True``
+appends one far-future row (event_type='__sentinel__') that advances
+the watermark past every deadline — the exact analog of Flink's
+end-of-input watermark. Operators must ignore the sentinel row (its
+event_type matches no real type, so existing filters already do).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Row, SparkSession
+
+from flink_project_userbehavioranalysis_spark.io import load_table, normalize_events
+
+# (session id, sf_dir, n_chunks, sentinel) → prepared chunk dir
+_CHUNK_CACHE: dict[tuple, str] = {}
+
+SENTINEL_TYPE = "__sentinel__"
+_SENTINEL_GAP_NS = 10 * 365 * 24 * 3600 * 1_000_000_000  # ~10 years
+
+
+def _prepare_chunks(
+    spark: SparkSession, sf_dir: str, n_chunks: int, sentinel: bool
+) -> str:
+    """Write events as n_chunks single-file parquets named in ts order.
+
+    The file source picks up files in (modification time, path) order;
+    chunk k holds the k-th time-range of rows, so replay approximates
+    an in-order stream (watermarks handle residual disorder, as they
+    would in production)."""
+    key = (id(spark), os.path.abspath(sf_dir), n_chunks, sentinel)
+    if key in _CHUNK_CACHE:
+        return _CHUNK_CACHE[key]
+    out_dir = tempfile.mkdtemp(prefix="ubx-replay-")
+    raw = load_table(spark, sf_dir, "events")  # ts is BIGINT nanos here
+    bounds = raw.select(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).collect()[0]
+    lo, hi = bounds["lo"], bounds["hi"]
+    step = max((hi - lo) // n_chunks + 1, 1)
+    for k in range(n_chunks):
+        chunk = raw.filter(
+            (F.col("ts") >= lo + k * step) & (F.col("ts") < lo + (k + 1) * step)
+        )
+        chunk.coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/c{k:03d}")
+    if sentinel:
+        far = hi + _SENTINEL_GAP_NS
+        srow = spark.createDataFrame(
+            [
+                {
+                    "event_id": -1,
+                    "ts": far,
+                    "user_id": -1,
+                    "event_type": SENTINEL_TYPE,
+                    "value": 0.0,
+                    "props": "{}",
+                }
+            ],
+            schema=raw.schema,
+        )
+        srow.coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/c{n_chunks:03d}")
+    # flatten: move part files up so maxFilesPerTrigger=1 sees one file/chunk
+    final_dir = tempfile.mkdtemp(prefix="ubx-replay-flat-")
+    idx = 0
+    for sub in sorted(os.listdir(out_dir)):
+        subdir = os.path.join(out_dir, sub)
+        for f in sorted(os.listdir(subdir)):
+            if f.endswith(".parquet"):
+                os.rename(
+                    os.path.join(subdir, f), os.path.join(final_dir, f"{idx:03d}.parquet")
+                )
+                idx += 1
+    _CHUNK_CACHE[key] = final_dir
+    return final_dir
+
+
+def events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    n_chunks: int = 8,
+    sentinel: bool = False,
+    watermark: str | None = "10 minutes",
+) -> DataFrame:
+    """Streaming DataFrame of normalized events (same columns as
+    ``io.load_events``), replayed in ``n_chunks`` micro-batches.
+
+    ``watermark`` applies T1/T2 (ascending / bounded-out-of-orderness
+    assigners): the replay is time-ordered between chunks, so a small
+    delay models the reference's BoundedOutOfOrderness extractor.
+    """
+    raw_schema = load_table(spark, sf_dir, "events").schema
+    chunk_dir = _prepare_chunks(spark, sf_dir, n_chunks, sentinel)
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunk_dir)
+    )
+    out = normalize_events(raw)
+    if watermark is not None:
+        out = out.withWatermark("ts", watermark)
+    return out
+
+
+def run_update_collect(
+    stream_df: DataFrame, key_cols: list[str], spark: SparkSession
+) -> DataFrame:
+    """Run a streaming aggregation to completion in **update** mode,
+    folding each micro-batch's changed rows into a last-write-wins dict
+    keyed by ``key_cols`` — the harness twin of the reference's
+    "overwrite MapState entry on late update" Top-N pattern (W2,
+    TopNHotPages [U]). Returns the final state as a batch DataFrame.
+
+    The fold is driver-side over *aggregated* rows (windows × keys, not
+    raw events) — the same cardinality the reference's print sink
+    carries; at scale this sink would be foreachBatch→Delta MERGE with
+    identical semantics.
+    """
+    acc: dict[tuple, Row] = {}
+
+    def fold(batch_df: DataFrame, _bid: int) -> None:
+        for r in batch_df.collect():
+            acc[tuple(r[c] for c in key_cols)] = r
+
+    q = (
+        stream_df.writeStream.outputMode("update")
+        .foreachBatch(fold)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = list(acc.values())
+    return spark.createDataFrame(rows, schema=stream_df.schema)
+
+
+def run_append_memory(stream_df: DataFrame, name: str, spark: SparkSession) -> DataFrame:
+    """Run a streaming query to completion in **append** mode into a
+    memory sink; only watermark-closed windows are emitted (T6
+    allowed-lateness semantics: the tail windows past the final
+    watermark are withheld, which tests assert explicitly)."""
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,127 @@
+"""Streaming twins of the windowed batch operators (T1-T5, A3/A5/A6,
+W1/W2 streaming; SURVEY §2.6, M3).
+
+Each function replays the events table as a micro-batch stream
+(``replay.events_stream``), applies the *same* window/agg logic as the
+batch operator, runs to completion, and returns the final result as a
+batch DataFrame — so the driver's DuckDB oracle for the batch operator
+is also the oracle for the streaming one. That is the strongest
+correctness statement a finite stream can make: streaming ≡ batch ≡
+oracle on identical input.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from flink_project_userbehavioranalysis_spark.streaming.replay import (
+    events_stream,
+    run_update_collect,
+)
+
+
+def pv_hourly_stream(
+    spark: SparkSession, sf_dir: str, event_type: str = "view", n_chunks: int = 8
+) -> DataFrame:
+    """A3 streaming — watermarked tumbling 1 h PV count in update mode
+    (reference PageView.scala over a live stream [U]). Late chunks
+    re-emit corrected counts; the update fold keeps the latest."""
+    ev = events_stream(spark, sf_dir, n_chunks=n_chunks)
+    counts = (
+        ev.filter(F.col("event_type") == event_type)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("pv"))
+        .select(F.col("w.end").cast("long").alias("window_end"), "pv")
+    )
+    return run_update_collect(counts, ["window_end"], spark)
+
+
+def uv_hourly_stream(
+    spark: SparkSession, sf_dir: str, event_type: str = "view", n_chunks: int = 8
+) -> DataFrame:
+    """A5 streaming — exact windowed UV. Streaming aggs can't do
+    COUNT(DISTINCT), so the exact-at-scale formulation is streaming
+    dropDuplicates on (hour, user) followed by a windowed count — the
+    state-store dedup replaces the reference's per-window Set
+    (UniqueVisitor.scala :: UvCountByWindow [U]) with watermark-evicted
+    keyed state."""
+    ev = events_stream(spark, sf_dir, n_chunks=n_chunks)
+    dedup = (
+        ev.filter(F.col("event_type") == event_type)
+        .withColumn("hour", F.date_trunc("hour", "ts"))
+        .dropDuplicates(["hour", "user_id"])
+    )
+    counts = (
+        dedup.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("uv"))
+        .select(F.col("w.end").cast("long").alias("window_end"), "uv")
+    )
+    return run_update_collect(counts, ["window_end"], spark)
+
+
+def hot_items_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "1 hour",
+    slide: str = "5 minutes",
+    n: int = 5,
+    event_type: str = "view",
+    n_chunks: int = 8,
+) -> DataFrame:
+    """W1/W2 streaming — the flagship Top-N over a live windowed count.
+
+    Streaming plans can't rank over an updating aggregate, so the rank
+    runs in the sink layer over the *final* count state (the
+    foreachBatch/fold pattern: reference TopNHotItems buffers counts in
+    keyed state and ranks on timer [U]; here the update-mode fold *is*
+    that state, and the rank is one batch window function over ~windows
+    × items rows). Late updates overwrite their (window, item) entry
+    before ranking — W2's MapState-overwrite semantics for free.
+    """
+    ev = events_stream(spark, sf_dir, n_chunks=n_chunks)
+    counts = (
+        ev.filter((F.col("event_type") == event_type) & F.col("item_id").isNotNull())
+        .groupBy(F.window("ts", window, slide).alias("w"), "item_id")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.end").cast("long").alias("window_end"), "item_id", "cnt")
+    )
+    final_counts = run_update_collect(counts, ["window_end", "item_id"], spark)
+    rank = Window.partitionBy("window_end").orderBy(F.desc("cnt"), F.asc("item_id"))
+    return (
+        final_counts.withColumn("rn", F.row_number().over(rank))
+        .filter(F.col("rn") <= n)
+        .select("window_end", "item_id", "cnt", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+def pv_hourly_append(
+    spark: SparkSession,
+    sf_dir: str,
+    event_type: str = "view",
+    n_chunks: int = 8,
+    watermark: str = "10 minutes",
+):
+    """A3 in **append** mode: windows emit exactly once, when the
+    watermark passes their end (T1/T2 + T6 semantics). On finite input
+    the tail windows above the final watermark are withheld — the test
+    asserts emitted ≡ batch result strictly below the final watermark
+    and nothing else. Returns (result_df, final_watermark_epoch_s).
+    """
+    from flink_project_userbehavioranalysis_spark.streaming.replay import run_append_memory
+
+    ev = events_stream(spark, sf_dir, n_chunks=n_chunks, watermark=watermark)
+    counts = (
+        ev.filter(F.col("event_type") == event_type)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("pv"))
+        .select(F.col("w.end").cast("long").alias("window_end"), "pv")
+    )
+    name = f"pv_append_{abs(hash((sf_dir, n_chunks)))}"
+    out = run_append_memory(counts, name, spark)
+    # final watermark = max event time - delay (computed batch-side)
+    from flink_project_userbehavioranalysis_spark.io import load_events
+
+    max_ts = load_events(spark, sf_dir).agg(F.max("ts").cast("long")).collect()[0][0]
+    delay_s = 600 if watermark == "10 minutes" else 0
+    return out, max_ts - delay_s

@@ -1,0 +1,49 @@
+"""Streaming windowed ops: batch ≡ streaming ≡ oracle on finite input
+(SURVEY §5.2's key invariant), plus append-mode watermark semantics."""
+
+import pyspark.sql.functions as F
+
+from flink_project_userbehavioranalysis_spark.operators import hot_items as H
+from flink_project_userbehavioranalysis_spark.operators import network_flow as NF
+from flink_project_userbehavioranalysis_spark.streaming import windowed as W
+from tests.oracle import assert_matches_oracle
+
+
+def test_pv_hourly_stream_equals_batch_and_oracle(spark, sf_dir):
+    stream = W.pv_hourly_stream(spark, sf_dir)
+    assert_matches_oracle(stream, NF.PV_HOURLY_SQL, sf_dir)
+    batch = {tuple(r) for r in NF.pv_hourly(spark, sf_dir).collect()}
+    assert {tuple(r) for r in stream.collect()} == batch
+
+
+def test_uv_hourly_stream_equals_batch_and_oracle(spark, sf_dir):
+    stream = W.uv_hourly_stream(spark, sf_dir)
+    assert_matches_oracle(stream, NF.UV_HOURLY_SQL, sf_dir)
+    batch = {tuple(r) for r in NF.uv_hourly(spark, sf_dir).collect()}
+    assert {tuple(r) for r in stream.collect()} == batch
+
+
+def test_hot_items_stream_equals_batch_and_oracle(spark, sf_dir):
+    stream = W.hot_items_stream(spark, sf_dir)
+    assert_matches_oracle(stream, H.hot_items_oracle_sql(), sf_dir)
+    batch = {tuple(r) for r in H.hot_items(spark, sf_dir).collect()}
+    assert {tuple(r) for r in stream.collect()} == batch
+
+
+def test_pv_append_mode_watermark_semantics(spark, sf_dir):
+    """Append mode emits a window exactly once, only after the
+    watermark passes it (T1/T2/T6): emitted rows are a subset of the
+    batch result, identical values, and the only withheld windows sit
+    within one window length of the final watermark."""
+    out, wm = W.pv_hourly_append(spark, sf_dir)
+    emitted = {tuple(r) for r in out.collect()}
+    batch = {tuple(r) for r in NF.pv_hourly(spark, sf_dir).collect()}
+    assert emitted <= batch
+    missing = batch - emitted
+    assert len(missing) <= 2  # the watermark-tail window(s) only
+    for window_end, _pv in missing:
+        assert window_end > wm - 3600
+    # every emitted value is exactly the batch value (exactly-once, no
+    # partial counts): guaranteed by subset + equal tuples, but assert
+    # count keys are unique too
+    assert len({w for w, _ in emitted}) == len(emitted)
