@@ -24,6 +24,7 @@ from flink_project_userbehavioranalysis_spark.operators import network_flow as _
 from flink_project_userbehavioranalysis_spark.operators import order_pay as _op
 from flink_project_userbehavioranalysis_spark.operators import relational as _rel
 from flink_project_userbehavioranalysis_spark.operators import similarity as _sim
+from flink_project_userbehavioranalysis_spark.streaming import processors as _stp
 from flink_project_userbehavioranalysis_spark.streaming import windowed as _stw
 
 
@@ -125,6 +126,16 @@ def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str
         "pv_hourly_stream": (_stw.pv_hourly_stream, _nf.PV_HOURLY_SQL),
         "uv_hourly_stream": (_stw.uv_hourly_stream, _nf.UV_HOURLY_SQL),
         "hot_items_stream": (_stw.hot_items_stream, _hot.hot_items_oracle_sql()),
+        # ---- Stateful processors (applyInPandasWithState + event-time
+        # timers; end-of-input watermark sentinel flushes deadlines).
+        # ST5/ST6 CEP create→pay within horizon + timeout side output
+        "order_lifecycle_stream": (_stp.order_lifecycle_stream, _stp.order_lifecycle_oracle_sql()),
+        # ST2 streaming-exact consecutive-failure detect
+        "consec_fail_stream": (_stp.consec_fail_stream, _login.consec_fail_oracle_sql()),
+        # ST7 streaming two-stream reconcile with unmatched side outputs
+        "tx_reconcile_stream": (_stp.tx_reconcile_stream, _op.tx_reconcile_oracle_sql()),
+        # ST4 fire-once daily blacklist
+        "blacklist_stream": (_stp.blacklist_stream, _stp.blacklist_stream_oracle_sql()),
     }
 
 

@@ -1,0 +1,410 @@
+"""Stateful streaming processors — the engine's reusable CEP/keyed-state
+core (SURVEY §2.7 ST2-ST7, §4.3), built on ``applyInPandasWithState``.
+
+The reference implements these as KeyedProcessFunction /
+CoProcessFunction / CEP patterns with ValueState + event-time timers
+(OrderTimeout[WithoutCep].scala, TxMatch.scala, LoginFail.scala,
+AdClickAnalysis.scala [U]). Spark 4 offers two stateful APIs:
+``transformWithStateInPandas`` (multiple named states + multiple
+timers, but its state-server protocol needs protobuf, absent in this
+environment) and ``applyInPandasWithState`` (Arrow-only, one state
+tuple + one event-time timeout per key). We use the latter with the
+standard reduction: *the per-key timeout is always set to the earliest
+pending deadline, and every invocation first flushes everything whose
+deadline the watermark has passed* — semantically identical to
+per-item timers, because an event-time timer's only guarantee is
+"fires once watermark ≥ deadline".
+
+End-of-input: the replay appends a far-future sentinel row (replay.py)
+reproducing Flink's bounded-input ``MAX_WATERMARK``, so all pending
+deadlines flush and each processor's finite-input output is *exactly*
+its batch twin's — asserted against the same DuckDB oracles.
+
+All processor arithmetic is integer **microseconds** (the precision
+the batch operators compare at); state per key is bounded by the
+operator's horizon (buffers are GC'd at watermark − horizon/2δ), which
+is what keeps state finite under unbounded input at 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from flink_project_userbehavioranalysis_spark.streaming.replay import (
+    SENTINEL_TYPE,
+    events_stream,
+    run_append_memory,
+)
+
+US = 1_000_000
+
+
+def _keyed_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    types: list[str],
+    n_chunks: int = 8,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Sentinel-preserving typed event stream for processor input.
+
+    The sentinel row must flow through the watermark operator (its
+    event time is what flushes pending deadlines), so the type filter
+    keeps it alongside the operator's real event types.
+    """
+    ev = events_stream(
+        spark, sf_dir, n_chunks=n_chunks, sentinel=True, watermark=watermark
+    )
+    return ev.filter(
+        F.col("event_type").isin(list(types) + [SENTINEL_TYPE])
+    ).select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "item_id",
+        "ts",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+    )
+
+
+def _rows(pdfs: Iterator[pd.DataFrame]) -> pd.DataFrame | None:
+    frames = [p for p in pdfs if len(p)]
+    if not frames:
+        return None
+    return pd.concat(frames).sort_values(["ts_us", "event_id"])
+
+
+def _set_next_timeout(state: GroupState, deadlines_us: list[int]) -> None:
+    """Arm the single per-key timeout at the earliest pending deadline
+    (strictly above the watermark, as the API requires)."""
+    if deadlines_us:
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(-(-min(deadlines_us) // 1000), wm_ms + 1))
+
+
+# ------------------------------------------------- ST5/ST6 followed_by_timeout
+
+
+def followed_by_timeout_func(first: str, second: str, horizon_s: int):
+    """CEP ``first followedBy second within(horizon)`` + timeout branch
+    (reference OrderTimeout.scala CEP and OrderTimeoutWithoutCep.scala
+    :: OrderPayMatchResult [U] — one processor covers both variants).
+
+    Per key: buffer first-events; buffer second-events (they may arrive
+    before their first — the out-of-order branch the reference handles
+    explicitly); once the watermark passes a first-event's deadline,
+    emit matched (earliest second within horizon — all candidates have
+    provably arrived) or timeout.
+    """
+    horizon_us = horizon_s * US
+
+    def fn(key, pdfs, state: GroupState):
+        c_ids, c_us, p_us = state.get if state.exists else ([], [], [])
+        c_ids, c_us, p_us = list(c_ids), list(c_us), list(p_us)
+        batch = None if state.hasTimedOut else _rows(pdfs)
+        if batch is not None:
+            for r in batch.itertuples(index=False):
+                if r.event_type == first:
+                    c_ids.append(int(r.event_id))
+                    c_us.append(int(r.ts_us))
+                elif r.event_type == second:
+                    p_us.append(int(r.ts_us))
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        out = []
+        keep_ids, keep_us = [], []
+        for cid, cus in zip(c_ids, c_us):
+            if cus + horizon_us <= wm_us:  # deadline passed: decidable
+                within = [p for p in p_us if cus <= p <= cus + horizon_us]
+                if within:
+                    out.append((key[0], cid, cus // US, min(within) // US, "payed"))
+                else:
+                    out.append((key[0], cid, cus // US, None, "timeout"))
+            else:
+                keep_ids.append(cid)
+                keep_us.append(cus)
+        p_us = [p for p in p_us if p >= wm_us - horizon_us]  # GC
+        if keep_ids or p_us:
+            state.update((keep_ids, keep_us, p_us))
+            _set_next_timeout(state, [c + horizon_us for c in keep_us])
+        else:
+            state.remove()
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "order_id", "create_s", "pay_s", "status"]
+            )
+
+    return fn
+
+
+def order_lifecycle_stream(
+    spark: SparkSession, sf_dir: str, horizon_s: int = 86400, n_chunks: int = 8
+) -> DataFrame:
+    """ST5/ST6 streaming-exact: every 'signup' resolves to exactly one
+    of {payed, timeout} — equals order_pay_matched ∪ order_timeout."""
+    inp = _keyed_stream(spark, sf_dir, ["signup", "purchase"], n_chunks=n_chunks)
+    out = inp.groupBy("user_id").applyInPandasWithState(
+        followed_by_timeout_func("signup", "purchase", horizon_s),
+        outputStructType="user_id BIGINT, order_id BIGINT, create_s BIGINT, pay_s BIGINT, status STRING",
+        stateStructType="c_ids ARRAY<BIGINT>, c_us ARRAY<BIGINT>, p_us ARRAY<BIGINT>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    name = f"order_lifecycle_{abs(hash((sf_dir, n_chunks)))}"
+    return run_append_memory(out, name, spark).filter(F.col("user_id") >= 0)
+
+
+def order_lifecycle_oracle_sql(horizon_hours: int = 24) -> str:
+    return f"""
+SELECT s.user_id, s.event_id AS order_id,
+       CAST(floor(epoch(s.ts)) AS BIGINT) AS create_s,
+       CAST(floor(epoch(min(p.ts))) AS BIGINT) AS pay_s,
+       'payed' AS status
+FROM events s
+JOIN events p
+  ON p.user_id = s.user_id AND p.event_type = 'purchase'
+ AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL {horizon_hours} HOUR
+WHERE s.event_type = 'signup'
+GROUP BY s.user_id, s.event_id, s.ts
+UNION ALL
+SELECT s.user_id, s.event_id AS order_id,
+       CAST(floor(epoch(s.ts)) AS BIGINT) AS create_s,
+       NULL AS pay_s,
+       'timeout' AS status
+FROM events s
+WHERE s.event_type = 'signup'
+  AND NOT EXISTS (
+    SELECT 1 FROM events p
+    WHERE p.event_type = 'purchase' AND p.user_id = s.user_id
+      AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL {horizon_hours} HOUR)
+"""
+
+
+# --------------------------------------------------- ST2 consecutive_events
+
+
+def consecutive_events_func(fail_type: str, gap_s: int):
+    """Streaming-exact v2 consecutive-failure detect (LoginFail.scala
+    :: LoginFailWarningAdvanceResult [U]): compare each event with the
+    key's previous event (any type) and emit when both are failures
+    within the gap. Relies on the replay's time-ordered micro-batches
+    (the reference's ascending-watermark assumption); rows are sorted
+    by (ts, event_id) within each batch."""
+    gap_us = gap_s * US
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:  # no timers used; defensive
+            return
+        batch = _rows(pdfs)
+        if batch is None:
+            return
+        prev_typ, prev_us = state.get if state.exists else (None, None)
+        out = []
+        for r in batch.itertuples(index=False):
+            if r.event_type == SENTINEL_TYPE:
+                continue
+            if (
+                r.event_type == fail_type
+                and prev_typ == fail_type
+                and int(r.ts_us) - prev_us <= gap_us
+            ):
+                out.append((key[0], prev_us // US, int(r.ts_us) // US))
+            prev_typ, prev_us = r.event_type, int(r.ts_us)
+        if prev_us is not None:
+            state.update((prev_typ, prev_us))
+        if out:
+            yield pd.DataFrame(out, columns=["user_id", "first_fail_s", "last_fail_s"])
+
+    return fn
+
+
+def consec_fail_stream(spark: SparkSession, sf_dir: str, n_chunks: int = 8) -> DataFrame:
+    """ST2 streaming-exact — equals the batch lag() formulation."""
+    types = ["view", "click", "purchase", "signup", "error"]
+    inp = _keyed_stream(spark, sf_dir, types, n_chunks=n_chunks)
+    out = inp.groupBy("user_id").applyInPandasWithState(
+        consecutive_events_func("error", 7200),
+        outputStructType="user_id BIGINT, first_fail_s BIGINT, last_fail_s BIGINT",
+        stateStructType="typ STRING, us BIGINT",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"consec_fail_stream_{abs(hash((sf_dir, n_chunks)))}"
+    return run_append_memory(out, name, spark).filter(F.col("user_id") >= 0)
+
+
+# ------------------------------------------------------- ST7 keyed_reconcile
+
+
+def keyed_reconcile_func(delta_s: int):
+    """Two-stream reconciliation (TxMatch.scala :: TxPayMatch
+    CoProcessFunction [U]): pays vs receipts per key within ±δ.
+
+    Pairs are emitted when the watermark passes a pay's deadline
+    (pay_ts + δ — by then every matchable receipt has arrived);
+    receipts that match nothing emit 'unmatched_receipt' at their own
+    deadline. Decided receipts stay buffered (flagged) until
+    watermark − 2δ so a later-deciding pay can still pair them — the
+    same two-sided buffering the reference keeps in payState /
+    receiptState."""
+    delta_us = delta_s * US
+
+    def fn(key, pdfs, state: GroupState):
+        pi, pu, ri, ru, rd = (
+            state.get if state.exists else ([], [], [], [], [])
+        )
+        pays = [list(x) for x in zip(pi, pu)] if pi else []
+        recs = [list(x) for x in zip(ri, ru, rd)] if ri else []
+        batch = None if state.hasTimedOut else _rows(pdfs)
+        if batch is not None:
+            for r in batch.itertuples(index=False):
+                if r.event_type == "purchase":
+                    pays.append([int(r.event_id), int(r.ts_us)])
+                elif r.event_type == "click":
+                    recs.append([int(r.event_id), int(r.ts_us), 0])
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        out = []
+        # 1) pays whose deadline passed: all matchable receipts arrived
+        keep_pays = []
+        for pid, pus in pays:
+            if pus + delta_us <= wm_us:
+                within = [rec for rec in recs if abs(rec[1] - pus) <= delta_us]
+                if within:
+                    for rec in within:
+                        out.append((key[0], pid, rec[0], pus // US, rec[1] // US, "matched"))
+                        rec[2] = 1  # decided: matched
+                else:
+                    out.append((key[0], pid, None, pus // US, None, "unmatched_pay"))
+            else:
+                keep_pays.append([pid, pus])
+        # 2) receipts whose deadline passed and still undecided
+        for rec in recs:
+            if rec[2] == 0 and rec[1] + delta_us <= wm_us:
+                has_pay = any(abs(pus - rec[1]) <= delta_us for _pid, pus in keep_pays)
+                if not has_pay:
+                    out.append((key[0], None, rec[0], None, rec[1] // US, "unmatched_receipt"))
+                # else: the live pay's own deadline will emit the pair
+                rec[2] = 1
+        # GC decided receipts beyond any live pay's reach
+        recs = [rec for rec in recs if not (rec[2] == 1 and rec[1] < wm_us - 2 * delta_us)]
+        if keep_pays or recs:
+            state.update(
+                (
+                    [p[0] for p in keep_pays],
+                    [p[1] for p in keep_pays],
+                    [rec[0] for rec in recs],
+                    [rec[1] for rec in recs],
+                    [rec[2] for rec in recs],
+                )
+            )
+            pending = [pus + delta_us for _pid, pus in keep_pays]
+            pending += [rec[1] + delta_us for rec in recs if rec[2] == 0]
+            _set_next_timeout(state, pending)
+        else:
+            state.remove()
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["user_id", "pay_id", "receipt_id", "pay_s", "receipt_s", "status"],
+            )
+
+    return fn
+
+
+def tx_reconcile_stream(
+    spark: SparkSession, sf_dir: str, delta_s: int = 300, n_chunks: int = 8
+) -> DataFrame:
+    """ST7 streaming-exact — equals the batch full-outer range join."""
+    inp = _keyed_stream(spark, sf_dir, ["purchase", "click"], n_chunks=n_chunks)
+    out = inp.groupBy("user_id").applyInPandasWithState(
+        keyed_reconcile_func(delta_s),
+        outputStructType=(
+            "user_id BIGINT, pay_id BIGINT, receipt_id BIGINT, "
+            "pay_s BIGINT, receipt_s BIGINT, status STRING"
+        ),
+        stateStructType=(
+            "pi ARRAY<BIGINT>, pu ARRAY<BIGINT>, "
+            "ri ARRAY<BIGINT>, ru ARRAY<BIGINT>, rd ARRAY<BIGINT>"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    name = f"tx_reconcile_stream_{abs(hash((sf_dir, n_chunks)))}"
+    return run_append_memory(out, name, spark).filter(F.col("user_id") >= 0)
+
+
+# -------------------------------------------------- ST4 threshold_blacklist
+
+
+def threshold_blacklist_func(threshold: int):
+    """Click-fraud blacklist (AdClickAnalysis.scala ::
+    FilterBlackListUserResult [U]): per (user, ad) daily click counter,
+    fire-once on reaching the threshold. The reference clears state
+    with a next-midnight timer; here the day boundary is detected on
+    the event path (UTC day of event time) and the timeout clears
+    stale state — correctness never depends on timer firing order."""
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()  # daily reset: midnight passed
+            return
+        batch = _rows(pdfs)
+        if batch is None:
+            return
+        day_s, cnt, fired = state.get if state.exists else (None, 0, 0)
+        out = []
+        for r in batch.itertuples(index=False):
+            if r.event_type != "click":
+                continue
+            d = (int(r.ts_us) // (86400 * US)) * 86400
+            if d != day_s:
+                day_s, cnt, fired = d, 0, 0
+            cnt += 1
+            if cnt >= threshold and not fired:
+                fired = 1
+                out.append((d, key[0], key[1]))
+        if day_s is not None:
+            state.update((day_s, cnt, fired))
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max((day_s + 86400) * 1000, wm_ms + 1))
+        if out:
+            yield pd.DataFrame(out, columns=["day_start", "user_id", "ad_id"])
+
+    return fn
+
+
+def blacklist_stream(
+    spark: SparkSession, sf_dir: str, threshold: int = 2, n_chunks: int = 8
+) -> DataFrame:
+    """ST4 streaming-exact fire-once blacklist — key set equals the
+    batch HAVING formulation (the batch emits final counts; fire-once
+    emits at the crossing, so the keys are the comparable surface)."""
+    inp = _keyed_stream(spark, sf_dir, ["click"], n_chunks=n_chunks).filter(
+        F.col("item_id").isNotNull() | (F.col("event_type") == SENTINEL_TYPE)
+    )
+    out = inp.groupBy("user_id", "item_id").applyInPandasWithState(
+        threshold_blacklist_func(threshold),
+        outputStructType="day_start BIGINT, user_id BIGINT, ad_id BIGINT",
+        stateStructType="day_s BIGINT, cnt BIGINT, fired BIGINT",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    name = f"blacklist_stream_{abs(hash((sf_dir, n_chunks)))}"
+    return run_append_memory(out, name, spark).filter(F.col("user_id") >= 0)
+
+
+def blacklist_stream_oracle_sql(threshold: int = 2) -> str:
+    return f"""
+SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_start,
+       user_id,
+       TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS ad_id
+FROM events
+WHERE event_type = 'click'
+  AND TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) IS NOT NULL
+GROUP BY 1, 2, 3
+HAVING COUNT(*) >= {threshold}
+"""

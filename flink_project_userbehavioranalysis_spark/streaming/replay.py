@@ -148,11 +148,16 @@ def run_update_collect(
     return spark.createDataFrame(rows, schema=stream_df.schema)
 
 
+_NAME_SEQ = [0]
+
+
 def run_append_memory(stream_df: DataFrame, name: str, spark: SparkSession) -> DataFrame:
     """Run a streaming query to completion in **append** mode into a
     memory sink; only watermark-closed windows are emitted (T6
     allowed-lateness semantics: the tail windows past the final
     watermark are withheld, which tests assert explicitly)."""
+    _NAME_SEQ[0] += 1
+    name = f"{name}_{_NAME_SEQ[0]}"  # unique per run within a session
     q = (
         stream_df.writeStream.outputMode("append")
         .format("memory")
