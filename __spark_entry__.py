@@ -20,6 +20,7 @@ from flink_project_userbehavioranalysis_spark.operators import hot_items as _hot
 from flink_project_userbehavioranalysis_spark.operators import llm_text as _text
 from flink_project_userbehavioranalysis_spark.operators import login as _login
 from flink_project_userbehavioranalysis_spark.operators import market as _market
+from flink_project_userbehavioranalysis_spark.operators import multimodal as _mm
 from flink_project_userbehavioranalysis_spark.operators import network_flow as _nf
 from flink_project_userbehavioranalysis_spark.operators import order_pay as _op
 from flink_project_userbehavioranalysis_spark.operators import relational as _rel
@@ -136,6 +137,13 @@ def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str
         "tx_reconcile_stream": (_stp.tx_reconcile_stream, _op.tx_reconcile_oracle_sql()),
         # ST4 fire-once daily blacklist
         "blacklist_stream": (_stp.blacklist_stream, _stp.blacklist_stream_oracle_sql()),
+        # §2.10 multimodal: binary payload feature-extract via mapInPandas
+        "binary_features": (_mm.binary_features, _mm.BINARY_FEATURES_SQL),
+        # §2.9 GROUPED_AGG pandas_udf (custom aggregate)
+        "geomean_by_type": (_mm.geomean_by_type, _mm.GEOMEAN_BY_TYPE_SQL),
+        # §2.10 multimodal decode/frame-sample (stubbed codec — rows-only)
+        "decode_meta": (_mm.decode_meta_table, None),
+        "frame_sample": (_mm.frame_sample, None),
     }
 
 

@@ -9,8 +9,11 @@ Layout:
     session.py    SparkSession builder tuned for the testdata + scale posture
     io.py         table loading / event-time normalization
     operators/    batch implementations of every SURVEY §2 capability
-    streaming/    Structured Streaming variants + stateful processors
-    functions/    reusable column-expression helpers (JSON, text, vectors)
+                  (+ §2.10 LLM-pipeline: text, similarity, multimodal)
+    streaming/    micro-batch replay, watermarked windowed aggs,
+                  applyInPandasWithState stateful processors
+    sources/      CSV / Kafka / rate-generator connectors (§2.1)
+    functions/    reusable column-expression helpers
 """
 
 from flink_project_userbehavioranalysis_spark.session import get_spark

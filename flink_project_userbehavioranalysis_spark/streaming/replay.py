@@ -36,15 +36,17 @@ _SENTINEL_GAP_NS = 10 * 365 * 24 * 3600 * 1_000_000_000  # ~10 years
 
 
 def _prepare_chunks(
-    spark: SparkSession, sf_dir: str, n_chunks: int, sentinel: bool
+    spark: SparkSession, sf_dir: str, n_chunks: int, sentinel: bool, scramble: bool = False
 ) -> str:
     """Write events as n_chunks single-file parquets named in ts order.
 
     The file source picks up files in (modification time, path) order;
     chunk k holds the k-th time-range of rows, so replay approximates
     an in-order stream (watermarks handle residual disorder, as they
-    would in production)."""
-    key = (id(spark), os.path.abspath(sf_dir), n_chunks, sentinel)
+    would in production). ``scramble=True`` replays the second time
+    range *last* — a whole chunk of genuinely late data, used to
+    exercise T6/T7 drop semantics deterministically."""
+    key = (id(spark), os.path.abspath(sf_dir), n_chunks, sentinel, scramble)
     if key in _CHUNK_CACHE:
         return _CHUNK_CACHE[key]
     out_dir = tempfile.mkdtemp(prefix="ubx-replay-")
@@ -77,15 +79,28 @@ def _prepare_chunks(
         srow.coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/c{n_chunks:03d}")
     # flatten: move part files up so maxFilesPerTrigger=1 sees one file/chunk
     final_dir = tempfile.mkdtemp(prefix="ubx-replay-flat-")
+    flat = []
     idx = 0
     for sub in sorted(os.listdir(out_dir)):
         subdir = os.path.join(out_dir, sub)
         for f in sorted(os.listdir(subdir)):
             if f.endswith(".parquet"):
-                os.rename(
-                    os.path.join(subdir, f), os.path.join(final_dir, f"{idx:03d}.parquet")
-                )
+                dst = os.path.join(final_dir, f"{idx:03d}.parquet")
+                os.rename(os.path.join(subdir, f), dst)
+                flat.append(dst)
                 idx += 1
+    # deterministic replay order via explicit mtimes (the file source
+    # processes oldest-mtime first); scramble moves chunk #1 to the
+    # end — but always before the sentinel, which must stay last
+    order = list(range(len(flat)))
+    if scramble and len(flat) > 3:
+        last = order.pop() if sentinel else None
+        order.append(order.pop(1))
+        if last is not None:
+            order.append(last)
+    base = 1_700_000_000
+    for pos, i in enumerate(order):
+        os.utime(flat[i], (base + pos * 10, base + pos * 10))
     _CHUNK_CACHE[key] = final_dir
     return final_dir
 
@@ -96,6 +111,7 @@ def events_stream(
     n_chunks: int = 8,
     sentinel: bool = False,
     watermark: str | None = "10 minutes",
+    scramble: bool = False,
 ) -> DataFrame:
     """Streaming DataFrame of normalized events (same columns as
     ``io.load_events``), replayed in ``n_chunks`` micro-batches.
@@ -103,9 +119,10 @@ def events_stream(
     ``watermark`` applies T1/T2 (ascending / bounded-out-of-orderness
     assigners): the replay is time-ordered between chunks, so a small
     delay models the reference's BoundedOutOfOrderness extractor.
+    ``scramble`` injects a whole late chunk (T6/T7 testing).
     """
     raw_schema = load_table(spark, sf_dir, "events").schema
-    chunk_dir = _prepare_chunks(spark, sf_dir, n_chunks, sentinel)
+    chunk_dir = _prepare_chunks(spark, sf_dir, n_chunks, sentinel, scramble)
     raw = (
         spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", 1)

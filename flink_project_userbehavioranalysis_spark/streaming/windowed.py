@@ -95,6 +95,52 @@ def hot_items_stream(
     )
 
 
+def pv_hourly_late_observed(
+    spark: SparkSession,
+    sf_dir: str,
+    event_type: str = "view",
+    n_chunks: int = 8,
+    watermark: str = "10 minutes",
+):
+    """T7 — late-data observability. The reference routes late rows to
+    a side output (HotPagesNetworkFlow.scala ::
+    sideOutputLateData(OutputTag("late")) [U]); Structured Streaming
+    instead *drops* rows older than the watermark at the stateful
+    operator and reports them via
+    ``stateOperators.numRowsDroppedByWatermark`` — the engine exposes
+    that counter as the late-data signal. The replay scrambles a whole
+    chunk to arrive late, so the counter is provably exercised.
+
+    Returns (result_df, n_dropped_rows).
+    """
+    ev = events_stream(
+        spark, sf_dir, n_chunks=n_chunks, watermark=watermark, scramble=True
+    )
+    counts = (
+        ev.filter(F.col("event_type") == event_type)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("pv"))
+        .select(F.col("w.end").cast("long").alias("window_end"), "pv")
+    )
+    from flink_project_userbehavioranalysis_spark.streaming import replay as _r
+
+    _r._NAME_SEQ[0] += 1
+    name = f"pv_late_{_r._NAME_SEQ[0]}"
+    q = (
+        counts.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = 0
+    for prog in q.recentProgress:
+        for op in prog["stateOperators"]:
+            dropped += op.get("numRowsDroppedByWatermark", 0)
+    return spark.table(name), dropped
+
+
 def pv_hourly_append(
     spark: SparkSession,
     sf_dir: str,

@@ -1,0 +1,78 @@
+"""Source connectors (S2/S3/S4/S6): CSV round trip, from_csv parse,
+rate generator domains, Kafka builder gating."""
+
+import time
+
+import pytest
+
+from flink_project_userbehavioranalysis_spark.io import load_events
+from flink_project_userbehavioranalysis_spark.sources import (
+    events_from_csv_lines,
+    kafka_events_stream,
+    marketing_stream,
+    read_events_csv,
+    write_events_csv,
+)
+from flink_project_userbehavioranalysis_spark.sources.generator import BEHAVIORS, CHANNELS
+
+
+def _event_set(df):
+    return {
+        (r["event_id"], r["ts"], r["user_id"], r["event_type"], r["item_id"])
+        for r in df.select("event_id", "ts", "user_id", "event_type", "item_id").collect()
+    }
+
+
+def test_csv_round_trip(spark, sf_dir, tmp_path):
+    """S2: schema'd CSV read reproduces the parquet-side events exactly
+    (ids, µs timestamps, parsed item_id)."""
+    out = str(tmp_path / "events_csv")
+    write_events_csv(spark, sf_dir, out)
+    got = read_events_csv(spark, out)
+    assert _event_set(got) == _event_set(load_events(spark, sf_dir))
+
+
+def test_from_csv_lines_equals_file_read(spark, sf_dir, tmp_path):
+    """S2/S3 parse leg: from_csv over raw text lines == schema'd file
+    reader on the same CSV bytes."""
+    out = str(tmp_path / "events_csv2")
+    write_events_csv(spark, sf_dir, out)
+    lines = spark.read.text(out)
+    got = events_from_csv_lines(lines)
+    assert _event_set(got) == _event_set(read_events_csv(spark, out))
+
+
+def test_rate_generator_domains(spark):
+    """S4: the synthetic marketing stream emits only reference-domain
+    behaviors/channels, at a controlled rate."""
+    stream = marketing_stream(spark, rows_per_second=200)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("mkt_gen_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 20
+        while time.time() < deadline and spark.table("mkt_gen_test").count() < 50:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    rows = spark.table("mkt_gen_test").collect()
+    assert len(rows) >= 50
+    assert {r["behavior"] for r in rows} <= set(BEHAVIORS)
+    assert {r["channel"] for r in rows} <= set(CHANNELS)
+    assert all(0 <= r["user_id"] < 1000 for r in rows)
+
+
+def test_kafka_builder_gated(spark):
+    """S3: the Kafka source builder is wired; in this container the
+    connector jar is absent, so load() must fail with the clear
+    data-source-not-found error (NOT an engine bug)."""
+    try:
+        kafka_events_stream(spark)
+    except Exception as e:
+        msg = str(e)
+        assert "kafka" in msg.lower()
+        return
+    pytest.skip("kafka connector available in this environment")
