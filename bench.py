@@ -35,6 +35,33 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
+# Headline queries: the BASELINE.md-measured set plus one representative
+# per extension pillar. Streaming entries are excluded — their execution
+# happens inside fn() (a finite streaming job), so collect()-timing them
+# measures nothing; their correctness gate is CORRECTNESS_r{N}.
+HEADLINE = [
+    # BASELINE.md rows
+    "hot_items_topn",
+    "pv_hourly",
+    "uv_hourly",
+    "uv_approx",
+    "count_by_channel_behavior",
+    "blacklist",
+    "consec_fail",
+    "order_timeout",
+    "interval_join",
+    "tpch_q1ish",
+    # extension pillars (text / dedup / similarity / multimodal)
+    "dedup_exact_events",
+    "token_counts",
+    "tfidf_top_term",
+    "knn_topk",
+    "ngram_jaccard_pairs",
+    "minhash_near_dup",
+    "simhash64",
+    "binary_features",
+]
+
 
 def _sf_of(path: str) -> float:
     base = os.path.basename(path.rstrip("/"))
@@ -68,7 +95,7 @@ def main() -> None:
 
     floor = _median_time(lambda: spark.range(1).collect(), runs=5)
 
-    queries = entry_mod.queries()
+    queries = {n: f for n, f in entry_mod.queries().items() if n in HEADLINE}
     per_query: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name, fn in queries.items():

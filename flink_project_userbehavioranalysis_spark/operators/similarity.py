@@ -32,26 +32,6 @@ from flink_project_userbehavioranalysis_spark.io import load_table
 # --------------------------------------------------------------- shared prep
 
 
-def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """embeddings with double-cast vectors + precomputed L2 norm.
-
-    Casting float→double once up front makes Spark's fold arithmetic
-    bit-identical to the DuckDB oracle's (both then run pure
-    double-precision left folds over the same values).
-    """
-    emb = load_table(spark, sf_dir, "embeddings")
-    v = F.transform("embedding", lambda x: x.cast("double"))
-    df = emb.select(F.col("vec_id"), v.alias("v"))
-    norm = F.sqrt(
-        F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    return df.withColumn("nrm", norm)
-
-
-def _dot(a, b):
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-
-
 def _shingles(df: DataFrame, n: int) -> DataFrame:
     """(doc_id, shingle) rows: distinct n-word shingles per document."""
     w = F.split("text", " ")
@@ -67,35 +47,88 @@ def _shingles(df: DataFrame, n: int) -> DataFrame:
 # ----------------------------------------------------------- exact kNN (brute)
 
 
+_CORPUS_CACHE: dict[tuple, object] = {}
+
+
+def _corpus_broadcast(spark: SparkSession, sf_dir: str):
+    """(ids, matrix, norms) of the whole embeddings table as a Spark
+    broadcast — the vector twin of a broadcast join's build side. The
+    corpus must fit executor memory (here: n×64 float64; at 100 TB the
+    *corpus* side of brute-force must stay bounded the same way a
+    broadcast join's small side must — the unbounded path is the
+    LSH-bucketed variant). Cached per (session, dir): repeated queries
+    reuse one driver collect + one broadcast."""
+    import numpy as np
+
+    key = (id(spark), sf_dir)
+    if key in _CORPUS_CACHE:
+        return _CORPUS_CACHE[key]
+    rows = (
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+    _CORPUS_CACHE[key] = bc
+    return bc
+
+
 def knn_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
     """Exact cosine top-k neighbors per vector (self excluded).
 
-    Brute force is the *correctness baseline*: at sf scale the corpus
-    side is broadcast so the join is a BroadcastNestedLoop over an
-    in-memory table, one pass, no shuffle of the big side. At 100 TB
-    you keep exactly this operator but feed it a *bounded query set*
-    (broadcast queries × streamed corpus) or swap the candidate
-    generator for `ann_lsh_topk` — the rank/emit tail is shared.
+    Brute force is the *correctness baseline*, executed the fast way:
+    the corpus is broadcast once as a numpy matrix and each Arrow batch
+    of queries scores against it with one BLAS matmul inside
+    ``mapInPandas`` (the vectorized-Pandas-UDF hot path — ~100× the
+    throughput of per-pair expression folds). Partition-parallel over
+    the query side, no shuffle. At 100 TB you keep this operator with a
+    *bounded* corpus/query side, or swap the candidate generator for
+    `ann_lsh_topk` — the rank/emit contract is shared.
 
-    Output is float-free: (query_id, neighbor_id, rn).
+    Output is float-free: (query_id, neighbor_id, rn). Scores are
+    rounded to 9 dp before ranking (ties then break on neighbor id) so
+    BLAS-vs-fold summation order can't flip a rank against the oracle.
     """
-    vec = _vectors(spark, sf_dir)
-    a = vec.select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("va"), F.col("nrm").alias("na")
-    )
-    b = vec.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
-    )
-    scored = (
-        a.join(F.broadcast(b), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("score", F.round(_dot("va", "vb") / (F.col("na") * F.col("nb")), 9))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("query_id", "neighbor_id", "rn")
-    )
+    import numpy as np
+    import pandas as pd
+
+    bc = _corpus_broadcast(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def score(batches):
+        ids, mat, norms = bc.value
+        n = len(ids)
+        # composite sort key: (rounded score desc, id asc) packed into
+        # one int64 so top-k is a vectorized argpartition, not a
+        # per-row lexsort. id_rank = position in ascending-id order.
+        id_rank = np.empty(n, dtype=np.int64)
+        id_rank[np.argsort(ids, kind="stable")] = np.arange(n)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            qn = np.sqrt((q * q).sum(axis=1))
+            s = np.round((q @ mat.T) / np.outer(qn, norms), 9)
+            qids = pdf["vec_id"].to_numpy()
+            s_int = np.rint(s * 1e9).astype(np.int64)  # |cos| ≤ 1 → ±1e9
+            comp = s_int * (n + 1) + (n - id_rank)[None, :]
+            # self-exclusion sentinel: large-negative but safely
+            # negatable (−int64.min would overflow back to itself)
+            comp[qids[:, None] == ids[None, :]] = -(2**62)
+            kk = min(k, n - 1)
+            top = np.argpartition(-comp, kk - 1, axis=1)[:, :kk]
+            row_order = np.argsort(-np.take_along_axis(comp, top, axis=1), axis=1)
+            top = np.take_along_axis(top, row_order, axis=1)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, kk),
+                    "neighbor_id": ids[top].reshape(-1),
+                    "rn": np.tile(np.arange(1, kk + 1), len(qids)),
+                }
+            )
+
+    return emb.mapInPandas(score, "query_id BIGINT, neighbor_id BIGINT, rn BIGINT")
 
 
 def knn_topk_oracle_sql(k: int = 5) -> str:
@@ -164,47 +197,70 @@ def ann_lsh_topk(
 
     Output: (query_id, neighbor_id, rn) — same shape as knn_topk.
     """
-    planes = _hyperplanes(dim, n_bands, band_bits)
-    vec = _vectors(spark, sf_dir)
-    planes_lit = F.array(*[F.array(*[F.lit(x) for x in row]) for row in planes])
-    bits = F.transform(planes_lit, lambda p: (_dot(p, F.col("v")) > 0).cast("int"))
-    band_keys = F.transform(
-        F.sequence(F.lit(0), F.lit(n_bands - 1)),
-        lambda b: F.aggregate(
-            F.slice(bits, b * band_bits + 1, band_bits),
-            F.lit(0),
-            lambda acc, x: acc * 2 + x,
-        ),
-    )
-    sig = vec.select(
-        "vec_id", "v", "nrm", F.posexplode(band_keys).alias("band_id", "band_key")
-    )
-    a = sig.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("va"),
-        F.col("nrm").alias("na"),
-        "band_id",
-        "band_key",
-    )
-    b = sig.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"),
-        "band_id",
-        "band_key",
-    )
+    import numpy as np
+    import pandas as pd
+
+    planes = np.array(_hyperplanes(dim, n_bands, band_bits), dtype=np.float64)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    # signatures: one matmul per Arrow batch → (vec_id, band_id, band_key)
+    def signatures(batches):
+        weights = 1 << np.arange(band_bits - 1, -1, -1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            bits = (v @ planes.T > 0).astype(np.int64)  # (B, n_bands*band_bits)
+            keys = bits.reshape(len(v), n_bands, band_bits) @ weights
+            ids = pdf["vec_id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, n_bands),
+                    "band_id": np.tile(np.arange(n_bands), len(ids)),
+                    "band_key": keys.reshape(-1),
+                }
+            )
+
+    sig = emb.mapInPandas(signatures, "vec_id BIGINT, band_id INT, band_key BIGINT")
+    # candidate generation stays an equi-join on (band_id, band_key) —
+    # the shuffle-partitionable shape that scales; only ids ride it
+    a = sig.select(F.col("vec_id").alias("query_id"), "band_id", "band_key")
+    b = sig.select(F.col("vec_id").alias("neighbor_id"), "band_id", "band_key")
     cand = (
         a.join(b, ["band_id", "band_key"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "va", "vb", "na", "nb")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.withColumn("score", F.round(_dot("va", "vb") / (F.col("na") * F.col("nb")), 9))
+
+    # exact scoring of candidates: broadcast corpus + row-wise einsum
+    bc = _corpus_broadcast(spark, sf_dir)
+
+    def score(batches):
+        ids, mat, norms = bc.value
+        pos = {int(i): p for p, i in enumerate(ids)}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qi = pdf["query_id"].map(pos).to_numpy()
+            ni = pdf["neighbor_id"].map(pos).to_numpy()
+            s = np.round(
+                np.einsum("ij,ij->i", mat[qi], mat[ni]) / (norms[qi] * norms[ni]), 9
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "score": s,
+                }
+            )
+
+    scored = cand.mapInPandas(score, "query_id BIGINT, neighbor_id BIGINT, score DOUBLE")
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
-        .select("query_id", "neighbor_id", "rn")
+        .select("query_id", "neighbor_id", F.col("rn").cast("long").alias("rn"))
     )
 
 
@@ -214,7 +270,8 @@ def ann_lsh_topk(
 def cosine_dup_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.4) -> DataFrame:
     """Embedding near-duplicate pairs: cosine ≥ threshold, a < b.
 
-    Exact (the corpus side is broadcast; one pass over the other).
+    Exact: broadcast corpus matrix, one BLAS matmul per Arrow batch of
+    the probe side inside ``mapInPandas`` (same engine as `knn_topk`).
     Threshold 0.4 is calibrated to this corpus (max pair cosine ≈ 0.5
     at sf0.01 — a 0.95 'dup' bar would be vacuously empty, which the
     tests reject). At 100 TB swap the pair generator for the banded
@@ -223,15 +280,28 @@ def cosine_dup_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.4) -
     Output: (id_a, id_b, score_r6) — score rounded to 6 dp, which both
     engines compute identically from double-identical inputs.
     """
-    vec = _vectors(spark, sf_dir)
-    a = vec.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
-    b = vec.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-    return (
-        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-        .withColumn("score_r6", F.round(_dot("va", "vb") / (F.col("na") * F.col("nb")), 6))
-        .filter(F.col("score_r6") >= threshold)
-        .select("id_a", "id_b", "score_r6")
-    )
+    import numpy as np
+    import pandas as pd
+
+    bc = _corpus_broadcast(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def pairs(batches):
+        ids, mat, norms = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            qn = np.sqrt((q * q).sum(axis=1))
+            s = np.round((q @ mat.T) / np.outer(qn, norms), 6)
+            qids = pdf["vec_id"].to_numpy()
+            # emit only a < b so each unordered pair appears once
+            ii, jj = np.nonzero((s >= threshold) & (qids[:, None] < ids[None, :]))
+            yield pd.DataFrame(
+                {"id_a": qids[ii], "id_b": ids[jj], "score_r6": s[ii, jj]}
+            )
+
+    return emb.mapInPandas(pairs, "id_a BIGINT, id_b BIGINT, score_r6 DOUBLE")
 
 
 def cosine_dup_pairs_oracle_sql(threshold: float = 0.4) -> str:
@@ -456,35 +526,46 @@ SELECT doc_id, printf('%08x%08x', CAST(hi AS BIGINT), CAST(lo AS BIGINT)) AS sim
 def simhash_near_dup(spark: SparkSession, sf_dir: str, max_hamming: int = 4) -> DataFrame:
     """SimHash near-dup pairs: hamming(simhash_a, simhash_b) ≤ k.
 
-    Candidate generation is the pigeonhole chunk trick: split the 64
-    bits into (k//4 + 1) hex chunks… conservatively, 16 hex-digit
-    chunks of 4 bits — any pair at hamming ≤ 12 with ≥ 4 untouched
-    digits shares a chunk-position key. We use per-position digit
-    equality as the band join (16 bands, one per hex digit); a pair
-    must agree on ≥ (16 - k) digit positions to be at hamming ≤ k, so
-    for k ≤ 12 it agrees somewhere and is guaranteed recalled —
-    *exact* result from a bucketed join, no cross join. Verify stage
-    computes the true bit-level hamming distance. Default k=4 is
-    calibrated to this corpus: 21 pairs at sf0.01 (the shared 31-word
-    vocabulary correlates all docs' bits, so k=12 would pass 5.5 k
-    pairs and stop meaning "near-duplicate").
+    Candidate generation is the pigeonhole chunk trick: split the 16
+    hex digits into (k+1) contiguous chunks; k bit flips touch at most
+    k chunks, so any pair at hamming ≤ k agrees on ≥1 whole chunk and
+    is *guaranteed* recalled by the (chunk_pos, chunk_value) equi-join
+    — exact result, no cross join, and wide chunks (12-16 bits) keep
+    random-pair collisions ~2^-12, so candidate volume stays near-
+    linear. Verify stage computes the true bit-level hamming distance.
+    Default k=4 is calibrated to this corpus: 21 pairs at sf0.01 (the
+    shared 31-word vocabulary correlates all docs' bits, so k=12 would
+    pass 5.5 k pairs and stop meaning "near-duplicate").
 
     Output: (doc_a, doc_b, hamming) — all integers.
     """
     sh = simhash64(spark, sf_dir)
+    # pigeonhole bands: k flips touch at most k of the (k+1) chunks, so
+    # any pair at hamming ≤ k agrees on ≥1 whole chunk → recall 1 from
+    # a pure equi-join. Wider chunks (vs per-digit bands) keep random
+    # pairs from colliding: P(16-bit chunk match) ≈ 2^-16, so candidate
+    # volume stays near-linear instead of quadratic.
+    n_chunks = max_hamming + 1
+    base, extra = divmod(16, n_chunks)
+    bounds, start = [], 1
+    for i in range(n_chunks):
+        ln = base + (1 if i < extra else 0)
+        bounds.append((start, ln))
+        start += ln
+    chunks = F.array(
+        *[F.substring(F.col("simhash"), s, ln) for s, ln in bounds]
+    )
     digits = sh.select(
-        "doc_id",
-        "simhash",
-        F.posexplode(F.split(F.col("simhash"), "(?!^)")).alias("pos", "digit"),
+        "doc_id", "simhash", F.posexplode(chunks).alias("pos", "chunk")
     )
     a = digits.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"), "pos", "digit"
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"), "pos", "chunk"
     )
     b = digits.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"), "pos", "digit"
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"), "pos", "chunk"
     )
     cand = (
-        a.join(b, ["pos", "digit"])
+        a.join(b, ["pos", "chunk"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", "ha", "hb")
         .distinct()
