@@ -25,6 +25,7 @@ from flink_project_userbehavioranalysis_spark.operators import network_flow as _
 from flink_project_userbehavioranalysis_spark.operators import order_pay as _op
 from flink_project_userbehavioranalysis_spark.operators import relational as _rel
 from flink_project_userbehavioranalysis_spark.operators import similarity as _sim
+from flink_project_userbehavioranalysis_spark.streaming import joins as _stj
 from flink_project_userbehavioranalysis_spark.streaming import processors as _stp
 from flink_project_userbehavioranalysis_spark.streaming import windowed as _stw
 
@@ -120,6 +121,10 @@ def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str
         "regex_extract_props": (_rel.regex_extract_props, _rel.REGEX_EXTRACT_PROPS_SQL),
         # P6/P7 date parse + format round trip
         "date_roundtrip": (_rel.date_roundtrip, _rel.DATE_ROUNDTRIP_SQL),
+        # grouping-sets family (ROLLUP + grouping_id)
+        "pv_rollup": (_rel.pv_rollup, _rel.PV_ROLLUP_SQL),
+        # percentile family (exact interpolated median/p90)
+        "value_percentiles": (_rel.value_percentiles, _rel.VALUE_PERCENTILES_SQL),
         # ---- Structured Streaming twins (T1-T5, A3/A5, W1/W2 streaming).
         # Each replays events through readStream micro-batches with
         # watermarks and returns the final state — so the batch oracle
@@ -137,6 +142,10 @@ def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str
         "tx_reconcile_stream": (_stp.tx_reconcile_stream, _op.tx_reconcile_oracle_sql()),
         # ST4 fire-once daily blacklist
         "blacklist_stream": (_stp.blacklist_stream, _stp.blacklist_stream_oracle_sql()),
+        # J2 watermarked stream-stream inner join
+        "interval_join_stream": (_stj.interval_join_stream, _op.interval_join_oracle_sql()),
+        # J1 watermarked stream-stream full-outer reconcile
+        "tx_reconcile_stream_join": (_stj.tx_reconcile_stream_join, _op.tx_reconcile_oracle_sql()),
         # §2.10 multimodal: binary payload feature-extract via mapInPandas
         "binary_features": (_mm.binary_features, _mm.BINARY_FEATURES_SQL),
         # §2.9 GROUPED_AGG pandas_udf (custom aggregate)

@@ -232,3 +232,53 @@ SELECT strftime(date_trunc('minute', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M') A
 FROM events
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------- rollup / percentile freebies
+
+
+def pv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS family (absent in the reference — SURVEY §2.4
+    notes it comes free in Spark SQL): event counts at (day, type),
+    (day), and grand-total levels via ROLLUP, disambiguated by
+    grouping_id. One shuffle; partial aggregation covers all levels."""
+    events = load_events(spark, sf_dir)
+    return (
+        events.withColumn("day_start", F.date_trunc("day", "ts").cast("long"))
+        .rollup("day_start", "event_type")
+        .agg(F.count("*").alias("cnt"), F.grouping_id().cast("long").alias("gid"))
+    )
+
+
+PV_ROLLUP_SQL = """
+WITH t AS (
+    SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_start, event_type
+    FROM events
+)
+SELECT day_start, event_type, count(*) AS cnt,
+       CAST(grouping(day_start) * 2 + grouping(event_type) AS BIGINT) AS gid
+FROM t
+GROUP BY ROLLUP(day_start, event_type)
+"""
+
+
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event_type (median + p90) —
+    the percentile family the reference lacks. Spark ``percentile`` and
+    DuckDB ``quantile_cont`` both use linear interpolation; results are
+    rounded to 6 dp for cross-engine float identity. At 100 TB swap to
+    ``percentile_approx`` (mergeable t-digest-style sketch)."""
+    events = load_events(spark, sf_dir)
+    return events.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+    )
+
+
+VALUE_PERCENTILES_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90
+FROM events
+GROUP BY 1
+"""

@@ -41,3 +41,17 @@ def test_date_roundtrip(spark, sf_dir):
     assert_matches_oracle(df, R.DATE_ROUNDTRIP_SQL, sf_dir)
     # parse(format(t)) == t at minute grain: epoch is minute-aligned
     assert df.filter(F.col("minute_epoch") % 60 != 0).count() == 0
+
+
+def test_pv_rollup(spark, sf_dir):
+    df = R.pv_rollup(spark, sf_dir)
+    assert_matches_oracle(df, R.PV_ROLLUP_SQL, sf_dir)
+    # grand total row (gid=3) equals the table row count
+    total = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert df.filter(F.col("gid") == 3).collect()[0]["cnt"] == total
+
+
+def test_value_percentiles(spark, sf_dir):
+    df = R.value_percentiles(spark, sf_dir)
+    assert_matches_oracle(df, R.VALUE_PERCENTILES_SQL, sf_dir)
+    assert df.filter(F.col("p90") < F.col("p50")).count() == 0
