@@ -1,0 +1,95 @@
+"""Physical-plan audits — the 100 TB posture, encoded as assertions.
+
+Each test pins a property that must survive scale-up: filters reaching
+the parquet scan, column pruning, broadcast on the small side of the
+anti-join, map-side partial aggregation, and no cartesian products in
+any join path. If a refactor regresses a plan shape, these fail before
+any benchmark does.
+"""
+
+import pyspark.sql.functions as F
+
+from flink_project_userbehavioranalysis_spark.operators import (
+    hot_items as H,
+    network_flow as NF,
+    order_pay as OP,
+    relational as R,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_hot_items_scan_pushdown_and_partial_agg(spark, sf_dir):
+    df = H.hot_items(spark, sf_dir)
+    plan = _plan(df)
+    # equality filter pushed into the parquet scan
+    assert "PushedFilters" in plan and "event_type" in plan.split("PushedFilters")[1][:200]
+    # map-side partial aggregation before the shuffle
+    assert "partial_count" in plan
+    # whole-stage codegen spans ("*(n)") exist in the AQE-final plan,
+    # and the rank is pushed down to a per-partition group limit
+    df.collect()
+    final = _plan(df)
+    assert "*(" in final
+    assert "WindowGroupLimit" in final  # top-n never materializes full rank
+
+
+def test_hot_items_scan_prunes_columns(spark, sf_dir):
+    plan = _plan(H.hot_items(spark, sf_dir))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    # only the needed physical columns are read from parquet
+    assert "event_id" not in read_schema and "value" not in read_schema
+    assert "ts" in read_schema and "props" in read_schema
+
+
+def test_order_timeout_broadcasts_pay_side(spark, sf_dir):
+    plan = _plan(OP.order_timeout(spark, sf_dir))
+    assert "Broadcast" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_join_no_cartesian(spark, sf_dir):
+    plan = _plan(OP.interval_join(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tx_reconcile_no_cartesian(spark, sf_dir):
+    plan = _plan(OP.tx_reconcile(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q1_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(R.tpch_q1ish(spark, sf_dir))
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:300]
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema  # pruned: not referenced
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_pv_hourly_single_shuffle(spark, sf_dir):
+    plan = _plan(NF.pv_hourly(spark, sf_dir))
+    # one exchange for the windowed agg (AQE reads add no extra shuffle)
+    assert plan.count("Exchange") <= 2
+    assert "partial_count" in plan
+
+
+def test_uv_sketch_rollup_is_mergeable(spark, sf_dir):
+    plan = _plan(NF.uv_daily_sketch_rollup(spark, sf_dir))
+    # sketches merge (partial hll union), never re-scanning raw rows
+    assert "hll" in plan.lower()
+
+
+def test_no_python_udfs_in_relational_paths(spark, sf_dir):
+    """Core relational operators stay JVM-side end to end — no
+    BatchEvalPython (row-at-a-time Python) anywhere."""
+    for df in [
+        H.hot_items(spark, sf_dir),
+        NF.pv_hourly(spark, sf_dir),
+        OP.order_timeout(spark, sf_dir),
+        R.tpch_q1ish(spark, sf_dir),
+        R.user_sessions(spark, sf_dir),
+    ]:
+        assert "BatchEvalPython" not in _plan(df)
