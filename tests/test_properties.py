@@ -1,0 +1,190 @@
+"""Property-based + boundary-case tests (SURVEY §5.2).
+
+Hand-built micro-fixtures are written as parquet (same raw schema as
+the driver's events table: BIGINT-nanos ts) so the real operators run
+unmodified against them. Hypothesis drives the invariants the engine
+must hold for *any* event stream; the explicit cases pin the window
+boundary, Top-N tie-break, and horizon-edge semantics.
+"""
+
+import os
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from flink_project_userbehavioranalysis_spark.operators import (
+    hot_items as H,
+    network_flow as NF,
+    order_pay as OP,
+)
+
+BASE_NS = 1_699_999_200_000_000_000  # epoch ns, exactly hour-aligned
+HOUR_NS = 3_600_000_000_000
+
+
+def write_events(spark, path: str, rows: list[tuple]) -> str:
+    """rows: (event_id, ts_ns, user_id, event_type, item_k or None)."""
+    data = [
+        {
+            "event_id": eid,
+            "ts": ts,
+            "user_id": uid,
+            "event_type": typ,
+            "value": 1.0,
+            "props": "{}" if k is None else f'{{"k": {k}}}',
+        }
+        for eid, ts, uid, typ, k in rows
+    ]
+    df = spark.createDataFrame(
+        data,
+        schema="event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+        "value DOUBLE, props STRING",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "events.parquet"))
+    return path
+
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 10_000),  # offset seconds within ~3 h
+        st.integers(1, 5),  # user
+        st.sampled_from(["view", "click", "purchase", "signup", "error"]),
+        st.integers(1, 4),  # item k
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _materialize(spark, tmp_path, evs):
+    rows = [
+        (i, BASE_NS + off * 1_000_000_000, uid, typ, k)
+        for i, (off, uid, typ, k) in enumerate(evs)
+    ]
+    return write_events(spark, str(tmp_path), rows)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(evs=events_strategy)
+def test_pv_conservation_and_uv_bound(spark, tmp_path_factory, evs):
+    """Σ per-window PV == total views; per window UV ≤ PV."""
+    d = _materialize(spark, tmp_path_factory.mktemp("prop"), evs)
+    pv = {r["window_end"]: r["pv"] for r in NF.pv_hourly(spark, d).collect()}
+    uv = {r["window_end"]: r["uv"] for r in NF.uv_hourly(spark, d).collect()}
+    n_views = sum(1 for _, _, t, _ in evs if t == "view")
+    assert sum(pv.values()) == n_views
+    assert set(uv) == set(pv)
+    for w, u in uv.items():
+        assert 1 <= u <= pv[w]
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(evs=events_strategy)
+def test_topn_is_prefix_of_full_ranking(spark, tmp_path_factory, evs):
+    """hot_items top-n ⊆ the full ranking, with correct ordering."""
+    d = _materialize(spark, tmp_path_factory.mktemp("prop"), evs)
+    top = H.hot_items(spark, d, n=2)
+    full = H.hot_items(spark, d, n=10**6)
+    top_rows = {(r["window_end"], r["item_id"], r["cnt"], r["rn"]) for r in top.collect()}
+    full_rows = {(r["window_end"], r["item_id"], r["cnt"], r["rn"]) for r in full.collect()}
+    assert top_rows <= full_rows
+    assert all(rn <= 2 for _, _, _, rn in top_rows)
+    # per window: counts non-increasing with rank
+    by_w = {}
+    for w, _, cnt, rn in sorted(top_rows, key=lambda t: (t[0], t[3])):
+        by_w.setdefault(w, []).append(cnt)
+    for counts in by_w.values():
+        assert counts == sorted(counts, reverse=True)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(evs=events_strategy)
+def test_every_signup_matched_xor_timeout(spark, tmp_path_factory, evs):
+    """order_timeout ∪ order_pay_matched partitions the signups."""
+    d = _materialize(spark, tmp_path_factory.mktemp("prop"), evs)
+    signups = sum(1 for _, _, t, _ in evs if t == "signup")
+    t = OP.order_timeout(spark, d).count()
+    m = OP.order_pay_matched(spark, d).count()
+    assert t + m == signups
+
+
+# ------------------------------------------------------------ boundary cases
+
+
+def test_window_end_is_exclusive(spark, tmp_path):
+    """[start, end) bucketing: a view exactly at the hour boundary
+    belongs to the NEXT window."""
+    d = write_events(
+        spark,
+        str(tmp_path),
+        [
+            (0, BASE_NS, 1, "view", 1),
+            (1, BASE_NS + HOUR_NS - 1, 1, "view", 1),  # last ns of hour 0
+            (2, BASE_NS + HOUR_NS, 1, "view", 1),  # first ns of hour 1
+        ],
+    )
+    pv = {r["window_end"]: r["pv"] for r in NF.pv_hourly(spark, d).collect()}
+    base_s = BASE_NS // 1_000_000_000
+    assert pv[base_s + 3600] == 2
+    assert pv[base_s + 7200] == 1
+
+
+def test_topn_tie_breaks_by_item_id(spark, tmp_path):
+    """Equal counts rank by item_id ascending — deterministically."""
+    d = write_events(
+        spark,
+        str(tmp_path),
+        [
+            (0, BASE_NS, 1, "view", 3),
+            (1, BASE_NS + 1, 2, "view", 1),
+            (2, BASE_NS + 2, 3, "view", 2),
+        ],
+    )
+    rows = H.hot_items(spark, d, n=3).filter(F.col("rn") <= 3).collect()
+    first_window = min(r["window_end"] for r in rows)
+    ranked = sorted(
+        [(r["rn"], r["item_id"]) for r in rows if r["window_end"] == first_window]
+    )
+    assert ranked == [(1, 1), (2, 2), (3, 3)]
+
+
+def test_order_horizon_edge_inclusive(spark, tmp_path):
+    """A pay exactly at create + horizon still matches (<=), one ns
+    later times out."""
+    h_ns = 24 * HOUR_NS
+    d = write_events(
+        spark,
+        str(tmp_path),
+        [
+            (0, BASE_NS, 1, "signup", 1),
+            (1, BASE_NS + h_ns, 1, "purchase", 1),  # exactly at deadline
+            (2, BASE_NS, 2, "signup", 1),
+            (3, BASE_NS + h_ns + 1_000, 2, "purchase", 1),  # 1 µs past
+        ],
+    )
+    matched = {r["user_id"] for r in OP.order_pay_matched(spark, d).collect()}
+    timeout = {r["user_id"] for r in OP.order_timeout(spark, d).collect()}
+    assert matched == {1}
+    assert timeout == {2}
+
+
+def test_consec_fail_gap_boundary(spark, tmp_path):
+    """Two errors exactly gap_s apart trigger (<=); a third event
+    between them breaks consecutiveness."""
+    from flink_project_userbehavioranalysis_spark.operators import login as L
+
+    gap_ns = L.GAP_SECONDS * 1_000_000_000
+    d = write_events(
+        spark,
+        str(tmp_path),
+        [
+            (0, BASE_NS, 1, "error", 1),
+            (1, BASE_NS + gap_ns, 1, "error", 1),  # exactly at the gap
+            (2, BASE_NS, 2, "error", 1),
+            (3, BASE_NS + 1_000_000_000, 2, "view", 1),  # breaks the run
+            (4, BASE_NS + 2_000_000_000, 2, "error", 1),
+        ],
+    )
+    hits = {r["user_id"] for r in L.consec_fail(spark, d).collect()}
+    assert hits == {1}
