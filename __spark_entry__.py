@@ -132,6 +132,8 @@ def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str
         "pv_hourly_stream": (_stw.pv_hourly_stream, _nf.PV_HOURLY_SQL),
         "uv_hourly_stream": (_stw.uv_hourly_stream, _nf.UV_HOURLY_SQL),
         "hot_items_stream": (_stw.hot_items_stream, _hot.hot_items_oracle_sql()),
+        # W2 streaming (late-update overwrite Top-N, short sliding window)
+        "hot_pages_stream": (_stw.hot_pages_stream, _nf.hot_pages_oracle_sql()),
         # ---- Stateful processors (applyInPandasWithState + event-time
         # timers; end-of-input watermark sentinel flushes deadlines).
         # ST5/ST6 CEP create→pay within horizon + timeout side output

@@ -14,7 +14,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from flink_project_userbehavioranalysis_spark.functions import win_end_s
+from flink_project_userbehavioranalysis_spark.functions import win_end_s, win_start_s
 from flink_project_userbehavioranalysis_spark.io import load_events
 
 CHANNELS = 4  # synthetic channel buckets
@@ -22,7 +22,9 @@ CHANNELS = 4  # synthetic channel buckets
 
 def count_by_channel_behavior(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 — tumbling 1 h counts keyed by (channel, behavior)
-    (reference AppMarketingByChannel.scala :: MarketingCountByChannel [U]).
+    (reference AppMarketingByChannel.scala :: MarketingCountByChannel
+    [U]; its MarketingViewCount row carries windowStart AND windowEnd —
+    A2 window-metadata decoration — so both bounds are emitted here).
     One shuffle, map-side partial agg; composite grouping key adds no
     extra exchange."""
     events = load_events(spark, sf_dir)
@@ -31,7 +33,7 @@ def count_by_channel_behavior(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("channel", F.concat(F.lit("ch"), (F.col("user_id") % CHANNELS).cast("string")))
         .groupBy(F.window("ts", "1 hour").alias("w"), "channel", F.col("event_type").alias("behavior"))
         .agg(F.count("*").alias("cnt"))
-        .select(win_end_s(), "channel", "behavior", "cnt")
+        .select(win_start_s(), win_end_s(), "channel", "behavior", "cnt")
     )
 
 
@@ -74,12 +76,13 @@ def blacklist(spark: SparkSession, sf_dir: str, threshold: int = 2) -> DataFrame
 # ---------------------------------------------------------------- oracle SQL
 
 COUNT_BY_CHANNEL_BEHAVIOR_SQL = f"""
-SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour') AS BIGINT) AS window_end,
+SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start,
+       CAST(epoch(time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour') AS BIGINT) AS window_end,
        'ch' || CAST(user_id % {CHANNELS} AS VARCHAR) AS channel,
        event_type AS behavior,
        COUNT(*) AS cnt
 FROM events WHERE event_type <> 'error'
-GROUP BY 1, 2, 3
+GROUP BY 1, 2, 3, 4
 """
 
 MARKETING_TOTAL_SQL = """

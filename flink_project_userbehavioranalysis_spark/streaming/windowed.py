@@ -95,6 +95,24 @@ def hot_items_stream(
     )
 
 
+def hot_pages_stream(spark: SparkSession, sf_dir: str, n_chunks: int = 8) -> DataFrame:
+    """W2 streaming — Top-N hot pages per 10 min/5 min sliding window
+    with late-update overwrite (reference HotPagesNetworkFlow.scala ::
+    TopNHotPages MapState-overwrite [U]): the update-mode fold keeps the
+    latest count per (window, page) before ranking — exactly the
+    overwrite semantics, shared with hot_items_stream."""
+    df = hot_items_stream(
+        spark,
+        sf_dir,
+        window="10 minutes",
+        slide="5 minutes",
+        n=3,
+        event_type="click",
+        n_chunks=n_chunks,
+    )
+    return df.withColumnRenamed("item_id", "page_id")
+
+
 def pv_hourly_late_observed(
     spark: SparkSession,
     sf_dir: str,
