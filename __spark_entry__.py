@@ -98,8 +98,10 @@ def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str
         "lang_id_rules": (_text.lang_id_rules, _text.LANG_ID_RULES_SQL),
         # §2.10 similarity search: exact cosine top-k (brute baseline)
         "knn_topk": (_sim.knn_topk, _sim.knn_topk_oracle_sql()),
-        # §2.10 ANN scale path (banded sign-LSH — probabilistic, rows-only)
+        # §2.10 ANN scale paths (probabilistic candidates — rows-only):
+        # banded sign-LSH and IVF coarse-quantizer inverted lists
         "ann_lsh_topk": (_sim.ann_lsh_topk, None),
+        "ivf_topk": (_sim.ivf_topk, None),
         # §2.10 embedding-cosine near-dup pairs
         "cosine_dup_pairs": (_sim.cosine_dup_pairs, _sim.cosine_dup_pairs_oracle_sql()),
         # §2.10 n-gram Jaccard near-dup (exact, shingle-join)

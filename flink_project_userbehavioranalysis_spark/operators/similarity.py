@@ -264,6 +264,108 @@ def ann_lsh_topk(
     )
 
 
+def _ivf_centroids(mat, n_cells: int, iters: int = 8):
+    """Deterministic Lloyd's k-means on the (driver-side) corpus
+    matrix: evenly-spaced init over the id-ordered corpus, fixed
+    iteration count, no RNG — every run and every engine sees the same
+    cells. Normalized-vector means → spherical k-means (cosine cells)."""
+    import numpy as np
+
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cents = normed[:: max(len(normed) // n_cells, 1)][:n_cells].copy()
+    for _ in range(iters):
+        assign = (normed @ cents.T).argmax(axis=1)
+        for c in range(len(cents)):
+            members = normed[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cents[c] = m / np.linalg.norm(m)
+    return cents
+
+
+def ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 8,
+) -> DataFrame:
+    """Approximate kNN via IVF (inverted-file) coarse quantization —
+    the second scale path next to sign-LSH: spherical k-means cells
+    trained once (driver, deterministic), every vector assigned to its
+    nearest cell, and each query probed against only its ``n_probe``
+    nearest cells' inverted lists via an *equi-join on cell id* — no
+    cross join; cells are the shuffle keys at 100 TB, and n_probe/
+    n_cells is the recall-vs-cost dial. Candidates are exact-scored
+    with the broadcast corpus and ranked identically to `knn_topk`.
+
+    Output: (query_id, neighbor_id, rn) — same shape as knn_topk.
+    """
+    import numpy as np
+    import pandas as pd
+
+    bc = _corpus_broadcast(spark, sf_dir)
+    ids_d, mat_d, _ = bc.value
+    cents = _ivf_centroids(mat_d, n_cells)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            v = v / np.linalg.norm(v, axis=1, keepdims=True)
+            sim = v @ cents.T
+            cells = np.argsort(-sim, axis=1)[:, :n_probe].astype(np.int64)
+            ids = pdf["vec_id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, n_probe),
+                    "probe_rank": np.tile(np.arange(n_probe), len(ids)),
+                    "cell": cells.reshape(-1),
+                }
+            )
+
+    probes = emb.mapInPandas(assign, "vec_id BIGINT, probe_rank INT, cell BIGINT")
+    lists = probes.filter(F.col("probe_rank") == 0).select(
+        F.col("vec_id").alias("neighbor_id"), "cell"
+    )  # each vector lives in exactly its nearest cell
+    cand = (
+        probes.select(F.col("vec_id").alias("query_id"), "cell")
+        .join(lists, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+
+    def score(batches):
+        ids, mat, norms = bc.value
+        pos = {int(i): p for p, i in enumerate(ids)}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qi = pdf["query_id"].map(pos).to_numpy()
+            ni = pdf["neighbor_id"].map(pos).to_numpy()
+            s = np.round(
+                np.einsum("ij,ij->i", mat[qi], mat[ni]) / (norms[qi] * norms[ni]), 9
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "score": s,
+                }
+            )
+
+    scored = cand.mapInPandas(score, "query_id BIGINT, neighbor_id BIGINT, score DOUBLE")
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.col("rn").cast("long").alias("rn"))
+    )
+
+
 # ------------------------------------------- embedding-cosine near-dup pairs
 
 

@@ -62,6 +62,17 @@ def test_ann_lsh_recall(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_ivf_topk_recall(spark, sf_dir):
+    """IVF inverted-list kNN: ≥75% of exact top-5 edges at the default
+    probe width, candidates from a cell equi-join (no cross join)."""
+    exact = {(r[0], r[1]) for r in S.knn_topk(spark, sf_dir).collect()}
+    ivf_df = S.ivf_topk(spark, sf_dir)
+    ivf = {(r[0], r[1]) for r in ivf_df.collect()}
+    assert len(ivf & exact) / len(exact) >= 0.75
+    plan = ivf_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
 def test_simhash64(spark, sf_dir):
     df = S.simhash64(spark, sf_dir)
     assert_matches_oracle(df, S.SIMHASH64_SQL, sf_dir)
