@@ -51,6 +51,8 @@ def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str
     return {
         # W1/W3/W4 flagship
         "hot_items_topn": (_hot.hot_items, _hot.hot_items_oracle_sql()),
+        # P8 string result building (formatted ranking report)
+        "hot_items_report": (_hot.hot_items_report, _hot.hot_items_report_oracle_sql()),
         # A3 / T4
         "pv_hourly": (_nf.pv_hourly, _nf.PV_HOURLY_SQL),
         # A5 / T5

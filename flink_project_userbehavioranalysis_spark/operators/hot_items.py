@@ -57,6 +57,29 @@ def hot_items(
     )
 
 
+def hot_items_report(spark: SparkSession, sf_dir: str, n: int = 5) -> DataFrame:
+    """P8 — string result building: the reference's TopNHotItems
+    formats each window's ranking as text lines via StringBuilder
+    ("No1: itemId=... count=..." [~L95-115, U]); here the same report
+    is one JVM-side format_string over the ranked rows."""
+    ranked = hot_items(spark, sf_dir, n=n)
+    return ranked.select(
+        "window_end",
+        F.format_string(
+            "No%d: itemId=%d count=%d", F.col("rn"), F.col("item_id"), F.col("cnt")
+        ).alias("line"),
+    )
+
+
+def hot_items_report_oracle_sql(n: int = 5) -> str:
+    return f"""
+WITH ranked AS ({hot_items_oracle_sql(n=n).strip()})
+SELECT window_end,
+       printf('No%d: itemId=%d count=%d', rn, item_id, cnt) AS line
+FROM ranked
+"""
+
+
 def hot_items_oracle_sql(
     window_minutes: int = 60, slide_minutes: int = 5, n: int = 5, event_type: str = "view"
 ) -> str:

@@ -30,6 +30,36 @@ def test_hot_items_stream_equals_batch_and_oracle(spark, sf_dir):
     assert {tuple(r) for r in stream.collect()} == batch
 
 
+def test_parquet_file_sink(spark, sf_dir, tmp_path):
+    """S5 durable sink: append-mode windowed counts land in parquet
+    files (exactly-once via the checkpoint/commit log) and read back as
+    a consistent subset of the batch result."""
+    import pyspark.sql.functions as F
+
+    from flink_project_userbehavioranalysis_spark.streaming.replay import events_stream
+
+    ev = events_stream(spark, sf_dir)
+    counts = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("pv"))
+        .select(F.col("w.end").cast("long").alias("window_end"), "pv")
+    )
+    out_dir = str(tmp_path / "sink")
+    q = (
+        counts.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sunk = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
+    batch = {tuple(r) for r in NF.pv_hourly(spark, sf_dir).collect()}
+    assert sunk <= batch and len(sunk) >= len(batch) - 2  # watermark tail only
+
+
 def test_pv_append_mode_watermark_semantics(spark, sf_dir):
     """Append mode emits a window exactly once, only after the
     watermark passes it (T1/T2/T6): emitted rows are a subset of the
