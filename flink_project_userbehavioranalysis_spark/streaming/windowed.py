@@ -95,6 +95,29 @@ def hot_items_stream(
     )
 
 
+def dedup_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    keys: list[str] | None = None,
+    n_chunks: int = 8,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """§2.10 streaming exact dedup: ``dropDuplicatesWithinWatermark``
+    keeps the first arrival per key and suppresses re-arrivals while
+    the key is inside the watermark horizon — the state-store dedup
+    whose memory is bounded by (keys per watermark window), the only
+    form that survives unbounded input. Equals batch distinct whenever
+    duplicate arrivals fall within the watermark of each other
+    (asserted on a crafted fixture in tests; on arbitrary input it is
+    intentionally weaker than global distinct)."""
+    ev = events_stream(spark, sf_dir, n_chunks=n_chunks, watermark=watermark)
+    dedup = ev.dropDuplicatesWithinWatermark(keys or ["user_id", "event_type", "item_id"])
+    out = dedup.select("event_id", "user_id", "event_type", "item_id")
+    from flink_project_userbehavioranalysis_spark.streaming.replay import run_append_memory
+
+    return run_append_memory(out, "dedup_events_stream", spark)
+
+
 def hot_pages_stream(spark: SparkSession, sf_dir: str, n_chunks: int = 8) -> DataFrame:
     """W2 streaming — Top-N hot pages per 10 min/5 min sliding window
     with late-update overwrite (reference HotPagesNetworkFlow.scala ::

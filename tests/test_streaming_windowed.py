@@ -30,6 +30,28 @@ def test_hot_items_stream_equals_batch_and_oracle(spark, sf_dir):
     assert {tuple(r) for r in stream.collect()} == batch
 
 
+def test_dedup_within_watermark_equals_batch_distinct(spark, tmp_path):
+    """Streaming dropDuplicatesWithinWatermark == batch distinct when
+    duplicates arrive within the watermark horizon of each other: one
+    survivor per (user, type, item) key, at the key count of the batch
+    distinct."""
+    from tests.test_properties import BASE_NS, write_events
+    from flink_project_userbehavioranalysis_spark.streaming import windowed as WW
+
+    rows = []
+    eid = 0
+    for u in (1, 2):
+        for rep in range(3):  # 3 duplicate arrivals, seconds apart
+            rows.append((eid, BASE_NS + rep * 2_000_000_000, u, "view", 7))
+            eid += 1
+    rows.append((eid, BASE_NS + 3_600_000_000_000, 1, "click", 8))
+    d = write_events(spark, str(tmp_path), rows)
+    out = WW.dedup_events_stream(spark, d, n_chunks=2)
+    got = {(r["user_id"], r["event_type"], r["item_id"]) for r in out.collect()}
+    assert got == {(1, "view", 7), (2, "view", 7), (1, "click", 8)}
+    assert out.count() == 3  # exactly one survivor per key
+
+
 def test_parquet_file_sink(spark, sf_dir, tmp_path):
     """S5 durable sink: append-mode windowed counts land in parquet
     files (exactly-once via the checkpoint/commit log) and read back as
