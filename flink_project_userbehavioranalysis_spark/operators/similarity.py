@@ -563,11 +563,18 @@ def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     final hash is 1 iff the vote sum is positive. md5 (not an engine
     hash) so the DuckDB oracle reproduces the identical bits.
 
-    Executed as an Arrow-batched ``mapInPandas``: per doc, token md5s →
-    ``np.unpackbits`` (the MSB-first byte order is exactly the
-    hex-digit bit spec the SQL oracle implements) → one vectorized vote
-    sum — ~50× the expression-level formulation, which needed a 64× row
-    explosion. Partition-parallel, no shuffle at all.
+    Executed as an Arrow-batched ``mapInPandas``, vectorized across the
+    whole batch: tokens are factorized so md5 runs once per *distinct*
+    token (digests memoized across batches — natural-language corpora
+    have Zipfian vocabularies, so distinct ≪ occurrences). Vote sums
+    are one combined-index `bincount` into a (docs × vocab) count
+    matrix + a single ±1 matmul when that matrix is small (~6× the
+    per-doc loop); batches with wide vocabularies where the dense
+    matrix would blow memory fall back to 64 weighted `bincount`s over
+    the flattened token stream (O(occurrences) memory). No per-document
+    Python loop, no shuffle at all. Bit spec unchanged:
+    ``np.unpackbits`` MSB-first byte order == the hex-digit bit
+    indexing the SQL oracle implements.
 
     Output: (doc_id, simhash) with simhash a 16-char lowercase hex
     string (bit 63 first) — string output keeps the driver hash
@@ -581,20 +588,49 @@ def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
     def sim(batches):
+        digest_cache: dict[str, object] = {}
+
+        def bits_for(uniques) -> "np.ndarray":
+            out = np.empty((len(uniques), 64), dtype=np.int64)
+            for i, tok in enumerate(uniques):
+                b = digest_cache.get(tok)
+                if b is None:
+                    raw = hashlib.md5(tok.encode()).digest()[:8]
+                    b = np.unpackbits(np.frombuffer(raw, dtype=np.uint8)).astype(np.int64)
+                    digest_cache[tok] = b
+                out[i] = b
+            return out
+
         for pdf in batches:
             if not len(pdf):
                 continue
-            out_hash = []
-            for text in pdf["text"]:
-                toks = text.split(" ")
-                raw = b"".join(hashlib.md5(t.encode()).digest()[:8] for t in toks)
-                bits = np.unpackbits(
-                    np.frombuffer(raw, dtype=np.uint8).reshape(len(toks), 8), axis=1
-                )  # (n_tokens, 64), element j == md5-bit j of the spec
-                votes = (2 * bits.astype(np.int32) - 1).sum(axis=0)
-                outbits = (votes > 0).astype(np.uint8)
-                # output hex is bit-63-first: reverse before packing
-                out_hash.append(np.packbits(outbits[::-1]).tobytes().hex())
+            splits = [t.split(" ") for t in pdf["text"]]
+            n_docs = len(splits)
+            lens = np.fromiter((len(s) for s in splits), dtype=np.int64, count=n_docs)
+            doc_idx = np.repeat(np.arange(n_docs), lens)
+            flat = np.concatenate([np.asarray(s, dtype=object) for s in splits])
+            codes, uniques = pd.factorize(flat)
+            signed = 2 * bits_for(uniques) - 1  # (n_unique, 64), ±1
+            n_uniq = len(uniques)
+            if n_docs * n_uniq <= 64_000_000:
+                # dense path: one bincount into (docs × vocab) counts,
+                # then a single matmul folds the ±1 bit votes
+                counts = np.bincount(
+                    doc_idx * n_uniq + codes, minlength=n_docs * n_uniq
+                ).reshape(n_docs, n_uniq)
+                votes = counts @ signed
+            else:
+                # wide-vocab fallback: O(occurrences) memory, 64 passes
+                tok_votes = signed[codes]  # (n_occurrences, 64)
+                votes = np.empty((n_docs, 64), dtype=np.float64)
+                for j in range(64):
+                    votes[:, j] = np.bincount(
+                        doc_idx, weights=tok_votes[:, j], minlength=n_docs
+                    )
+            outbits = (votes > 0).astype(np.uint8)
+            # output hex is bit-63-first: reverse bit order before packing
+            packed = np.packbits(outbits[:, ::-1], axis=1)
+            out_hash = [row.tobytes().hex() for row in packed]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out_hash})
 
     return docs.mapInPandas(sim, "doc_id BIGINT, simhash STRING")
