@@ -25,6 +25,7 @@ from flink_project_userbehavioranalysis_spark.operators import network_flow as _
 from flink_project_userbehavioranalysis_spark.operators import order_pay as _op
 from flink_project_userbehavioranalysis_spark.operators import relational as _rel
 from flink_project_userbehavioranalysis_spark.operators import similarity as _sim
+from flink_project_userbehavioranalysis_spark.operators import skew as _skew
 from flink_project_userbehavioranalysis_spark.streaming import joins as _stj
 from flink_project_userbehavioranalysis_spark.streaming import processors as _stp
 from flink_project_userbehavioranalysis_spark.streaming import windowed as _stw
@@ -117,6 +118,16 @@ def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str
         "simhash_near_dup": (_sim.simhash_near_dup, _sim.simhash_near_dup_oracle_sql()),
         # BASELINE.md engine sanity op (exact DECIMAL money math)
         "tpch_q1ish": (_rel.tpch_q1ish, _rel.TPCH_Q1ISH_SQL),
+        # P9/A4 explicit salting (physical rewrite — same oracles as the
+        # unsalted twins prove salted ≡ plain)
+        "count_by_channel_salted": (
+            _skew.salted_count_by_channel,
+            _market.COUNT_BY_CHANNEL_BEHAVIOR_SQL,
+        ),
+        "revenue_by_priority_salted": (
+            _skew.revenue_by_priority_salted,
+            _skew.REVENUE_BY_PRIORITY_SQL,
+        ),
         # §2.8 set operations
         "user_set_ops": (_rel.user_set_ops, _rel.USER_SET_OPS_SQL),
         # T9 session windows

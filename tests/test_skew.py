@@ -1,0 +1,114 @@
+"""Skew-handling audits: salting is a physical rewrite (P9/A4) and
+bucketing co-locates joins — both must leave results bit-identical
+while visibly changing the plan."""
+
+import pyspark.sql.functions as F
+
+from flink_project_userbehavioranalysis_spark.io import load_table
+from flink_project_userbehavioranalysis_spark.operators import market as M
+from flink_project_userbehavioranalysis_spark.operators import skew as SK
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_salted_agg_equals_plain(spark, sf_dir):
+    salted = SK.salted_count_by_channel(spark, sf_dir, buckets=16)
+    plain = M.count_by_channel_behavior(spark, sf_dir)
+    assert _sorted_rows(salted) == _sorted_rows(plain)
+
+
+def test_salted_agg_is_two_stage(spark, sf_dir):
+    plan = _plan(SK.salted_count_by_channel(spark, sf_dir, buckets=16))
+    # the salt expression exists in stage 1's grouping (Catalyst renames
+    # the column to _groupingexpression but keeps the hash expression)
+    assert "pmod(xxhash64" in plan
+    # two logical shuffles: (key, salt) then (key) — vs one in the plain plan
+    assert plan.count("Exchange hashpartitioning") >= 2
+    plain = _plan(M.count_by_channel_behavior(spark, sf_dir))
+    assert plain.count("Exchange hashpartitioning") == 1
+
+
+def test_salted_join_is_shuffled_not_broadcast(spark, sf_dir):
+    df = SK.revenue_by_priority_salted(spark, sf_dir, buckets=4)
+    plan = _plan(df)
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_salted_join_equals_plain_broadcast_join(spark, sf_dir):
+    salted = SK.revenue_by_priority_salted(spark, sf_dir, buckets=4)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    from flink_project_userbehavioranalysis_spark.functions import money
+
+    disc = money("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - money("l_discount"))
+    plain = (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_lines"), F.sum(disc).alias("rev"))
+        .select("o_orderpriority", "n_lines", F.col("rev").cast("double").alias("revenue"))
+    )
+    assert _sorted_rows(salted) == _sorted_rows(plain)
+
+
+def test_salt_is_deterministic_across_runs(spark, sf_dir):
+    a = _sorted_rows(SK.revenue_by_priority_salted(spark, sf_dir, buckets=4))
+    b = _sorted_rows(SK.revenue_by_priority_salted(spark, sf_dir, buckets=4))
+    assert a == b
+
+
+# ------------------------------------------------------------ bucketed joins
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Pre-bucketing both sides of a recurring join key removes the
+    per-query shuffle entirely — the 100 TB pattern for fact tables
+    joined on the same key every day. Both sides are written with
+    ``bucketBy(4, l_orderkey/o_orderkey)``; the sort-merge join over
+    the bucketed scans must contain NO Exchange."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    (
+        li.write.mode("overwrite")
+        .bucketBy(4, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", str(tmp_path / "li_b"))
+        .saveAsTable("li_bucketed")
+    )
+    (
+        orders.write.mode("overwrite")
+        .bucketBy(4, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", str(tmp_path / "ord_b"))
+        .saveAsTable("ord_bucketed")
+    )
+    try:
+        joined = (
+            spark.table("li_bucketed")
+            .hint("merge")
+            .join(
+                spark.table("ord_bucketed"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+        )
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: zero shuffle
+        # and the result is the same as the plain (shuffling) join
+        n_bucketed = joined.count()
+        n_plain = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+        assert n_bucketed == n_plain
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS ord_bucketed")

@@ -4,7 +4,8 @@ Runs every ``__spark_entry__.queries()`` entry at sf0.01 and compares
 it against its ``oracle_sql()`` via the same normalize-sort-hash logic
 as tests/oracle.py. Rows-only entries just assert the query runs.
 
-Usage: python tools/check_all.py [sf_dir]
+Usage: python tools/check_all.py [sf_dir] [query_name ...]
+(query names filter the run; no names = all queries)
 """
 
 from __future__ import annotations
@@ -21,8 +22,11 @@ from tests.oracle import assert_matches_oracle
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
     spark = get_spark(app_name="check-all", streaming=True)
     qs = entry_mod.queries()
+    if only:
+        qs = {n: f for n, f in qs.items() if n in only}
     oracles = entry_mod.oracle_sql()
     failed = []
     for name, fn in qs.items():
