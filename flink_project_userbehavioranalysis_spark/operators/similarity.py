@@ -68,6 +68,8 @@ def _corpus_broadcast(spark: SparkSession, sf_dir: str):
     )
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    if mat.ndim < 2:  # empty corpus: keep 2-D so axis-1 ops stay valid
+        mat = mat.reshape(0, 0)
     norms = np.sqrt((mat * mat).sum(axis=1))
     bc = spark.sparkContext.broadcast((ids, mat, norms))
     _CORPUS_CACHE[key] = bc
@@ -273,6 +275,8 @@ def _ivf_centroids(mat, n_cells: int, iters: int = 8):
 
     normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     cents = normed[:: max(len(normed) // n_cells, 1)][:n_cells].copy()
+    if not len(cents):  # empty corpus: no cells to train
+        return cents
     for _ in range(iters):
         assign = (normed @ cents.T).argmax(axis=1)
         for c in range(len(cents)):

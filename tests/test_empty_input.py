@@ -1,0 +1,88 @@
+"""Empty-input robustness: every batch operator family must run (and
+return zero rows) on structurally-valid but empty tables.
+
+At 100 TB this is the "new partition / fresh day / filtered-to-nothing
+tenant" path — an operator that throws on empty input takes down a
+whole pipeline run. Empty frames exercise real edge code: pandas
+iterators that never yield, array aggregations over nothing, window
+functions on empty partitions, joins with an empty build side.
+"""
+
+import pytest
+
+from flink_project_userbehavioranalysis_spark.io import TABLES, load_table
+from flink_project_userbehavioranalysis_spark.operators import (
+    hot_items as H,
+    llm_text as TXT,
+    login as L,
+    market as M,
+    multimodal as MM,
+    network_flow as NF,
+    order_pay as OP,
+    relational as R,
+    similarity as SIM,
+    skew as SK,
+)
+
+
+@pytest.fixture(scope="module")
+def empty_dir(spark, sf_dir, tmp_path_factory):
+    """Schema-identical, zero-row copy of every testdata table."""
+    d = tmp_path_factory.mktemp("sf_empty")
+    for t in TABLES:
+        load_table(spark, sf_dir, t).limit(0).write.parquet(str(d / f"{t}.parquet"))
+    return str(d)
+
+
+OPERATORS = [
+    H.hot_items,
+    H.hot_items_report,
+    NF.pv_hourly,
+    NF.uv_hourly,
+    NF.uv_approx_hourly,
+    NF.uv_daily_sketch_rollup,
+    NF.hot_pages_topn,
+    M.count_by_channel_behavior,
+    M.marketing_total,
+    M.blacklist,
+    L.consec_fail,
+    L.consec_fail_triple,
+    OP.order_timeout,
+    OP.order_pay_matched,
+    OP.interval_join,
+    OP.tx_reconcile,
+    TXT.dedup_exact_docs,
+    TXT.dedup_exact_events,
+    TXT.token_counts,
+    TXT.doc_quality_stats,
+    TXT.lang_stats,
+    TXT.tfidf_top_term,
+    TXT.doc_fingerprint,
+    TXT.lang_id_rules,
+    SIM.knn_topk,
+    SIM.ann_lsh_topk,
+    SIM.ivf_topk,
+    SIM.cosine_dup_pairs,
+    SIM.ngram_jaccard_pairs,
+    SIM.minhash_near_dup,
+    SIM.simhash64,
+    SIM.simhash_near_dup,
+    R.tpch_q1ish,
+    R.user_set_ops,
+    R.user_sessions,
+    R.regex_extract_props,
+    R.date_roundtrip,
+    R.pv_rollup,
+    R.value_percentiles,
+    MM.binary_features,
+    MM.geomean_by_type,
+    MM.decode_meta_table,
+    MM.frame_sample,
+    SK.salted_count_by_channel,
+    SK.revenue_by_priority_salted,
+]
+
+
+@pytest.mark.parametrize("op", OPERATORS, ids=lambda f: f.__name__)
+def test_operator_handles_empty_input(spark, empty_dir, op):
+    assert op(spark, empty_dir).count() == 0
