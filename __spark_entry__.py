@@ -149,6 +149,13 @@ def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str
         "hot_items_stream": (_stw.hot_items_stream, _hot.hot_items_oracle_sql()),
         # W2 streaming (late-update overwrite Top-N, short sliding window)
         "hot_pages_stream": (_stw.hot_pages_stream, _nf.hot_pages_oracle_sql()),
+        # A7 streaming (keyed tumbling counts, update mode)
+        "count_by_channel_stream": (
+            _stw.count_by_channel_stream,
+            _market.COUNT_BY_CHANNEL_BEHAVIOR_SQL,
+        ),
+        # A8 streaming (global sliding count, update mode)
+        "marketing_total_stream": (_stw.marketing_total_stream, _market.MARKETING_TOTAL_SQL),
         # ---- Stateful processors (applyInPandasWithState + event-time
         # timers; end-of-input watermark sentinel flushes deadlines).
         # ST5/ST6 CEP create→pay within horizon + timeout side output

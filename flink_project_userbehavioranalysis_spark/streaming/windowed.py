@@ -95,6 +95,57 @@ def hot_items_stream(
     )
 
 
+def count_by_channel_stream(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 8
+) -> DataFrame:
+    """A7 streaming — tumbling 1 h counts keyed by (channel, behavior)
+    in update mode (reference AppMarketingByChannel.scala ::
+    MarketingCountByChannel over a live stream [U]). Same window/agg
+    logic as the batch twin, so the batch oracle is the oracle."""
+    from flink_project_userbehavioranalysis_spark.operators.market import CHANNELS
+
+    ev = events_stream(spark, sf_dir, n_chunks=n_chunks)
+    counts = (
+        ev.filter(F.col("event_type") != "error")
+        .withColumn(
+            "channel",
+            F.concat(F.lit("ch"), (F.col("user_id") % CHANNELS).cast("string")),
+        )
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            "channel",
+            F.col("event_type").alias("behavior"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            F.col("w.end").cast("long").alias("window_end"),
+            "channel",
+            "behavior",
+            "cnt",
+        )
+    )
+    return run_update_collect(
+        counts, ["window_start", "window_end", "channel", "behavior"], spark
+    )
+
+
+def marketing_total_stream(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 8
+) -> DataFrame:
+    """A8 streaming — global (keyless) sliding 1 h / 15 min count in
+    update mode (reference AppMarketing.scala [U] needs a dummy key;
+    streaming windows don't)."""
+    ev = events_stream(spark, sf_dir, n_chunks=n_chunks)
+    counts = (
+        ev.filter(F.col("event_type") != "error")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("total"))
+        .select(F.col("w.end").cast("long").alias("window_end"), "total")
+    )
+    return run_update_collect(counts, ["window_end"], spark)
+
+
 def dedup_events_stream(
     spark: SparkSession,
     sf_dir: str,
