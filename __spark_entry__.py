@@ -71,6 +71,8 @@ def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str
         ),
         # A8 / T5
         "marketing_total": (_market.marketing_total, _market.MARKETING_TOTAL_SQL),
+        # A7-geo: windowed clicks by star-schema geo dims (broadcast join)
+        "ad_clicks_by_geo": (_market.ad_clicks_by_geo, _market.AD_CLICKS_BY_GEO_SQL),
         # A9 / ST4 batch
         "blacklist": (_market.blacklist, _market.blacklist_oracle_sql()),
         # ST2

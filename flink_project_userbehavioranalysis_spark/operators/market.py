@@ -15,7 +15,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from flink_project_userbehavioranalysis_spark.functions import win_end_s, win_start_s
-from flink_project_userbehavioranalysis_spark.io import load_events
+from flink_project_userbehavioranalysis_spark.io import load_events, load_table
 
 CHANNELS = 4  # synthetic channel buckets
 
@@ -47,6 +47,35 @@ def marketing_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
         .agg(F.count("*").alias("total"))
         .select(win_end_s(), "total")
+    )
+
+
+def ad_clicks_by_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7-geo — tumbling 1 h ad-click counts by geographic dimension
+    (reference AdClickAnalysis.scala :: AdClickCountByProvince [U]:
+    windowed click counts keyed by province). Province analog on this
+    testdata = the customer→nation→region star dims.
+
+    Scale shape: the two dim hops are pre-joined into one narrow
+    (custkey → nation, region) dim and attached to the fact side with
+    an explicit ``F.broadcast`` — the click stream never shuffles for
+    the join; the only exchange is the windowed aggregation's."""
+    clicks = load_events(spark, sf_dir).filter(F.col("event_type") == "click")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    dim = (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+    )
+    return (
+        clicks.join(F.broadcast(dim), clicks.user_id == dim.c_custkey)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "region", "nation")
+        .agg(F.count("*").alias("clicks"))
+        .select(win_end_s(), "region", "nation", "clicks")
     )
 
 
@@ -91,6 +120,20 @@ SELECT CAST(epoch(time_bucket(INTERVAL '15 minutes', ts) + INTERVAL '15 minutes'
 FROM events CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS j)
 WHERE event_type <> 'error'
 GROUP BY 1
+"""
+
+
+AD_CLICKS_BY_GEO_SQL = """
+SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', e.ts) + INTERVAL '1 hour') AS BIGINT) AS window_end,
+       r.r_name AS region,
+       n.n_name AS nation,
+       COUNT(*) AS clicks
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE e.event_type = 'click'
+GROUP BY 1, 2, 3
 """
 
 

@@ -44,6 +44,7 @@ OPERATORS = [
     NF.hot_pages_topn,
     M.count_by_channel_behavior,
     M.marketing_total,
+    M.ad_clicks_by_geo,
     M.blacklist,
     L.consec_fail,
     L.consec_fail_triple,

@@ -11,6 +11,7 @@ import pyspark.sql.functions as F
 
 from flink_project_userbehavioranalysis_spark.operators import (
     hot_items as H,
+    market as MK,
     network_flow as NF,
     order_pay as OP,
     relational as R,
@@ -48,6 +49,16 @@ def test_order_timeout_broadcasts_pay_side(spark, sf_dir):
     plan = _plan(OP.order_timeout(spark, sf_dir))
     assert "Broadcast" in plan and "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_geo_star_join_broadcasts_dims(spark, sf_dir):
+    """The fact side must never shuffle for the dim joins — every dim
+    hop is a BroadcastHashJoin; the only hash exchange is the windowed
+    aggregation's."""
+    plan = _plan(MK.ad_clicks_by_geo(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
 
 
 def test_interval_join_no_cartesian(spark, sf_dir):
