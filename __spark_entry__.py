@@ -142,6 +142,10 @@ def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str
         "pv_rollup": (_rel.pv_rollup, _rel.PV_ROLLUP_SQL),
         # percentile family (exact interpolated median/p90)
         "value_percentiles": (_rel.value_percentiles, _rel.VALUE_PERCENTILES_SQL),
+        # percentile scale path (mergeable GK summary — rows-only)
+        "value_percentiles_approx": (_rel.value_percentiles_approx, None),
+        # A6 family: Count-Min frequency sketch probe (rows-only)
+        "item_freq_sketch": (_nf.item_freq_sketch, None),
         # ---- Structured Streaming twins (T1-T5, A3/A5, W1/W2 streaming).
         # Each replays events through readStream micro-batches with
         # watermarks and returns the final state — so the batch oracle

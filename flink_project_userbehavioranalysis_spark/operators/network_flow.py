@@ -82,6 +82,57 @@ def uv_daily_sketch_rollup(spark: SparkSession, sf_dir: str, event_type: str = "
     )
 
 
+def item_freq_sketch(
+    spark: SparkSession,
+    sf_dir: str,
+    top_n: int = 20,
+    eps: float = 0.0001,
+    conf: float = 0.99,
+) -> DataFrame:
+    """A6 family, third mergeable sketch — Count-Min frequency
+    estimates for the top-N hottest items (the sketch answer to "how
+    hot is item X", merging across partitions/days the way the HLL
+    pair does for UV; the reference's Bloom-filter trick is the same
+    family [U UvWithBloom.scala]).
+
+    The sketch is built distributed (``count_min_sketch`` aggregate,
+    one partial sketch per partition, merged associatively — the 100 TB
+    path). Spark SQL has no probe function for the binary sketch, so
+    the bounded top-N probe uses the public
+    ``org.apache.spark.util.sketch.CountMinSketch`` API driver-side —
+    sink-layer work over top_n rows, not a distributed loop. CMS
+    guarantees estimate ≥ true count (overestimate-only, within eps·N
+    at confidence conf) — asserted in tests. Rows-only driver check:
+    estimates are engine-specific.
+    """
+    events = load_events(spark, sf_dir)
+    views = events.filter(
+        (F.col("event_type") == "view") & F.col("item_id").isNotNull()
+    )
+    top = (
+        views.groupBy("item_id")
+        .agg(F.count("*").alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), F.asc("item_id"))
+        .limit(top_n)
+        .collect()
+    )
+    blob = views.agg(
+        F.count_min_sketch("item_id", F.lit(eps), F.lit(conf), F.lit(42)).alias("cms")
+    ).collect()[0]["cms"]
+    if blob is None or not top:  # empty input: no sketch to probe
+        return spark.createDataFrame([], "item_id BIGINT, true_cnt BIGINT, est_cnt BIGINT")
+    jvm = spark.sparkContext._jvm
+    bis = jvm.java.io.ByteArrayInputStream(bytes(blob))
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bis)
+    rows = [
+        (int(r["item_id"]), int(r["true_cnt"]), int(cms.estimateCount(int(r["item_id"]))))
+        for r in top
+    ]
+    return spark.createDataFrame(
+        rows, "item_id BIGINT, true_cnt BIGINT, est_cnt BIGINT"
+    )
+
+
 def hot_pages_topn(
     spark: SparkSession,
     sf_dir: str,

@@ -282,3 +282,19 @@ SELECT event_type,
 FROM events
 GROUP BY 1
 """
+
+
+def value_percentiles_approx(
+    spark: SparkSession, sf_dir: str, accuracy: int = 10000
+) -> DataFrame:
+    """The 100 TB percentile path promised above: ``percentile_approx``
+    (Greenwald-Khanna style mergeable quantile summary — partial
+    summaries merge associatively across partitions, no global sort).
+    Error is bounded by 1/accuracy of the rank; tests assert the
+    estimate lands between the exact neighbors around each target
+    rank. Rows-only driver check: estimates are engine-specific."""
+    events = load_events(spark, sf_dir)
+    return events.groupBy("event_type").agg(
+        F.percentile_approx("value", F.lit(0.5), F.lit(accuracy)).alias("p50"),
+        F.percentile_approx("value", F.lit(0.9), F.lit(accuracy)).alias("p90"),
+    )

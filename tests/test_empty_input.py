@@ -42,6 +42,7 @@ OPERATORS = [
     NF.uv_approx_hourly,
     NF.uv_daily_sketch_rollup,
     NF.hot_pages_topn,
+    NF.item_freq_sketch,
     M.count_by_channel_behavior,
     M.marketing_total,
     M.ad_clicks_by_geo,
@@ -75,6 +76,7 @@ OPERATORS = [
     R.date_roundtrip,
     R.pv_rollup,
     R.value_percentiles,
+    R.value_percentiles_approx,
     MM.binary_features,
     MM.geomean_by_type,
     MM.decode_meta_table,

@@ -1,0 +1,40 @@
+"""Sketch-estimate bound tests: approximate operators must land inside
+their published error envelopes against exact recomputation."""
+
+import pyspark.sql.functions as F
+
+from flink_project_userbehavioranalysis_spark.io import load_events
+from flink_project_userbehavioranalysis_spark.operators import network_flow as NF
+from flink_project_userbehavioranalysis_spark.operators import relational as R
+
+
+def test_cms_estimates_bound_true_counts(spark, sf_dir):
+    """Count-Min never underestimates, and at eps=1e-4 the overestimate
+    on this corpus (N ≈ thousands of views) is ≤ eps·N ≈ a handful."""
+    rows = NF.item_freq_sketch(spark, sf_dir, top_n=20).collect()
+    assert rows  # non-vacuous
+    n_total = (
+        load_events(spark, sf_dir)
+        .filter((F.col("event_type") == "view") & F.col("item_id").isNotNull())
+        .count()
+    )
+    for r in rows:
+        assert r["est_cnt"] >= r["true_cnt"]
+        assert r["est_cnt"] <= r["true_cnt"] + max(1, int(0.001 * n_total))
+
+
+def test_approx_percentiles_near_exact(spark, sf_dir):
+    exact = {r["event_type"]: r for r in R.value_percentiles(spark, sf_dir).collect()}
+    approx = {
+        r["event_type"]: r
+        for r in R.value_percentiles_approx(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for et, e in exact.items():
+        a = approx[et]
+        # GK summary returns a real data value near the target rank;
+        # exact interpolates between neighbors. Allow a small relative
+        # envelope around the interpolated value.
+        for col in ("p50", "p90"):
+            tol = max(abs(e[col]) * 0.05, 1e-6)
+            assert abs(a[col] - e[col]) <= tol, (et, col, a[col], e[col])
