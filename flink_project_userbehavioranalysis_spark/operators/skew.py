@@ -54,25 +54,21 @@ def salted_count_by_channel(
     salt = F.pmod(F.xxhash64("event_id"), F.lit(buckets)).alias("salt")
     stage1 = (
         events.filter(F.col("event_type") != "error")
-        .withColumn(
-            "channel",
-            F.concat(F.lit("ch"), (F.col("user_id") % CHANNELS).cast("string")),
-        )
         .groupBy(
             F.window("ts", "1 hour").alias("w"),
-            "channel",
+            (F.col("user_id") % CHANNELS).alias("chn"),
             F.col("event_type").alias("behavior"),
             salt,
         )
         .agg(F.count("*").alias("partial_cnt"))
     )
     return (
-        stage1.groupBy("w", "channel", "behavior")
+        stage1.groupBy("w", "chn", "behavior")
         .agg(F.sum("partial_cnt").alias("cnt"))
         .select(
             F.col("w.start").cast("long").alias("window_start"),
             F.col("w.end").cast("long").alias("window_end"),
-            "channel",
+            F.concat(F.lit("ch"), F.col("chn").cast("string")).alias("channel"),
             "behavior",
             "cnt",
         )

@@ -107,20 +107,16 @@ def count_by_channel_stream(
     ev = events_stream(spark, sf_dir, n_chunks=n_chunks)
     counts = (
         ev.filter(F.col("event_type") != "error")
-        .withColumn(
-            "channel",
-            F.concat(F.lit("ch"), (F.col("user_id") % CHANNELS).cast("string")),
-        )
         .groupBy(
             F.window("ts", "1 hour").alias("w"),
-            "channel",
+            (F.col("user_id") % CHANNELS).alias("chn"),
             F.col("event_type").alias("behavior"),
         )
         .agg(F.count("*").alias("cnt"))
         .select(
             F.col("w.start").cast("long").alias("window_start"),
             F.col("w.end").cast("long").alias("window_end"),
-            "channel",
+            F.concat(F.lit("ch"), F.col("chn").cast("string")).alias("channel"),
             "behavior",
             "cnt",
         )

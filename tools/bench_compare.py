@@ -1,0 +1,60 @@
+"""Compare a bench.py JSON line against BASELINE.md's measured medians.
+
+Usage:
+    python bench.py | tail -1 > /tmp/bench.json
+    python tools/bench_compare.py /tmp/bench.json
+
+Prints one row per BASELINE.md query: baseline ms, Spark absolute ms,
+overhead-adjusted ms, and both ratios vs the 2x bar. Queries without a
+baseline row (extension pillars) are listed separately with absolute
+times only.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+# BASELINE.md "Locally measured baseline" medians (ms) at sf0.1.
+BASELINE_MS = {
+    "hot_items_topn": 199.2,
+    "pv_hourly": 6.9,
+    "uv_hourly": 19.4,
+    "uv_approx": 15.8,
+    "count_by_channel_behavior": 11.2,  # count_by_type analog
+    "blacklist": 3.3,
+    "consec_fail": 30.7,
+    "order_timeout": 28.6,
+    "interval_join": 14.1,
+    "tpch_q1ish": 80.2,
+}
+
+
+def main() -> None:
+    path = sys.argv[1] if len(sys.argv) > 1 else None
+    data = json.load(open(path)) if path else json.loads(sys.stdin.read())
+    q, adj = data["queries"], data.get("queries_adj", {})
+    floor = data.get("floor_sec", 0.0) * 1000
+    print(f"floor = {floor:.0f} ms (per-query scheduling+planning cost)")
+    print(f"{'query':<28}{'base ms':>9}{'abs ms':>9}{'adj ms':>9}{'abs x':>7}{'adj x':>7}  verdict")
+    worst = 0.0
+    for name, base in BASELINE_MS.items():
+        if name not in q:
+            print(f"{name:<28}{base:>9.1f}{'—':>9}  (not in bench output)")
+            continue
+        a = q[name] * 1000
+        j = adj.get(name, q[name]) * 1000
+        ra, rj = a / base, j / base
+        worst = max(worst, rj)
+        verdict = "ok" if rj <= 2.0 else ("ok-abs" if ra <= 2.0 else "WEAK")
+        print(f"{name:<28}{base:>9.1f}{a:>9.1f}{j:>9.1f}{ra:>7.2f}{rj:>7.2f}  {verdict}")
+    extras = sorted(set(q) - set(BASELINE_MS))
+    if extras:
+        print("\nextension queries (no baseline row):")
+        for name in extras:
+            print(f"{name:<28}{'':>9}{q[name]*1000:>9.1f}{adj.get(name, 0)*1000:>9.1f}")
+    print(f"\nworst adjusted ratio vs 2.0 bar: {worst:.2f}")
+
+
+if __name__ == "__main__":
+    main()
