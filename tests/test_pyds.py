@@ -1,0 +1,116 @@
+"""Python DataSource API source (S4): batch read, partitioning,
+determinism, and micro-batch streaming with replayable offsets."""
+
+import time
+
+import pyspark.sql.functions as F
+
+from flink_project_userbehavioranalysis_spark.sources import pyds
+
+
+def _run_until(spark, q, table: str, predicate, timeout_s: int = 90):
+    """Poll a memory-sink table until predicate(df) or timeout; stop q.
+
+    Python micro-batch sources don't support Trigger.AvailableNow (the
+    runtime falls back to one batch), so bounded streams are driven by
+    a short processing-time trigger + a row-budget cap (max_rows)."""
+    deadline = time.monotonic() + timeout_s
+    try:
+        while time.monotonic() < deadline:
+            if predicate(spark.table(table)):
+                return
+            time.sleep(0.5)
+        raise AssertionError(f"{table}: predicate not reached in {timeout_s}s")
+    finally:
+        q.stop()
+
+
+def _registered(spark):
+    pyds.register(spark)
+    return spark
+
+
+def test_batch_read_rows_and_partitions(spark):
+    _registered(spark)
+    df = (
+        spark.read.format("marketing_events")
+        .option("n_rows", 200)
+        .option("n_partitions", 4)
+        .load()
+    )
+    assert df.count() == 200
+    assert df.rdd.getNumPartitions() == 4
+    assert df.columns == ["seq", "ts", "user_id", "behavior", "channel"]
+
+
+def test_batch_read_is_deterministic_and_domain_mapped(spark):
+    _registered(spark)
+    df = spark.read.format("marketing_events").option("n_rows", 40).load()
+    rows = sorted(df.collect(), key=lambda r: r["seq"])
+    again = sorted(
+        spark.read.format("marketing_events").option("n_rows", 40).load().collect(),
+        key=lambda r: r["seq"],
+    )
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+    for r in rows:
+        assert r["behavior"] == pyds.BEHAVIORS[r["seq"] % 4]
+        assert r["channel"] == pyds.CHANNELS[(r["seq"] // 4) % 5]
+
+
+def test_stream_read_equals_batch_prefix(spark, tmp_path):
+    """Run the streaming reader for a bounded row budget; the appended
+    output must equal the batch read of the same seq range — the
+    replayable-offset contract."""
+    _registered(spark)
+    stream = (
+        spark.readStream.format("marketing_events")
+        .option("rows_per_batch", 50)
+        .option("max_rows", 150)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("pyds_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    _run_until(spark, q, "pyds_stream", lambda df: df.count() >= 150)
+    got = sorted(spark.table("pyds_stream").collect(), key=lambda r: r["seq"])
+    want = sorted(
+        spark.read.format("marketing_events").option("n_rows", 150).load().collect(),
+        key=lambda r: r["seq"],
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_windowed_agg_over_pyds_stream(spark, tmp_path):
+    """The source composes with the engine's windowed aggs: per-channel
+    counts over the generated stream match the closed-form expectation
+    (deterministic domain mapping)."""
+    _registered(spark)
+    stream = (
+        spark.readStream.format("marketing_events")
+        .option("rows_per_batch", 100)
+        .option("max_rows", 200)
+        .load()
+    )
+    counts = stream.groupBy("channel").agg(F.count("*").alias("cnt"))
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("pyds_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    _run_until(
+        spark,
+        q,
+        "pyds_counts",
+        lambda df: sum(r["cnt"] for r in df.collect()) >= 200,
+    )
+    got = {r["channel"]: r["cnt"] for r in spark.table("pyds_counts").collect()}
+    assert sum(got.values()) == 200
+    assert got == {"AppStore": 40, "HuaweiStore": 40, "weibo": 40, "wechat": 40, "tieba": 40}
