@@ -162,6 +162,11 @@ def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str
         ),
         # A8 streaming (global sliding count, update mode)
         "marketing_total_stream": (_stw.marketing_total_stream, _market.MARKETING_TOTAL_SQL),
+        # A7-geo streaming (stream-static broadcast dim join + windowed agg)
+        "ad_clicks_by_geo_stream": (
+            _stw.ad_clicks_by_geo_stream,
+            _market.AD_CLICKS_BY_GEO_SQL,
+        ),
         # ---- Stateful processors (applyInPandasWithState + event-time
         # timers; end-of-input watermark sentinel flushes deadlines).
         # ST5/ST6 CEP create→pay within horizon + timeout side output

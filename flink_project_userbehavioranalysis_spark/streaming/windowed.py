@@ -126,6 +126,46 @@ def count_by_channel_stream(
     )
 
 
+def ad_clicks_by_geo_stream(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 8
+) -> DataFrame:
+    """A7-geo streaming — *stream-static join*: the click stream joins
+    the static customer→nation→region dim (broadcast per micro-batch;
+    Spark re-plans the static side, so dim updates between batches are
+    picked up — the streaming-enrichment pattern at 100 TB), then the
+    windowed count aggregates in update mode. Batch oracle applies."""
+    from flink_project_userbehavioranalysis_spark.io import load_table
+
+    ev = events_stream(spark, sf_dir, n_chunks=n_chunks)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    dim = (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .select(
+            "c_custkey",
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+        )
+    )
+    clicks = ev.filter(F.col("event_type") == "click")
+    counts = (
+        clicks.join(F.broadcast(dim), clicks.user_id == dim.c_custkey)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "region", "nation")
+        .agg(F.count("*").alias("clicks"))
+        .select(
+            F.col("w.end").cast("long").alias("window_end"),
+            "region",
+            "nation",
+            "clicks",
+        )
+    )
+    return run_update_collect(counts, ["window_end", "region", "nation"], spark)
+
+
 def marketing_total_stream(
     spark: SparkSession, sf_dir: str, n_chunks: int = 8
 ) -> DataFrame:
