@@ -4,8 +4,24 @@ mirror at sf0.001 for speed; tools/check_all.py runs sf0.01)."""
 import pyspark.sql.functions as F
 import pytest
 
+import __spark_entry__ as entry_mod
 from flink_project_userbehavioranalysis_spark.operators import login, market, network_flow
 from tests.oracle import assert_matches_oracle
+
+_REGISTRY = entry_mod._registry()
+_BATCH_ORACLE = sorted(
+    name
+    for name, (_, sql) in _REGISTRY.items()
+    if sql is not None and "stream" not in name
+)
+
+
+@pytest.mark.parametrize("name", _BATCH_ORACLE)
+def test_registry_batch_query_matches_oracle(spark, sf_dir, name):
+    """Every registered batch query with an oracle is auto-covered —
+    a new queries() entry gets this test without touching tests/."""
+    fn, sql = _REGISTRY[name]
+    assert_matches_oracle(fn(spark, sf_dir), sql, sf_dir)
 
 
 def test_pv_hourly(spark, sf_dir):
