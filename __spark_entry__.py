@@ -167,6 +167,11 @@ def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str
             _stw.ad_clicks_by_geo_stream,
             _market.AD_CLICKS_BY_GEO_SQL,
         ),
+        # T9 streaming (append-mode session windows, sentinel-flushed)
+        "user_sessions_stream": (
+            _stw.user_sessions_stream,
+            _rel.user_sessions_oracle_sql(),
+        ),
         # ---- Stateful processors (applyInPandasWithState + event-time
         # timers; end-of-input watermark sentinel flushes deadlines).
         # ST5/ST6 CEP create→pay within horizon + timeout side output

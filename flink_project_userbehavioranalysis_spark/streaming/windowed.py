@@ -182,6 +182,36 @@ def marketing_total_stream(
     return run_update_collect(counts, ["window_end"], spark)
 
 
+def user_sessions_stream(
+    spark: SparkSession, sf_dir: str, gap: str = "30 minutes", n_chunks: int = 8
+) -> DataFrame:
+    """T9 streaming — per-user session windows in **append** mode: a
+    session emits exactly once, when the watermark passes its close
+    (last event + gap); Spark merges adjacent session state across
+    micro-batches server-side. The far-future end-of-input sentinel
+    (replay.py) advances the final watermark so every real session
+    flushes — its own (user −1) session is filtered out. Batch oracle
+    applies: streaming ≡ batch ≡ oracle."""
+    from flink_project_userbehavioranalysis_spark.streaming.replay import (
+        run_append_memory,
+    )
+
+    ev = events_stream(spark, sf_dir, n_chunks=n_chunks, sentinel=True)
+    sess = (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("session_start"),
+            F.col("w.end").cast("long").alias("session_end"),
+            "n_events",
+        )
+    )
+    name = f"user_sessions_stream_{abs(hash((sf_dir, n_chunks)))}"
+    out = run_append_memory(sess, name, spark)
+    return out.filter(F.col("user_id") >= 0)
+
+
 def dedup_events_stream(
     spark: SparkSession,
     sf_dir: str,
