@@ -232,8 +232,8 @@ FROM documents
 LANG_STATS_SQL = """
 SELECT lang,
        count(*) AS n_docs,
-       sum(n_chars) AS sum_chars,
-       sum(len(string_split(text, ' '))) AS sum_tokens
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
 FROM documents
 GROUP BY 1
 """

@@ -195,9 +195,10 @@ def regex_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 REGEX_EXTRACT_PROPS_SQL = r"""
-SELECT CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) AS k, count(*) AS cnt
+SELECT TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) AS k, count(*) AS cnt
 FROM events
-WHERE regexp_matches(CAST(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) AS VARCHAR),
+WHERE TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) IS NOT NULL
+  AND regexp_matches(CAST(TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) AS VARCHAR),
                      '^\d[0-4]$')
 GROUP BY 1
 """
