@@ -36,18 +36,21 @@ TABLES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-# (session-id, abspath) → persisted normalized events DataFrame.
+# (application-id, abspath) → persisted normalized events DataFrame.
+# Keyed on sparkContext.applicationId, not id(spark): CPython can
+# recycle an id() after a stopped session is garbage-collected, which
+# would silently hand back frames bound to a dead session.
 # Populated only via cache_events(); load_events() consults it so a
 # bench/driver harness can share ONE in-memory scan across queries
 # without changing any operator signature. At 100 TB the analog is a
 # materialized normalized table (or a cached scan across a query batch),
 # not per-query re-parsing of props JSON.
-_EVENTS_CACHE: dict[tuple[int, str], DataFrame] = {}
+_EVENTS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def cache_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persist the normalized events scan and reuse it in load_events."""
-    key = (id(spark), os.path.abspath(sf_dir))
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
     if key not in _EVENTS_CACHE:
         df = load_events(spark, sf_dir).persist()
         df.count()  # materialize eagerly so first benched query isn't charged
@@ -56,7 +59,7 @@ def cache_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def uncache_events(spark: SparkSession, sf_dir: str) -> None:
-    df = _EVENTS_CACHE.pop((id(spark), os.path.abspath(sf_dir)), None)
+    df = _EVENTS_CACHE.pop((spark.sparkContext.applicationId, os.path.abspath(sf_dir)), None)
     if df is not None:
         df.unpersist()
 
@@ -91,7 +94,7 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     item_id (INT, parsed from props.k — the reference's itemId analog,
     FIXTURES.md §B).
     """
-    key = (id(spark), os.path.abspath(sf_dir))
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
     if key in _EVENTS_CACHE:
         return _EVENTS_CACHE[key]
     return normalize_events(load_table(spark, sf_dir, "events"))

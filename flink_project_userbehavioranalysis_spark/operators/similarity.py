@@ -52,15 +52,20 @@ _CORPUS_CACHE: dict[tuple, object] = {}
 
 def _corpus_broadcast(spark: SparkSession, sf_dir: str):
     """(ids, matrix, norms) of the whole embeddings table as a Spark
-    broadcast — the vector twin of a broadcast join's build side. The
-    corpus must fit executor memory (here: n×64 float64; at 100 TB the
-    *corpus* side of brute-force must stay bounded the same way a
-    broadcast join's small side must — the unbounded path is the
-    LSH-bucketed variant). Cached per (session, dir): repeated queries
-    reuse one driver collect + one broadcast."""
+    broadcast — the vector twin of a broadcast join's build side. Used
+    ONLY by the declared bounded-corpus baselines (`knn_topk`,
+    `cosine_dup_pairs`): the corpus must fit executor memory the same
+    way a broadcast join's small side must. The unbounded scale paths
+    (`ann_lsh_topk`, `ivf_topk`) never touch this — they score via
+    distributed joins back to the embeddings table (see
+    `_score_candidates`), asserted by a test that stubs this function
+    out. Cached per (application, dir): repeated queries reuse one
+    driver collect + one broadcast; keyed on the Spark application id
+    (stable identity — `id(spark)` can be recycled by CPython after a
+    session is garbage-collected)."""
     import numpy as np
 
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key in _CORPUS_CACHE:
         return _CORPUS_CACHE[key]
     rows = (
@@ -158,6 +163,41 @@ WHERE rn <= {k}
 """
 
 
+# ------------------------------------------ distributed candidate scoring
+
+
+def _score_candidates(cand: DataFrame, emb: DataFrame, k: int) -> DataFrame:
+    """Exact-score (query_id, neighbor_id) candidate pairs and keep the
+    top-k per query — without ever materializing the corpus anywhere.
+
+    This is the 100 TB scoring shape: two narrow equi-joins attach each
+    side's 64-float vector to the pair (shuffle on id, AQE/broadcast
+    picks the physical join when one side is small), then cosine is a
+    per-row whole-stage-codegen fold (`zip_with` dot + precomputed
+    norms) — no Python, no driver collect, no broadcast of anything
+    unbounded. Rank/emit contract identical to `knn_topk`: score
+    rounded to 9 dp before row_number, ties break on neighbor id.
+    """
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    nrm = F.sqrt(F.aggregate(vd, F.lit(0.0), lambda a, x: a + x * x))
+    q = emb.select(F.col("vec_id").alias("query_id"), vd.alias("qv"), nrm.alias("qn"))
+    nb = emb.select(F.col("vec_id").alias("neighbor_id"), vd.alias("nv"), nrm.alias("nn"))
+    dot = F.aggregate(
+        F.zip_with("qv", "nv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    scored = (
+        cand.join(q, "query_id")
+        .join(nb, "neighbor_id")
+        .withColumn("score", F.round(dot / (F.col("qn") * F.col("nn")), 9))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.col("rn").cast("long").alias("rn"))
+    )
+
+
 # -------------------------------------------------- ANN: banded sign-LSH kNN
 
 
@@ -195,7 +235,10 @@ def ann_lsh_topk(
     collides in ≥1 band = 1-(1-(1-θ/π)^band_bits)^n_bands; defaults
     target ≥0.85 recall at cosine ≥ 0.4 on this corpus (asserted in
     tests). At 100 TB: band keys are the shuffle keys; skewed buckets
-    split by AQE; per-bucket pair generation stays local.
+    split by AQE; per-bucket pair generation stays local; scoring is
+    two narrow id-joins back to the embeddings table + a codegen'd
+    per-row cosine (`_score_candidates`) — no corpus collect/broadcast
+    anywhere, so the whole pipeline is bounded only by shuffle capacity.
 
     Output: (query_id, neighbor_id, rn) — same shape as knn_topk.
     """
@@ -234,41 +277,42 @@ def ann_lsh_topk(
         .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    # exact scoring: distributed id-joins + codegen cosine — never the
+    # collected corpus (that would re-impose brute force's memory bound)
+    return _score_candidates(cand, emb, k)
 
-    # exact scoring of candidates: broadcast corpus + row-wise einsum
-    bc = _corpus_broadcast(spark, sf_dir)
 
-    def score(batches):
-        ids, mat, norms = bc.value
-        pos = {int(i): p for p, i in enumerate(ids)}
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            qi = pdf["query_id"].map(pos).to_numpy()
-            ni = pdf["neighbor_id"].map(pos).to_numpy()
-            s = np.round(
-                np.einsum("ij,ij->i", mat[qi], mat[ni]) / (norms[qi] * norms[ni]), 9
-            )
-            yield pd.DataFrame(
-                {
-                    "query_id": pdf["query_id"],
-                    "neighbor_id": pdf["neighbor_id"],
-                    "score": s,
-                }
-            )
+def _ivf_train_sample(
+    spark: SparkSession, sf_dir: str, n_cells: int, sample_cap: int = 4096
+):
+    """Train IVF centroids on a BOUNDED sample of the corpus.
 
-    scored = cand.mapInPandas(score, "query_id BIGINT, neighbor_id BIGINT, score DOUBLE")
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("query_id", "neighbor_id", F.col("rn").cast("long").alias("rn"))
+    Driver memory is capped by `sample_cap` (≈4096×64 doubles ≈ 2 MB)
+    regardless of corpus size — at 100 TB the k-means training set is
+    still a 2 MB sample, not the table. Deterministic: fixed seed, and
+    the sample is sorted by vec_id before the evenly-spaced init so
+    partition enumeration order can't change the cells between runs.
+    """
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    total = emb.count()
+    frac = min(1.0, float(sample_cap) / max(total, 1))
+    rows = (
+        emb.sample(fraction=frac, seed=7)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
     )
+    mat = np.array([r[0] for r in rows], dtype=np.float64)
+    if mat.ndim < 2:
+        mat = mat.reshape(0, 0)
+    return _ivf_centroids(mat, n_cells)
 
 
 def _ivf_centroids(mat, n_cells: int, iters: int = 8):
-    """Deterministic Lloyd's k-means on the (driver-side) corpus
-    matrix: evenly-spaced init over the id-ordered corpus, fixed
+    """Deterministic Lloyd's k-means on the (driver-side, bounded)
+    sample matrix: evenly-spaced init over the id-ordered sample, fixed
     iteration count, no RNG — every run and every engine sees the same
     cells. Normalized-vector means → spherical k-means (cosine cells)."""
     import numpy as np
@@ -296,21 +340,22 @@ def ivf_topk(
 ) -> DataFrame:
     """Approximate kNN via IVF (inverted-file) coarse quantization —
     the second scale path next to sign-LSH: spherical k-means cells
-    trained once (driver, deterministic), every vector assigned to its
-    nearest cell, and each query probed against only its ``n_probe``
-    nearest cells' inverted lists via an *equi-join on cell id* — no
-    cross join; cells are the shuffle keys at 100 TB, and n_probe/
-    n_cells is the recall-vs-cost dial. Candidates are exact-scored
-    with the broadcast corpus and ranked identically to `knn_topk`.
+    trained once on a *bounded sample* (driver holds ≤ sample_cap
+    vectors, deterministic — see `_ivf_train_sample`), every vector
+    assigned to its nearest cell, and each query probed against only
+    its ``n_probe`` nearest cells' inverted lists via an *equi-join on
+    cell id* — no cross join; cells are the shuffle keys at 100 TB, and
+    n_probe/n_cells is the recall-vs-cost dial. Candidates are
+    exact-scored by distributed id-joins back to the embeddings table
+    (`_score_candidates`) and ranked identically to `knn_topk` — the
+    full corpus is never collected or broadcast anywhere in this path.
 
     Output: (query_id, neighbor_id, rn) — same shape as knn_topk.
     """
     import numpy as np
     import pandas as pd
 
-    bc = _corpus_broadcast(spark, sf_dir)
-    ids_d, mat_d, _ = bc.value
-    cents = _ivf_centroids(mat_d, n_cells)
+    cents = _ivf_train_sample(spark, sf_dir, n_cells)
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
     def assign(batches):
@@ -341,33 +386,7 @@ def ivf_topk(
         .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-
-    def score(batches):
-        ids, mat, norms = bc.value
-        pos = {int(i): p for p, i in enumerate(ids)}
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            qi = pdf["query_id"].map(pos).to_numpy()
-            ni = pdf["neighbor_id"].map(pos).to_numpy()
-            s = np.round(
-                np.einsum("ij,ij->i", mat[qi], mat[ni]) / (norms[qi] * norms[ni]), 9
-            )
-            yield pd.DataFrame(
-                {
-                    "query_id": pdf["query_id"],
-                    "neighbor_id": pdf["neighbor_id"],
-                    "score": s,
-                }
-            )
-
-    scored = cand.mapInPandas(score, "query_id BIGINT, neighbor_id BIGINT, score DOUBLE")
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("query_id", "neighbor_id", F.col("rn").cast("long").alias("rn"))
-    )
+    return _score_candidates(cand, emb, k)
 
 
 # ------------------------------------------- embedding-cosine near-dup pairs

@@ -46,7 +46,9 @@ def _prepare_chunks(
     would in production). ``scramble=True`` replays the second time
     range *last* — a whole chunk of genuinely late data, used to
     exercise T6/T7 drop semantics deterministically."""
-    key = (id(spark), os.path.abspath(sf_dir), n_chunks, sentinel, scramble)
+    # applicationId, not id(spark): id() can be recycled after a stopped
+    # session is collected, resurrecting paths from a dead session's run
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), n_chunks, sentinel, scramble)
     if key in _CHUNK_CACHE:
         return _CHUNK_CACHE[key]
     out_dir = tempfile.mkdtemp(prefix="ubx-replay-")

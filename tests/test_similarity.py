@@ -73,6 +73,42 @@ def test_ivf_topk_recall(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_ann_paths_never_collect_corpus(spark, sf_dir, monkeypatch):
+    """The 100 TB guarantee for the ANN scale paths: neither
+    ann_lsh_topk nor ivf_topk may touch the driver-collected corpus
+    broadcast (that would re-impose brute force's memory bound exactly
+    where the scale path is supposed to remove it). Stub the broadcast
+    helper to explode; both operators must still produce results."""
+
+    def boom(*a, **kw):
+        raise AssertionError("ANN scale path called _corpus_broadcast")
+
+    monkeypatch.setattr(S, "_corpus_broadcast", boom)
+    assert S.ann_lsh_topk(spark, sf_dir).count() > 0
+    assert S.ivf_topk(spark, sf_dir).count() > 0
+
+
+def test_ivf_training_sample_bounded(spark, sf_dir, monkeypatch):
+    """IVF centroid training must cap driver memory: the training
+    matrix handed to k-means never exceeds the sample cap even if the
+    corpus does."""
+    seen = {}
+    real = S._ivf_centroids
+
+    def spy(mat, n_cells, iters=8):
+        seen["n"] = len(mat)
+        return real(mat, n_cells, iters)
+
+    monkeypatch.setattr(S, "_ivf_centroids", spy)
+    cents = S._ivf_train_sample(spark, sf_dir, n_cells=16, sample_cap=50)
+    # Bernoulli sampling: expected 50, allow generous slack but far
+    # below the full corpus size
+    n_corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert seen["n"] < n_corpus
+    assert seen["n"] <= 3 * 50
+    assert len(cents) > 0
+
+
 def test_simhash64(spark, sf_dir):
     df = S.simhash64(spark, sf_dir)
     assert_matches_oracle(df, S.SIMHASH64_SQL, sf_dir)
