@@ -9,10 +9,13 @@ pay := 'purchase' events, keyed per user_id; the second reconcile
 stream (receipts) := 'click' events (click↔purchase self-join).
 
 Spark-first shapes (not NFA/CoProcessFunction translations):
-- J3 order timeout  = LEFT ANTI join with a time-range condition; the
-  pay side is explicitly broadcast() — at 100 TB the pay stream for a
-  bounded horizon is the small side and an anti-join must never shuffle
-  the big probe side against it.
+- J3 order timeout  = LEFT ANTI join with a time-range condition. The
+  join strategy is deliberately NOT hinted: the pay side grows with the
+  events table, so a forced broadcast would OOM every executor at 100×.
+  The equi-key (user_id) makes the large-scale plan a shuffled anti-join
+  (sort-merge / shuffled-hash), and AQE upgrades it to broadcast at
+  runtime when the filtered pay side is actually under the threshold —
+  both regimes are plan-audited in tests.
 - J3 matched        = range equi-join + min(pay_ts) per create (CEP
   "first pay after create within horizon").
 - J2 interval join  = inner equi-join on user_id with the range as a
@@ -50,7 +53,9 @@ def order_timeout(spark: SparkSession, sf_dir: str, horizon: str = "24 hours") -
     'purchase' (pay) by the same user within ``horizon``.
 
     Reference OrderTimeout.scala :: OrderTimeoutSelect timeout side
-    output [U]. Batch = broadcast LEFT ANTI join.
+    output [U]. Batch = LEFT ANTI join on the user key; strategy left
+    to Catalyst/AQE (broadcast only when the pay side is actually
+    small — it is unbounded in general, so no forced hint).
     """
     events = load_events(spark, sf_dir)
     creates = _typed(events, "signup", "c")
@@ -61,7 +66,7 @@ def order_timeout(spark: SparkSession, sf_dir: str, horizon: str = "24 hours") -
         & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {horizon}"))
     )
     return (
-        creates.join(F.broadcast(pays), cond, "left_anti")
+        creates.join(pays, cond, "left_anti")
         .select(
             F.col("c_user").alias("user_id"),
             F.col("c_id").alias("order_id"),
@@ -83,7 +88,7 @@ def order_pay_matched(spark: SparkSession, sf_dir: str, horizon: str = "24 hours
         & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {horizon}"))
     )
     return (
-        creates.join(F.broadcast(pays), cond, "inner")
+        creates.join(pays, cond, "inner")
         .groupBy("c_user", "c_id", "c_ts")
         .agg(F.min("p_ts").alias("pay_ts"))
         .select(

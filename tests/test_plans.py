@@ -45,10 +45,29 @@ def test_hot_items_scan_prunes_columns(spark, sf_dir):
     assert "ts" in read_schema and "props" in read_schema
 
 
-def test_order_timeout_broadcasts_pay_side(spark, sf_dir):
-    plan = _plan(OP.order_timeout(spark, sf_dir))
-    assert "Broadcast" in plan and "LeftAnti" in plan
-    assert "CartesianProduct" not in plan
+def test_order_timeout_anti_join_shape(spark, sf_dir):
+    """J3 anti-join must key on user_id with NO forced broadcast: the
+    pay side grows with the events table, so the static plan has to be
+    a shuffle-capable hash/merge anti-join (the 100 TB shape). AQE may
+    upgrade to broadcast at runtime when the filtered side is actually
+    small — that's the bounded regime and equally acceptable."""
+    df = OP.order_timeout(spark, sf_dir)
+    # no broadcast HINT anywhere — a hint would force the regime even
+    # when the pay side is TB-scale; Catalyst/AQE must stay free to pick
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed and "UnresolvedHint" not in analyzed
+    plan = _plan(df)
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # strategy is Catalyst's: hash/merge anti-join at scale, broadcast
+    # only by its own size estimate on tiny inputs
+    assert any(
+        s in plan for s in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+    # after execution, AQE's final plan must still be anti-join shaped
+    df.collect()
+    final = _plan(df)
+    assert "LeftAnti" in final and "CartesianProduct" not in final
 
 
 def test_geo_star_join_broadcasts_dims(spark, sf_dir):
