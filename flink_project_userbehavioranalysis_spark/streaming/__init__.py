@@ -13,4 +13,5 @@ promises.
 from flink_project_userbehavioranalysis_spark.streaming.replay import (  # noqa: F401
     events_stream,
     run_update_collect,
+    run_update_merge,
 )

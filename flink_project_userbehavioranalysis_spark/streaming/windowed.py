@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from flink_project_userbehavioranalysis_spark.streaming.replay import (
     events_stream,
-    run_update_collect,
+    run_update_merge,
 )
 
 
@@ -34,7 +34,7 @@ def pv_hourly_stream(
         .agg(F.count("*").alias("pv"))
         .select(F.col("w.end").cast("long").alias("window_end"), "pv")
     )
-    return run_update_collect(counts, ["window_end"], spark)
+    return run_update_merge(counts, ["window_end"], spark)
 
 
 def uv_hourly_stream(
@@ -57,7 +57,7 @@ def uv_hourly_stream(
         .agg(F.count("*").alias("uv"))
         .select(F.col("w.end").cast("long").alias("window_end"), "uv")
     )
-    return run_update_collect(counts, ["window_end"], spark)
+    return run_update_merge(counts, ["window_end"], spark)
 
 
 def hot_items_stream(
@@ -72,12 +72,15 @@ def hot_items_stream(
     """W1/W2 streaming — the flagship Top-N over a live windowed count.
 
     Streaming plans can't rank over an updating aggregate, so the rank
-    runs in the sink layer over the *final* count state (the
-    foreachBatch/fold pattern: reference TopNHotItems buffers counts in
-    keyed state and ranks on timer [U]; here the update-mode fold *is*
-    that state, and the rank is one batch window function over ~windows
-    × items rows). Late updates overwrite their (window, item) entry
-    before ranking — W2's MapState-overwrite semantics for free.
+    runs in the sink layer over the *final* count state: foreachBatch
+    MERGEs each micro-batch's changed counts into a keyed changelog
+    table (``run_update_merge`` — the production upsert sink, fully
+    distributed, no driver-side state), and the rank is one batch
+    window function over ~windows × items rows of compacted state.
+    Reference TopNHotItems buffers counts in keyed state and ranks on
+    timer [U]; the merged table *is* that state. Late updates overwrite
+    their (window, item) entry via batch-id order before ranking —
+    W2's MapState-overwrite semantics for free.
     """
     ev = events_stream(spark, sf_dir, n_chunks=n_chunks)
     counts = (
@@ -86,7 +89,7 @@ def hot_items_stream(
         .agg(F.count("*").alias("cnt"))
         .select(F.col("w.end").cast("long").alias("window_end"), "item_id", "cnt")
     )
-    final_counts = run_update_collect(counts, ["window_end", "item_id"], spark)
+    final_counts = run_update_merge(counts, ["window_end", "item_id"], spark)
     rank = Window.partitionBy("window_end").orderBy(F.desc("cnt"), F.asc("item_id"))
     return (
         final_counts.withColumn("rn", F.row_number().over(rank))
@@ -121,7 +124,7 @@ def count_by_channel_stream(
             "cnt",
         )
     )
-    return run_update_collect(
+    return run_update_merge(
         counts, ["window_start", "window_end", "channel", "behavior"], spark
     )
 
@@ -163,7 +166,7 @@ def ad_clicks_by_geo_stream(
             "clicks",
         )
     )
-    return run_update_collect(counts, ["window_end", "region", "nation"], spark)
+    return run_update_merge(counts, ["window_end", "region", "nation"], spark)
 
 
 def marketing_total_stream(
@@ -179,7 +182,7 @@ def marketing_total_stream(
         .agg(F.count("*").alias("total"))
         .select(F.col("w.end").cast("long").alias("window_end"), "total")
     )
-    return run_update_collect(counts, ["window_end"], spark)
+    return run_update_merge(counts, ["window_end"], spark)
 
 
 def user_sessions_stream(

@@ -30,6 +30,53 @@ def test_hot_items_stream_equals_batch_and_oracle(spark, sf_dir):
     assert {tuple(r) for r in stream.collect()} == batch
 
 
+def test_merge_sink_equals_collect_shim(spark, sf_dir):
+    """The production changelog-MERGE sink (run_update_merge: parquet
+    append log + distributed latest-wins compaction, no driver state)
+    produces the identical final state to the driver-dict test shim
+    (run_update_collect) on the same update-mode aggregation."""
+    from flink_project_userbehavioranalysis_spark.streaming.replay import (
+        events_stream,
+        run_update_collect,
+        run_update_merge,
+    )
+
+    def counts():
+        ev = events_stream(spark, sf_dir, n_chunks=8)
+        return (
+            ev.filter(F.col("event_type") == "view")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("pv"))
+            .select(F.col("w.end").cast("long").alias("window_end"), "pv")
+        )
+
+    merged = {tuple(r) for r in run_update_merge(counts(), ["window_end"], spark).collect()}
+    shim = {tuple(r) for r in run_update_collect(counts(), ["window_end"], spark).collect()}
+    assert merged == shim and len(merged) > 0
+
+
+def test_merge_sink_plan_is_distributed(spark, sf_dir):
+    """The compacted state must come back as a distributed scan +
+    window compaction — not a createDataFrame of driver rows (the
+    parallelize-from-driver shape would mean the sink collected)."""
+    from flink_project_userbehavioranalysis_spark.streaming.replay import (
+        events_stream,
+        run_update_merge,
+    )
+
+    ev = events_stream(spark, sf_dir, n_chunks=4)
+    counts = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("pv"))
+        .select(F.col("w.end").cast("long").alias("window_end"), "pv")
+    )
+    out = run_update_merge(counts, ["window_end"], spark)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" in plan
+    assert "LocalTableScan" not in plan and "Scan ExistingRDD" not in plan
+
+
 def test_dedup_within_watermark_equals_batch_distinct(spark, tmp_path):
     """Streaming dropDuplicatesWithinWatermark == batch distinct when
     duplicates arrive within the watermark horizon of each other: one
