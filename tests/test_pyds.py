@@ -85,6 +85,66 @@ def test_stream_read_equals_batch_prefix(spark, tmp_path):
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
 
 
+def test_per_element_trigger_fire_and_purge_approximation(spark, tmp_path):
+    """T8 closure demo (SURVEY §2.6): the reference's custom trigger
+    (UvWithBloom.scala :: MyTrigger [U]) FIRE_AND_PURGEs on every
+    element — one emission per arriving record carrying the updated
+    count. Structured Streaming is micro-batch, so exact per-record
+    firing doesn't exist; the documented approximation is
+    rows_per_batch=1 + processingTime='0 seconds' + update mode: every
+    micro-batch holds exactly one element and update mode emits exactly
+    the one changed key. On finite input the emission *sequence* is
+    then bit-identical to the reference's per-element FIRE_AND_PURGE
+    output: for each key, successive counts 1,2,3,… in arrival order —
+    asserted here end-to-end through the Python DataSource stream."""
+    import collections
+
+    _registered(spark)
+    n = 20
+    stream = (
+        spark.readStream.format("marketing_events")
+        .option("rows_per_batch", 1)
+        .option("max_rows", n)
+        .load()
+    )
+    counts = stream.groupBy("channel").agg(F.count("*").alias("cnt"))
+    emissions: list[list[tuple]] = []
+
+    def capture(batch_df, _bid):
+        rows = [(r["channel"], r["cnt"]) for r in batch_df.collect()]
+        if rows:
+            emissions.append(rows)
+
+    q = (
+        counts.writeStream.outputMode("update")
+        .foreachBatch(capture)
+        .option("checkpointLocation", str(tmp_path / "ckpt_t8"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.monotonic() + 90
+    try:
+        while time.monotonic() < deadline:
+            if sum(len(b) for b in emissions) >= n:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    flat = [e for batch in emissions for e in batch]
+    assert len(flat) >= n
+    # reference FIRE_AND_PURGE sequence on the same finite input
+    running: dict[str, int] = collections.defaultdict(int)
+    expected = []
+    for seq in range(n):
+        ch = pyds.CHANNELS[(seq // len(pyds.BEHAVIORS)) % len(pyds.CHANNELS)]
+        running[ch] += 1
+        expected.append((ch, running[ch]))
+    assert flat[:n] == expected
+    # per-element firing: no micro-batch ever coalesced two elements
+    assert all(len(b) == 1 for b in emissions)
+
+
 def test_windowed_agg_over_pyds_stream(spark, tmp_path):
     """The source composes with the engine's windowed aggs: per-channel
     counts over the generated stream match the closed-form expectation
