@@ -71,6 +71,25 @@ def _sf_of(path: str) -> float:
         return -1.0
 
 
+def _prev_bench() -> tuple[str, dict] | None:
+    """Latest driver-recorded BENCH_r{N}.json with a parsed payload —
+    the round-over-round trend anchor (regressions visible without a
+    judge)."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best = None
+    for p in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        try:
+            d = json.load(open(p))
+        except (OSError, json.JSONDecodeError):
+            continue
+        parsed = d.get("parsed") if isinstance(d.get("parsed"), dict) else None
+        if parsed and parsed.get("queries"):
+            best = (p, parsed)
+    return best
+
+
 def _median_time(fn, runs: int = RUNS) -> float:
     fn()  # warm-up (plan cache, code gen, shuffle files)
     times = []
@@ -116,6 +135,26 @@ def main() -> None:
         "runs": RUNS,
         "cpus": CPUS,
     }
+    prev = _prev_bench()
+    if prev is not None:
+        ppath, pdata = prev
+        pq = pdata.get("queries", {})
+        same_sf = pdata.get("sf") == result["sf"]
+        result["vs_prev"] = {
+            "prev_file": os.path.basename(ppath),
+            "prev_sf": pdata.get("sf"),
+            "prev_total": pdata.get("value"),
+            # ratios only make sense at the same scale factor; ±2x
+            # session noise on sub-50 ms queries is expected (see notes)
+            "total_ratio": round(total / pdata["value"], 3)
+            if same_sf and pdata.get("value")
+            else None,
+            "query_ratio": {
+                k: round(v / pq[k], 2) for k, v in per_query.items() if pq.get(k)
+            }
+            if same_sf
+            else {},
+        }
     print(json.dumps(result))
 
 

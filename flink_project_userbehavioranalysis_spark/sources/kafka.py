@@ -6,8 +6,24 @@ KafkaProducerUtil.scala :: writeToKafka [U]).
 
 Spark-native: ``format("kafka")`` both ways. The spark-sql-kafka
 connector jar is NOT on this container's classpath, so these builders
-raise a clear error at ``load()``/``start()`` time when the package is
-missing; construction and option plumbing are testable regardless.
+raise Spark's clear data-source-not-found error at ``load()``/
+``start()`` time; construction and option plumbing are testable
+regardless.
+
+To enable in a real deployment (PySpark 4.1.x is Scala 2.13), either::
+
+    spark-submit --packages org.apache.spark:spark-sql-kafka-0-10_2.13:4.1.2 app.py
+
+or in code, before the session is created::
+
+    SparkSession.builder.config(
+        "spark.jars.packages",
+        "org.apache.spark:spark-sql-kafka-0-10_2.13:4.1.2")
+
+``tests/test_sources.py::test_kafka_roundtrip`` is the live integration
+check: it is skip-marked and activates automatically when the connector
+class is on the classpath AND ``$KAFKA_BOOTSTRAP`` points at a broker.
+
 At scale: maxOffsetsPerTrigger is the backpressure analog of Flink's
 credit-based flow control (SURVEY §4.2).
 """
