@@ -109,6 +109,19 @@ def test_ivf_training_sample_bounded(spark, sf_dir, monkeypatch):
     assert len(cents) > 0
 
 
+def test_fast_jaccard_oracle_equals_quadratic(sf_dir):
+    """The inverted-index DuckDB oracle (used by check_all at sf0.1)
+    and the quadratic list_intersect oracle (registered with the
+    driver) are the same function — row-identical on real data."""
+    from tests.oracle import duck_con
+
+    con = duck_con(sf_dir)
+    slow = sorted(con.execute(S.ngram_jaccard_oracle_sql()).fetchall())
+    fast = sorted(con.execute(S.ngram_jaccard_fast_oracle_sql()).fetchall())
+    assert slow == fast
+    assert len(slow) > 0
+
+
 def test_simhash64(spark, sf_dir):
     df = S.simhash64(spark, sf_dir)
     assert_matches_oracle(df, S.SIMHASH64_SQL, sf_dir)

@@ -20,6 +20,20 @@ from flink_project_userbehavioranalysis_spark import get_spark
 from tests.oracle import assert_matches_oracle
 
 
+def _fast_oracle_overrides(sf_dir: str) -> dict[str, str]:
+    """At sf ≥ 0.1 the two shingle-pair oracles' quadratic
+    list_intersect form takes ~9.5 min each in DuckDB; swap in the
+    exact inverted-index formulation (equivalence-tested at sf0.001)
+    so the full matrix stays affordable. The driver's registered
+    oracles are untouched — it runs at sf0.01 where quadratic is fine."""
+    if "sf0.1" not in sf_dir and "sf1" not in sf_dir:
+        return {}
+    from flink_project_userbehavioranalysis_spark.operators import similarity as S
+
+    fast = S.ngram_jaccard_fast_oracle_sql()
+    return {"ngram_jaccard_pairs": fast, "minhash_near_dup": fast}
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -28,6 +42,7 @@ def main() -> int:
     if only:
         qs = {n: f for n, f in qs.items() if n in only}
     oracles = entry_mod.oracle_sql()
+    oracles.update(_fast_oracle_overrides(sf_dir))
     failed = []
     for name, fn in qs.items():
         t0 = time.perf_counter()
