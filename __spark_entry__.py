@@ -101,6 +101,9 @@ def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str
         "tfidf_top_term": (_text.tfidf_top_term, _text.TFIDF_TOP_TERM_SQL),
         "doc_fingerprint": (_text.doc_fingerprint, _text.DOC_FINGERPRINT_SQL),
         "lang_id_rules": (_text.lang_id_rules, _text.LANG_ID_RULES_SQL),
+        # §2.10 statistical lang-ID (float log-likelihood argmax — engine-
+        # specific summation order ⇒ rows-only; invariants in tests)
+        "lang_id_naive_bayes": (_text.lang_id_naive_bayes, None),
         # §2.10 similarity search: exact cosine top-k (brute baseline)
         "knn_topk": (_sim.knn_topk, _sim.knn_topk_oracle_sql()),
         # §2.10 ANN scale paths (probabilistic candidates — rows-only):
@@ -109,6 +112,10 @@ def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str
         "ivf_topk": (_sim.ivf_topk, None),
         # §2.10 embedding-cosine near-dup pairs
         "cosine_dup_pairs": (_sim.cosine_dup_pairs, _sim.cosine_dup_pairs_oracle_sql()),
+        # §2.10 cosine near-dup at unbounded scale (sign-LSH candidates +
+        # distributed exact verify — probabilistic recall ⇒ rows-only;
+        # subset-of-exact + ≥0.9 recall asserted in tests)
+        "cosine_dup_pairs_lsh": (_sim.cosine_dup_pairs_lsh, None),
         # §2.10 n-gram Jaccard near-dup (exact, shingle-join)
         "ngram_jaccard_pairs": (_sim.ngram_jaccard_pairs, _sim.ngram_jaccard_oracle_sql()),
         # §2.10 MinHash+LSH near-dup (verified candidates ⇒ exact values;
@@ -193,6 +200,11 @@ def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str
         # §2.10 multimodal decode/frame-sample (stubbed codec — rows-only)
         "decode_meta": (_mm.decode_meta_table, None),
         "frame_sample": (_mm.frame_sample, None),
+        # §2.10 streaming exact dedup (dropDuplicatesWithinWatermark —
+        # watermark-bounded state; which-row-survives is arrival-order
+        # semantics ⇒ rows-only; batch-equality on a crafted fixture in
+        # tests/test_streaming_windowed.py)
+        "dedup_events_stream": (_stw.dedup_events_stream, None),
     }
 
 

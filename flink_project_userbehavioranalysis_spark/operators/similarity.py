@@ -446,6 +446,75 @@ WHERE round(list_sum(list_transform(range(len(a.v)), i -> a.v[i + 1] * b.v[i + 1
 """
 
 
+def cosine_dup_pairs_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.4,
+    n_bands: int = 32,
+    band_bits: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding near-duplicate pairs at UNBOUNDED scale: the
+    sign-LSH-bucketed twin of `cosine_dup_pairs` — exactly the swap its
+    docstring promises for 100 TB. Candidates come from the banded
+    (band_id, band_key) equi-join (same signature stage as
+    `ann_lsh_topk`, widened to 32 bands so a true pair at cosine ≥ 0.4
+    survives with p ≈ 0.996); the verify stage attaches both vectors by
+    id-join and keeps pairs with codegen cosine ≥ threshold. Nothing is
+    ever collected or broadcast: recall is probabilistic (asserted ≥0.9
+    vs the exact operator in tests — rows-only in the driver gate),
+    emitted values are exact.
+
+    Output: (id_a, id_b, score_r6) — same shape as `cosine_dup_pairs`.
+    """
+    import numpy as np
+    import pandas as pd
+
+    planes = np.array(_hyperplanes(dim, n_bands, band_bits), dtype=np.float64)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def signatures(batches):
+        weights = 1 << np.arange(band_bits - 1, -1, -1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            bits = (v @ planes.T > 0).astype(np.int64)
+            keys = bits.reshape(len(v), n_bands, band_bits) @ weights
+            ids = pdf["vec_id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, n_bands),
+                    "band_id": np.tile(np.arange(n_bands), len(ids)),
+                    "band_key": keys.reshape(-1),
+                }
+            )
+
+    sig = emb.mapInPandas(signatures, "vec_id BIGINT, band_id INT, band_key BIGINT")
+    a = sig.select(F.col("vec_id").alias("id_a"), "band_id", "band_key")
+    b = sig.select(F.col("vec_id").alias("id_b"), "band_id", "band_key")
+    cand = (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    nrm = F.sqrt(F.aggregate(vd, F.lit(0.0), lambda acc, x: acc + x * x))
+    ea = emb.select(F.col("vec_id").alias("id_a"), vd.alias("va"), nrm.alias("na"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), vd.alias("vb"), nrm.alias("nb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .withColumn("score_r6", F.round(dot / (F.col("na") * F.col("nb")), 6))
+        .filter(F.col("score_r6") >= threshold)
+        .select("id_a", "id_b", "score_r6")
+    )
+
+
 # ------------------------------------------------- n-gram Jaccard (exact, join)
 
 

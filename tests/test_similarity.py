@@ -73,6 +73,27 @@ def test_ivf_topk_recall(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_cosine_dup_pairs_lsh_recall(spark, sf_dir, monkeypatch):
+    """The LSH-bucketed cosine near-dup twin recovers ≥90% of the exact
+    operator's pairs (32 bands ⇒ p≈0.996 per true pair at cosine 0.4),
+    every emitted pair is a true pair with the exact score, and the
+    path never touches the collected corpus."""
+
+    def boom(*a, **kw):
+        raise AssertionError("scale path called _corpus_broadcast")
+
+    exact = {(r[0], r[1]): r[2] for r in S.cosine_dup_pairs(spark, sf_dir).collect()}
+    monkeypatch.setattr(S, "_corpus_broadcast", boom)
+    lsh_df = S.cosine_dup_pairs_lsh(spark, sf_dir)
+    lsh = {(r[0], r[1]): r[2] for r in lsh_df.collect()}
+    assert set(lsh) <= set(exact)  # no false positives (verify stage is exact)
+    assert len(set(lsh) & set(exact)) / len(exact) >= 0.9
+    for k, v in lsh.items():
+        assert abs(v - exact[k]) < 1e-9  # emitted scores are the exact scores
+    plan = lsh_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
 def test_ann_paths_never_collect_corpus(spark, sf_dir, monkeypatch):
     """The 100 TB guarantee for the ANN scale paths: neither
     ann_lsh_topk nor ivf_topk may touch the driver-collected corpus
