@@ -104,6 +104,12 @@ def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str
         # §2.10 statistical lang-ID (float log-likelihood argmax — engine-
         # specific summation order ⇒ rows-only; invariants in tests)
         "lang_id_naive_bayes": (_text.lang_id_naive_bayes, None),
+        # §2.10 composed cleaning pipeline: dedup → quality gates →
+        # lang gate → fingerprint, one dataflow (the end-to-end job)
+        "clean_corpus": (
+            _text.clean_corpus_pipeline,
+            _text.clean_corpus_pipeline_oracle_sql(),
+        ),
         # §2.10 similarity search: exact cosine top-k (brute baseline)
         "knn_topk": (_sim.knn_topk, _sim.knn_topk_oracle_sql()),
         # §2.10 ANN scale paths (probabilistic candidates — rows-only):

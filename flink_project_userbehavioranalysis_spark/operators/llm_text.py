@@ -193,6 +193,93 @@ def lang_id_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def clean_corpus_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    min_tokens: int = 5,
+    max_token_len: int = 25,
+    min_distinct_ratio_pct: int = 20,
+) -> DataFrame:
+    """The composed training-data cleaning pipeline — the end-to-end
+    job the individual §2.10 operators exist for, as ONE dataflow:
+
+    1. exact dedup (survivor = min(doc_id) per distinct text —
+       deterministic, partial-aggregated);
+    2. quality gate (token count ≥ min_tokens, longest token ≤
+       max_token_len, distinct-token ratio ≥ min_distinct_ratio_pct% —
+       the integer thresholds real corpus filters use);
+    3. language gate (rule-chain lang-ID says 'en');
+    4. emit doc_id + content fingerprint + the quality integers.
+
+    Everything is expression-level: the whole pipeline is one
+    hash-shuffle (the dedup groupBy on md5) plus a narrow self-join to
+    recover the surviving row's text — filters run before the shuffle
+    where possible and all gates are codegen'd. At 100 TB this is
+    scan → map-side partial agg → one exchange → gates → project.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id", "text", F.md5(F.col("text").cast("binary")).alias("text_md5")
+    )
+    survivors = keyed.groupBy("text_md5").agg(F.min("doc_id").alias("doc_id"))
+    deduped = survivors.join(keyed, ["text_md5", "doc_id"])
+    toks = F.split("text", " ")
+    en = (
+        F.when(F.col("text").rlike("[\\u4e00-\\u9fff]"), "zh")
+        .when(F.col("text").rlike("[àâçéèêëîïôùûü]"), "fr")
+        .when(F.col("text").rlike("[áéíñóúü¿¡]"), "es")
+        .when(F.col("text").rlike("[äößü]"), "de")
+        .when(F.size(F.filter(toks, lambda t: t.isin("the", "a"))) > 0, "en")
+        .otherwise("und")
+    )
+    gated = (
+        deduped.withColumn("n_tokens", F.size(toks))
+        .withColumn("n_distinct_tokens", F.size(F.array_distinct(toks)))
+        .withColumn("max_token_len", F.array_max(F.transform(toks, F.length)))
+        .filter(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("max_token_len") <= max_token_len)
+            & (F.col("n_distinct_tokens") * 100 >= F.col("n_tokens") * min_distinct_ratio_pct)
+            & (en == "en")
+        )
+    )
+    return gated.select(
+        "doc_id", "text_md5", "n_tokens", "n_distinct_tokens", "max_token_len"
+    )
+
+
+def clean_corpus_pipeline_oracle_sql(
+    min_tokens: int = 5, max_token_len: int = 25, min_distinct_ratio_pct: int = 20
+) -> str:
+    return f"""
+WITH survivors AS (
+    SELECT md5(text) AS text_md5, min(doc_id) AS doc_id
+    FROM documents GROUP BY 1
+), deduped AS (
+    SELECT s.doc_id, s.text_md5, d.text
+    FROM survivors s JOIN documents d ON d.doc_id = s.doc_id
+), gated AS (
+    SELECT doc_id, text_md5,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+           list_max(list_transform(string_split(text, ' '), t -> length(t))) AS max_token_len,
+           CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                WHEN regexp_matches(text, '[àâçéèêëîïôùûü]') THEN 'fr'
+                WHEN regexp_matches(text, '[áéíñóúü¿¡]') THEN 'es'
+                WHEN regexp_matches(text, '[äößü]') THEN 'de'
+                WHEN len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) > 0 THEN 'en'
+                ELSE 'und' END AS pred_lang
+    FROM deduped
+)
+SELECT doc_id, text_md5, n_tokens, n_distinct_tokens, max_token_len
+FROM gated
+WHERE n_tokens >= {min_tokens}
+  AND max_token_len <= {max_token_len}
+  AND n_distinct_tokens * 100 >= n_tokens * {min_distinct_ratio_pct}
+  AND pred_lang = 'en'
+"""
+
+
 # ---------------------------------------------------------------- oracle SQL
 
 DEDUP_EXACT_DOCS_SQL = """

@@ -65,3 +65,32 @@ def test_lang_id_naive_bayes_shape(spark, sf_dir):
     labels = {r["lang"] for r in docs.select("lang").distinct().collect()}
     preds = {r["predicted_lang"] for r in df.select("predicted_lang").distinct().collect()}
     assert preds <= labels
+
+
+def test_clean_corpus_pipeline(spark, sf_dir):
+    """Composed cleaning pipeline: oracle-match, non-vacuous (keeps
+    some docs, drops some), and every survivor satisfies every gate."""
+    df = llm_text.clean_corpus_pipeline(spark, sf_dir)
+    assert_matches_oracle(df, llm_text.clean_corpus_pipeline_oracle_sql(), sf_dir)
+    n_in = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    n_out = df.count()
+    assert 0 < n_out < n_in
+    bad = df.filter(
+        (F.col("n_tokens") < 5)
+        | (F.col("max_token_len") > 25)
+        | (F.col("n_distinct_tokens") * 100 < F.col("n_tokens") * 20)
+    ).count()
+    assert bad == 0
+
+
+def test_clean_corpus_pipeline_plan(spark, sf_dir):
+    """Whole pipeline stays JVM-side (no Python eval) with no
+    cartesian products; the dedup aggregation partial-aggregates."""
+    plan = (
+        llm_text.clean_corpus_pipeline(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+    assert "partial_min" in plan
