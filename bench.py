@@ -53,6 +53,7 @@ HEADLINE = [
     "tpch_q1ish",
     # extension pillars (text / dedup / similarity / multimodal)
     "dedup_exact_events",
+    "clean_corpus",
     "token_counts",
     "tfidf_top_term",
     "knn_topk",
