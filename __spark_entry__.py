@@ -54,6 +54,10 @@ def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str
         "hot_items_topn": (_hot.hot_items, _hot.hot_items_oracle_sql()),
         # P8 string result building (formatted ranking report)
         "hot_items_report": (_hot.hot_items_report, _hot.hot_items_report_oracle_sql()),
+        # W1 100 TB twin: two-level bucket rollup (slide-grain agg, then
+        # 12-way window sum over aggregated rows) — same oracle proves
+        # bucketed ≡ direct sliding-window
+        "hot_items_topn_bucketed": (_hot.hot_items_bucketed, _hot.hot_items_oracle_sql()),
         # A3 / T4
         "pv_hourly": (_nf.pv_hourly, _nf.PV_HOURLY_SQL),
         # A5 / T5

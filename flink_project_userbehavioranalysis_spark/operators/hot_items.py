@@ -57,6 +57,66 @@ def hot_items(
     )
 
 
+def hot_items_bucketed(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "1 hour",
+    slide: str = "5 minutes",
+    n: int = 5,
+    event_type: str = "view",
+) -> DataFrame:
+    """Top-``n`` per sliding window via TWO-LEVEL bucket rollup — the
+    100 TB twin of `hot_items` (same rows, same oracle, asserted).
+
+    `F.window(ts, 1h, 5m)` replicates every event into window/slide
+    (=12) window instances before the map-side partial aggregate —
+    12× the aggregation CPU on the *raw event* stream. This variant
+    aggregates once at tumbling slide grain (1× the events), then
+    explodes only the already-aggregated (bucket, item) rows into the
+    12 sliding windows each bucket serves and sums bucket counts. The
+    replication factor moves from O(events) rows to O(buckets × items)
+    rows — orders of magnitude fewer at data scale, for one extra
+    (partial-aggregated, narrow) shuffle. Exactness: slide divides
+    window, so every sliding window is a disjoint union of 12 buckets;
+    both stages are exact integer sums.
+
+    The same decomposition is what the DuckDB oracle already does
+    (`hot_items_oracle_sql` expands bucket + j·slide), so this twin
+    shares the flagship's oracle verbatim.
+    """
+    import pandas as pd
+
+    win_s = int(pd.Timedelta(window).total_seconds())
+    slide_s = int(pd.Timedelta(slide).total_seconds())
+    if win_s % slide_s:
+        raise ValueError("bucketed rollup requires slide to divide window")
+    ratio = win_s // slide_s
+    events = load_events(spark, sf_dir)
+    buckets = (
+        events.filter(F.col("event_type") == event_type)
+        .filter(F.col("item_id").isNotNull())
+        .groupBy(F.window("ts", slide).alias("b"), "item_id")
+        .agg(F.count("*").alias("bcnt"))
+        .select(F.col("b.end").cast("long").alias("bucket_end"), "item_id", "bcnt")
+    )
+    counts = (
+        buckets.withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(ratio - 1))))
+        .select(
+            (F.col("bucket_end") + F.col("k") * F.lit(slide_s)).alias("window_end"),
+            "item_id",
+            "bcnt",
+        )
+        .groupBy("window_end", "item_id")
+        .agg(F.sum("bcnt").alias("cnt"))
+    )
+    rank = Window.partitionBy("window_end").orderBy(F.desc("cnt"), F.asc("item_id"))
+    return (
+        counts.withColumn("rn", F.row_number().over(rank))
+        .filter(F.col("rn") <= n)
+        .select("window_end", "item_id", "cnt", F.col("rn").cast("long").alias("rn"))
+    )
+
+
 def hot_items_report(spark: SparkSession, sf_dir: str, n: int = 5) -> DataFrame:
     """P8 — string result building: the reference's TopNHotItems
     formats each window's ranking as text lines via StringBuilder
