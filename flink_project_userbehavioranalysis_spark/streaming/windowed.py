@@ -76,23 +76,49 @@ def hot_items_stream(
     MERGEs each micro-batch's changed counts into a keyed changelog
     table (``run_update_merge`` — the production upsert sink, fully
     distributed, no driver-side state), and the rank is one batch
-    window function over ~windows × items rows of compacted state.
-    Reference TopNHotItems buffers counts in keyed state and ranks on
-    timer [U]; the merged table *is* that state. Late updates overwrite
-    their (window, item) entry via batch-id order before ranking —
-    W2's MapState-overwrite semantics for free.
+    window function over the compacted state. Reference TopNHotItems
+    buffers counts in keyed state and ranks on timer [U]; the merged
+    table *is* that state. Late updates overwrite their entry via
+    batch-id order before ranking — W2's MapState-overwrite semantics
+    for free.
+
+    State is kept at tumbling SLIDE grain, not sliding-window grain
+    (the streaming twin of `hot_items_bucketed`): a direct
+    ``window(ts, 1h, 5m)`` agg holds window/slide (=12) state rows per
+    (bucket, item) and replicates every arriving event 12× through the
+    state store; bucket-grain state is 12× smaller and each event
+    updates exactly one row. The sliding windows are reconstructed in
+    the batch compaction stage (explode aggregated buckets into the
+    12 windows each serves, sum) — exact, since slide divides window.
     """
+    import pandas as pd
+
+    win_s = int(pd.Timedelta(window).total_seconds())
+    slide_s = int(pd.Timedelta(slide).total_seconds())
+    if win_s % slide_s:
+        raise ValueError("streaming rollup requires slide to divide window")
+    ratio = win_s // slide_s
     ev = events_stream(spark, sf_dir, n_chunks=n_chunks)
-    counts = (
+    buckets = (
         ev.filter((F.col("event_type") == event_type) & F.col("item_id").isNotNull())
-        .groupBy(F.window("ts", window, slide).alias("w"), "item_id")
-        .agg(F.count("*").alias("cnt"))
-        .select(F.col("w.end").cast("long").alias("window_end"), "item_id", "cnt")
+        .groupBy(F.window("ts", slide).alias("b"), "item_id")
+        .agg(F.count("*").alias("bcnt"))
+        .select(F.col("b.end").cast("long").alias("bucket_end"), "item_id", "bcnt")
     )
-    final_counts = run_update_merge(counts, ["window_end", "item_id"], spark)
+    final_buckets = run_update_merge(buckets, ["bucket_end", "item_id"], spark)
+    counts = (
+        final_buckets.withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(ratio - 1))))
+        .select(
+            (F.col("bucket_end") + F.col("k") * F.lit(slide_s)).alias("window_end"),
+            "item_id",
+            "bcnt",
+        )
+        .groupBy("window_end", "item_id")
+        .agg(F.sum("bcnt").alias("cnt"))
+    )
     rank = Window.partitionBy("window_end").orderBy(F.desc("cnt"), F.asc("item_id"))
     return (
-        final_counts.withColumn("rn", F.row_number().over(rank))
+        counts.withColumn("rn", F.row_number().over(rank))
         .filter(F.col("rn") <= n)
         .select("window_end", "item_id", "cnt", F.col("rn").cast("long").alias("rn"))
     )
