@@ -36,6 +36,7 @@ def empty_dir(spark, sf_dir, tmp_path_factory):
 
 OPERATORS = [
     H.hot_items,
+    H.hot_items_bucketed,
     H.hot_items_report,
     NF.pv_hourly,
     NF.uv_hourly,
@@ -61,10 +62,13 @@ OPERATORS = [
     TXT.tfidf_top_term,
     TXT.doc_fingerprint,
     TXT.lang_id_rules,
+    TXT.lang_id_naive_bayes,
+    TXT.clean_corpus_pipeline,
     SIM.knn_topk,
     SIM.ann_lsh_topk,
     SIM.ivf_topk,
     SIM.cosine_dup_pairs,
+    SIM.cosine_dup_pairs_lsh,
     SIM.ngram_jaccard_pairs,
     SIM.minhash_near_dup,
     SIM.simhash64,
