@@ -114,6 +114,14 @@ def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str
             _text.clean_corpus_pipeline,
             _text.clean_corpus_pipeline_oracle_sql(),
         ),
+        # §2.10 deterministic stratified sampling (md5-bucket mixture
+        # control — reproducible across runs/engines/partitionings)
+        "stratified_sample": (
+            _text.stratified_sample,
+            _text.stratified_sample_oracle_sql(),
+        ),
+        # §2.10 token-entropy quality signal (repetition/boilerplate)
+        "doc_entropy": (_text.doc_entropy, _text.DOC_ENTROPY_SQL),
         # §2.10 similarity search: exact cosine top-k (brute baseline)
         "knn_topk": (_sim.knn_topk, _sim.knn_topk_oracle_sql()),
         # §2.10 ANN scale paths (probabilistic candidates — rows-only):

@@ -193,6 +193,105 @@ def lang_id_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stratified_sample(
+    spark: SparkSession, sf_dir: str, rates: dict[str, int] | None = None
+) -> DataFrame:
+    """Deterministic stratified sampling — the reproducible-subset
+    operator every training-data pipeline needs (per-language mixture
+    control, ablation slices, held-out carve-outs).
+
+    NOT `sampleBy`/`rand()`: a training mix must be reproducible across
+    runs, engines, and partitionings, so membership is a pure function
+    of the row — bucket = first 4 hex digits of md5(doc_id) mod 1000,
+    keep iff bucket < 10 × rate_pct[lang]. Embarrassingly parallel (no
+    shuffle, no RNG state), and the buckets are nested: raising a rate
+    strictly grows the kept set, so ablation subsets are supersets of
+    each other. Default mix keeps en at 80%, fr/de/es at 40%, zh 20%.
+
+    Output: (doc_id, lang, bucket) for kept rows — integers only.
+    """
+    rates = rates or {"en": 80, "fr": 40, "de": 40, "es": 40, "zh": 20}
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10)
+        .cast("long")
+        % 1000
+    )
+    rate = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in rates.items()],
+        F.lit(0),
+    )
+    return (
+        docs.select("doc_id", "lang", bucket.alias("bucket"), rate.alias("rate_pct"))
+        .filter(F.col("bucket") < F.col("rate_pct") * 10)
+        .select("doc_id", "lang", "bucket")
+    )
+
+
+def stratified_sample_oracle_sql(rates: dict[str, int] | None = None) -> str:
+    rates = rates or {"en": 80, "fr": 40, "de": 40, "es": 40, "zh": 20}
+    case = " ".join(f"WHEN lang = '{k}' THEN {v}" for k, v in rates.items())
+    # hex→int via digit positions (the strpos idiom the simhash oracle
+    # already uses — avoids engine-specific hex-parsing builtins)
+    digit = "(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+    val = " + ".join(
+        f"{digit.format(i=i + 1)} * {16 ** (3 - i)}" for i in range(4)
+    )
+    return f"""
+WITH t AS (
+    SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+), b AS (
+    SELECT doc_id, lang, ({val}) % 1000 AS bucket,
+           CASE {case} ELSE 0 END AS rate_pct
+    FROM t
+)
+SELECT doc_id, lang, CAST(bucket AS BIGINT) AS bucket
+FROM b WHERE bucket < rate_pct * 10
+"""
+
+
+def doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution Shannon entropy per document — the classic
+    repetition/boilerplate quality signal (near-zero entropy = one
+    token repeated; high = diverse vocabulary). Expression-level:
+    explode → (doc, token) tf → −Σ p·ln p over each doc's tokens,
+    rounded to 6 dp so both engines' identical double arithmetic
+    hashes identically. Two partial-aggregated shuffles, no Python.
+
+    Output: (doc_id, n_tokens, entropy_r6).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    tot = tf.groupBy("doc_id").agg(F.sum("tf").alias("n_tokens"))
+    p = F.col("tf") / F.col("n_tokens")
+    return (
+        tf.join(tot, "doc_id")
+        .groupBy("doc_id", "n_tokens")
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy_r6"))
+        .select("doc_id", "n_tokens", "entropy_r6")
+    )
+
+
+DOC_ENTROPY_SQL = """
+WITH tf AS (
+    SELECT doc_id, token, count(*) AS tf
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY 1, 2
+), tot AS (
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens FROM tf GROUP BY 1
+)
+SELECT tf.doc_id, tot.n_tokens,
+       round(-sum((CAST(tf.tf AS DOUBLE) / tot.n_tokens)
+                  * ln(CAST(tf.tf AS DOUBLE) / tot.n_tokens)), 6) AS entropy_r6
+FROM tf JOIN tot ON tf.doc_id = tot.doc_id
+GROUP BY 1, 2
+"""
+
+
 def clean_corpus_pipeline(
     spark: SparkSession,
     sf_dir: str,

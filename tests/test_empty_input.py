@@ -64,6 +64,8 @@ OPERATORS = [
     TXT.lang_id_rules,
     TXT.lang_id_naive_bayes,
     TXT.clean_corpus_pipeline,
+    TXT.stratified_sample,
+    TXT.doc_entropy,
     SIM.knn_topk,
     SIM.ann_lsh_topk,
     SIM.ivf_topk,

@@ -94,3 +94,35 @@ def test_clean_corpus_pipeline_plan(spark, sf_dir):
     )
     assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
     assert "partial_min" in plan
+
+
+def test_stratified_sample(spark, sf_dir):
+    """Deterministic sampling: oracle-match (bucket arithmetic is
+    engine-identical), per-stratum keep rates near the configured mix,
+    and nested buckets (higher rate ⊇ lower rate)."""
+    df = llm_text.stratified_sample(spark, sf_dir)
+    assert_matches_oracle(df, llm_text.stratified_sample_oracle_sql(), sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    totals = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    kept = {r["lang"]: r["count"] for r in df.groupBy("lang").count().collect()}
+    rates = {"en": 0.80, "fr": 0.40, "de": 0.40, "es": 0.40, "zh": 0.20}
+    for lang, rate in rates.items():
+        if totals.get(lang, 0) >= 50:
+            assert abs(kept.get(lang, 0) / totals[lang] - rate) < 0.15
+    low = {r["doc_id"] for r in llm_text.stratified_sample(
+        spark, sf_dir, rates={k: 20 for k in rates}).collect()}
+    high = {r["doc_id"] for r in llm_text.stratified_sample(
+        spark, sf_dir, rates={k: 60 for k in rates}).collect()}
+    assert low <= high and len(low) < len(high)
+
+
+def test_doc_entropy(spark, sf_dir):
+    """Entropy quality signal: oracle-match; bounds 0 ≤ H ≤ ln(n_tokens)
+    hold for every document."""
+    df = llm_text.doc_entropy(spark, sf_dir)
+    assert_matches_oracle(df, llm_text.DOC_ENTROPY_SQL, sf_dir)
+    bad = df.filter(
+        (F.col("entropy_r6") < 0)
+        | (F.col("entropy_r6") > F.log(F.col("n_tokens").cast("double")) + 1e-6)
+    ).count()
+    assert bad == 0
