@@ -1,0 +1,168 @@
+"""Scale smoke — measured evidence that the plans survive a scale-up.
+
+Synthesizes a FACTOR× copy of the three scalable tables (events ×3F,
+documents ×F, embeddings ×F) in /tmp with shifted keys/timestamps and
+slightly perturbed vectors (so dedup clusters, windows, users, and
+ANN buckets all genuinely grow), then times a representative operator
+set on both sf0.1 and the synthesized dir in one warm session and
+prints per-query wall times + the scale ratio. Every scale-side plan
+is asserted cartesian-free.
+
+Usage:  python tools/scale_smoke.py [factor]     # default 10
+Writes: one JSON line (machine) after a human table; SCALE.md records
+        a captured run.
+
+Excluded by design: `knn_topk` (the declared bounded-corpus brute
+baseline — quadratic scoring memory is the exact thing the ANN paths
+exist to avoid) and `minhash_near_dup`/`ngram_jaccard_pairs` (the
+synthetic corpus's 31-word vocabulary makes every 3-shingle a hub at
+50k+ docs; real Zipfian corpora cap stop-shingles, documented in the
+operator).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import pyspark.sql.functions as F
+
+import __spark_entry__ as entry_mod
+from flink_project_userbehavioranalysis_spark import get_spark
+from flink_project_userbehavioranalysis_spark.io import TABLES, cache_events, load_table
+
+BASE = "/root/testdata/sf0.1"
+
+QUERIES = [
+    "hot_items_topn",
+    "hot_items_topn_bucketed",
+    "pv_hourly",
+    "uv_hourly",
+    "count_by_channel_behavior",
+    "order_timeout",
+    "tx_reconcile",
+    "user_sessions",
+    "dedup_exact_events",
+    "clean_corpus",
+    "token_counts",
+    "tfidf_top_term",
+    "doc_entropy",
+    "stratified_sample",
+    "simhash64",
+    "ann_lsh_topk",
+    "cosine_dup_pairs_lsh",
+]
+
+
+def synthesize(spark, factor: int) -> str:
+    out = f"/tmp/ubx-scale-f{factor}"
+    if os.path.isdir(out) and os.path.exists(f"{out}/.done"):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    for t in TABLES:
+        if t not in ("events", "documents", "embeddings"):
+            shutil.copy(f"{BASE}/{t}.parquet", f"{out}/{t}.parquet")
+
+    ks = F.explode(F.sequence(F.lit(0), F.lit(3 * factor - 1))).alias("k")
+    ev = load_table(spark, BASE, "events")  # ts is BIGINT nanos here
+    (
+        ev.select("*", ks)
+        .select(
+            (F.col("event_id") + F.col("k") * F.lit(10**10)).alias("event_id"),
+            # shift each copy by k hours so the window count grows too
+            (F.col("ts") + F.col("k") * F.lit(3600 * 10**9)).alias("ts"),
+            (F.col("user_id") + F.col("k") * F.lit(10**6)).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{out}/events.parquet")
+    )
+    ks_d = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("k")
+    docs = load_table(spark, BASE, "documents")
+    (
+        docs.select("*", ks_d)
+        .select(
+            (F.col("doc_id") + F.col("k") * F.lit(10**7)).alias("doc_id"),
+            "text",
+            "lang",
+            "source",
+            "n_chars",
+        )
+        .repartition(16)
+        .write.mode("overwrite")
+        .parquet(f"{out}/documents.parquet")
+    )
+    emb = load_table(spark, BASE, "embeddings")
+    (
+        emb.select("*", ks_d)
+        .select(
+            (F.col("vec_id") + F.col("k") * F.lit(10**7)).alias("vec_id"),
+            # perturb each copy so vectors are distinct (no degenerate
+            # cosine-1 twins) while staying in the same neighborhoods
+            F.transform(
+                "embedding", lambda x: x + (F.col("k") % 16).cast("float") * F.lit(0.003)
+            ).alias("embedding"),
+            "label",
+        )
+        .repartition(16)
+        .write.mode("overwrite")
+        .parquet(f"{out}/embeddings.parquet")
+    )
+    open(f"{out}/.done", "w").write("ok")
+    return out
+
+
+def median_time(fn, runs=3):
+    fn()
+    ts = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return statistics.median(ts)
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark(
+        app_name="scale-smoke", master="local[32]", shuffle_partitions=64, streaming=False
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    scale_dir = synthesize(spark, factor)
+    cache_events(spark, BASE)
+    cache_events(spark, scale_dir)
+    qs = entry_mod.queries()
+    print(f"{'query':<28}{'sf0.1 ms':>10}{f'x{factor} ms':>10}{'ratio':>8}{'rows x':>8}")
+    results = {}
+    for name in QUERIES:
+        fn = qs[name]
+        base_df, scale_df = fn(spark, BASE), fn(spark, scale_dir)
+        plan = scale_df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        t_base = median_time(lambda: base_df.collect())
+        t_scale = median_time(lambda: scale_df.collect())
+        r_base, r_scale = base_df.count(), scale_df.count()
+        ratio = t_scale / t_base if t_base else float("nan")
+        rows_x = r_scale / r_base if r_base else float("nan")
+        results[name] = {
+            "base_sec": round(t_base, 3),
+            "scale_sec": round(t_scale, 3),
+            "time_ratio": round(ratio, 2),
+            "rows_ratio": round(rows_x, 1),
+        }
+        print(f"{name:<28}{t_base*1000:>10.1f}{t_scale*1000:>10.1f}{ratio:>8.2f}{rows_x:>8.1f}")
+    print(json.dumps({"factor": factor, "results": results}))
+
+
+if __name__ == "__main__":
+    main()
