@@ -136,6 +136,9 @@ def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str
         "cosine_dup_pairs_lsh": (_sim.cosine_dup_pairs_lsh, None),
         # §2.10 n-gram Jaccard near-dup (exact, shingle-join)
         "ngram_jaccard_pairs": (_sim.ngram_jaccard_pairs, _sim.ngram_jaccard_oracle_sql()),
+        # §2.10 near-dup cluster assignment (iterative connected
+        # components; oracle = recursive-CTE transitive closure)
+        "near_dup_clusters": (_sim.near_dup_clusters, _sim.near_dup_clusters_oracle_sql()),
         # §2.10 MinHash+LSH near-dup (verified candidates ⇒ exact values;
         # recall 1 at these band params on this corpus, so the exact
         # Jaccard SQL is its oracle too)

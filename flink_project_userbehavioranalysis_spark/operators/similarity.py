@@ -609,6 +609,91 @@ WHERE len(list_intersect(a.s, b.s))::DOUBLE
 """
 
 
+def near_dup_clusters(
+    spark: SparkSession,
+    sf_dir: str,
+    shingle_len: int = 3,
+    threshold: float = 0.4,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Near-duplicate CLUSTER assignment — what production dedup
+    actually emits (SCALE.md): pair lists are quadratic in cluster
+    size, cluster ids are linear, and the survivor rule ("keep the
+    min-id doc per cluster") needs the transitive closure, not pairs
+    (A~B, B~C ⇒ A,C dedup together even when A≁C directly).
+
+    Connected components by iterative min-label propagation over the
+    exact Jaccard near-dup edges: every doc starts labeled with its own
+    id; each round every node takes the min label among itself and its
+    neighbors; converged when no label changes (≤ graph diameter
+    rounds, checked each round). Each round is one equi-join + one
+    partial-aggregated groupBy — the simple member of the
+    large-star/small-star family, which is the drop-in upgrade if
+    cluster diameters ever grow beyond a handful of hops. Labels are
+    persisted per round and the loop is a *driver-side control flow*
+    over distributed rounds (only the single `changed` counter ever
+    reaches the driver).
+
+    Output: (doc_id, cluster_id) for every document; singletons are
+    their own cluster. Oracle: DuckDB recursive-CTE transitive closure
+    — an independent formulation of the same fixpoint.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = ngram_jaccard_pairs(spark, sf_dir, shingle_len, threshold).select(
+        "doc_a", "doc_b"
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).persist()
+    labels.count()
+    for _ in range(max_iters):
+        msgs = (
+            edges.join(labels, edges.doc_a == labels.doc_id)
+            .select(F.col("doc_b").alias("doc_id"), "cluster_id")
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("doc_id", F.col("cluster_id").cast("long").alias("cluster_id"))
+
+
+def near_dup_clusters_oracle_sql(shingle_len: int = 3, threshold: float = 0.4) -> str:
+    # Independent fixpoint: recursive transitive closure over the same
+    # exact-Jaccard edge set, cluster id = min(reachable ∪ self).
+    return f"""
+WITH RECURSIVE pairs AS (
+    {ngram_jaccard_fast_oracle_sql(shingle_len, threshold).strip()}
+), edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION ALL
+    SELECT doc_b, doc_a FROM pairs
+), reach(src, dst) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+)
+SELECT d.doc_id,
+       CAST(least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS BIGINT) AS cluster_id
+FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+GROUP BY d.doc_id
+"""
+
+
 # ----------------------------------------------------- MinHash + LSH near-dup
 
 

@@ -71,6 +71,7 @@ OPERATORS = [
     SIM.ivf_topk,
     SIM.cosine_dup_pairs,
     SIM.cosine_dup_pairs_lsh,
+    SIM.near_dup_clusters,
     SIM.ngram_jaccard_pairs,
     SIM.minhash_near_dup,
     SIM.simhash64,

@@ -164,3 +164,24 @@ def test_simhash_near_dup_overlaps_jaccard(spark, sf_dir):
     sh = {(r[0], r[1]) for r in S.simhash_near_dup(spark, sf_dir).collect()}
     jc = {(r[0], r[1]) for r in S.ngram_jaccard_pairs(spark, sf_dir).collect()}
     assert len(sh & jc) >= len(jc) // 2
+
+
+def test_near_dup_clusters(spark, sf_dir):
+    """Connected components over near-dup edges: oracle-match against
+    the recursive-CTE closure, every edge's endpoints share a cluster,
+    every cluster id is the min doc_id of its members, and clusters
+    are non-trivial (the corpus has planted dup groups)."""
+    from tests.oracle import assert_matches_oracle
+
+    df = S.near_dup_clusters(spark, sf_dir)
+    assert_matches_oracle(df, S.near_dup_clusters_oracle_sql(), sf_dir)
+    labels = {r["doc_id"]: r["cluster_id"] for r in df.collect()}
+    for a, b, *_ in S.ngram_jaccard_pairs(spark, sf_dir).collect():
+        assert labels[a] == labels[b]
+    import collections
+
+    members = collections.defaultdict(list)
+    for d, c in labels.items():
+        members[c].append(d)
+    assert all(c == min(ms) for c, ms in members.items())
+    assert any(len(ms) > 1 for ms in members.values())
