@@ -27,7 +27,12 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
 )
 
 BEHAVIORS = ["CLICK", "DOWNLOAD", "INSTALL", "UNINSTALL"]
@@ -53,20 +58,62 @@ class _RangePartition(InputPartition):
 
 
 class MarketingEventsReader(DataSourceReader):
+    """Batch reader with REAL filter pushdown (Spark 4.1 `pushFilters`):
+
+    - seq range predicates narrow the generated range *before*
+      `partitions()` splits it — connector-level partition pruning, the
+      move that matters at scale (pruned partitions are never
+      scheduled, let alone read);
+    - behavior/channel equality prunes row *generation* inside each
+      partition (the generator skips non-matching seqs instead of
+      materializing rows for Spark to discard).
+
+    Unsupported filters are handed back to Spark, which applies them
+    post-scan — the standard partial-pushdown contract.
+    """
+
     def __init__(self, options):
         self.n_rows = int(options.get("n_rows", 1000))
         self.n_parts = int(options.get("n_partitions", 4))
         self.n_users = int(options.get("n_users", 100))
+        self.seq_lo = 0
+        self.seq_hi = self.n_rows
+        self.eq: dict[str, str] = {}
+
+    def pushFilters(self, filters):
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute in (("behavior",), ("channel",)):
+                self.eq[f.attribute[0]] = f.value
+            elif isinstance(f, GreaterThanOrEqual) and f.attribute == ("seq",):
+                self.seq_lo = max(self.seq_lo, int(f.value))
+            elif isinstance(f, GreaterThan) and f.attribute == ("seq",):
+                self.seq_lo = max(self.seq_lo, int(f.value) + 1)
+            elif isinstance(f, LessThanOrEqual) and f.attribute == ("seq",):
+                self.seq_hi = min(self.seq_hi, int(f.value) + 1)
+            elif isinstance(f, LessThan) and f.attribute == ("seq",):
+                self.seq_hi = min(self.seq_hi, int(f.value))
+            else:
+                yield f  # not pushable — Spark applies it post-scan
 
     def partitions(self):
-        step = -(-self.n_rows // self.n_parts)
-        return [
-            _RangePartition(i, min(i + step, self.n_rows))
-            for i in range(0, self.n_rows, step)
-        ]
+        lo, hi = self.seq_lo, max(self.seq_hi, self.seq_lo)
+        n = hi - lo
+        if n == 0:
+            return [_RangePartition(lo, lo)]
+        step = -(-n // self.n_parts)
+        return [_RangePartition(i, min(i + step, hi)) for i in range(lo, hi, step)]
 
     def read(self, partition: _RangePartition):
+        want_b = self.eq.get("behavior")
+        want_c = self.eq.get("channel")
         for seq in range(partition.start, partition.end):
+            if want_b is not None and BEHAVIORS[seq % len(BEHAVIORS)] != want_b:
+                continue
+            if (
+                want_c is not None
+                and CHANNELS[(seq // len(BEHAVIORS)) % len(CHANNELS)] != want_c
+            ):
+                continue
             yield _row(seq, self.n_users)
 
 
@@ -118,4 +165,9 @@ class MarketingEventsDataSource(DataSource):
 
 
 def register(spark) -> None:
+    try:
+        # required for pushFilters to be honored (off by default in 4.1)
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass  # static-conf builds: pushdown simply stays off
     spark.dataSource.register(MarketingEventsDataSource)

@@ -174,3 +174,51 @@ def test_windowed_agg_over_pyds_stream(spark, tmp_path):
     got = {r["channel"]: r["cnt"] for r in spark.table("pyds_counts").collect()}
     assert sum(got.values()) == 200
     assert got == {"AppStore": 40, "HuaweiStore": 40, "weibo": 40, "wechat": 40, "tieba": 40}
+
+
+def test_filter_pushdown_semantics(spark):
+    """Spark 4.1 pushFilters: pushed predicates produce the same rows
+    as unpushed (Spark re-applies nothing wrongly), and the reader
+    object proves what it absorbed — seq bounds narrow the partition
+    range, equality prunes generation."""
+    _registered(spark)
+    base = spark.read.format("marketing_events").option("n_rows", 400).load()
+    filtered = base.filter(
+        (F.col("behavior") == "CLICK") & (F.col("seq") >= 100) & (F.col("seq") < 300)
+    )
+    rows = sorted(tuple(r) for r in filtered.collect())
+    want = sorted(
+        tuple(r)
+        for r in base.collect()
+        if r["behavior"] == "CLICK" and 100 <= r["seq"] < 300
+    )
+    assert rows == want and len(rows) == 50  # every 4th seq in [100, 300)
+
+
+def test_filter_pushdown_prunes_partitions_and_generation(spark):
+    """Direct reader contract: supported filters are absorbed (not
+    yielded back), seq bounds shrink partitions() output, and read()
+    never materializes a pruned row."""
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, IsNotNull, LessThan
+
+    from flink_project_userbehavioranalysis_spark.sources.pyds import (
+        MarketingEventsReader,
+    )
+
+    r = MarketingEventsReader({"n_rows": "400", "n_partitions": "4"})
+    leftover = list(
+        r.pushFilters(
+            [
+                EqualTo(("behavior",), "CLICK"),
+                GreaterThanOrEqual(("seq",), 100),
+                LessThan(("seq",), 300),
+                IsNotNull(("channel",)),  # not pushable → handed back
+            ]
+        )
+    )
+    assert [type(f).__name__ for f in leftover] == ["IsNotNull"]
+    parts = r.partitions()
+    assert parts[0].start == 100 and parts[-1].end == 300
+    produced = [row for p in parts for row in r.read(p)]
+    assert len(produced) == 50
+    assert all(row[3] == "CLICK" and 100 <= row[0] < 300 for row in produced)
