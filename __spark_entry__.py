@@ -58,6 +58,9 @@ def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str
         # 12-way window sum over aggregated rows) — same oracle proves
         # bucketed ≡ direct sliding-window
         "hot_items_topn_bucketed": (_hot.hot_items_bucketed, _hot.hot_items_oracle_sql()),
+        # §2.9 Table/SQL variant parity (HotItemsWithSql [U]): same
+        # flagship as pure SQL text — same oracle, same Catalyst plan
+        "hot_items_topn_sql": (_hot.hot_items_sql, _hot.hot_items_oracle_sql()),
         # A3 / T4
         "pv_hourly": (_nf.pv_hourly, _nf.PV_HOURLY_SQL),
         # A5 / T5

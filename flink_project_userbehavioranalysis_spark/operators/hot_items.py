@@ -117,6 +117,44 @@ def hot_items_bucketed(
     )
 
 
+def hot_items_sql(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "1 hour",
+    slide: str = "5 minutes",
+    n: int = 5,
+    event_type: str = "view",
+) -> DataFrame:
+    """The flagship as PURE SQL text — parity with the reference's
+    Table/SQL variant (HotItemsWithSql.scala [U, §2.9]: Blink planner,
+    HOP window + ROW_NUMBER ≤ n). Spark SQL's `window()` table function
+    is the HOP analog; the plan is identical to the DataFrame
+    formulation (same Catalyst pipeline), which is the point: the
+    engine's SQL front end is not a separate engine."""
+    from flink_project_userbehavioranalysis_spark.io import load_events
+
+    load_events(spark, sf_dir).createOrReplaceTempView("events_norm")
+    return spark.sql(
+        f"""
+        WITH counts AS (
+            SELECT CAST(window.end AS LONG) AS window_end, item_id,
+                   count(*) AS cnt
+            FROM events_norm
+            WHERE event_type = '{event_type}' AND item_id IS NOT NULL
+            GROUP BY window(ts, '{window}', '{slide}'), item_id
+        )
+        SELECT window_end, item_id, cnt, rn
+        FROM (
+            SELECT window_end, item_id, cnt,
+                   CAST(row_number() OVER (PARTITION BY window_end
+                                           ORDER BY cnt DESC, item_id ASC) AS LONG) AS rn
+            FROM counts
+        )
+        WHERE rn <= {n}
+        """
+    )
+
+
 def hot_items_report(spark: SparkSession, sf_dir: str, n: int = 5) -> DataFrame:
     """P8 — string result building: the reference's TopNHotItems
     formats each window's ranking as text lines via StringBuilder

@@ -59,3 +59,21 @@ def test_hot_items_bucketed_plan_two_stage(spark, sf_dir):
     gen_pos = plan.find("Generate explode")
     first_agg_pos = plan.rfind("partial_count")
     assert gen_pos != -1 and first_agg_pos != -1 and gen_pos < first_agg_pos
+
+
+def test_hot_items_sql_equals_dataframe(spark, sf_dir):
+    """§2.9 SQL-variant parity: the pure-SQL flagship is row-identical
+    to the DataFrame one and hits the same oracle — one engine, two
+    front ends."""
+    from flink_project_userbehavioranalysis_spark.operators.hot_items import (
+        hot_items,
+        hot_items_oracle_sql,
+        hot_items_sql,
+    )
+    from tests.oracle import assert_matches_oracle
+
+    sql_df = hot_items_sql(spark, sf_dir)
+    assert {tuple(r) for r in sql_df.collect()} == {
+        tuple(r) for r in hot_items(spark, sf_dir).collect()
+    }
+    assert_matches_oracle(sql_df, hot_items_oracle_sql(), sf_dir)
