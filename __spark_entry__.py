@@ -191,8 +191,10 @@ def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str
             _stw.count_by_channel_stream,
             _market.COUNT_BY_CHANNEL_BEHAVIOR_SQL,
         ),
-        # A8 streaming (global sliding count, update mode)
+        # A8 streaming (global sliding count, slide-grain state)
         "marketing_total_stream": (_stw.marketing_total_stream, _market.MARKETING_TOTAL_SQL),
+        # A6 streaming (HLL++ windowed UV — sketch estimate, rows-only)
+        "uv_approx_stream": (_stw.uv_approx_stream, None),
         # A7-geo streaming (stream-static broadcast dim join + windowed agg)
         "ad_clicks_by_geo_stream": (
             _stw.ad_clicks_by_geo_stream,

@@ -200,13 +200,45 @@ def marketing_total_stream(
 ) -> DataFrame:
     """A8 streaming — global (keyless) sliding 1 h / 15 min count in
     update mode (reference AppMarketing.scala [U] needs a dummy key;
-    streaming windows don't)."""
+    streaming windows don't). Like `hot_items_stream`, state is kept
+    at tumbling slide grain (15 min buckets — each event updates ONE
+    state row instead of four) and the four-bucket sliding sum is
+    reconstructed in the batch compaction stage."""
+    slide_s, ratio = 900, 4  # 1 h window / 15 min slide
+    ev = events_stream(spark, sf_dir, n_chunks=n_chunks)
+    buckets = (
+        ev.filter(F.col("event_type") != "error")
+        .groupBy(F.window("ts", "15 minutes").alias("b"))
+        .agg(F.count("*").alias("bcnt"))
+        .select(F.col("b.end").cast("long").alias("bucket_end"), "bcnt")
+    )
+    final_buckets = run_update_merge(buckets, ["bucket_end"], spark)
+    return (
+        final_buckets.withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(ratio - 1))))
+        .select(
+            (F.col("bucket_end") + F.col("k") * F.lit(slide_s)).alias("window_end"),
+            "bcnt",
+        )
+        .groupBy("window_end")
+        .agg(F.sum("bcnt").alias("total"))
+    )
+
+
+def uv_approx_stream(
+    spark: SparkSession, sf_dir: str, event_type: str = "view", n_chunks: int = 8
+) -> DataFrame:
+    """A6 streaming — approximate hourly UV via HLL++
+    (`approx_count_distinct`) over a live windowed agg in update mode:
+    the sketch path that replaces the reference's per-element
+    Bloom-filter trigger (UvWithBloom [U]) with constant-memory
+    mergeable state. Rows-only in the driver gate (estimates are
+    engine-specific); tests bound it against the exact streaming UV."""
     ev = events_stream(spark, sf_dir, n_chunks=n_chunks)
     counts = (
-        ev.filter(F.col("event_type") != "error")
-        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
-        .agg(F.count("*").alias("total"))
-        .select(F.col("w.end").cast("long").alias("window_end"), "total")
+        ev.filter(F.col("event_type") == event_type)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.approx_count_distinct("user_id").alias("uv_est"))
+        .select(F.col("w.end").cast("long").alias("window_end"), "uv_est")
     )
     return run_update_merge(counts, ["window_end"], spark)
 

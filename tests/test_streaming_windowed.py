@@ -165,3 +165,14 @@ def test_new_streaming_twins_equal_batch(spark, sf_dir):
         got = sorted(tuple(r) for r in stream_fn(spark, sf_dir).collect())
         want = sorted(tuple(r) for r in batch_fn(spark, sf_dir).collect())
         assert got == want, stream_fn.__name__
+
+
+def test_uv_approx_stream_bounded_by_exact(spark, sf_dir):
+    """Streaming HLL++ UV: estimates land within 15% of the exact
+    streaming UV for every window (HLL++ rsd default 0.05; generous
+    bound for tiny windows)."""
+    approx = {r["window_end"]: r["uv_est"] for r in W.uv_approx_stream(spark, sf_dir).collect()}
+    exact = {r["window_end"]: r["uv"] for r in W.uv_hourly_stream(spark, sf_dir).collect()}
+    assert set(approx) == set(exact)
+    for w, est in approx.items():
+        assert abs(est - exact[w]) <= max(0.15 * exact[w], 3)
