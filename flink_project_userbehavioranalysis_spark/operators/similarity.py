@@ -519,7 +519,11 @@ def cosine_dup_pairs_lsh(
 
 
 def ngram_jaccard_pairs(
-    spark: SparkSession, sf_dir: str, shingle_len: int = 3, threshold: float = 0.4
+    spark: SparkSession,
+    sf_dir: str,
+    shingle_len: int = 3,
+    threshold: float = 0.4,
+    stop_shingle_df_cap: int | None = None,
 ) -> DataFrame:
     """Exact near-dup pairs by n-word-shingle Jaccard ≥ threshold.
 
@@ -527,13 +531,29 @@ def ngram_jaccard_pairs(
     the shingle* (only docs sharing ≥1 shingle ever meet — no cross
     join), count common, then Jaccard from per-doc distinct-shingle
     counts. At 100 TB the shingle join is the standard inverted-index
-    shuffle; stop-shingle removal (drop shingles with df > cap) bounds
-    the worst hub buckets — here the corpus is small enough not to cap.
+    shuffle, and its cost is Σ df² over shingles — hub ("stop")
+    shingles dominate. ``stop_shingle_df_cap`` drops shingles whose
+    document frequency exceeds the cap from BOTH the join and the
+    per-doc sizes (Jaccard over the capped shingle universe — the
+    standard stop-shingle treatment): the stop list is tiny by
+    construction, so it applies as a broadcast anti-join, never
+    touching the big side's partitioning. None (default) = exact,
+    uncapped — right for corpora without hubs; tests pin that a
+    generous cap is output-identical and an aggressive one still
+    recovers the planted near-dups.
 
     Output is float-free: (doc_a, doc_b, n_common, n_union).
     """
     docs = load_table(spark, sf_dir, "documents")
     sh = _shingles(docs, shingle_len)
+    if stop_shingle_df_cap is not None:
+        stop = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > stop_shingle_df_cap)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(stop), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

@@ -185,3 +185,18 @@ def test_near_dup_clusters(spark, sf_dir):
         members[c].append(d)
     assert all(c == min(ms) for c, ms in members.items())
     assert any(len(ms) > 1 for ms in members.values())
+
+
+def test_stop_shingle_cap(spark, sf_dir):
+    """The stop-shingle knob: a cap above every shingle's df is
+    output-identical to exact; an aggressive cap (hub trimming) still
+    recovers the planted near-dup pairs and stays cartesian-free."""
+    exact = {(r[0], r[1]) for r in S.ngram_jaccard_pairs(spark, sf_dir).collect()}
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    generous = S.ngram_jaccard_pairs(spark, sf_dir, stop_shingle_df_cap=n_docs)
+    assert {(r[0], r[1]) for r in generous.collect()} == exact
+    aggressive_df = S.ngram_jaccard_pairs(spark, sf_dir, stop_shingle_df_cap=5)
+    aggressive = {(r[0], r[1]) for r in aggressive_df.collect()}
+    assert len(aggressive & exact) / len(exact) >= 0.9
+    plan = aggressive_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
