@@ -16,6 +16,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from flink_project_userbehavioranalysis_spark.operators import corpus_quality as _cq
+from flink_project_userbehavioranalysis_spark.operators import custom_joins as _cj
 from flink_project_userbehavioranalysis_spark.operators import hot_items as _hot
 from flink_project_userbehavioranalysis_spark.operators import llm_text as _text
 from flink_project_userbehavioranalysis_spark.operators import login as _login
@@ -177,6 +179,21 @@ def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str
         "value_percentiles_approx": (_rel.value_percentiles_approx, None),
         # A6 family: Count-Min frequency sketch probe (rows-only)
         "item_freq_sketch": (_nf.item_freq_sketch, None),
+        # custom joins: as-of (point-in-time) join — union + windowed
+        # last(ignorenulls) per key, oracle = DuckDB ASOF LEFT JOIN
+        "asof_last_click": (_cj.asof_last_click, _cj.asof_last_click_oracle_sql()),
+        # custom joins: range join via covering-bucket equi-join + residual
+        "range_join_tiers": (_cj.range_join_tiers, _cj.range_join_tiers_oracle_sql()),
+        # §2.10 Gopher-style repetition/boilerplate signals (exact ints)
+        "repetition_stats": (_cq.repetition_stats, _cq.REPETITION_STATS_SQL),
+        # §2.10 eval-set decontamination (k-gram overlap vs held-out slice)
+        "contamination_check": (
+            _cq.contamination_check,
+            _cq.contamination_check_oracle_sql(),
+        ),
+        # §2.10 greedy token-budget sequence packing (applyInPandas per
+        # source; oracle = recursive-CTE replay of the same recurrence)
+        "pack_sequences": (_cq.pack_sequences, _cq.pack_sequences_oracle_sql()),
         # §2.10 multimodal: binary payload feature-extract via mapInPandas
         "binary_features": (_mm.binary_features, _mm.BINARY_FEATURES_SQL),
         # §2.9 GROUPED_AGG pandas_udf (custom aggregate)

@@ -1,0 +1,239 @@
+"""Corpus-level quality/safety operators for LLM training-data
+pipelines: repetition metrics, benchmark-contamination detection, and
+greedy sequence packing.
+
+No reference analog (SURVEY §2.10 extension pillar) — these are the
+filters every large-scale pretraining pipeline runs between dedup and
+tokenization:
+- repetition_stats: the Gopher-style "fraction of content in the most
+  repeated token / bigram" signals used to drop boilerplate and
+  degenerate generations;
+- contamination_check: word-shingle overlap of every training doc
+  against a held-out benchmark slice — eval-set decontamination;
+- pack_sequences: greedy first-overflow packing of docs into
+  fixed-token-budget training sequences, preserving within-source
+  document order.
+
+100 TB posture: repetition + contamination are pure expression-level
+explode/agg/join dataflows (codegen'd, partial-aggregated, equi-join
+only — the benchmark shingle set is broadcast because a held-out eval
+slice is small BY CONSTRUCTION, unlike a general join side).
+Packing is inherently sequential PER SOURCE but embarrassingly
+parallel ACROSS sources, so it runs as applyInPandas keyed by source —
+state is two scalars per group, and a 100 TB corpus has millions of
+source shards to spread over executors.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_project_userbehavioranalysis_spark.io import load_table
+
+# --------------------------------------------------------- repetition stats
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition signals, all exact integers (ratios are for
+    the caller: keeping numerators/denominators integer makes the
+    oracle hash exact and thresholds auditable):
+
+    n_tokens, n_distinct_tokens, top_token_cnt (occurrences of the
+    most frequent token), n_bigrams, top_bigram_cnt. A doc where
+    top_token_cnt/n_tokens is high is "the the the ..." boilerplate;
+    high top_bigram_cnt/n_bigrams catches two-token loops the unigram
+    signal misses.
+
+    Dataflow: explode→count per (doc, token|bigram), max per doc —
+    two partial-aggregated shuffles, joined on doc_id.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    uni = (
+        docs.select("doc_id", F.explode(toks).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.count("*").alias("n_distinct_tokens"),
+            F.max("tf").alias("top_token_cnt"),
+        )
+    )
+    # bigrams: positions 0..size-2 (guard: sequence() descends when
+    # stop < start, so 1-token docs must short-circuit to an empty array)
+    bigram_arr = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bi = (
+        docs.select("doc_id", F.explode(bigram_arr).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("bf"))
+        .groupBy("doc_id")
+        .agg(F.sum("bf").alias("n_bigrams"), F.max("bf").alias("top_bigram_cnt"))
+    )
+    return uni.join(bi, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        "top_token_cnt",
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.coalesce("top_bigram_cnt", F.lit(0)).alias("top_bigram_cnt"),
+    )
+
+
+REPETITION_STATS_SQL = """
+WITH tf AS (
+    SELECT doc_id, token, count(*) AS tf
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY 1, 2
+), uni AS (
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+           count(*) AS n_distinct_tokens, max(tf) AS top_token_cnt
+    FROM tf GROUP BY 1
+), bf AS (
+    SELECT doc_id, bigram, count(*) AS bf
+    FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS bigram
+        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+    )
+    GROUP BY 1, 2
+), bi AS (
+    SELECT doc_id, CAST(sum(bf) AS BIGINT) AS n_bigrams, max(bf) AS top_bigram_cnt
+    FROM bf GROUP BY 1
+)
+SELECT uni.doc_id, uni.n_tokens, uni.n_distinct_tokens, uni.top_token_cnt,
+       COALESCE(bi.n_bigrams, 0) AS n_bigrams,
+       COALESCE(bi.top_bigram_cnt, 0) AS top_bigram_cnt
+FROM uni LEFT JOIN bi ON uni.doc_id = bi.doc_id
+"""
+
+
+# ----------------------------------------------------- contamination check
+
+
+def contamination_check(
+    spark: SparkSession, sf_dir: str, k: int = 8, bench_mod: int = 10
+) -> DataFrame:
+    """Eval-set decontamination: for every training doc, the number of
+    distinct word ``k``-grams it shares with the held-out benchmark
+    slice (docs where doc_id % bench_mod == 0). Rows appear only for
+    contaminated docs (n_overlap ≥ 1) — the set a pipeline would drop
+    or flag before training.
+
+    The benchmark shingle set is explicitly broadcast: a held-out eval
+    slice is bounded by construction (benchmarks are human-curated),
+    so this is the legitimate broadcast case — the TRAINING side
+    streams through map-side, no shuffle of the 100 TB corpus at all
+    until the tiny contaminated remainder aggregates.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    shingle_arr = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    shingles = docs.select(
+        "doc_id", F.explode(F.array_distinct(shingle_arr)).alias("shingle")
+    )
+    bench = (
+        shingles.filter(F.col("doc_id") % bench_mod == 0).select("shingle").distinct()
+    )
+    train = shingles.filter(F.col("doc_id") % bench_mod != 0)
+    return (
+        train.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+
+
+def contamination_check_oracle_sql(k: int = 8, bench_mod: int = 10) -> str:
+    return f"""
+WITH raw AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(l) - {k - 2}),
+                                 i -> array_to_string(l[i:i+{k - 1}], ' '))) AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+    WHERE len(l) >= {k}
+), sh AS (
+    SELECT DISTINCT doc_id, shingle FROM raw
+), bench AS (
+    SELECT DISTINCT shingle FROM sh WHERE doc_id % {bench_mod} = 0
+), train AS (
+    SELECT doc_id, shingle FROM sh WHERE doc_id % {bench_mod} <> 0
+)
+SELECT doc_id, count(*) AS n_overlap
+FROM train JOIN bench USING (shingle)
+GROUP BY 1
+"""
+
+
+# -------------------------------------------------------- sequence packing
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str, budget: int = 256) -> DataFrame:
+    """Greedy sequence packing: within each source (in doc_id order),
+    docs accumulate into a sequence until the next doc would overflow
+    ``budget`` tokens, which starts the next sequence. seq_id restarts
+    at 0 per source. A doc longer than the budget occupies a sequence
+    alone (greedy semantics; real pipelines chunk those upstream).
+
+    This is a sequential scan per source — not window-expressible
+    (the running total RESETS on overflow, so it is not a prefix sum)
+    — hence applyInPandas keyed by source: two scalars of state per
+    group, parallel across the corpus's many sources. The oracle
+    replays the same recurrence as a recursive CTE.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seq_ids = []
+        seq, fill = 0, 0
+        for t in pdf["n_tokens"]:
+            if fill > 0 and fill + t > budget:
+                seq, fill = seq + 1, 0
+            fill += t
+            seq_ids.append(seq)
+        pdf["seq_id"] = seq_ids
+        return pdf[["source", "doc_id", "n_tokens", "seq_id"]]
+
+    return docs.groupBy("source").applyInPandas(
+        pack, "source string, doc_id long, n_tokens int, seq_id long"
+    )
+
+
+def pack_sequences_oracle_sql(budget: int = 256) -> str:
+    return f"""
+WITH RECURSIVE d AS (
+    SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens,
+           row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+    FROM documents
+), packed AS (
+    SELECT source, doc_id, n_tokens, rn,
+           CAST(0 AS BIGINT) AS seq_id, n_tokens AS fill
+    FROM d WHERE rn = 1
+    UNION ALL
+    SELECT d.source, d.doc_id, d.n_tokens, d.rn,
+           CASE WHEN p.fill + d.n_tokens > {budget} THEN p.seq_id + 1
+                ELSE p.seq_id END,
+           CASE WHEN p.fill + d.n_tokens > {budget} THEN d.n_tokens
+                ELSE p.fill + d.n_tokens END
+    FROM d JOIN packed p ON d.source = p.source AND d.rn = p.rn + 1
+)
+SELECT source, doc_id, n_tokens, seq_id FROM packed
+"""

@@ -12,6 +12,8 @@ import pytest
 
 from flink_project_userbehavioranalysis_spark.io import TABLES, load_table
 from flink_project_userbehavioranalysis_spark.operators import (
+    corpus_quality as CQ,
+    custom_joins as CJ,
     hot_items as H,
     llm_text as TXT,
     login as L,
@@ -90,6 +92,11 @@ OPERATORS = [
     MM.frame_sample,
     SK.salted_count_by_channel,
     SK.revenue_by_priority_salted,
+    CJ.asof_last_click,
+    CJ.range_join_tiers,
+    CQ.repetition_stats,
+    CQ.contamination_check,
+    CQ.pack_sequences,
 ]
 
 
