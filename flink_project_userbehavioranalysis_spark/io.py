@@ -6,11 +6,10 @@ scans so Catalyst gets column pruning + predicate pushdown at the file
 level — at 100 TB the scan is the single biggest cost and every filter
 we can push into the footer/row-group skip layer is free speedup.
 
-``events.ts`` arrives as raw TIMESTAMP(NANOS) read as BIGINT (see
-session.py). Normalization casts once — integer division, NOT float —
-because ``ts / 1000`` via double loses microsecond precision at 2024
-epoch magnitudes (1.7e18 ns >> 2^53) and a ±1 µs wobble breaks both
-window bucketing and the DuckDB oracle hash compare.
+``events.ts`` has shipped as either raw TIMESTAMP(NANOS)-as-BIGINT or
+native timestamp[us] across testdata generations; normalize_events
+adapts on the scanned schema so both read to the same normalized
+(TimestampType ts, BIGINT ts_ns) contract.
 """
 
 from __future__ import annotations
@@ -70,14 +69,37 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def normalize_events(raw: DataFrame) -> DataFrame:
-    """Shared batch/streaming event normalization (raw BIGINT-nanos ts →
-    TimestampType + item_id projection). Works identically on a batch
-    scan and a readStream source — the single implementation both
-    layers share, so batch≡streaming tests compare the same logic."""
+    """Shared batch/streaming event normalization → TimestampType ``ts``
+    + BIGINT-nanos ``ts_ns`` + item_id projection. Works identically on
+    a batch scan and a readStream source — the single implementation
+    both layers share, so batch≡streaming tests compare the same logic.
+
+    Schema-adaptive on the raw ``ts`` column, because the generated
+    events.parquet has shipped it two ways across rounds:
+
+    - BIGINT epoch nanoseconds (TIMESTAMP(NANOS) read via the
+      ``nanosAsLong`` legacy flag): integer-divide to µs — NOT float —
+      because ``ts / 1000`` via double loses microsecond precision at
+      2024 epoch magnitudes (1.7e18 ns >> 2^53).
+    - native ``timestamp[us]`` (read as TIMESTAMP_NTZ by Spark 4's
+      parquet reader): cast to the session-zoned TimestampType (an
+      identity on wall-clock under the UTC session zone, matching how
+      the DuckDB oracle reads the same file) and derive ``ts_ns`` as
+      ``unix_micros × 1000`` so every downstream consumer of the nanos
+      column keeps working unchanged.
+    """
+    from pyspark.sql.types import LongType
+
+    if isinstance(raw.schema["ts"].dataType, LongType):
+        ts = F.timestamp_micros(F.expr("ts div 1000"))
+        ts_ns = F.col("ts")
+    else:
+        ts = F.col("ts").cast("timestamp")
+        ts_ns = F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
     return raw.select(
         "event_id",
-        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
-        F.col("ts").alias("ts_ns"),
+        ts.alias("ts"),
+        ts_ns.alias("ts_ns"),
         "user_id",
         "event_type",
         "value",

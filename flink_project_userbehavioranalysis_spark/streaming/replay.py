@@ -52,19 +52,37 @@ def _prepare_chunks(
     if key in _CHUNK_CACHE:
         return _CHUNK_CACHE[key]
     out_dir = tempfile.mkdtemp(prefix="ubx-replay-")
-    raw = load_table(spark, sf_dir, "events")  # ts is BIGINT nanos here
-    bounds = raw.select(
-        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    raw = load_table(spark, sf_dir, "events")
+    # Chunk boundaries are computed on a derived BIGINT-nanos key so the
+    # range arithmetic is identical whether the raw ts column is BIGINT
+    # nanos or native timestamp[us] (both testdata generations exist).
+    from pyspark.sql.types import LongType
+
+    ts_is_long = isinstance(raw.schema["ts"].dataType, LongType)
+    key_col = (
+        F.col("ts")
+        if ts_is_long
+        else F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+    )
+    keyed = raw.withColumn("_ts_key", key_col)
+    bounds = keyed.select(
+        F.min("_ts_key").alias("lo"), F.max("_ts_key").alias("hi")
     ).collect()[0]
     lo, hi = bounds["lo"], bounds["hi"]
     step = max((hi - lo) // n_chunks + 1, 1)
     for k in range(n_chunks):
-        chunk = raw.filter(
-            (F.col("ts") >= lo + k * step) & (F.col("ts") < lo + (k + 1) * step)
-        )
+        chunk = keyed.filter(
+            (F.col("_ts_key") >= lo + k * step) & (F.col("_ts_key") < lo + (k + 1) * step)
+        ).drop("_ts_key")
         chunk.coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/c{k:03d}")
     if sentinel:
-        far = hi + _SENTINEL_GAP_NS
+        far_ns = hi + _SENTINEL_GAP_NS
+        if ts_is_long:
+            far = far_ns
+        else:
+            import datetime as _dt
+
+            far = _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=far_ns // 1000)
         srow = spark.createDataFrame(
             [
                 {

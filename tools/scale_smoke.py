@@ -70,14 +70,22 @@ def synthesize(spark, factor: int) -> str:
         if t not in ("events", "documents", "embeddings"):
             shutil.copy(f"{BASE}/{t}.parquet", f"{out}/{t}.parquet")
 
+    from pyspark.sql.types import LongType
+
     ks = F.explode(F.sequence(F.lit(0), F.lit(3 * factor - 1))).alias("k")
-    ev = load_table(spark, BASE, "events")  # ts is BIGINT nanos here
+    ev = load_table(spark, BASE, "events")
+    # shift each copy by k hours so the window count grows too; the
+    # shift expression adapts to BIGINT-nanos vs native-timestamp ts
+    shifted_ts = (
+        (F.col("ts") + F.col("k") * F.lit(3600 * 10**9))
+        if isinstance(ev.schema["ts"].dataType, LongType)
+        else F.expr("timestampadd(HOUR, k, ts)")
+    )
     (
         ev.select("*", ks)
         .select(
             (F.col("event_id") + F.col("k") * F.lit(10**10)).alias("event_id"),
-            # shift each copy by k hours so the window count grows too
-            (F.col("ts") + F.col("k") * F.lit(3600 * 10**9)).alias("ts"),
+            shifted_ts.alias("ts"),
             (F.col("user_id") + F.col("k") * F.lit(10**6)).alias("user_id"),
             "event_type",
             "value",
