@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from flink_project_userbehavioranalysis_spark.operators import corpus_quality as _cq
 from flink_project_userbehavioranalysis_spark.operators import custom_joins as _cj
+from flink_project_userbehavioranalysis_spark.operators import embeddings_ops as _emb
 from flink_project_userbehavioranalysis_spark.operators import hot_items as _hot
 from flink_project_userbehavioranalysis_spark.operators import llm_text as _text
 from flink_project_userbehavioranalysis_spark.operators import login as _login
@@ -194,6 +195,14 @@ def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str
         # §2.10 greedy token-budget sequence packing (applyInPandas per
         # source; oracle = recursive-CTE replay of the same recurrence)
         "pack_sequences": (_cq.pack_sequences, _cq.pack_sequences_oracle_sql()),
+        # §2.10 PII scrubbing (regex digit-run masking + audit counts)
+        "pii_scrub": (_text.pii_scrub, _text.PII_SCRUB_SQL),
+        # §2.10 tokenizer-vocab coverage (broadcast top-K vocab, OOV rate)
+        "vocab_coverage": (_text.vocab_coverage, _text.vocab_coverage_oracle_sql()),
+        # §2.10 per-label embedding centroids (partial-agg vector mean)
+        "embedding_centroids": (_emb.embedding_centroids, _emb.EMBEDDING_CENTROIDS_SQL),
+        # §2.10 symmetric int8 quantization (map-only, integer checksums)
+        "quantize_embeddings": (_emb.quantize_embeddings, _emb.QUANTIZE_EMBEDDINGS_SQL),
         # §2.10 multimodal: binary payload feature-extract via mapInPandas
         "binary_features": (_mm.binary_features, _mm.BINARY_FEATURES_SQL),
         # §2.9 GROUPED_AGG pandas_udf (custom aggregate)

@@ -1,0 +1,133 @@
+"""Embedding-column operators for training-data pipelines: per-label
+centroids (distributed vector mean) and int8 quantization.
+
+No reference analog (SURVEY §2.10 extension pillar) — these are the
+vector-side utilities a pretraining/embedding pipeline needs next to
+ANN search: cluster/class centroids for diagnostics and IVF-style
+seeding, and symmetric int8 quantization to cut a 100 TB embedding
+store 4× before serving.
+
+100 TB posture: both are pure expression-level dataflows.
+- Centroids shuffle (label, dim) pairs with partial aggregation — the
+  map-side combine collapses each partition to ≤ labels×dims partial
+  sums, so the exchange carries aggregates, not vectors. No driver
+  collect, no numpy, no UDF.
+- Quantization is a per-row map (zero shuffle): scale/clamp/round via
+  array expressions inside whole-stage codegen. The emitted checksum
+  columns are exact integers so the DuckDB oracle hash is stable.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_project_userbehavioranalysis_spark.io import load_table
+
+# ------------------------------------------------------- label centroids
+
+
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise mean embedding per label + member count.
+
+    Dataflow: posexplode to (label, dim, value) → ONE partial-aggregated
+    shuffle on (label, dim) → re-assemble the vector with a deterministic
+    array_sort(collect_list(struct(dim, avg))) per label. Components are
+    rounded to 9 dp before assembly so double summation order (which
+    differs between Spark's two-phase aggregation and the oracle's
+    single pass) cannot leak into the value hash.
+
+    Output: label, n_vecs, centroid (array<double>, 9 dp).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    per_dim = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("v"), 9).alias("c"), F.count("*").alias("n"))
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.max("n").alias("n_vecs"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+            ).alias("centroid"),
+        )
+        .select("label", "n_vecs", "centroid")
+    )
+
+
+EMBEDDING_CENTROIDS_SQL = """
+WITH ex AS (
+    SELECT label,
+           generate_subscripts(embedding, 1) - 1 AS dim,
+           unnest(embedding) AS v
+    FROM embeddings
+), per_dim AS (
+    SELECT label, dim, round(avg(v), 9) AS c, count(*) AS n
+    FROM ex GROUP BY 1, 2
+)
+SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
+       list(c ORDER BY dim) AS centroid
+FROM per_dim GROUP BY 1
+"""
+
+
+# ------------------------------------------------------ int8 quantization
+
+
+def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization per vector: scale = 127 / max|x|,
+    q_i = clamp(round(x_i * scale), -127, 127).
+
+    Emitted as exact-integer checksums (sum_q, n_sat = components at
+    the ±127 clamp) plus the 9 dp scale, rather than the int8 array
+    itself — integer outputs make the oracle compare bit-exact while
+    still pinning every quantized component through the sum.
+
+    The max component quantizes to exactly ±127 by construction
+    (x = max|x| ⇒ x·scale = 127.0 exactly in double), so the
+    round-half behavior of Spark (HALF_UP) and DuckDB (ties away from
+    zero) only meets a tie on a measure-zero set of float inputs.
+
+    Per-row map, zero shuffle, whole-stage codegen end to end.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    maxabs = F.array_max(F.transform("embedding", lambda x: F.abs(x)))
+    scale = F.lit(127.0) / maxabs
+    q = F.transform(
+        "embedding",
+        lambda x: F.least(
+            F.greatest(F.round(x * scale), F.lit(-127.0)), F.lit(127.0)
+        ).cast("long"),
+    )
+    return emb.select(
+        "vec_id",
+        F.round(scale, 9).alias("scale"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda acc, x: acc + x).alias("sum_q"),
+        F.size(F.filter(q, lambda x: F.abs(x) == 127)).alias("n_sat"),
+    ).filter(maxabs > 0)
+
+
+QUANTIZE_EMBEDDINGS_SQL = """
+WITH s AS (
+    -- the float32 components MUST be promoted to DOUBLE before the
+    -- division: DuckDB otherwise resolves DECIMAL/FLOAT in float32
+    -- precision, which diverges from Spark's double math in the 7th
+    -- significant digit
+    SELECT vec_id, embedding,
+           CAST(127.0 AS DOUBLE)
+             / list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+    FROM embeddings
+    WHERE list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0
+), q AS (
+    SELECT vec_id, scale,
+           list_transform(embedding,
+                          x -> CAST(least(greatest(round(x * scale), -127.0), 127.0) AS BIGINT)) AS qv
+    FROM s
+)
+SELECT vec_id, round(scale, 9) AS scale,
+       CAST(list_sum(qv) AS BIGINT) AS sum_q,
+       CAST(len(list_filter(qv, x -> abs(x) = 127)) AS INTEGER) AS n_sat
+FROM q
+"""

@@ -461,3 +461,92 @@ SELECT doc_id,
        lang AS label_lang
 FROM documents
 """
+
+
+# ------------------------------------------------------------- PII scrubbing
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scrubbing of semi-structured payloads: mask every digit run
+    in ``events.props`` (the id/phone-number shape PII scrubbers target)
+    and report what was removed. Output per event: the masked payload,
+    the number of masked runs, and the count of masked digit characters
+    — the audit columns a redaction pipeline logs.
+
+    Pure per-row regexp expressions (regexp_replace / regexp_extract_all
+    / length deltas) inside whole-stage codegen: zero shuffle, scales as
+    a map-only stage at any corpus size, and the masked output column
+    keeps the scan's pushed projection narrow (event_id, props only).
+    """
+    events = load_events(spark, sf_dir)
+    runs = F.regexp_extract_all("props", F.lit(r"[0-9]+"), 0)
+    return events.select(
+        "event_id",
+        F.regexp_replace("props", r"[0-9]+", "#").alias("scrubbed"),
+        F.size(runs).alias("n_runs"),
+        (
+            F.length("props") - F.length(F.regexp_replace("props", r"[0-9]", ""))
+        ).alias("n_digits"),
+    )
+
+
+PII_SCRUB_SQL = r"""
+SELECT event_id,
+       regexp_replace(props, '[0-9]+', '#', 'g') AS scrubbed,
+       CAST(len(regexp_extract_all(props, '[0-9]+')) AS INTEGER) AS n_runs,
+       CAST(length(props) - length(regexp_replace(props, '[0-9]', '', 'g')) AS INTEGER)
+           AS n_digits
+FROM events
+"""
+
+
+# --------------------------------------------------------- vocab coverage
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str, vocab_k: int = 20) -> DataFrame:
+    """Tokenizer-vocabulary coverage: build the corpus top-``vocab_k``
+    token vocabulary (count desc, token asc tie-break — deterministic),
+    then per doc count how many of its tokens are in-vocab. The
+    out-of-vocab rate is the signal a tokenizer-training / data-mixing
+    pipeline tracks per source.
+
+    Two-pass dataflow with the right scale shape: pass 1 is a
+    partial-aggregated global token count (ONE shuffle on token) topped
+    with a single tiny limit; pass 2 re-streams the corpus map-side
+    against the BROADCAST vocabulary (bounded by construction at
+    vocab_k entries — the legitimate broadcast case) and aggregates per
+    doc. The 100 TB corpus is never shuffled on anything wider than
+    doc_id.
+
+    Output: doc_id, n_tokens, n_in_vocab.
+    """
+    toks = _tokens(load_table(spark, sf_dir, "documents"))
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(vocab_k)
+        .select("token")
+    )
+    return (
+        toks.join(F.broadcast(vocab).withColumn("in_vocab", F.lit(1)), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.coalesce(F.sum("in_vocab"), F.lit(0)).cast("long").alias("n_in_vocab"),
+        )
+    )
+
+
+def vocab_coverage_oracle_sql(vocab_k: int = 20) -> str:
+    return f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), vocab AS (
+    SELECT token FROM toks GROUP BY 1
+    ORDER BY count(*) DESC, token ASC LIMIT {vocab_k}
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(*) FILTER (token IN (SELECT token FROM vocab)) AS BIGINT) AS n_in_vocab
+FROM toks GROUP BY 1
+"""

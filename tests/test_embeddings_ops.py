@@ -1,0 +1,37 @@
+"""Semantic properties of the embedding-column operators (the oracle
+match itself is auto-covered by test_operators_oracle)."""
+
+import pyspark.sql.functions as F
+
+from flink_project_userbehavioranalysis_spark.io import load_table
+from flink_project_userbehavioranalysis_spark.operators import embeddings_ops as EMB
+
+
+def test_centroid_shape_and_counts(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(F.size("embedding").alias("d")).agg(F.max("d")).collect()[0][0]
+    rows = EMB.embedding_centroids(spark, sf_dir).collect()
+    labels = {r["label"] for r in emb.select("label").distinct().collect()}
+    assert {r["label"] for r in rows} == labels
+    assert all(len(r["centroid"]) == dims for r in rows)
+    assert sum(r["n_vecs"] for r in rows) == emb.count()
+    # every centroid component must lie within the corpus value range
+    for r in rows:
+        assert all(-1.0 <= c <= 1.0 for c in r["centroid"])
+
+
+def test_quantize_saturates_max_component(spark, sf_dir):
+    rows = EMB.quantize_embeddings(spark, sf_dir).collect()
+    assert rows, "non-empty corpus must quantize"
+    for r in rows:
+        # the max-|x| component maps to exactly ±127 ⇒ at least one
+        # saturated entry per vector, and the sum is bounded by n*127
+        assert r["n_sat"] >= 1
+        assert r["scale"] > 0
+        assert abs(r["sum_q"]) <= 127 * 64
+
+
+def test_quantize_plan_is_map_only(spark, sf_dir):
+    plan = EMB.quantize_embeddings(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "quantization must not shuffle"
+    assert "BatchEvalPython" not in plan

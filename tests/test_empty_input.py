@@ -14,6 +14,7 @@ from flink_project_userbehavioranalysis_spark.io import TABLES, load_table
 from flink_project_userbehavioranalysis_spark.operators import (
     corpus_quality as CQ,
     custom_joins as CJ,
+    embeddings_ops as EMB,
     hot_items as H,
     llm_text as TXT,
     login as L,
@@ -97,6 +98,10 @@ OPERATORS = [
     CQ.repetition_stats,
     CQ.contamination_check,
     CQ.pack_sequences,
+    TXT.pii_scrub,
+    TXT.vocab_coverage,
+    EMB.embedding_centroids,
+    EMB.quantize_embeddings,
 ]
 
 

@@ -126,3 +126,27 @@ def test_doc_entropy(spark, sf_dir):
         | (F.col("entropy_r6") > F.log(F.col("n_tokens").cast("double")) + 1e-6)
     ).count()
     assert bad == 0
+
+
+def test_pii_scrub_removes_all_digits(spark, sf_dir):
+    """Masked payloads contain no digits; audit counts are consistent
+    (a run has ≥1 digit ⇒ n_digits ≥ n_runs; digit-free props rows
+    report zeros and an unchanged payload)."""
+    df = llm_text.pii_scrub(spark, sf_dir)
+    assert df.filter(F.col("scrubbed").rlike("[0-9]")).count() == 0
+    assert df.filter(F.col("n_digits") < F.col("n_runs")).count() == 0
+    assert df.filter((F.col("n_runs") == 0) & (F.col("n_digits") != 0)).count() == 0
+    # events.props embeds numeric ids, so the scrub must be non-vacuous
+    assert df.filter(F.col("n_runs") > 0).count() > 0
+
+
+def test_vocab_coverage_bounds(spark, sf_dir):
+    """n_in_vocab ≤ n_tokens everywhere; a larger vocabulary can only
+    increase per-doc coverage (monotonicity)."""
+    base = llm_text.vocab_coverage(spark, sf_dir, vocab_k=5)
+    wide = llm_text.vocab_coverage(spark, sf_dir, vocab_k=25)
+    assert base.filter(F.col("n_in_vocab") > F.col("n_tokens")).count() == 0
+    b = {r["doc_id"]: r["n_in_vocab"] for r in base.collect()}
+    w = {r["doc_id"]: r["n_in_vocab"] for r in wide.collect()}
+    assert b.keys() == w.keys()
+    assert all(w[d] >= b[d] for d in b)
