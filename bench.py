@@ -62,6 +62,8 @@ HEADLINE = [
     "minhash_near_dup",
     "simhash64",
     "binary_features",
+    "pii_scrub",            # map-only regex scrub over the full events scan
+    "quantize_embeddings",  # map-only array-expression quantization
 ]
 
 

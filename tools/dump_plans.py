@@ -103,6 +103,19 @@ EXHIBITS = [
         "collected corpus anywhere in the plan (stub-audited in tests), "
         "no cartesian, rank per query_id only.",
     ),
+    (
+        "quantize_embeddings",
+        "Int8 quantization: a single map-only WholeStageCodegen stage — "
+        "array transform/aggregate expressions, zero Exchange, zero "
+        "Python. The shape a 100 TB per-row vector rewrite must have.",
+    ),
+    (
+        "vocab_coverage",
+        "Tokenizer-vocab coverage: global token count tops into a tiny "
+        "LIMIT, which re-enters as a BroadcastHashJoin build side — the "
+        "corpus explode streams map-side against it and only the doc_id "
+        "aggregation shuffles.",
+    ),
 ]
 
 
