@@ -217,6 +217,8 @@ def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str
         # Each replays events through readStream micro-batches with
         # watermarks and returns the final state — so the batch oracle
         # doubles as the streaming oracle (streaming ≡ batch ≡ oracle).
+        # §2.10 stateless streaming transform (append mode, zero state)
+        "pii_scrub_stream": (_stw.pii_scrub_stream, _text.PII_SCRUB_SQL),
         "pv_hourly_stream": (_stw.pv_hourly_stream, _nf.PV_HOURLY_SQL),
         "uv_hourly_stream": (_stw.uv_hourly_stream, _nf.UV_HOURLY_SQL),
         "hot_items_stream": (_stw.hot_items_stream, _hot.hot_items_oracle_sql()),

@@ -466,6 +466,21 @@ FROM documents
 # ------------------------------------------------------------- PII scrubbing
 
 
+def pii_scrub_projection(events: DataFrame) -> DataFrame:
+    """The scrub itself, on any (batch or streaming) normalized events
+    frame — stateless per-row expressions, shared by ``pii_scrub`` and
+    the streaming twin so both provably run identical logic."""
+    runs = F.regexp_extract_all("props", F.lit(r"[0-9]+"), 0)
+    return events.select(
+        "event_id",
+        F.regexp_replace("props", r"[0-9]+", "#").alias("scrubbed"),
+        F.size(runs).alias("n_runs"),
+        (
+            F.length("props") - F.length(F.regexp_replace("props", r"[0-9]", ""))
+        ).alias("n_digits"),
+    )
+
+
 def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex scrubbing of semi-structured payloads: mask every digit run
     in ``events.props`` (the id/phone-number shape PII scrubbers target)
@@ -478,16 +493,7 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     a map-only stage at any corpus size, and the masked output column
     keeps the scan's pushed projection narrow (event_id, props only).
     """
-    events = load_events(spark, sf_dir)
-    runs = F.regexp_extract_all("props", F.lit(r"[0-9]+"), 0)
-    return events.select(
-        "event_id",
-        F.regexp_replace("props", r"[0-9]+", "#").alias("scrubbed"),
-        F.size(runs).alias("n_runs"),
-        (
-            F.length("props") - F.length(F.regexp_replace("props", r"[0-9]", ""))
-        ).alias("n_digits"),
-    )
+    return pii_scrub_projection(load_events(spark, sf_dir))
 
 
 PII_SCRUB_SQL = r"""

@@ -390,3 +390,22 @@ def pv_hourly_append(
     max_ts = load_events(spark, sf_dir).agg(F.max("ts").cast("long")).collect()[0][0]
     delay_s = 600 if watermark == "10 minutes" else 0
     return out, max_ts - delay_s
+
+
+def pii_scrub_stream(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> DataFrame:
+    """Stateless streaming transform twin of ``llm_text.pii_scrub`` —
+    the one streaming family with NO state at all: a per-row regex
+    projection in append mode. No watermark, no state store, nothing
+    retained between micro-batches; at scale this runs as a pure
+    map-only continuous pipeline whose throughput is the parquet/Kafka
+    scan rate. Shares ``pii_scrub_projection`` with the batch operator,
+    so the batch oracle is the streaming oracle."""
+    from flink_project_userbehavioranalysis_spark.operators.llm_text import (
+        pii_scrub_projection,
+    )
+    from flink_project_userbehavioranalysis_spark.streaming.replay import (
+        run_append_memory,
+    )
+
+    ev = events_stream(spark, sf_dir, n_chunks=n_chunks, watermark=None)
+    return run_append_memory(pii_scrub_projection(ev), "pii_scrub_stream", spark)

@@ -176,3 +176,14 @@ def test_uv_approx_stream_bounded_by_exact(spark, sf_dir):
     assert set(approx) == set(exact)
     for w, est in approx.items():
         assert abs(est - exact[w]) <= max(0.15 * exact[w], 3)
+
+
+def test_pii_scrub_stream_equals_batch_and_oracle(spark, sf_dir):
+    """Stateless append-mode transform: every input row is emitted
+    exactly once with the same scrub as the batch operator."""
+    from flink_project_userbehavioranalysis_spark.operators import llm_text as TXT
+
+    stream = W.pii_scrub_stream(spark, sf_dir)
+    assert_matches_oracle(stream, TXT.PII_SCRUB_SQL, sf_dir)
+    batch = {tuple(r) for r in TXT.pii_scrub(spark, sf_dir).collect()}
+    assert {tuple(r) for r in stream.collect()} == batch
