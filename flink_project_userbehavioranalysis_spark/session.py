@@ -3,9 +3,11 @@
 Every config here exists for a reason that survives the jump from
 local[32] to a 1000-executor cluster:
 
-- ``nanosAsLong``: the driver's events.parquet stores TIMESTAMP(NANOS),
-  which Spark's vectorized parquet reader rejects by default. We read
-  the raw int96-free nanos as BIGINT and cast once at ingest (io.py).
+- ``nanosAsLong``: early testdata generations stored events.ts as
+  TIMESTAMP(NANOS), which Spark's vectorized parquet reader rejects by
+  default; the flag reads those nanos as BIGINT (a no-op for the newer
+  timestamp[us] generation). io.normalize_events adapts to whichever
+  the scan yields.
 - ``session.timeZone=UTC``: all event time is epoch-based; UTC on both
   Spark and the DuckDB oracle removes a whole class of off-by-tz bugs.
 - AQE on: runtime coalescing of small shuffle partitions and skew-join
