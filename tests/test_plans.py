@@ -123,3 +123,28 @@ def test_no_python_udfs_in_relational_paths(spark, sf_dir):
         R.user_sessions(spark, sf_dir),
     ]:
         assert "BatchEvalPython" not in _plan(df)
+
+
+def test_pii_scrub_is_map_only(spark, sf_dir):
+    """The scrub must stay a single map stage: no Exchange, no Python,
+    and only the two needed physical columns read from parquet."""
+    from flink_project_userbehavioranalysis_spark.operators import llm_text as TXT
+
+    plan = _plan(TXT.pii_scrub(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "props" in read_schema and "value" not in read_schema and "ts" not in read_schema
+
+
+def test_vocab_coverage_broadcasts_vocab(spark, sf_dir):
+    """The top-K vocabulary is bounded by construction, so the coverage
+    join must be a BroadcastHashJoin — the corpus side never shuffles
+    on token."""
+    from flink_project_userbehavioranalysis_spark.operators import llm_text as TXT
+
+    df = TXT.vocab_coverage(spark, sf_dir)
+    df.collect()  # finalize AQE
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
