@@ -57,6 +57,10 @@ QUERIES = [
     "simhash64",
     "ann_lsh_topk",
     "cosine_dup_pairs_lsh",
+    "pii_scrub",
+    "vocab_coverage",
+    "embedding_centroids",
+    "quantize_embeddings",
 ]
 
 
