@@ -201,6 +201,8 @@ def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str
         "vocab_coverage": (_text.vocab_coverage, _text.vocab_coverage_oracle_sql()),
         # §2.10 per-label embedding centroids (partial-agg vector mean)
         "embedding_centroids": (_emb.embedding_centroids, _emb.EMBEDDING_CENTROIDS_SQL),
+        # §2.10 docs↔embeddings join edge (per-language centroids)
+        "lang_centroids": (_emb.lang_centroids, _emb.LANG_CENTROIDS_SQL),
         # §2.10 symmetric int8 quantization (map-only, integer checksums)
         "quantize_embeddings": (_emb.quantize_embeddings, _emb.QUANTIZE_EMBEDDINGS_SQL),
         # §2.10 multimodal: binary payload feature-extract via mapInPandas

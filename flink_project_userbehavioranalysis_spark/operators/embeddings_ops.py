@@ -27,34 +27,38 @@ from flink_project_userbehavioranalysis_spark.io import load_table
 # ------------------------------------------------------- label centroids
 
 
-def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Element-wise mean embedding per label + member count.
-
-    Dataflow: posexplode to (label, dim, value) → ONE partial-aggregated
-    shuffle on (label, dim) → re-assemble the vector with a deterministic
-    array_sort(collect_list(struct(dim, avg))) per label. Components are
-    rounded to 9 dp before assembly so double summation order (which
-    differs between Spark's two-phase aggregation and the oracle's
-    single pass) cannot leak into the value hash.
-
-    Output: label, n_vecs, centroid (array<double>, 9 dp).
-    """
-    emb = load_table(spark, sf_dir, "embeddings")
+def _centroids_by(keyed: DataFrame, key: str) -> DataFrame:
+    """Element-wise mean of ``embedding`` per ``key`` column + member
+    count. Dataflow: posexplode to (key, dim, value) → ONE
+    partial-aggregated shuffle on (key, dim) → re-assemble the vector
+    with a deterministic array_sort(collect_list(struct(dim, avg))) per
+    key. Components are rounded to 9 dp before assembly so double
+    summation order (which differs between Spark's two-phase
+    aggregation and the oracle's single pass) cannot leak into the
+    value hash."""
     per_dim = (
-        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
-        .groupBy("label", "dim")
+        keyed.select(key, F.posexplode("embedding").alias("dim", "v"))
+        .groupBy(key, "dim")
         .agg(F.round(F.avg("v"), 9).alias("c"), F.count("*").alias("n"))
     )
     return (
-        per_dim.groupBy("label")
+        per_dim.groupBy(key)
         .agg(
             F.max("n").alias("n_vecs"),
             F.transform(
                 F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
             ).alias("centroid"),
         )
-        .select("label", "n_vecs", "centroid")
+        .select(key, "n_vecs", "centroid")
     )
+
+
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise mean embedding per label + member count.
+
+    Output: label, n_vecs, centroid (array<double>, 9 dp).
+    """
+    return _centroids_by(load_table(spark, sf_dir, "embeddings"), "label")
 
 
 EMBEDDING_CENTROIDS_SQL = """
@@ -130,4 +134,45 @@ SELECT vec_id, round(scale, 9) AS scale,
        CAST(list_sum(qv) AS BIGINT) AS sum_q,
        CAST(len(list_filter(qv, x -> abs(x) = 127)) AS INTEGER) AS n_sat
 FROM q
+"""
+
+
+# ------------------------------------------------- doc-joined centroids
+
+
+def lang_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language centroids of the document embeddings — the
+    documents↔embeddings join edge: attribute each vector to its
+    document's language (vec_id = doc_id where both exist), then the
+    same partial-aggregated vector mean as ``embedding_centroids``.
+
+    Scale shape: ONE equi-shuffle join on the id (both sides narrow —
+    (id, lang) vs (id, vector); Catalyst broadcasts the dim side when
+    it fits, shuffles otherwise) followed by the (lang, dim)
+    partial-aggregated mean. No vector ever reaches the driver.
+
+    Output: lang, n_vecs, centroid (array<double>, 9 dp).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    keyed = emb.join(docs, emb.vec_id == docs.doc_id).select("lang", "embedding")
+    return _centroids_by(keyed, "lang")
+
+
+LANG_CENTROIDS_SQL = """
+WITH keyed AS (
+    SELECT d.lang AS lang, e.embedding AS embedding
+    FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+), ex AS (
+    SELECT lang,
+           generate_subscripts(embedding, 1) - 1 AS dim,
+           unnest(embedding) AS v
+    FROM keyed
+), per_dim AS (
+    SELECT lang, dim, round(avg(v), 9) AS c, count(*) AS n
+    FROM ex GROUP BY 1, 2
+)
+SELECT lang, CAST(max(n) AS BIGINT) AS n_vecs,
+       list(c ORDER BY dim) AS centroid
+FROM per_dim GROUP BY 1
 """

@@ -102,6 +102,7 @@ OPERATORS = [
     TXT.vocab_coverage,
     EMB.embedding_centroids,
     EMB.quantize_embeddings,
+    EMB.lang_centroids,
 ]
 
 
