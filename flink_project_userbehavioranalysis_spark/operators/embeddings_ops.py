@@ -94,23 +94,39 @@ def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-half behavior of Spark (HALF_UP) and DuckDB (ties away from
     zero) only meets a tie on a measure-zero set of float inputs.
 
-    Per-row map, zero shuffle, whole-stage codegen end to end.
+    Per-row map, zero shuffle, whole-stage codegen end to end. The
+    scale and quantized array are STAGED through explicit projections:
+    referencing the scalar ``scale`` expression inside an array lambda
+    would inline it per element (Catalyst does not CSE into lambda
+    bodies), turning the O(d) row into O(d²) recomputation of the max
+    — staged columns are evaluated once per row.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    maxabs = F.array_max(F.transform("embedding", lambda x: F.abs(x)))
-    scale = F.lit(127.0) / maxabs
-    q = F.transform(
-        "embedding",
-        lambda x: F.least(
-            F.greatest(F.round(x * scale), F.lit(-127.0)), F.lit(127.0)
-        ).cast("long"),
+    staged = (
+        emb.select(
+            "vec_id",
+            "embedding",
+            F.array_max(F.transform("embedding", lambda x: F.abs(x))).alias("maxabs"),
+        )
+        .filter(F.col("maxabs") > 0)
+        .select("vec_id", "embedding", (F.lit(127.0) / F.col("maxabs")).alias("scale"))
+        .select(
+            "vec_id",
+            "scale",
+            F.transform(
+                "embedding",
+                lambda x: F.least(
+                    F.greatest(F.round(x * F.col("scale")), F.lit(-127.0)), F.lit(127.0)
+                ).cast("long"),
+            ).alias("q"),
+        )
     )
-    return emb.select(
+    return staged.select(
         "vec_id",
-        F.round(scale, 9).alias("scale"),
-        F.aggregate(q, F.lit(0).cast("long"), lambda acc, x: acc + x).alias("sum_q"),
-        F.size(F.filter(q, lambda x: F.abs(x) == 127)).alias("n_sat"),
-    ).filter(maxabs > 0)
+        F.round("scale", 9).alias("scale"),
+        F.aggregate("q", F.lit(0).cast("long"), lambda acc, x: acc + x).alias("sum_q"),
+        F.size(F.filter("q", lambda x: F.abs(x) == 127)).alias("n_sat"),
+    )
 
 
 QUANTIZE_EMBEDDINGS_SQL = """
