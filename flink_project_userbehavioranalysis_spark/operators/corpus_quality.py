@@ -63,18 +63,22 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # bigrams: positions 0..size-2 (guard: sequence() descends when
-    # stop < start, so 1-token docs must short-circuit to an empty array)
+    # stop < start, so 1-token docs must short-circuit to an empty
+    # array). The token array is staged as a column — an outer split()
+    # inside the lambda body would be inlined and re-split per position.
+    tcol = F.col("toks")
     bigram_arr = F.when(
-        F.size(toks) >= 2,
+        F.size(tcol) >= 2,
         F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
+            F.sequence(F.lit(0), F.size(tcol) - 2),
             lambda i: F.concat_ws(
-                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+                " ", F.element_at(tcol, i + 1), F.element_at(tcol, i + 2)
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
     bi = (
-        docs.select("doc_id", F.explode(bigram_arr).alias("bigram"))
+        docs.select("doc_id", toks.alias("toks"))
+        .select("doc_id", F.explode(bigram_arr).alias("bigram"))
         .groupBy("doc_id", "bigram")
         .agg(F.count("*").alias("bf"))
         .groupBy("doc_id")
@@ -137,15 +141,17 @@ def contamination_check(
     until the tiny contaminated remainder aggregates.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
+    # token array staged as a column: an outer split() referenced inside
+    # the lambda body would be inlined and re-split per shingle position
+    tcol = F.col("toks")
     shingle_arr = F.when(
-        F.size(toks) >= k,
+        F.size(tcol) >= k,
         F.transform(
-            F.sequence(F.lit(0), F.size(toks) - k),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+            F.sequence(F.lit(0), F.size(tcol) - k),
+            lambda i: F.concat_ws(" ", F.slice(tcol, i + 1, k)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    shingles = docs.select(
+    shingles = docs.select("doc_id", F.split("text", " ").alias("toks")).select(
         "doc_id", F.explode(F.array_distinct(shingle_arr)).alias("shingle")
     )
     bench = (

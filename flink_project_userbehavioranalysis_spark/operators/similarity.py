@@ -33,15 +33,24 @@ from flink_project_userbehavioranalysis_spark.io import load_table
 
 
 def _shingles(df: DataFrame, n: int) -> DataFrame:
-    """(doc_id, shingle) rows: distinct n-word shingles per document."""
-    w = F.split("text", " ")
+    """(doc_id, shingle) rows: distinct n-word shingles per document.
+
+    The split array is STAGED as a projected column before the shingle
+    transform: Catalyst inlines (not CSEs) outer expressions referenced
+    inside array-lambda bodies, so `slice(split(text), i, n)` would
+    re-split the text once per shingle position — O(len²) per doc. A
+    column reference inside the lambda is a row-field read, once per
+    row."""
+    w = F.col("w")
     sh = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
             lambda i: F.array_join(F.slice(w, i, n), " "),
         )
     )
-    return df.select("doc_id", F.explode(sh).alias("shingle"))
+    return df.select("doc_id", F.split("text", " ").alias("w")).select(
+        "doc_id", F.explode(sh).alias("shingle")
+    )
 
 
 # ----------------------------------------------------------- exact kNN (brute)
