@@ -195,6 +195,9 @@ def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str
         # §2.10 greedy token-budget sequence packing (applyInPandas per
         # source; oracle = recursive-CTE replay of the same recurrence)
         "pack_sequences": (_cq.pack_sequences, _cq.pack_sequences_oracle_sql()),
+        # §2.10 composed end-to-end prep: dedup → gates → packing →
+        # per-sequence training manifest, one declarative dataflow
+        "prep_corpus": (_cq.prep_corpus, _cq.prep_corpus_oracle_sql()),
         # §2.10 PII scrubbing (regex digit-run masking + audit counts)
         "pii_scrub": (_text.pii_scrub, _text.PII_SCRUB_SQL),
         # §2.10 tokenizer-vocab coverage (broadcast top-K vocab, OOV rate)

@@ -205,6 +205,13 @@ def pack_sequences(spark: SparkSession, sf_dir: str, budget: int = 256) -> DataF
     docs = load_table(spark, sf_dir, "documents").select(
         "source", "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
     )
+    return _pack_by_source(docs, budget)
+
+
+def _pack_by_source(docs: DataFrame, budget: int) -> DataFrame:
+    """The packing recurrence over any (source, doc_id, n_tokens) frame
+    — shared by ``pack_sequences`` (whole corpus) and ``prep_corpus``
+    (cleaned subset) so both provably run identical semantics."""
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
@@ -242,4 +249,93 @@ WITH RECURSIVE d AS (
     FROM d JOIN packed p ON d.source = p.source AND d.rn = p.rn + 1
 )
 SELECT source, doc_id, n_tokens, seq_id FROM packed
+"""
+
+
+# ----------------------------------------------------- end-to-end corpus prep
+
+
+def prep_corpus(spark: SparkSession, sf_dir: str, budget: int = 256) -> DataFrame:
+    """The WHOLE training-data prep as one dataflow: exact dedup →
+    quality/language gates (``llm_text.clean_corpus_pipeline``) → greedy
+    token-budget packing of the surviving docs → per-sequence manifest.
+    The output is the artifact a pretraining pipeline actually ships: one
+    row per packed training sequence with its source, token fill, and
+    member count.
+
+    Composition stays declarative end to end — Catalyst sees a single
+    plan: scan → dedup exchange → gates → narrow id-join to recover
+    source → applyInPandas packing keyed by source → per-(source, seq)
+    partial-aggregated summary. At 100 TB nothing materializes between
+    stages and the only Python is the per-source two-scalar packing
+    state.
+
+    Output: source, seq_id, n_docs, seq_tokens, first_doc.
+    """
+    from flink_project_userbehavioranalysis_spark.operators.llm_text import (
+        clean_corpus_pipeline,
+    )
+
+    cleaned = clean_corpus_pipeline(spark, sf_dir).select("doc_id", "n_tokens")
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    todo = cleaned.join(src, "doc_id").select("source", "doc_id", "n_tokens")
+    packed = _pack_by_source(todo, budget)
+    return packed.groupBy("source", "seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("seq_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+def prep_corpus_oracle_sql(
+    budget: int = 256,
+    min_tokens: int = 5,
+    max_token_len: int = 25,
+    min_distinct_ratio_pct: int = 20,
+) -> str:
+    return f"""
+WITH RECURSIVE survivors AS (
+    SELECT md5(text) AS text_md5, min(doc_id) AS doc_id
+    FROM documents GROUP BY 1
+), deduped AS (
+    SELECT s.doc_id, d.text
+    FROM survivors s JOIN documents d ON d.doc_id = s.doc_id
+), gated AS (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+           list_max(list_transform(string_split(text, ' '), t -> length(t))) AS max_token_len,
+           CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                WHEN regexp_matches(text, '[àâçéèêëîïôùûü]') THEN 'fr'
+                WHEN regexp_matches(text, '[áéíñóúü¿¡]') THEN 'es'
+                WHEN regexp_matches(text, '[äößü]') THEN 'de'
+                WHEN len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) > 0 THEN 'en'
+                ELSE 'und' END AS pred_lang
+    FROM deduped
+), cleaned AS (
+    SELECT doc_id, n_tokens FROM gated
+    WHERE n_tokens >= {min_tokens}
+      AND max_token_len <= {max_token_len}
+      AND n_distinct_tokens * 100 >= n_tokens * {min_distinct_ratio_pct}
+      AND pred_lang = 'en'
+), d AS (
+    SELECT dd.source, c.doc_id, c.n_tokens,
+           row_number() OVER (PARTITION BY dd.source ORDER BY c.doc_id) AS rn
+    FROM cleaned c JOIN documents dd ON dd.doc_id = c.doc_id
+), packed AS (
+    SELECT source, doc_id, n_tokens, rn,
+           CAST(0 AS BIGINT) AS seq_id, n_tokens AS fill
+    FROM d WHERE rn = 1
+    UNION ALL
+    SELECT d.source, d.doc_id, d.n_tokens, d.rn,
+           CASE WHEN p.fill + d.n_tokens > {budget} THEN p.seq_id + 1
+                ELSE p.seq_id END,
+           CASE WHEN p.fill + d.n_tokens > {budget} THEN d.n_tokens
+                ELSE p.fill + d.n_tokens END
+    FROM d JOIN packed p ON d.source = p.source AND d.rn = p.rn + 1
+)
+SELECT source, seq_id, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+       min(doc_id) AS first_doc
+FROM packed GROUP BY 1, 2
 """

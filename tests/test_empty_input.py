@@ -98,6 +98,7 @@ OPERATORS = [
     CQ.repetition_stats,
     CQ.contamination_check,
     CQ.pack_sequences,
+    CQ.prep_corpus,
     TXT.pii_scrub,
     TXT.vocab_coverage,
     EMB.embedding_centroids,
