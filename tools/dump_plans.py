@@ -116,6 +116,14 @@ EXHIBITS = [
         "corpus explode streams map-side against it and only the doc_id "
         "aggregation shuffles.",
     ),
+    (
+        "prep_corpus",
+        "End-to-end prep (dedup → gates → packing → manifest) as ONE "
+        "Catalyst plan: dedup exchange, codegen'd gates, narrow id-join "
+        "for source, FlatMapGroupsInPandas packing keyed by source, "
+        "partial-aggregated per-sequence summary. Nothing materializes "
+        "between stages; the only Python is the two-scalar packing state.",
+    ),
 ]
 
 
