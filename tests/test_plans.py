@@ -148,3 +148,49 @@ def test_vocab_coverage_broadcasts_vocab(spark, sf_dir):
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_runtime_bloom_filter_join_injects(spark, sf_dir):
+    """Runtime Bloom-filter join pruning — the 100 TB join technique
+    where a selective build side seeds a bloom filter that prunes the
+    probe-side SCAN before the shuffle. Spark gates it on a 10 GB
+    application-side scan (exactly right in production, silent at test
+    scale), so the test lowers the thresholds to prove the engine's
+    plans are eligible: filter-over-join on the key, no expression in
+    the way."""
+    from flink_project_userbehavioranalysis_spark.io import load_table
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        import pyspark.sql.functions as FF
+
+        li = load_table(spark, sf_dir, "lineitem")
+        od = load_table(spark, sf_dir, "orders").filter(
+            FF.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(od, li.l_orderkey == od.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(FF.count("*").alias("n"))
+        )
+        plan = _plan(j)
+        assert "might_contain" in plan and "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
