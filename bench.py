@@ -127,7 +127,12 @@ def main() -> None:
         rows[name] = df.count()
 
     total = round(sum(per_query.values()), 4)
-    result = {
+    # The driver keeps only the LAST 2000 chars of stdout and parses the
+    # final JSON line; r04's line (queries + queries_adj + rows + vs_prev)
+    # overflowed that tail and the driver recorded `parsed: null`. So:
+    # rich detail goes to bench_detail.json (committed, judge-readable),
+    # and stdout gets ONE compact line with just the contract fields.
+    detail = {
         "metric": "warm_query_total",
         "value": total,
         "unit": "sec",
@@ -143,8 +148,8 @@ def main() -> None:
     if prev is not None:
         ppath, pdata = prev
         pq = pdata.get("queries", {})
-        same_sf = pdata.get("sf") == result["sf"]
-        result["vs_prev"] = {
+        same_sf = pdata.get("sf") == detail["sf"]
+        detail["vs_prev"] = {
             "prev_file": os.path.basename(ppath),
             "prev_sf": pdata.get("sf"),
             "prev_total": pdata.get("value"),
@@ -159,7 +164,25 @@ def main() -> None:
             if same_sf
             else {},
         }
-    print(json.dumps(result))
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "bench_detail.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+    compact = {
+        "metric": "warm_query_total",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": detail["sf"],
+        "floor_sec": detail["floor_sec"],
+    }
+    if prev is not None and detail["vs_prev"].get("total_ratio") is not None:
+        compact["vs_prev_total"] = detail["vs_prev"]["total_ratio"]
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) >= 1900:  # never overflow the tail: totals beat detail
+        compact["queries"] = {}
+        compact["queries_in"] = "bench_detail.json"
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -48,7 +48,7 @@ def _keyed_stream(
     spark: SparkSession,
     sf_dir: str,
     types: list[str],
-    n_chunks: int = 8,
+    n_chunks: int = 4,
     watermark: str = "10 minutes",
 ) -> DataFrame:
     """Sentinel-preserving typed event stream for processor input.
@@ -222,7 +222,7 @@ def consecutive_events_func(fail_type: str, gap_s: int):
     return fn
 
 
-def consec_fail_stream(spark: SparkSession, sf_dir: str, n_chunks: int = 8) -> DataFrame:
+def consec_fail_stream(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> DataFrame:
     """ST2 streaming-exact — equals the batch lag() formulation."""
     types = ["view", "click", "purchase", "signup", "error"]
     inp = _keyed_stream(spark, sf_dir, types, n_chunks=n_chunks)
@@ -378,7 +378,7 @@ def threshold_blacklist_func(threshold: int):
 
 
 def blacklist_stream(
-    spark: SparkSession, sf_dir: str, threshold: int = 2, n_chunks: int = 8
+    spark: SparkSession, sf_dir: str, threshold: int = 2, n_chunks: int = 4
 ) -> DataFrame:
     """ST4 streaming-exact fire-once blacklist — key set equals the
     batch HAVING formulation (the batch emits final counts; fire-once

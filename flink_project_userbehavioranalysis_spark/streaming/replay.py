@@ -32,6 +32,11 @@ from flink_project_userbehavioranalysis_spark.io import load_table, normalize_ev
 _CHUNK_CACHE: dict[tuple, str] = {}
 
 SENTINEL_TYPE = "__sentinel__"
+# Width of each micro-batch changelog write in run_update_merge: small
+# enough that the log stays a few files per batch, wide enough that no
+# batch funnels through a single writer task. At cluster scale this maps
+# to the MERGE sink's file-compaction target, not executor count.
+MERGE_SINK_PARTITIONS = 4
 _SENTINEL_GAP_NS = 10 * 365 * 24 * 3600 * 1_000_000_000  # ~10 years
 
 
@@ -128,7 +133,7 @@ def _prepare_chunks(
 def events_stream(
     spark: SparkSession,
     sf_dir: str,
-    n_chunks: int = 8,
+    n_chunks: int = 4,
     sentinel: bool = False,
     watermark: str | None = "10 minutes",
     scramble: bool = False,
@@ -183,13 +188,16 @@ def run_update_merge(
     def merge(batch_df: DataFrame, bid: int) -> None:
         # update mode emits each changed key once per batch; the batch
         # id is the version stamp MERGE would use for ordering. The
-        # changelog rows are aggregate cardinality (windows × keys), so
-        # coalesce keeps the log from exploding into shuffle-partition-
-        # many tiny files per batch — the job a lakehouse MERGE's file
-        # compaction does for real tables.
-        batch_df.coalesce(1).withColumn("_batch_id", F.lit(bid)).write.mode(
-            "append"
-        ).parquet(table_dir)
+        # changelog rows are aggregate cardinality (windows × keys);
+        # hash-partitioning on the merge key to a SMALL fixed width
+        # keeps each batch's write partition-parallel (no single-writer
+        # stage — r4 verdict finding #2's coalesce(1) serialized every
+        # batch through one task) while still bounding the log at a few
+        # files per batch instead of shuffle-partition-many tiny ones —
+        # the compaction job a lakehouse MERGE does for real tables.
+        batch_df.repartition(MERGE_SINK_PARTITIONS, *key_cols).withColumn(
+            "_batch_id", F.lit(bid)
+        ).write.mode("append").parquet(table_dir)
 
     q = (
         stream_df.writeStream.outputMode("update")

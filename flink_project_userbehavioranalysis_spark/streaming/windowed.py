@@ -22,7 +22,7 @@ from flink_project_userbehavioranalysis_spark.streaming.replay import (
 
 
 def pv_hourly_stream(
-    spark: SparkSession, sf_dir: str, event_type: str = "view", n_chunks: int = 8
+    spark: SparkSession, sf_dir: str, event_type: str = "view", n_chunks: int = 4
 ) -> DataFrame:
     """A3 streaming — watermarked tumbling 1 h PV count in update mode
     (reference PageView.scala over a live stream [U]). Late chunks
@@ -37,26 +37,40 @@ def pv_hourly_stream(
     return run_update_merge(counts, ["window_end"], spark)
 
 
-def uv_hourly_stream(
-    spark: SparkSession, sf_dir: str, event_type: str = "view", n_chunks: int = 8
-) -> DataFrame:
-    """A5 streaming — exact windowed UV. Streaming aggs can't do
-    COUNT(DISTINCT), so the exact-at-scale formulation is streaming
-    dropDuplicates on (hour, user) followed by a windowed count — the
-    state-store dedup replaces the reference's per-window Set
-    (UniqueVisitor.scala :: UvCountByWindow [U]) with watermark-evicted
-    keyed state."""
-    ev = events_stream(spark, sf_dir, n_chunks=n_chunks)
+def uv_hourly_dedup_counts(ev: DataFrame) -> DataFrame:
+    """The streaming plan behind :func:`uv_hourly_stream`, exposed so
+    tests can attach their own sink and read state metrics."""
     dedup = (
-        ev.filter(F.col("event_type") == event_type)
-        .withColumn("hour", F.date_trunc("hour", "ts"))
-        .dropDuplicates(["hour", "user_id"])
+        ev.select(F.window("ts", "1 hour").alias("w"), "user_id")
+        .dropDuplicates(["w", "user_id"])
     )
-    counts = (
-        dedup.groupBy(F.window("ts", "1 hour").alias("w"))
+    return (
+        dedup.groupBy("w")
         .agg(F.count("*").alias("uv"))
         .select(F.col("w.end").cast("long").alias("window_end"), "uv")
     )
+
+
+def uv_hourly_stream(
+    spark: SparkSession, sf_dir: str, event_type: str = "view", n_chunks: int = 4
+) -> DataFrame:
+    """A5 streaming — exact windowed UV. Streaming aggs can't do
+    COUNT(DISTINCT), so the exact-at-scale formulation is streaming
+    dropDuplicates on (window, user) followed by a windowed count — the
+    state-store dedup replaces the reference's per-window Set
+    (UniqueVisitor.scala :: UvCountByWindow [U]) with watermark-evicted
+    keyed state.
+
+    The dedup key is the ``window("ts", "1 hour")`` struct, NOT a
+    ``date_trunc``-derived hour: the window column carries event-time
+    metadata, so the dedup state for a (window, user) pair is EVICTED
+    once the watermark passes the window — bounded by (users active per
+    watermark horizon), not by total distinct (hour, user) over the
+    stream's lifetime. A derived plain column would accumulate state
+    forever (r4 verdict finding #1); tests/test_streaming_windowed.py
+    asserts eviction actually happens via stateOperators metrics."""
+    ev = events_stream(spark, sf_dir, n_chunks=n_chunks)
+    counts = uv_hourly_dedup_counts(ev.filter(F.col("event_type") == event_type))
     return run_update_merge(counts, ["window_end"], spark)
 
 
@@ -67,7 +81,7 @@ def hot_items_stream(
     slide: str = "5 minutes",
     n: int = 5,
     event_type: str = "view",
-    n_chunks: int = 8,
+    n_chunks: int = 4,
 ) -> DataFrame:
     """W1/W2 streaming — the flagship Top-N over a live windowed count.
 
@@ -125,7 +139,7 @@ def hot_items_stream(
 
 
 def count_by_channel_stream(
-    spark: SparkSession, sf_dir: str, n_chunks: int = 8
+    spark: SparkSession, sf_dir: str, n_chunks: int = 4
 ) -> DataFrame:
     """A7 streaming — tumbling 1 h counts keyed by (channel, behavior)
     in update mode (reference AppMarketingByChannel.scala ::
@@ -156,7 +170,7 @@ def count_by_channel_stream(
 
 
 def ad_clicks_by_geo_stream(
-    spark: SparkSession, sf_dir: str, n_chunks: int = 8
+    spark: SparkSession, sf_dir: str, n_chunks: int = 4
 ) -> DataFrame:
     """A7-geo streaming — *stream-static join*: the click stream joins
     the static customer→nation→region dim (broadcast per micro-batch;
@@ -196,7 +210,7 @@ def ad_clicks_by_geo_stream(
 
 
 def marketing_total_stream(
-    spark: SparkSession, sf_dir: str, n_chunks: int = 8
+    spark: SparkSession, sf_dir: str, n_chunks: int = 4
 ) -> DataFrame:
     """A8 streaming — global (keyless) sliding 1 h / 15 min count in
     update mode (reference AppMarketing.scala [U] needs a dummy key;
@@ -225,7 +239,7 @@ def marketing_total_stream(
 
 
 def uv_approx_stream(
-    spark: SparkSession, sf_dir: str, event_type: str = "view", n_chunks: int = 8
+    spark: SparkSession, sf_dir: str, event_type: str = "view", n_chunks: int = 4
 ) -> DataFrame:
     """A6 streaming — approximate hourly UV via HLL++
     (`approx_count_distinct`) over a live windowed agg in update mode:
@@ -244,7 +258,7 @@ def uv_approx_stream(
 
 
 def user_sessions_stream(
-    spark: SparkSession, sf_dir: str, gap: str = "30 minutes", n_chunks: int = 8
+    spark: SparkSession, sf_dir: str, gap: str = "30 minutes", n_chunks: int = 4
 ) -> DataFrame:
     """T9 streaming — per-user session windows in **append** mode: a
     session emits exactly once, when the watermark passes its close
@@ -277,7 +291,7 @@ def dedup_events_stream(
     spark: SparkSession,
     sf_dir: str,
     keys: list[str] | None = None,
-    n_chunks: int = 8,
+    n_chunks: int = 4,
     watermark: str = "10 minutes",
 ) -> DataFrame:
     """§2.10 streaming exact dedup: ``dropDuplicatesWithinWatermark``
@@ -296,7 +310,7 @@ def dedup_events_stream(
     return run_append_memory(out, "dedup_events_stream", spark)
 
 
-def hot_pages_stream(spark: SparkSession, sf_dir: str, n_chunks: int = 8) -> DataFrame:
+def hot_pages_stream(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> DataFrame:
     """W2 streaming — Top-N hot pages per 10 min/5 min sliding window
     with late-update overwrite (reference HotPagesNetworkFlow.scala ::
     TopNHotPages MapState-overwrite [U]): the update-mode fold keeps the
@@ -318,7 +332,7 @@ def pv_hourly_late_observed(
     spark: SparkSession,
     sf_dir: str,
     event_type: str = "view",
-    n_chunks: int = 8,
+    n_chunks: int = 4,
     watermark: str = "10 minutes",
 ):
     """T7 — late-data observability. The reference routes late rows to
@@ -364,7 +378,7 @@ def pv_hourly_append(
     spark: SparkSession,
     sf_dir: str,
     event_type: str = "view",
-    n_chunks: int = 8,
+    n_chunks: int = 4,
     watermark: str = "10 minutes",
 ):
     """A3 in **append** mode: windows emit exactly once, when the

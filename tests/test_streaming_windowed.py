@@ -77,6 +77,71 @@ def test_merge_sink_plan_is_distributed(spark, sf_dir):
     assert "LocalTableScan" not in plan and "Scan ExistingRDD" not in plan
 
 
+def test_uv_dedup_state_is_evicted(spark, sf_dir):
+    """r4 verdict #1 regression gate: the exact-UV dedup keys on the
+    event-time ``window`` column, so the state store EVICTS (window,
+    user) pairs once the watermark passes the window — state stays
+    bounded by the watermark horizon instead of growing with total
+    distinct (hour, user) over the stream's lifetime."""
+    from flink_project_userbehavioranalysis_spark.streaming.replay import events_stream
+
+    ev = events_stream(spark, sf_dir, n_chunks=8).filter(F.col("event_type") == "view")
+    q = (
+        W.uv_hourly_dedup_counts(ev)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("uv_state_gate")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    totals, removed = [], 0
+    for prog in q.recentProgress:
+        for op in prog["stateOperators"]:
+            if op["operatorName"] == "dedupe":
+                totals.append(op["numRowsTotal"])
+                removed += op.get("numRowsRemoved", 0)
+    total_pairs = (
+        NF.uv_hourly(spark, sf_dir).agg(F.sum("uv")).collect()[0][0]
+    )  # cumulative distinct (hour, user) = what unbounded state would hold
+    assert removed > 0, "dedup state was never evicted"
+    assert max(totals) < total_pairs, (
+        f"dedup state ({max(totals)}) holds the full pair history ({total_pairs})"
+    )
+
+
+def test_merge_sink_write_is_parallel(spark, sf_dir, tmp_path):
+    """r4 verdict #2 regression gate: each micro-batch changelog write
+    is hash-partitioned on the merge key to MERGE_SINK_PARTITIONS — no
+    batch funnels through a single writer task (the old coalesce(1)),
+    and the compacted result is unchanged."""
+    from flink_project_userbehavioranalysis_spark.streaming.replay import (
+        events_stream,
+        run_update_merge,
+    )
+
+    ev = events_stream(spark, sf_dir, n_chunks=4)
+    counts = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("pv"))
+        .select(F.col("w.end").cast("long").alias("window_end"), "pv")
+    )
+    log_dir = str(tmp_path / "merge_log")
+    out = run_update_merge(counts, ["window_end"], spark, table_dir=log_dir)
+    assert {tuple(r) for r in out.collect()} == {
+        tuple(r) for r in NF.pv_hourly(spark, sf_dir).collect()
+    }
+    files_per_batch = (
+        spark.read.parquet(log_dir)
+        .select("_batch_id", F.input_file_name().alias("f"))
+        .groupBy("_batch_id")
+        .agg(F.countDistinct("f").alias("nf"))
+        .collect()
+    )
+    assert max(r["nf"] for r in files_per_batch) > 1, "single-writer batch detected"
+
+
 def test_dedup_within_watermark_equals_batch_distinct(spark, tmp_path):
     """Streaming dropDuplicatesWithinWatermark == batch distinct when
     duplicates arrive within the watermark horizon of each other: one
