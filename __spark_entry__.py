@@ -276,6 +276,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q(fn):
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             _configure(spark)
+            # share ONE persisted normalized-events scan across the
+            # whole correctness run (keyed per session+dir; no-op after
+            # the first call) — the driver runs 80+ queries serially
+            # against the same dir, and re-normalizing props JSON per
+            # query is the single biggest repeated cost
+            from flink_project_userbehavioranalysis_spark.io import cache_events
+
+            cache_events(spark, sf_dir)
             return fn(spark, sf_dir)
 
         return wrapped

@@ -111,10 +111,13 @@ def normalize_events(raw: DataFrame) -> DataFrame:
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with event-time normalized to TimestampType.
 
-    Columns out: event_id, ts (timestamp, µs precision), ts_ns (original
-    BIGINT nanos), user_id, event_type, value, props (raw JSON string),
-    item_id (INT, parsed from props.k — the reference's itemId analog,
-    FIXTURES.md §B).
+    Columns out: event_id, ts (timestamp, µs precision), ts_ns (BIGINT
+    nanos — NOTE: µs-grain when the testdata generation ships native
+    timestamp[us]; it is then derived as unix_micros×1000, so the last
+    three digits are always 0 and ns-level tie-breaks must not rely on
+    sub-µs resolution), user_id, event_type, value, props (raw JSON
+    string), item_id (INT, parsed from props.k — the reference's itemId
+    analog, FIXTURES.md §B).
     """
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
     if key in _EVENTS_CACHE:

@@ -32,14 +32,31 @@ def _centroids_by(keyed: DataFrame, key: str) -> DataFrame:
     count. Dataflow: posexplode to (key, dim, value) → ONE
     partial-aggregated shuffle on (key, dim) → re-assemble the vector
     with a deterministic array_sort(collect_list(struct(dim, avg))) per
-    key. Components are rounded to 9 dp before assembly so double
-    summation order (which differs between Spark's two-phase
-    aggregation and the oracle's single pass) cannot leak into the
-    value hash."""
+    key.
+
+    The mean is computed as an exact DECIMAL(38,12) sum divided once in
+    double, NOT a float avg: decimal addition is associative, so the
+    result is independent of summation order — Spark's two-phase
+    partial aggregation and the oracle's single pass produce the
+    bit-identical sum by construction (a float avg rounded to 9 dp only
+    made an order flip *unlikely*; r4 advice flagged the residual
+    boundary risk). The float→decimal cast itself is order-free and
+    tie-free at scale 12 (no double is exactly k·10⁻¹² + 5·10⁻¹³ — the
+    denominator has a factor 5¹³, never dyadic), and one double divide
+    + round of identical inputs is deterministic across engines."""
     per_dim = (
         keyed.select(key, F.posexplode("embedding").alias("dim", "v"))
         .groupBy(key, "dim")
-        .agg(F.round(F.avg("v"), 9).alias("c"), F.count("*").alias("n"))
+        .agg(
+            F.sum(F.col("v").cast("decimal(38,12)")).alias("s"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            key,
+            "dim",
+            F.round(F.col("s").cast("double") / F.col("n"), 9).alias("c"),
+            "n",
+        )
     )
     return (
         per_dim.groupBy(key)
@@ -68,7 +85,11 @@ WITH ex AS (
            unnest(embedding) AS v
     FROM embeddings
 ), per_dim AS (
-    SELECT label, dim, round(avg(v), 9) AS c, count(*) AS n
+    -- exact decimal sum + one double divide: order-independent, matches
+    -- Spark's decimal-sum mean bit-for-bit (see _centroids_by docstring)
+    SELECT label, dim,
+           round(CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / count(*), 9) AS c,
+           count(*) AS n
     FROM ex GROUP BY 1, 2
 )
 SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
@@ -185,7 +206,9 @@ WITH keyed AS (
            unnest(embedding) AS v
     FROM keyed
 ), per_dim AS (
-    SELECT lang, dim, round(avg(v), 9) AS c, count(*) AS n
+    SELECT lang, dim,
+           round(CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / count(*), 9) AS c,
+           count(*) AS n
     FROM ex GROUP BY 1, 2
 )
 SELECT lang, CAST(max(n) AS BIGINT) AS n_vecs,

@@ -156,12 +156,31 @@ def lang_id_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", pred.alias("predicted_lang"), F.col("lang").alias("label_lang"))
 
 
-def lang_id_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lang_id_naive_bayes(
+    spark: SparkSession, sf_dir: str, model_join: str = "broadcast"
+) -> DataFrame:
     """Statistical language ID: add-one-smoothed multinomial NB over
     token unigrams, trained on the corpus's own (lang, token) counts.
     Spark-side only (float log-likelihood sums are not reproducible
-    bit-for-bit across engines, so no oracle entry): explode → broadcast
-    join of per-(lang, token) log-probs → per-(doc, lang) sum → argmax."""
+    bit-for-bit across engines, so no oracle entry): explode → join of
+    per-(lang, token) log-probs → per-(doc, lang) sum → argmax.
+
+    ``model_join`` picks how the (lang, token) model meets the corpus:
+
+    - ``"broadcast"`` (default): the model is broadcast — right when
+      the vocabulary is bounded (this corpus; any tokenizer-capped
+      pipeline), because the corpus side never shuffles.
+    - ``"shuffle"``: plain equi-join on (cand_lang, token) — the
+      open-vocabulary 100 TB form (r4 verdict #3): a web-scale unigram
+      model grows with the corpus and cannot live on every executor, so
+      both sides hash-partition on the join key instead. Same rows
+      (tests assert), one extra exchange. Hinted SHUFFLE_HASH so AQE
+      cannot demote it back to a broadcast on the small test corpus —
+      the audit sees the plan the open-vocab deployment would run.
+    """
+    if model_join not in ("broadcast", "shuffle"):
+        raise ValueError(f"model_join must be broadcast|shuffle, got {model_join!r}")
+    wrap = F.broadcast if model_join == "broadcast" else (lambda df: df.hint("shuffle_hash"))
     docs = load_table(spark, sf_dir, "documents")
     toks = _tokens(docs)
     lang_tok = toks.groupBy("lang", "token").agg(F.count("*").alias("c"))
@@ -172,7 +191,7 @@ def lang_id_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = doc_tf.crossJoin(F.broadcast(langs))
     scored = (
         grid.join(
-            F.broadcast(lang_tok.withColumnRenamed("lang", "cand_lang")),
+            wrap(lang_tok.withColumnRenamed("lang", "cand_lang")),
             ["cand_lang", "token"],
             "left",
         )

@@ -344,8 +344,8 @@ def ivf_topk(
     spark: SparkSession,
     sf_dir: str,
     k: int = 5,
-    n_cells: int = 16,
-    n_probe: int = 8,
+    n_cells: int = 32,
+    n_probe: int = 16,
 ) -> DataFrame:
     """Approximate kNN via IVF (inverted-file) coarse quantization —
     the second scale path next to sign-LSH: spherical k-means cells
@@ -354,7 +354,11 @@ def ivf_topk(
     assigned to its nearest cell, and each query probed against only
     its ``n_probe`` nearest cells' inverted lists via an *equi-join on
     cell id* — no cross join; cells are the shuffle keys at 100 TB, and
-    n_probe/n_cells is the recall-vs-cost dial. Candidates are
+    n_probe/n_cells is the recall-vs-cost dial. Defaults (32 cells,
+    probe 16) were swept at sf0.1 (20 k vectors): recall ≥0.86 vs the
+    exact top-5 at every tested SF, and finer cells at the same probed
+    fraction beat 16/8 on BOTH recall and candidate volume (r5 sweep;
+    gated ≥0.85 at sf0.1 in tools/scale_smoke.py). Candidates are
     exact-scored by distributed id-joins back to the embeddings table
     (`_score_candidates`) and ranked identically to `knn_topk` — the
     full corpus is never collected or broadcast anywhere in this path.
@@ -554,27 +558,46 @@ def ngram_jaccard_pairs(
     Output is float-free: (doc_a, doc_b, n_common, n_union).
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingles(docs, shingle_len)
+    # per-doc distinct-shingle count rides ON the exploded rows (size of
+    # the array before explode — free), so the join sides carry (doc,
+    # size, shingle) and Jaccard needs NO separate sizes aggregation and
+    # NO post-joins: r4's shape computed the shingle explode three times
+    # (sizes agg + two join sides) and re-attached sizes with two extra
+    # joins — the r5 rewrite is one explode feeding a self-join whose
+    # group-by keys already hold both sizes (sa/sb are functionally
+    # dependent on doc_a/doc_b, so the grouping is unchanged).
+    w = F.col("w")
+    sh_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(w) - (shingle_len - 1), F.lit(1))),
+            lambda i: F.array_join(F.slice(w, i, shingle_len), " "),
+        )
+    )
+    sh = (
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .select("doc_id", sh_arr.alias("shs"))
+        .select("doc_id", F.size("shs").alias("n_sh"), F.explode("shs").alias("shingle"))
+    )
     if stop_shingle_df_cap is not None:
+        # capping shrinks each doc's shingle universe, so sizes must be
+        # recounted AFTER the anti-join — the carried pre-cap n_sh is
+        # only valid on the uncapped path
         stop = (
             sh.groupBy("shingle")
             .agg(F.count("*").alias("df"))
             .filter(F.col("df") > stop_shingle_df_cap)
             .select("shingle")
         )
-        sh = sh.join(F.broadcast(stop), "shingle", "left_anti")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    common = (
+        capped = sh.drop("n_sh").join(F.broadcast(stop), "shingle", "left_anti")
+        sizes = capped.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+        sh = capped.join(F.broadcast(sizes), "doc_id")
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("sa"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("sb"), "shingle")
+    return (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "sa", "sb")
         .agg(F.count("*").alias("n_common"))
-    )
-    return (
-        common.join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "sa")), "doc_a")
-        .join(F.broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "sb")), "doc_b")
         .withColumn("n_union", F.col("sa") + F.col("sb") - F.col("n_common"))
         .filter(F.col("n_common") / F.col("n_union") >= threshold)
         .select("doc_a", "doc_b", "n_common", "n_union")

@@ -21,14 +21,27 @@ def test_centroid_shape_and_counts(spark, sf_dir):
 
 
 def test_quantize_saturates_max_component(spark, sf_dir):
+    # derive the dim bound from the data, not a literal: testdata is
+    # regenerated between rounds and the embedding width is not pinned
+    # (test_testdata_schema deliberately avoids it), so a hard-coded 64
+    # would fail a width change with a confusing bound error
+    import os
+
+    import pyarrow.parquet as pq
+
+    dim = len(
+        pq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+        )["embedding"][0]
+    )
     rows = EMB.quantize_embeddings(spark, sf_dir).collect()
     assert rows, "non-empty corpus must quantize"
     for r in rows:
         # the max-|x| component maps to exactly ±127 ⇒ at least one
-        # saturated entry per vector, and the sum is bounded by n*127
+        # saturated entry per vector, and the sum is bounded by dim*127
         assert r["n_sat"] >= 1
         assert r["scale"] > 0
-        assert abs(r["sum_q"]) <= 127 * 64
+        assert abs(r["sum_q"]) <= 127 * dim
 
 
 def test_quantize_plan_is_map_only(spark, sf_dir):

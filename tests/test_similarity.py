@@ -63,12 +63,14 @@ def test_ann_lsh_recall(spark, sf_dir):
 
 
 def test_ivf_topk_recall(spark, sf_dir):
-    """IVF inverted-list kNN: ≥75% of exact top-5 edges at the default
-    probe width, candidates from a cell equi-join (no cross join)."""
+    """IVF inverted-list kNN: ≥80% of exact top-5 edges at the default
+    probe width (measured 0.86-0.87 at sf0.001/0.01/0.1 with the
+    32-cell/16-probe defaults), candidates from a cell equi-join (no
+    cross join). The sf0.1 gate lives in tools/scale_smoke.py."""
     exact = {(r[0], r[1]) for r in S.knn_topk(spark, sf_dir).collect()}
     ivf_df = S.ivf_topk(spark, sf_dir)
     ivf = {(r[0], r[1]) for r in ivf_df.collect()}
-    assert len(ivf & exact) / len(exact) >= 0.75
+    assert len(ivf & exact) / len(exact) >= 0.8
     plan = ivf_df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
 

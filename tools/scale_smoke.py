@@ -173,7 +173,19 @@ def main() -> None:
             "rows_ratio": round(rows_x, 1),
         }
         print(f"{name:<28}{t_base*1000:>10.1f}{t_scale*1000:>10.1f}{ratio:>8.2f}{rows_x:>8.1f}")
-    print(json.dumps({"factor": factor, "results": results}))
+
+    # ANN recall gate at sf0.1 (r5): the band/probe defaults must hold
+    # at 20k vectors, not just the sf0.01 pytest corpus — recall ≥0.85
+    # vs the exact top-5 for both scale paths.
+    exact = {(r[0], r[1]) for r in qs["knn_topk"](spark, BASE).collect()}
+    recalls = {}
+    for name in ("ann_lsh_topk", "ivf_topk"):
+        got = {(r[0], r[1]) for r in qs[name](spark, BASE).collect()}
+        recalls[name] = round(len(got & exact) / len(exact), 4)
+    print(f"ANN recall @ sf0.1: {recalls}")
+    assert min(recalls.values()) >= 0.85, f"ANN recall below 0.85 at sf0.1: {recalls}"
+
+    print(json.dumps({"factor": factor, "results": results, "ann_recall_sf01": recalls}))
 
 
 if __name__ == "__main__":
