@@ -88,7 +88,7 @@ WITH ex AS (
     -- exact decimal sum + one double divide: order-independent, matches
     -- Spark's decimal-sum mean bit-for-bit (see _centroids_by docstring)
     SELECT label, dim,
-           round(CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / count(*), 9) AS c,
+           round(CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 9) AS c,
            count(*) AS n
     FROM ex GROUP BY 1, 2
 )
@@ -207,7 +207,7 @@ WITH keyed AS (
     FROM keyed
 ), per_dim AS (
     SELECT lang, dim,
-           round(CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / count(*), 9) AS c,
+           round(CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 9) AS c,
            count(*) AS n
     FROM ex GROUP BY 1, 2
 )
