@@ -20,6 +20,7 @@ event_type matches no real type, so existing filters already do).
 
 from __future__ import annotations
 
+import contextlib
 import os
 import tempfile
 
@@ -37,6 +38,32 @@ SENTINEL_TYPE = "__sentinel__"
 # batch funnels through a single writer task. At cluster scale this maps
 # to the MERGE sink's file-compaction target, not executor count.
 MERGE_SINK_PARTITIONS = 4
+
+# State partitions for the REPLAY harness's streaming queries. Streaming
+# state operators schedule (shuffle partitions × stateful operators)
+# state-store tasks per micro-batch with NO AQE coalescing, so a replay
+# micro-batch holding a few thousand rows wants a handful of partitions,
+# not the session's batch-sized 32/200 (measured on the stream-stream
+# join at sf0.01: 32→8 partitions = 18.4 s → 6.9 s, identical rows —
+# task scheduling and state-store commits, not data, dominate). This is
+# a deployment dial, not semantics: every streaming transform here is
+# partition-count-invariant, and a production job sizes it to
+# keys/executors via the env override.
+STREAM_PARTITIONS_ENV = "SPARK_GRAFT_STREAM_PARTITIONS"
+
+
+@contextlib.contextmanager
+def stream_shuffle_partitions(spark: SparkSession):
+    """Temporarily right-size ``spark.sql.shuffle.partitions`` for one
+    replay streaming query (read at query start; restored after the
+    run so batch queries keep the session's setting)."""
+    n = os.environ.get(STREAM_PARTITIONS_ENV, "8")
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n)
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 _SENTINEL_GAP_NS = 10 * 365 * 24 * 3600 * 1_000_000_000  # ~10 years
 
 
@@ -199,13 +226,14 @@ def run_update_merge(
             "_batch_id", F.lit(bid)
         ).write.mode("append").parquet(table_dir)
 
-    q = (
-        stream_df.writeStream.outputMode("update")
-        .foreachBatch(merge)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_partitions(spark):
+        q = (
+            stream_df.writeStream.outputMode("update")
+            .foreachBatch(merge)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     if not any(f.endswith(".parquet") for f in os.listdir(table_dir)):
         return spark.createDataFrame([], schema=stream_df.schema)
     log = spark.read.parquet(table_dir)
@@ -233,13 +261,14 @@ def run_update_collect(
         for r in batch_df.collect():
             acc[tuple(r[c] for c in key_cols)] = r
 
-    q = (
-        stream_df.writeStream.outputMode("update")
-        .foreachBatch(fold)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_partitions(spark):
+        q = (
+            stream_df.writeStream.outputMode("update")
+            .foreachBatch(fold)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     rows = list(acc.values())
     return spark.createDataFrame(rows, schema=stream_df.schema)
 
@@ -254,12 +283,13 @@ def run_append_memory(stream_df: DataFrame, name: str, spark: SparkSession) -> D
     watermark are withheld, which tests assert explicitly)."""
     _NAME_SEQ[0] += 1
     name = f"{name}_{_NAME_SEQ[0]}"  # unique per run within a session
-    q = (
-        stream_df.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_partitions(spark):
+        q = (
+            stream_df.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)

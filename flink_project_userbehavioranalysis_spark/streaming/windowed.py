@@ -359,14 +359,15 @@ def pv_hourly_late_observed(
 
     _r._NAME_SEQ[0] += 1
     name = f"pv_late_{_r._NAME_SEQ[0]}"
-    q = (
-        counts.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _r.stream_shuffle_partitions(spark):
+        q = (
+            counts.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     dropped = 0
     for prog in q.recentProgress:
         for op in prog["stateOperators"]:
