@@ -140,6 +140,10 @@ def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str
         ),
         # §2.10 token-entropy quality signal (repetition/boilerplate)
         "doc_entropy": (_text.doc_entropy, _text.DOC_ENTROPY_SQL),
+        # §2.10 passage-level dedup scrub (RefinedWeb/C4 line-wise dedup)
+        "passage_scrub": (_text.passage_scrub, _text.passage_scrub_oracle_sql()),
+        # §2.10 unigram-LM surprisal (CCNet/Gopher perplexity filter)
+        "unigram_surprisal": (_text.unigram_surprisal, _text.UNIGRAM_SURPRISAL_SQL),
         # §2.10 similarity search: exact cosine top-k (brute baseline)
         "knn_topk": (_sim.knn_topk, _sim.knn_topk_oracle_sql()),
         # §2.10 ANN scale paths (probabilistic candidates — rows-only):

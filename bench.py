@@ -149,14 +149,22 @@ def main() -> None:
         ppath, pdata = prev
         pq = pdata.get("queries", {})
         same_sf = pdata.get("sf") == detail["sf"]
+        # Compare over the INTERSECTION of query sets: the headline set
+        # grows round over round, so a whole-total ratio would read new
+        # coverage as a regression (r05 vs r02 showed 1.14x while every
+        # overlapping query was flat or faster).
+        common = [k for k in per_query if pq.get(k)]
+        cur_common = sum(per_query[k] for k in common)
+        prev_common = sum(pq[k] for k in common)
         detail["vs_prev"] = {
             "prev_file": os.path.basename(ppath),
             "prev_sf": pdata.get("sf"),
             "prev_total": pdata.get("value"),
+            "common_queries": len(common),
             # ratios only make sense at the same scale factor; ±2x
             # session noise on sub-50 ms queries is expected (see notes)
-            "total_ratio": round(total / pdata["value"], 3)
-            if same_sf and pdata.get("value")
+            "total_ratio": round(cur_common / prev_common, 3)
+            if same_sf and prev_common
             else None,
             "query_ratio": {
                 k: round(v / pq[k], 2) for k, v in per_query.items() if pq.get(k)

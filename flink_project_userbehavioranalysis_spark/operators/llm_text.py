@@ -575,3 +575,143 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
        CAST(count(*) FILTER (token IN (SELECT token FROM vocab)) AS BIGINT) AS n_in_vocab
 FROM toks GROUP BY 1
 """
+
+
+# ------------------------------------------------- passage-level dedup scrub
+
+
+def passage_scrub(
+    spark: SparkSession, sf_dir: str, passage_len: int = 4, max_copies: int = 1
+) -> DataFrame:
+    """Cross-corpus passage-level dedup scrub (RefinedWeb/C4-style
+    line-wise dedup, SURVEY §2.10): split every document into
+    fixed-length token passages, count each passage's corpus-wide
+    frequency, drop passages that appear more than ``max_copies``
+    times anywhere in the corpus, and reassemble the surviving text in
+    original order.
+
+    Scale shape: the frequency pass is ONE partial-aggregated shuffle
+    on md5(passage) (narrow 32-char key, never the raw passage text);
+    the scrub is an equi-join on the same key followed by a doc_id
+    shuffle for ordered reassembly. No all-pairs stage anywhere — at
+    100 TB this is two shuffles plus a join, all AQE-coalescible.
+
+    Output: (doc_id, clean_text, n_kept, n_removed).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # stage the token array through a projection so the passage lambda
+    # slices a materialized array instead of re-splitting per element
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    n_pass = F.ceil(F.size("toks") / F.lit(float(passage_len))).cast("int")
+    passages = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_pass - F.lit(1)),
+                lambda i: F.array_join(
+                    F.slice(F.col("toks"), i * passage_len + 1, passage_len), " "
+                ),
+            )
+        ).alias("p_idx", "passage"),
+    ).withColumn("p_md5", F.md5(F.col("passage").cast("binary")))
+    freq = passages.groupBy("p_md5").agg(F.count("*").alias("n_copies"))
+    agged = (
+        passages.join(freq, "p_md5")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("p_idx").alias("i"),
+                        (F.col("n_copies") <= max_copies).alias("keep"),
+                        F.col("passage").alias("p"),
+                    )
+                )
+            ).alias("ps")
+        )
+    )
+    kept = F.filter("ps", lambda x: x["keep"])
+    return agged.select(
+        "doc_id",
+        F.array_join(F.transform(kept, lambda x: x["p"]), " ").alias("clean_text"),
+        F.size(kept).cast("long").alias("n_kept"),
+        (F.size("ps") - F.size(kept)).cast("long").alias("n_removed"),
+    )
+
+
+def passage_scrub_oracle_sql(passage_len: int = 4, max_copies: int = 1) -> str:
+    L, M = passage_len, max_copies
+    return f"""
+WITH arr AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), pass AS (
+    SELECT doc_id, i AS p_idx,
+           array_to_string(t[(i*{L}+1):(i*{L}+{L})], ' ') AS passage
+    FROM (SELECT doc_id, t,
+                 unnest(range(0, CAST(ceil(len(t)/{L}.0) AS BIGINT))) AS i
+          FROM arr WHERE len(t) > 0)
+), cnt AS (
+    SELECT passage, count(*) AS n_copies FROM pass GROUP BY 1
+)
+SELECT p.doc_id,
+       coalesce(string_agg(p.passage, ' ' ORDER BY p.p_idx)
+                FILTER (WHERE c.n_copies <= {M}), '') AS clean_text,
+       count(*) FILTER (WHERE c.n_copies <= {M}) AS n_kept,
+       count(*) FILTER (WHERE c.n_copies > {M}) AS n_removed
+FROM pass p JOIN cnt c USING (passage)
+GROUP BY p.doc_id
+"""
+
+
+# ----------------------------------------------- unigram LM surprisal filter
+
+
+def unigram_surprisal(
+    spark: SparkSession, sf_dir: str, model_join: str = "broadcast"
+) -> DataFrame:
+    """Per-document mean unigram negative log-likelihood — the
+    CCNet/Gopher-style "perplexity filter" quality signal, with the LM
+    trained on the corpus itself (SURVEY §2.10). Documents whose token
+    mix is improbable under the corpus unigram distribution (high mean
+    surprisal) are outliers/noise; near-duplicate boilerplate scores
+    low. Distinct from doc_entropy: that measures WITHIN-doc token
+    diversity, this measures CROSS-corpus typicality.
+
+    Scale shape: the model is one partial-aggregated token count; the
+    scoring pass re-streams the corpus against it. ``model_join=
+    'broadcast'`` (default) fits bounded vocabularies; pass
+    ``'shuffle'`` for open-vocab corpora — same rows, plain equi-join
+    (the lang_id_naive_bayes pattern). Rounded to 6 dp so both
+    engines' double sums hash identically.
+
+    Output: (doc_id, n_tokens, avg_nll_r6).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    cnt = toks.groupBy("token").agg(F.count("*").alias("c"))
+    total = cnt.agg(F.sum("c").alias("n"))
+    model = cnt.crossJoin(F.broadcast(total))
+    if model_join == "broadcast":
+        model = F.broadcast(model)
+    scored = toks.join(model, "token", "inner")
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg(-F.log(F.col("c") / F.col("n"))), 6).alias("avg_nll_r6"),
+    )
+
+
+UNIGRAM_SURPRISAL_SQL = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), cnt AS (
+    SELECT token, count(*) AS c FROM toks GROUP BY 1
+), tot AS (
+    SELECT sum(c) AS n FROM cnt
+)
+SELECT t.doc_id, count(*) AS n_tokens,
+       round(avg(-ln(CAST(c.c AS DOUBLE) / tot.n)), 6) AS avg_nll_r6
+FROM toks t JOIN cnt c USING (token) CROSS JOIN tot
+GROUP BY t.doc_id
+"""

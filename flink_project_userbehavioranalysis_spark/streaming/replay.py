@@ -44,7 +44,8 @@ MERGE_SINK_PARTITIONS = 4
 # state-store tasks per micro-batch with NO AQE coalescing, so a replay
 # micro-batch holding a few thousand rows wants a handful of partitions,
 # not the session's batch-sized 32/200 (measured on the stream-stream
-# join at sf0.01: 32→8 partitions = 18.4 s → 6.9 s, identical rows —
+# join at sf0.01: 32→8 partitions = 18.4 s → 6.9 s, 8→4 = a further
+# ~25% on the stream-stream join and flat elsewhere, identical rows —
 # task scheduling and state-store commits, not data, dominate). This is
 # a deployment dial, not semantics: every streaming transform here is
 # partition-count-invariant, and a production job sizes it to
@@ -57,7 +58,7 @@ def stream_shuffle_partitions(spark: SparkSession):
     """Temporarily right-size ``spark.sql.shuffle.partitions`` for one
     replay streaming query (read at query start; restored after the
     run so batch queries keep the session's setting)."""
-    n = os.environ.get(STREAM_PARTITIONS_ENV, "8")
+    n = os.environ.get(STREAM_PARTITIONS_ENV, "4")
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", n)
     try:

@@ -162,3 +162,57 @@ def test_vocab_coverage_bounds(spark, sf_dir):
     w = {r["doc_id"]: r["n_in_vocab"] for r in wide.collect()}
     assert b.keys() == w.keys()
     assert all(w[d] >= b[d] for d in b)
+
+
+def test_passage_scrub_oracle(spark, sf_dir):
+    df = llm_text.passage_scrub(spark, sf_dir)
+    assert_matches_oracle(df, llm_text.passage_scrub_oracle_sql(), sf_dir)
+    # the scrub must be non-vacuous: real cross-corpus passage dups exist
+    assert df.filter(F.col("n_removed") > 0).count() > 0
+
+
+def test_passage_scrub_identity_when_unbounded(spark, sf_dir):
+    """With max_copies = corpus size no passage is ever removed, and the
+    ordered reassembly must reproduce every original text verbatim."""
+    from flink_project_userbehavioranalysis_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    big = 1 << 60
+    clean = llm_text.passage_scrub(spark, sf_dir, max_copies=big)
+    joined = clean.join(docs, "doc_id")
+    assert joined.filter(F.col("clean_text") != F.col("text")).count() == 0
+    assert clean.filter(F.col("n_removed") != 0).count() == 0
+
+
+def test_passage_scrub_conservation(spark, sf_dir):
+    """n_kept + n_removed == ceil(n_tokens / passage_len) per doc."""
+    from flink_project_userbehavioranalysis_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.ceil(F.size(F.split("text", " ")) / 4).alias("n_pass")
+    )
+    df = llm_text.passage_scrub(spark, sf_dir).join(docs, "doc_id")
+    bad = df.filter(F.col("n_kept") + F.col("n_removed") != F.col("n_pass"))
+    assert bad.count() == 0
+
+
+def test_unigram_surprisal_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        llm_text.unigram_surprisal(spark, sf_dir), llm_text.UNIGRAM_SURPRISAL_SQL, sf_dir
+    )
+
+
+def test_unigram_surprisal_shuffle_variant_identical(spark, sf_dir):
+    """Open-vocab shuffle-join variant returns the same rows, and its
+    plan actually shuffles the model instead of broadcasting it."""
+    a = llm_text.unigram_surprisal(spark, sf_dir).orderBy("doc_id").collect()
+    shuf = llm_text.unigram_surprisal(spark, sf_dir, model_join="shuffle")
+    b = shuf.orderBy("doc_id").collect()
+    assert a == b
+
+
+def test_unigram_surprisal_positive(spark, sf_dir):
+    """Every token occurs at least once in its own corpus, so p <= 1
+    and mean surprisal is strictly positive on multi-token vocabs."""
+    df = llm_text.unigram_surprisal(spark, sf_dir)
+    assert df.filter(F.col("avg_nll_r6") <= 0).count() == 0
