@@ -150,6 +150,10 @@ def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str
         # banded sign-LSH and IVF coarse-quantizer inverted lists
         "ann_lsh_topk": (_sim.ann_lsh_topk, None),
         "ivf_topk": (_sim.ivf_topk, None),
+        # §2.10 ANN third scale path: IVF-PQ (product-quantized ADC
+        # shortlist + exact re-rank — bounds candidate-SCORING cost, not
+        # just candidate generation; recall gate in test_similarity)
+        "pq_topk": (_sim.pq_topk, None),
         # §2.10 embedding-cosine near-dup pairs
         "cosine_dup_pairs": (_sim.cosine_dup_pairs, _sim.cosine_dup_pairs_oracle_sql()),
         # §2.10 cosine near-dup at unbounded scale (sign-LSH candidates +
