@@ -448,7 +448,7 @@ def pq_topk(
     n_codes: int = 16,
     n_cells: int = 32,
     n_probe: int = 16,
-    shortlist: int = 8,
+    shortlist: int = 16,
 ) -> DataFrame:
     """Approximate kNN via IVF-PQ with exact re-rank — the third scale
     path beside sign-LSH and plain IVF, and the one that bounds the
@@ -481,11 +481,15 @@ def pq_topk(
     the combined broadcast is n_cells·dim + n_codes·dim doubles — KBs.
     No corpus collect/broadcast anywhere (stub-audited in tests); every
     join is an equi-join (cell, then vec ids). Defaults (32 subspaces ×
-    16 codes, shortlist 8) measured 0.848–0.864 recall of the exact
-    top-5 at sf0.001–0.01 vs the 0.862 IVF candidate-set ceiling at the
-    same cells/probes — the SDC shortlist loses ~1% where it buys a 10×
-    narrower candidate shuffle; the re-rank guarantees every *emitted*
-    (query, neighbor, rn) ranking is exact over its shortlist.
+    16 codes, shortlist 16) measured 0.85–0.87 recall of the exact
+    top-5 at sf0.001–0.1 vs the 0.862–0.865 IVF candidate-set ceiling
+    at the same cells/probes — the SDC shortlist loses ~1% where it
+    buys a 10× narrower candidate shuffle. `shortlist` is the
+    recall-vs-rerank-cost dial: inverted lists grow with the corpus
+    while shortlist·k is fixed per query, so larger corpora at the same
+    cell count want a wider shortlist (or, better, more cells). The
+    re-rank guarantees every *emitted* (query, neighbor, rn) ranking is
+    exact over its shortlist.
 
     Output: (query_id, neighbor_id, rn) — same shape as knn_topk.
     """

@@ -179,11 +179,14 @@ def main() -> None:
     # vs the exact top-5 for both scale paths.
     exact = {(r[0], r[1]) for r in qs["knn_topk"](spark, BASE).collect()}
     recalls = {}
-    for name in ("ann_lsh_topk", "ivf_topk"):
+    # pq_topk's SDC shortlist loses ~1% to the IVF candidate ceiling
+    # (0.8515 measured at sf0.1 with shortlist=16) → its own 0.82 gate
+    gates = {"ann_lsh_topk": 0.85, "ivf_topk": 0.85, "pq_topk": 0.82}
+    for name, gate in gates.items():
         got = {(r[0], r[1]) for r in qs[name](spark, BASE).collect()}
         recalls[name] = round(len(got & exact) / len(exact), 4)
+        assert recalls[name] >= gate, f"{name} recall {recalls[name]} < {gate} at sf0.1"
     print(f"ANN recall @ sf0.1: {recalls}")
-    assert min(recalls.values()) >= 0.85, f"ANN recall below 0.85 at sf0.1: {recalls}"
 
     print(json.dumps({"factor": factor, "results": results, "ann_recall_sf01": recalls}))
 
