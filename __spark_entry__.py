@@ -144,6 +144,13 @@ def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str
         "passage_scrub": (_text.passage_scrub, _text.passage_scrub_oracle_sql()),
         # §2.10 unigram-LM surprisal (CCNet/Gopher perplexity filter)
         "unigram_surprisal": (_text.unigram_surprisal, _text.UNIGRAM_SURPRISAL_SQL),
+        # §2.10 deterministic text normalization (pre-dedup canonical form)
+        "normalize_text": (_text.normalize_text, _text.NORMALIZE_TEXT_SQL),
+        # §2.10 token-budget mixture sampling (training-mix quota fill)
+        "source_mix_sample": (
+            _text.source_mix_sample,
+            _text.source_mix_sample_oracle_sql(),
+        ),
         # §2.10 similarity search: exact cosine top-k (brute baseline)
         "knn_topk": (_sim.knn_topk, _sim.knn_topk_oracle_sql()),
         # §2.10 ANN scale paths (probabilistic candidates — rows-only):

