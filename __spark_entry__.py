@@ -151,6 +151,11 @@ def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str
             _text.source_mix_sample,
             _text.source_mix_sample_oracle_sql(),
         ),
+        # §2.10 incremental (ingestion-time) dedup vs an existing corpus
+        "dedup_incremental": (
+            _text.dedup_incremental,
+            _text.dedup_incremental_oracle_sql(),
+        ),
         # §2.10 similarity search: exact cosine top-k (brute baseline)
         "knn_topk": (_sim.knn_topk, _sim.knn_topk_oracle_sql()),
         # §2.10 ANN scale paths (probabilistic candidates — rows-only):

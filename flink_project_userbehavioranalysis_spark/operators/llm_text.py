@@ -849,3 +849,71 @@ SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(cum_tokens AS BIGINT) AS cum_tokens
 FROM c WHERE cum_tokens <= budget
 """
+
+
+# --------------------------------------------------- incremental dedup
+
+
+def dedup_incremental(
+    spark: SparkSession, sf_dir: str, split_id: int = 250
+) -> DataFrame:
+    """Incremental (ingestion-time) exact dedup — the shape a live
+    pipeline actually runs: dedup a NEW batch of documents against an
+    already-ingested corpus without re-deduping the corpus itself.
+    Docs with ``doc_id < split_id`` stand in for the existing corpus,
+    the rest for the incoming batch.
+
+    Keys are *canonical-form fingerprints* — md5 of the sorted distinct
+    token set — not raw-text hashes: ingestion-time dedup must catch
+    re-serialized copies (shuffled or repeated tokens), and on this
+    corpus raw texts are all byte-distinct while ~12% of docs share a
+    token set. Two stages, both on the 32-hex-char key: (1) collapse
+    the batch to one min-id survivor per fingerprint (the same
+    deterministic survivor rule as `dedup_exact_docs`); (2) LEFT ANTI
+    join the survivors against the corpus's fingerprint set. At 100 TB
+    the corpus side is a *fingerprint index* (16-byte keys, no text)
+    maintained as a bucketed table partitioned on the hash — the
+    anti-join then co-locates without a corpus-side shuffle; here both
+    sides shuffle once on the key. Strategy is left to Catalyst/AQE: a
+    small batch against a huge corpus turns the batch side into the
+    broadcast side automatically.
+
+    Output: (doc_id, set_md5, n_batch_copies) — batch docs that are
+    genuinely new, with how many copies the batch itself carried.
+    """
+    fp = F.md5(
+        F.array_join(F.sort_array(F.array_distinct(F.split("text", " "))), " ").cast(
+            "binary"
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", fp.alias("set_md5")
+    )
+    corpus = docs.filter(F.col("doc_id") < split_id).select("set_md5")
+    batch = (
+        docs.filter(F.col("doc_id") >= split_id)
+        .groupBy("set_md5")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_batch_copies"))
+    )
+    return batch.join(corpus, "set_md5", "left_anti").select(
+        "doc_id", "set_md5", "n_batch_copies"
+    )
+
+
+def dedup_incremental_oracle_sql(split_id: int = 250) -> str:
+    return f"""
+WITH d AS (
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+               AS set_md5
+    FROM documents
+), batch AS (
+    SELECT set_md5, min(doc_id) AS doc_id, count(*) AS n_batch_copies
+    FROM d WHERE doc_id >= {split_id} GROUP BY 1
+)
+SELECT b.doc_id, b.set_md5, b.n_batch_copies
+FROM batch b
+WHERE NOT EXISTS (
+    SELECT 1 FROM d c WHERE c.doc_id < {split_id} AND c.set_md5 = b.set_md5
+)
+"""

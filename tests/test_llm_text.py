@@ -269,3 +269,39 @@ def test_source_mix_sample_respects_budgets(spark, sf_dir):
     n_docs = load_table(spark, sf_dir, "documents").count()
     kept = df.count()
     assert 0 < kept < n_docs
+
+
+def test_dedup_incremental_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        llm_text.dedup_incremental(spark, sf_dir),
+        llm_text.dedup_incremental_oracle_sql(),
+        sf_dir,
+    )
+
+
+def test_dedup_incremental_disjoint_from_corpus(spark, sf_dir):
+    """No emitted batch survivor may share a fingerprint with the
+    corpus side, survivors are unique per md5, and the op is
+    non-vacuous (the testdata's duplicate texts span the split)."""
+    from flink_project_userbehavioranalysis_spark.io import load_table
+
+    split = 250
+    df = llm_text.dedup_incremental(spark, sf_dir, split_id=split)
+    corpus_md5 = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < split)
+        .select(
+            F.md5(
+                F.array_join(
+                    F.sort_array(F.array_distinct(F.split("text", " "))), " "
+                ).cast("binary")
+            ).alias("set_md5")
+        )
+    )
+    assert df.join(corpus_md5, "set_md5").count() == 0
+    n = df.count()
+    assert n == df.select("set_md5").distinct().count()
+    n_batch = (
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") >= split).count()
+    )
+    assert 0 < n < n_batch  # some batch docs were dropped as dups
