@@ -874,9 +874,12 @@ def dedup_incremental(
     the corpus side is a *fingerprint index* (16-byte keys, no text)
     maintained as a bucketed table partitioned on the hash — the
     anti-join then co-locates without a corpus-side shuffle; here both
-    sides shuffle once on the key. Strategy is left to Catalyst/AQE: a
-    small batch against a huge corpus turns the batch side into the
-    broadcast side automatically.
+    sides shuffle once on the key. Strategy is left to Catalyst/AQE —
+    LEFT ANTI can only build its right (corpus) side, so AQE broadcasts
+    the fingerprint set while it is small and degrades to a shuffled
+    anti-join on the 32-char keys once the corpus outgrows broadcast
+    (the bucketed-index layout above is what removes even that shuffle
+    at 100 TB).
 
     Output: (doc_id, set_md5, n_batch_copies) — batch docs that are
     genuinely new, with how many copies the batch itself carried.

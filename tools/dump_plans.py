@@ -104,6 +104,37 @@ EXHIBITS = [
         "no cartesian, rank per query_id only.",
     ),
     (
+        "pq_topk",
+        "Similarity search, IVF-PQ scale path: map-only encode to packed "
+        "4-bit codes, cell equi-join whose candidate rows are six int64s "
+        "(both sides ride as codes — 10x narrower than full vectors), "
+        "Arrow-batched symmetric-LUT scoring, then the exact re-rank "
+        "joins full vectors onto only the per-query shortlist. No "
+        "cartesian, no collected corpus.",
+    ),
+    (
+        "normalize_text",
+        "Text normalization: a single map-only WholeStageCodegen stage — "
+        "lower/regexp_replace/trim expressions, zero Exchange. Runs at "
+        "scan speed at any corpus size.",
+    ),
+    (
+        "source_mix_sample",
+        "Token-budget mixture sampling: token counts and hash keys are "
+        "projected map-side, so the single exchange (window partition on "
+        "source) carries (source, hash, ints) — the text column never "
+        "rides the shuffle.",
+    ),
+    (
+        "dedup_incremental",
+        "Ingestion-time dedup: split-id predicates push to both scans, "
+        "batch collapses to min-id survivors per canonical fingerprint "
+        "(partial_min before the exchange), then a LEFT ANTI join against "
+        "the corpus fingerprint set — broadcast while the corpus "
+        "fingerprint index fits (as here), shuffled anti-join on 32-char "
+        "keys beyond that; a bucketed fingerprint index co-locates it.",
+    ),
+    (
         "quantize_embeddings",
         "Int8 quantization: a single map-only WholeStageCodegen stage — "
         "array transform/aggregate expressions, zero Exchange, zero "
