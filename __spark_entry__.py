@@ -299,6 +299,11 @@ def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str
         # semantics ⇒ rows-only; batch-equality on a crafted fixture in
         # tests/test_streaming_windowed.py)
         "dedup_events_stream": (_stw.dedup_events_stream, None),
+        # §2.10 streaming ingestion-time dedup: watermark-bounded
+        # in-stream dedup + stream-static LEFT ANTI probe of the corpus
+        # fingerprint index (rows-only: arrival-order survivor; the
+        # emitted fingerprint SET ≡ batch op is test-asserted)
+        "dedup_incremental_stream": (_stw.dedup_incremental_stream, None),
     }
 
 

@@ -424,3 +424,112 @@ def pii_scrub_stream(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> Dat
 
     ev = events_stream(spark, sf_dir, n_chunks=n_chunks, watermark=None)
     return run_append_memory(pii_scrub_projection(ev), "pii_scrub_stream", spark)
+
+
+_DOC_CHUNK_CACHE: dict[tuple, str] = {}
+
+
+def docs_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    min_doc_id: int = 0,
+    n_chunks: int = 4,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Micro-batch replay of the documents table (doc_id ≥ min_doc_id)
+    as a stream — the ingestion-feed twin of `replay.events_stream`.
+    Documents carry no event time, so one is synthesized as
+    epoch + doc_id seconds (ingestion order = id order, the way a real
+    feed stamps arrival time); chunks are doc_id ranges written in
+    order so the file source replays them as an in-order stream."""
+    import os
+    import tempfile
+
+    from flink_project_userbehavioranalysis_spark.io import load_table
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), min_doc_id, n_chunks)
+    if key not in _DOC_CHUNK_CACHE:
+        out_dir = tempfile.mkdtemp(prefix="ubx-docs-replay-")
+        docs = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") >= min_doc_id
+        )
+        bounds = docs.select(
+            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+        ).collect()[0]
+        lo, hi = bounds["lo"], bounds["hi"]
+        step = max(((hi or 0) - (lo or 0)) // n_chunks + 1, 1)
+        for k in range(n_chunks):
+            chunk = docs.filter(
+                (F.col("doc_id") >= (lo or 0) + k * step)
+                & (F.col("doc_id") < (lo or 0) + (k + 1) * step)
+            )
+            chunk.coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/c{k:03d}")
+        # flatten: the streaming parquet source does NOT recurse into
+        # subdirectories — move each chunk's part file up with ordered
+        # mtimes so maxFilesPerTrigger=1 replays them in doc_id order
+        # (same layout contract as replay._prepare_chunks)
+        flat_dir = tempfile.mkdtemp(prefix="ubx-docs-replay-flat-")
+        idx = 0
+        for sub in sorted(os.listdir(out_dir)):
+            subdir = os.path.join(out_dir, sub)
+            for f in sorted(os.listdir(subdir)):
+                if f.endswith(".parquet"):
+                    dst = os.path.join(flat_dir, f"{idx:03d}.parquet")
+                    os.rename(os.path.join(subdir, f), dst)
+                    os.utime(dst, (1_700_000_000 + idx * 10, 1_700_000_000 + idx * 10))
+                    idx += 1
+        _DOC_CHUNK_CACHE[key] = flat_dir
+    schema = load_table(spark, sf_dir, "documents").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_DOC_CHUNK_CACHE[key])
+    )
+    ts = F.timestamp_seconds(F.col("doc_id"))
+    return raw.withColumn("ts", ts).withWatermark("ts", watermark)
+
+
+def dedup_incremental_stream(
+    spark: SparkSession, sf_dir: str, split_id: int = 250, n_chunks: int = 4
+) -> DataFrame:
+    """§2.10 streaming twin of `llm_text.dedup_incremental` — the
+    ingestion-time dedup as it actually runs in production: a document
+    feed dedups against (a) itself via watermark-bounded
+    ``dropDuplicatesWithinWatermark`` state on the canonical
+    fingerprint, and (b) the already-ingested corpus via a
+    **stream-static LEFT ANTI join** — a stateless per-micro-batch
+    probe of the static fingerprint index (the join mode the batch op's
+    AQE note describes, demonstrated here in its streaming form; no
+    other twin exercises stream-static anti).
+
+    Arrival-order survivor semantics (rows-only registry entry): the
+    emitted fingerprint SET equals the batch operator's exactly —
+    asserted in tests — while which copy survives is first-arrival,
+    as in any real ingestion feed.
+
+    Output: (doc_id, set_md5) of accepted batch docs.
+    """
+    from flink_project_userbehavioranalysis_spark.io import load_table
+    from flink_project_userbehavioranalysis_spark.streaming.replay import (
+        run_append_memory,
+    )
+
+    fp = F.md5(
+        F.array_join(F.sort_array(F.array_distinct(F.split("text", " "))), " ").cast(
+            "binary"
+        )
+    )
+    corpus = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < split_id)
+        .select(fp.alias("set_md5"))
+        .distinct()
+    )
+    st = docs_stream(spark, sf_dir, min_doc_id=split_id, n_chunks=n_chunks)
+    fresh = (
+        st.select("doc_id", "ts", fp.alias("set_md5"))
+        .dropDuplicatesWithinWatermark(["set_md5"])
+        .join(corpus, "set_md5", "left_anti")
+        .select("doc_id", "set_md5")
+    )
+    return run_append_memory(fresh, "dedup_incremental_stream", spark)

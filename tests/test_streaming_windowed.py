@@ -252,3 +252,17 @@ def test_pii_scrub_stream_equals_batch_and_oracle(spark, sf_dir):
     assert_matches_oracle(stream, TXT.PII_SCRUB_SQL, sf_dir)
     batch = {tuple(r) for r in TXT.pii_scrub(spark, sf_dir).collect()}
     assert {tuple(r) for r in stream.collect()} == batch
+
+
+def test_dedup_incremental_stream_matches_batch_fingerprints(spark, sf_dir):
+    """Streaming ingestion dedup (stream-static LEFT ANTI + watermarked
+    in-stream dedup) accepts exactly the batch operator's fingerprint
+    set — one row per accepted fingerprint, none from the corpus side."""
+    from flink_project_userbehavioranalysis_spark.operators import llm_text
+
+    st = W.dedup_incremental_stream(spark, sf_dir)
+    batch = llm_text.dedup_incremental(spark, sf_dir)
+    s = {r["set_md5"] for r in st.collect()}
+    b = {r["set_md5"] for r in batch.collect()}
+    assert s == b
+    assert st.count() == len(s)  # one survivor per fingerprint
