@@ -64,6 +64,12 @@ HEADLINE = [
     "binary_features",
     "pii_scrub",            # map-only regex scrub over the full events scan
     "quantize_embeddings",  # map-only array-expression quantization
+    # r5 additions (one rep per new pillar op)
+    "normalize_text",       # map-only canonical-form pass
+    "source_mix_sample",    # token-budget quota fill (single source-window)
+    "dedup_incremental",    # fingerprint anti-join vs corpus index
+    "passage_scrub",        # passage-frequency scrub + ordered reassembly
+    "unigram_surprisal",    # self-trained unigram-LM scoring pass
 ]
 
 
