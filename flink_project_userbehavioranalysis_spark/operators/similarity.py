@@ -440,6 +440,31 @@ def _pq_codebooks(mat, m_sub: int, n_codes: int, iters: int = 8):
     return np.stack(books)
 
 
+def _pack_codes(codes, m_sub: int):
+    """(B, m_sub) nibble codes → two packed int64 columns (lo=first 16
+    subspaces, hi=rest). Signed-safe: 16 nibbles use all 64 bits, so
+    accumulate in uint64 and view back as int64 for Spark."""
+    import numpy as np
+
+    lo = np.zeros(len(codes), dtype=np.uint64)
+    hi = np.zeros(len(codes), dtype=np.uint64)
+    for m in range(m_sub):
+        tgt, off = (lo, m) if m < 16 else (hi, m - 16)
+        tgt |= codes[:, m].astype(np.uint64) << np.uint64(4 * off)
+    return lo.view(np.int64), hi.view(np.int64)
+
+
+def _unpack_codes(lo, hi, m_sub: int):
+    import numpy as np
+
+    codes = np.empty((len(lo), m_sub), dtype=np.int64)
+    ulo, uhi = lo.view(np.uint64), hi.view(np.uint64)
+    for m in range(m_sub):
+        src, off = (ulo, m) if m < 16 else (uhi, m - 16)
+        codes[:, m] = ((src >> np.uint64(4 * off)) & np.uint64(0xF)).view(np.int64)
+    return codes
+
+
 def pq_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -512,24 +537,8 @@ def pq_topk(
     )
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
-    def _pack(codes):
-        """(B, m_sub) nibble codes → two packed int64 columns (lo=first
-        16 subspaces, hi=rest). Signed-safe: 16 nibbles use all 64 bits,
-        so accumulate in uint64 and view back as int64 for Spark."""
-        lo = np.zeros(len(codes), dtype=np.uint64)
-        hi = np.zeros(len(codes), dtype=np.uint64)
-        for m in range(m_sub):
-            tgt, off = (lo, m) if m < 16 else (hi, m - 16)
-            tgt |= codes[:, m].astype(np.uint64) << np.uint64(4 * off)
-        return lo.view(np.int64), hi.view(np.int64)
-
-    def _unpack(lo, hi):
-        codes = np.empty((len(lo), m_sub), dtype=np.int64)
-        ulo, uhi = lo.view(np.uint64), hi.view(np.uint64)
-        for m in range(m_sub):
-            src, off = (ulo, m) if m < 16 else (uhi, m - 16)
-            codes[:, m] = ((src >> np.uint64(4 * off)) & np.uint64(0xF)).view(np.int64)
-        return codes
+    _pack = lambda codes: _pack_codes(codes, m_sub)  # noqa: E731
+    _unpack = lambda lo, hi: _unpack_codes(lo, hi, m_sub)  # noqa: E731
 
     # encode: one map-only pass → nearest cell + packed PQ codes
     def encode(batches):

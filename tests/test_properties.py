@@ -188,3 +188,69 @@ def test_consec_fail_gap_boundary(spark, tmp_path):
     )
     hits = {r["user_id"] for r in L.consec_fail(spark, d).collect()}
     assert hits == {1}
+
+
+@given(
+    codes=st.lists(
+        st.lists(st.integers(min_value=0, max_value=15), min_size=32, max_size=32),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_pq_code_packing_roundtrip(codes):
+    """The PQ 4-bit code packing into two BIGINTs is lossless for every
+    possible code matrix — including codes that set the sign bit of the
+    packed int64 (all-15 columns in subspaces 15 and 31)."""
+    import numpy as np
+
+    from flink_project_userbehavioranalysis_spark.operators import similarity as S
+
+    arr = np.array(codes, dtype=np.int64)
+    m_sub = arr.shape[1]
+    lo, hi = S._pack_codes(arr, m_sub)
+    out = S._unpack_codes(lo, hi, m_sub)
+    assert (out == arr).all()
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=0, max_codepoint=0x2FF),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_normalize_text_idempotent_and_printable(spark, tmp_path_factory, texts):
+    """normalize_text over adversarial unicode: output is always inside
+    the printable-ASCII + space class with no doubled spaces or edge
+    spaces, and re-normalizing is a no-op (idempotence)."""
+    import pyspark.sql.functions as F
+
+    tmp = str(tmp_path_factory.mktemp("normdocs"))
+    rows = [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+
+    from flink_project_userbehavioranalysis_spark.operators import llm_text
+
+    df = llm_text.normalize_text(spark, tmp)
+    out = df.collect()
+    for r in out:
+        nt = r["norm_text"]
+        assert all(" " <= c <= "~" for c in nt)
+        assert "  " not in nt and nt == nt.strip()
+    again = df.select(
+        "doc_id",
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("norm_text")), "[^ -~]", ""), " +", " "
+            )
+        ).alias("again"),
+        "norm_text",
+    )
+    assert again.filter(F.col("again") != F.col("norm_text")).count() == 0
