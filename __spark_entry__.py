@@ -200,6 +200,12 @@ def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str
         "user_set_ops": (_rel.user_set_ops, _rel.USER_SET_OPS_SQL),
         # T9 session windows
         "user_sessions": (_rel.user_sessions, _rel.user_sessions_oracle_sql()),
+        # §2.7-adjacent behavior analytics: ordered 3-step conversion
+        # funnel with first-touch semantics and a horizon gate
+        "funnel_conversion": (
+            _rel.funnel_conversion,
+            _rel.funnel_conversion_oracle_sql(),
+        ),
         # P5 regex extract/filter family
         "regex_extract_props": (_rel.regex_extract_props, _rel.REGEX_EXTRACT_PROPS_SQL),
         # P6/P7 date parse + format round trip

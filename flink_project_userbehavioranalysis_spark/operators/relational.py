@@ -299,3 +299,99 @@ def value_percentiles_approx(
         F.percentile_approx("value", F.lit(0.5), F.lit(accuracy)).alias("p50"),
         F.percentile_approx("value", F.lit(0.9), F.lit(accuracy)).alias("p90"),
     )
+
+
+# ------------------------------------------------------------ funnel analysis
+
+
+def funnel_conversion(
+    spark: SparkSession, sf_dir: str, horizon_s: int = 86400
+) -> DataFrame:
+    """Ordered 3-step conversion funnel (view → click → purchase) per
+    user — the classic behavior-analytics query over the events table,
+    horizon-anchored at the funnel entry: step k's timestamp is the
+    EARLIEST event of that type strictly after step k-1 AND within
+    ``horizon_s`` of the first view (first-touch semantics; strict >
+    so a simultaneous pair can't satisfy an ordering; the shared
+    anchor makes 'converted within a day' one funnel, not a chain of
+    per-step windows). The 24 h default splits this corpus 150→60→14
+    per 150 view-users at sf0.01 — every stage populated, asserted in
+    tests.
+
+    Scale shape: stage 1 is one partial-aggregated groupBy(user); each
+    later stage is a narrow equi-join on user_id (both sides only
+    (user_id, ts[, anchor])) followed by a re-aggregation — the
+    sequential dependency between steps is inherently iterative, but
+    every iteration shuffles only id+timestamp pairs, never the event
+    payload, and the user key partitions all three stages identically
+    (one co-partitioned chain under AQE). LEFT joins keep every
+    stage-1 user so per-stage drop-off is the row count per `stage`.
+
+    Output: (user_id, t1_s, t2_s, t3_s, stage) — epoch seconds, nulls
+    past the reached stage.
+    """
+    ev = load_events(spark, sf_dir).select("user_id", "event_type", "ts")
+    deadline = F.col("t1") + F.expr(f"INTERVAL {int(horizon_s)} SECOND")
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= deadline))
+        .groupBy("user_id", "t1")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= deadline))
+        .groupBy("user_id", "t2")
+        .agg(F.min("ts").alias("t3"))
+    )
+    out = (
+        t1.join(t2.select("user_id", "t2"), "user_id", "left")
+        .join(t3.select("user_id", "t3"), "user_id", "left")
+    )
+    stage = (
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .otherwise(1)
+    )
+    return out.select(
+        "user_id",
+        F.col("t1").cast("long").alias("t1_s"),
+        F.col("t2").cast("long").alias("t2_s"),
+        F.col("t3").cast("long").alias("t3_s"),
+        stage.alias("stage"),
+    )
+
+
+def funnel_conversion_oracle_sql(horizon_s: int = 86400) -> str:
+    return f"""
+WITH v AS (
+    SELECT user_id, min(ts) AS t1 FROM events
+    WHERE event_type = 'view' GROUP BY 1
+), c AS (
+    SELECT e.user_id, v.t1, min(e.ts) AS t2
+    FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+     AND e.ts <= v.t1 + INTERVAL {int(horizon_s)} SECOND
+    WHERE e.event_type = 'click' GROUP BY 1, 2
+), p AS (
+    SELECT e.user_id, c.t2, min(e.ts) AS t3
+    FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+     AND e.ts <= c.t1 + INTERVAL {int(horizon_s)} SECOND
+    WHERE e.event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT v.user_id,
+       CAST(floor(epoch(v.t1)) AS BIGINT) AS t1_s,
+       CAST(floor(epoch(c.t2)) AS BIGINT) AS t2_s,
+       CAST(floor(epoch(p.t3)) AS BIGINT) AS t3_s,
+       CASE WHEN p.t3 IS NOT NULL THEN 3
+            WHEN c.t2 IS NOT NULL THEN 2 ELSE 1 END AS stage
+FROM v
+LEFT JOIN c ON c.user_id = v.user_id
+LEFT JOIN p ON p.user_id = v.user_id
+"""

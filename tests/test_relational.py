@@ -55,3 +55,34 @@ def test_value_percentiles(spark, sf_dir):
     df = R.value_percentiles(spark, sf_dir)
     assert_matches_oracle(df, R.VALUE_PERCENTILES_SQL, sf_dir)
     assert df.filter(F.col("p90") < F.col("p50")).count() == 0
+
+
+def test_funnel_conversion_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        R.funnel_conversion(spark, sf_dir), R.funnel_conversion_oracle_sql(), sf_dir
+    )
+
+
+def test_funnel_conversion_semantics(spark, sf_dir):
+    """One row per view-user; step times strictly increase and stay
+    inside the horizon anchored at the first view; every stage is
+    populated (genuine drop-off on this corpus at the 24 h default)."""
+    df = R.funnel_conversion(spark, sf_dir)
+    n_view_users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == "view")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert df.count() == n_view_users
+    assert df.filter(F.col("t2_s").isNotNull() & (F.col("t2_s") < F.col("t1_s"))).count() == 0
+    assert df.filter(F.col("t3_s").isNotNull() & (F.col("t3_s") < F.col("t2_s"))).count() == 0
+    assert (
+        df.filter(
+            F.col("t3_s").isNotNull() & (F.col("t3_s") - F.col("t1_s") > 86400 + 1)
+        ).count()
+        == 0
+    )
+    stages = {r["stage"] for r in df.select("stage").distinct().collect()}
+    assert stages == {1, 2, 3}
