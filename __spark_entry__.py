@@ -206,6 +206,8 @@ def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str
             _rel.funnel_conversion,
             _rel.funnel_conversion_oracle_sql(),
         ),
+        # §2.7-adjacent behavior analytics: weekly cohort-retention matrix
+        "cohort_retention": (_rel.cohort_retention, _rel.COHORT_RETENTION_SQL),
         # P5 regex extract/filter family
         "regex_extract_props": (_rel.regex_extract_props, _rel.REGEX_EXTRACT_PROPS_SQL),
         # P6/P7 date parse + format round trip

@@ -395,3 +395,70 @@ FROM v
 LEFT JOIN c ON c.user_id = v.user_id
 LEFT JOIN p ON p.user_id = v.user_id
 """
+
+
+def cohort_retention(
+    spark: SparkSession, sf_dir: str, cohort_event: str = "purchase"
+) -> DataFrame:
+    """Weekly cohort-retention matrix — the second canonical
+    behavior-analytics rollup beside the funnel: users are cohorted by
+    the week of their first ``cohort_event`` (default: first purchase
+    — conversion week), and retention(cohort, k) counts the cohort's
+    users with ANY activity k weeks after it. Weeks are epoch-anchored
+    7-day buckets (floor(epoch/604800) — engine-portable, no locale
+    week rules). Cohorting on first *overall* event is degenerate on
+    dense corpora (every always-on user lands in week 0 — this one
+    included); first-conversion cohorts spread, which is also the
+    product question retention matrices actually answer.
+
+    Scale shape: cohort assignment is one partial-aggregated
+    groupBy(user) over the filtered cohort events; activity is a
+    distinct (user, week) projection; the join attaches each user's
+    narrow cohort row (two BIGINTs) before a (cohort_week, k)
+    count-distinct — at 100 TB the join and both aggs share the
+    user hash partitioning under AQE, and nothing wider than ids and
+    week numbers ever shuffles. Output is the dense observed matrix
+    (rows only where retained > 0), k ≥ 0 (pre-conversion activity is
+    not "retention" and is filtered), with k=0 ≥ cohort size by
+    construction (the conversion week itself is active).
+
+    Output: (cohort_week, k, retained) — all exact integers.
+    """
+    ev = load_events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        F.floor(F.col("ts").cast("long") / F.lit(604800)).alias("week"),
+    )
+    cohort = (
+        ev.filter(F.col("event_type") == cohort_event)
+        .groupBy("user_id")
+        .agg(F.min("week").alias("cohort_week"))
+    )
+    active = ev.select("user_id", "week").distinct()
+    return (
+        active.join(cohort, "user_id")
+        .filter(F.col("week") >= F.col("cohort_week"))
+        .groupBy(
+            "cohort_week", (F.col("week") - F.col("cohort_week")).alias("k")
+        )
+        .agg(F.count_distinct("user_id").alias("retained"))
+    )
+
+
+COHORT_RETENTION_SQL = """
+WITH ev AS (
+    SELECT user_id, event_type,
+           CAST(floor(floor(epoch(ts)) / 604800) AS BIGINT) AS week
+    FROM events
+), cohort AS (
+    SELECT user_id, min(week) AS cohort_week FROM ev
+    WHERE event_type = 'purchase' GROUP BY 1
+), active AS (
+    SELECT DISTINCT user_id, week FROM ev
+)
+SELECT c.cohort_week, a.week - c.cohort_week AS k,
+       count(DISTINCT a.user_id) AS retained
+FROM active a JOIN cohort c USING (user_id)
+WHERE a.week >= c.cohort_week
+GROUP BY 1, 2
+"""

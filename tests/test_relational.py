@@ -86,3 +86,39 @@ def test_funnel_conversion_semantics(spark, sf_dir):
     )
     stages = {r["stage"] for r in df.select("stage").distinct().collect()}
     assert stages == {1, 2, 3}
+
+
+def test_cohort_retention_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        R.cohort_retention(spark, sf_dir), R.COHORT_RETENTION_SQL, sf_dir
+    )
+
+
+def test_cohort_retention_semantics(spark, sf_dir):
+    """k=0 retention per cohort equals the cohort size exactly (the
+    conversion week itself is active), retention never exceeds it at
+    any k, k is never negative, and ≥2 cohorts with ≥2 offsets exist
+    (the matrix is a matrix, not a row)."""
+    df = R.cohort_retention(spark, sf_dir)
+    assert df.filter(F.col("k") < 0).count() == 0
+    base = df.filter(F.col("k") == 0).select(
+        "cohort_week", F.col("retained").alias("size")
+    )
+    from flink_project_userbehavioranalysis_spark.io import load_events
+
+    ev = load_events(spark, sf_dir)
+    sizes = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.floor(F.min(F.col("ts").cast("long")) / 604800).alias("cohort_week"))
+        .groupBy("cohort_week")
+        .count()
+    )
+    mismatch = base.join(sizes, "cohort_week", "full").filter(
+        F.col("size") != F.col("count")
+    )
+    assert mismatch.count() == 0
+    joined = df.join(base, "cohort_week")
+    assert joined.filter(F.col("retained") > F.col("size")).count() == 0
+    assert base.count() >= 2
+    assert df.select("k").distinct().count() >= 2
