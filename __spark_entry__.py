@@ -292,6 +292,9 @@ def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str
         # timers; end-of-input watermark sentinel flushes deadlines).
         # ST5/ST6 CEP create→pay within horizon + timeout side output
         "order_lifecycle_stream": (_stp.order_lifecycle_stream, _stp.order_lifecycle_oracle_sql()),
+        # CEP 3-step funnel (followedBy×2 within horizon) — streaming-
+        # exact: same oracle as the batch funnel_conversion
+        "funnel_stream": (_stp.funnel_stream, _rel.funnel_conversion_oracle_sql()),
         # ST2 streaming-exact consecutive-failure detect
         "consec_fail_stream": (_stp.consec_fail_stream, _login.consec_fail_oracle_sql()),
         # ST7 streaming two-stream reconcile with unmatched side outputs

@@ -408,3 +408,100 @@ WHERE event_type = 'click'
 GROUP BY 1, 2, 3
 HAVING COUNT(*) >= {threshold}
 """
+
+
+# ----------------------------------------------------- CEP multi-step funnel
+
+
+def funnel_func(steps: tuple[str, str, str], horizon_s: int):
+    """CEP 3-step ``a followedBy b followedBy c within(horizon)`` with
+    first-touch semantics — the streaming funnel (batch twin:
+    `relational.funnel_conversion`; the reference's CEP module builds
+    exactly this shape with Pattern.begin.followedBy.within [U]).
+
+    Per key: the anchor t1 is the running MIN step-a time (a late
+    earlier view can only lower it while its timestamp is still above
+    the watermark); step-b/c candidates are buffered. Once the
+    watermark passes t1 + horizon the whole anchored window is below
+    the watermark, every relevant event has provably arrived, and the
+    funnel is decided exactly as the batch operator does (earliest b
+    after t1, earliest c after that, both within the anchored window).
+    A `done` marker survives so stragglers can't re-open a decided
+    funnel; buffers are GC'd to the anchored window (with anchor) or
+    to watermark − horizon (anchorless), which is what bounds state
+    under unbounded input.
+    """
+    h_us = horizon_s * US
+    a, b, c = steps
+
+    def fn(key, pdfs, state: GroupState):
+        done, t1, bs, cs = state.get if state.exists else (False, None, [], [])
+        bs, cs = list(bs), list(cs)
+        batch = None if state.hasTimedOut else _rows(pdfs)
+        if batch is not None and not done:
+            for r in batch.itertuples(index=False):
+                us = int(r.ts_us)
+                if r.event_type == a:
+                    t1 = us if t1 is None else min(t1, us)
+                elif r.event_type == b:
+                    bs.append(us)
+                elif r.event_type == c:
+                    cs.append(us)
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        out = []
+        if not done and t1 is not None and t1 + h_us <= wm_us:
+            w_b = [x for x in bs if t1 < x <= t1 + h_us]
+            t2 = min(w_b) if w_b else None
+            t3 = None
+            if t2 is not None:
+                w_c = [x for x in cs if t2 < x <= t1 + h_us]
+                t3 = min(w_c) if w_c else None
+            stage = 3 if t3 is not None else (2 if t2 is not None else 1)
+            out.append(
+                (
+                    key[0],
+                    t1 // US,
+                    t2 // US if t2 is not None else None,
+                    t3 // US if t3 is not None else None,
+                    stage,
+                )
+            )
+            done, t1, bs, cs = True, None, [], []
+        if done:
+            state.update((True, None, [], []))
+        elif t1 is not None:
+            bs = [x for x in bs if x <= t1 + h_us]
+            cs = [x for x in cs if x <= t1 + h_us]
+            state.update((False, t1, bs, cs))
+            _set_next_timeout(state, [t1 + h_us])
+        else:
+            bs = [x for x in bs if x > wm_us - h_us]
+            cs = [x for x in cs if x > wm_us - h_us]
+            if bs or cs:
+                state.update((False, None, bs, cs))
+            else:
+                state.remove()
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "t1_s", "t2_s", "t3_s", "stage"]
+            )
+
+    return fn
+
+
+def funnel_stream(
+    spark: SparkSession, sf_dir: str, horizon_s: int = 86400, n_chunks: int = 4
+) -> DataFrame:
+    """Streaming-exact conversion funnel — same DuckDB oracle as the
+    batch `funnel_conversion` (the sentinel's MAX_WATERMARK flushes
+    every pending anchor, so finite-input output ≡ batch ≡ oracle)."""
+    inp = _keyed_stream(spark, sf_dir, ["view", "click", "purchase"], n_chunks=n_chunks)
+    out = inp.groupBy("user_id").applyInPandasWithState(
+        funnel_func(("view", "click", "purchase"), horizon_s),
+        outputStructType="user_id BIGINT, t1_s BIGINT, t2_s BIGINT, t3_s BIGINT, stage INT",
+        stateStructType="done BOOLEAN, t1 BIGINT, bs ARRAY<BIGINT>, cs ARRAY<BIGINT>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    name = f"funnel_stream_{abs(hash((sf_dir, n_chunks)))}"
+    return run_append_memory(out, name, spark).filter(F.col("user_id") >= 0)

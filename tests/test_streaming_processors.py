@@ -61,3 +61,17 @@ def test_blacklist_stream_keys_equal_batch(spark, sf_dir):
         for r in M.blacklist(spark, sf_dir).collect()
     }
     assert {tuple(r) for r in df.collect()} == batch
+
+
+def test_funnel_stream_equals_batch_and_oracle(spark, sf_dir):
+    """Streaming CEP funnel is row-for-row the batch operator (sentinel
+    MAX_WATERMARK decides every pending anchor), and therefore matches
+    the batch oracle too."""
+    from flink_project_userbehavioranalysis_spark.operators import relational as R
+
+    st = sorted(tuple(r) for r in P.funnel_stream(spark, sf_dir).collect())
+    b = sorted(tuple(r) for r in R.funnel_conversion(spark, sf_dir).collect())
+    assert st == b
+    assert_matches_oracle(
+        P.funnel_stream(spark, sf_dir), R.funnel_conversion_oracle_sql(), sf_dir
+    )
