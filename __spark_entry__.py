@@ -156,6 +156,8 @@ def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str
             _text.dedup_incremental,
             _text.dedup_incremental_oracle_sql(),
         ),
+        # §2.10 BPE tokenizer-training pair statistics (one merge round)
+        "bpe_pair_stats": (_text.bpe_pair_stats, _text.bpe_pair_stats_oracle_sql()),
         # §2.10 similarity search: exact cosine top-k (brute baseline)
         "knn_topk": (_sim.knn_topk, _sim.knn_topk_oracle_sql()),
         # §2.10 ANN scale paths (probabilistic candidates — rows-only):

@@ -920,3 +920,69 @@ WHERE NOT EXISTS (
     SELECT 1 FROM d c WHERE c.doc_id < {split_id} AND c.set_md5 = b.set_md5
 )
 """
+
+
+# ------------------------------------------------- BPE merge-pair statistics
+
+
+def bpe_pair_stats(spark: SparkSession, sf_dir: str, top_k: int = 50) -> DataFrame:
+    """First round of BPE tokenizer training, distributed: count
+    adjacent character pairs inside words, weighted by corpus word
+    frequency, and emit the top-k merge candidates — the statistic the
+    BPE loop greedily consumes (the full loop re-tokenizes with the
+    winning merge and repeats; each round is this same aggregation over
+    a rewritten symbol table, so the one-round operator IS the scale
+    shape of tokenizer training).
+
+    Scale: words are counted first (one partial-aggregated shuffle on
+    the word — the corpus's heavy hitters collapse to one row each
+    BEFORE character explosion), then each DISTINCT word explodes into
+    its pairs with its count attached; the pair aggregation is the
+    second and last shuffle. Both shuffles carry only (string, count).
+    Ranking is one `top_k`-row window, tie-broken on the pair text.
+
+    Output: (rank, pair, cnt) — exact integers, deterministic order.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+    )
+    chars = F.split(F.col("w"), "")
+    pairs = words.select(
+        "wc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.concat(F.element_at(chars, i), F.element_at(chars, i + 1)),
+            )
+        ).alias("pair"),
+    )
+    counts = pairs.groupBy("pair").agg(F.sum("wc").alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("pair"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(F.col("rank").cast("long").alias("rank"), "pair", "cnt")
+    )
+
+
+def bpe_pair_stats_oracle_sql(top_k: int = 50) -> str:
+    return f"""
+WITH words AS (
+    SELECT w, count(*) AS wc FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ) WHERE length(w) >= 2 GROUP BY 1
+), pairs AS (
+    SELECT substr(w, i, 2) AS pair, wc
+    FROM words, unnest(range(1, length(w))) AS t(i)
+), counts AS (
+    SELECT pair, sum(wc) AS cnt FROM pairs GROUP BY 1
+)
+SELECT CAST(row_number() OVER (ORDER BY cnt DESC, pair ASC) AS BIGINT) AS rank,
+       pair, CAST(cnt AS BIGINT) AS cnt
+FROM counts
+QUALIFY rank <= {top_k}
+"""

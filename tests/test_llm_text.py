@@ -305,3 +305,25 @@ def test_dedup_incremental_disjoint_from_corpus(spark, sf_dir):
         load_table(spark, sf_dir, "documents").filter(F.col("doc_id") >= split).count()
     )
     assert 0 < n < n_batch  # some batch docs were dropped as dups
+
+
+def test_bpe_pair_stats_oracle(spark, sf_dir):
+    df = llm_text.bpe_pair_stats(spark, sf_dir)
+    assert_matches_oracle(df, llm_text.bpe_pair_stats_oracle_sql(), sf_dir)
+    # conservation cross-check: the total weighted pair count equals
+    # Σ over distinct words of wc * (len(w) - 1)
+    top_all = llm_text.bpe_pair_stats(spark, sf_dir, top_k=10**9)
+    total = top_all.agg(F.sum("cnt")).collect()[0][0]
+    from flink_project_userbehavioranalysis_spark.io import load_table
+
+    words = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .count()
+    )
+    expect = words.select(
+        F.sum(F.col("count") * (F.length("w") - 1)).alias("t")
+    ).collect()[0][0]
+    assert total == expect
