@@ -135,6 +135,28 @@ EXHIBITS = [
         "keys beyond that; a bucketed fingerprint index co-locates it.",
     ),
     (
+        "funnel_conversion",
+        "Behavior-analytics funnel: three narrow (user_id, ts) equi-"
+        "joins chained under one user-key partitioning — each stage's "
+        "aggregate partial-aggregates before its exchange, the event "
+        "payload never rides a shuffle, and AQE broadcasts the shrinking "
+        "later stages.",
+    ),
+    (
+        "cohort_retention",
+        "Cohort retention: first-conversion cohort assignment (partial "
+        "min), distinct (user, week) activity projection, and one narrow "
+        "user-key join before the (cohort_week, k) count-distinct — only "
+        "ids and week numbers ever shuffle.",
+    ),
+    (
+        "bpe_pair_stats",
+        "BPE pair statistics: word heavy-hitters collapse in a partial-"
+        "aggregated word count BEFORE the character-pair explosion, so "
+        "the second (pair) aggregation sees distinct words only; both "
+        "exchanges carry (string, count) pairs.",
+    ),
+    (
         "quantize_embeddings",
         "Int8 quantization: a single map-only WholeStageCodegen stage — "
         "array transform/aggregate expressions, zero Exchange, zero "
