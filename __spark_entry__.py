@@ -16,6 +16,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from flink_project_userbehavioranalysis_spark.operators import behavior as _bx
 from flink_project_userbehavioranalysis_spark.operators import corpus_quality as _cq
 from flink_project_userbehavioranalysis_spark.operators import custom_joins as _cj
 from flink_project_userbehavioranalysis_spark.operators import embeddings_ops as _emb
@@ -210,6 +211,14 @@ def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str
         ),
         # §2.7-adjacent behavior analytics: weekly cohort-retention matrix
         "cohort_retention": (_rel.cohort_retention, _rel.COHORT_RETENTION_SQL),
+        # behavior pillar: top-k session 3-step paths (T9 sessions + rank)
+        "session_paths_topk": (_bx.session_paths_topk, _bx.session_paths_topk_oracle_sql()),
+        # behavior pillar: first/last/linear-numerator ad attribution
+        "ad_attribution": (_bx.ad_attribution, _bx.ad_attribution_oracle_sql()),
+        # behavior pillar: RFM quartile segmentation (histogram quantiles)
+        "rfm_segments": (_bx.rfm_segments, _bx.RFM_SEGMENTS_SQL),
+        # behavior pillar: per-event-type in-session dwell time
+        "dwell_gaps": (_bx.dwell_gaps, _bx.dwell_gaps_oracle_sql()),
         # P5 regex extract/filter family
         "regex_extract_props": (_rel.regex_extract_props, _rel.REGEX_EXTRACT_PROPS_SQL),
         # P6/P7 date parse + format round trip
@@ -289,6 +298,13 @@ def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str
         "user_sessions_stream": (
             _stw.user_sessions_stream,
             _rel.user_sessions_oracle_sql(),
+        ),
+        # behavior pillar streaming twin: closed-session path mining
+        # (append-mode session collect → batch 3-gram rollup) —
+        # streaming-exact, same oracle as the batch path miner
+        "session_paths_stream": (
+            _stw.session_paths_stream,
+            _bx.session_paths_topk_oracle_sql(),
         ),
         # ---- Stateful processors (applyInPandasWithState + event-time
         # timers; end-of-input watermark sentinel flushes deadlines).

@@ -1,0 +1,436 @@
+"""Behavior-analytics rollups beyond the reference's fixed queries:
+session path mining, multi-model ad attribution, RFM segmentation,
+inter-event dwell gaps.
+
+Reference mapping (SURVEY.md §2 [U] — checkout empty): the reference's
+five modules (HotItems / NetworkFlow / MarketAnalysis / LoginFail /
+OrderPay) are all instances of "windowed keyed rollups over a user
+behavior stream"; these operators are the next rollups a user of that
+project asks for on the same stream (paths, attribution, segmentation,
+dwell), built from the same primitives (sessionization T9, windowed agg
+A-family, interval-bounded joins J2).
+
+Determinism contract (driver oracle hashes values): every output column
+is integer or exact-DECIMAL-derived; orderings that pick a winner are
+keyed by (ts, event_id) which is unique; quantile boundaries use
+discrete histogram quantiles (integer arithmetic), never interpolated
+float percentiles.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from flink_project_userbehavioranalysis_spark.functions import money
+from flink_project_userbehavioranalysis_spark.io import load_events
+
+GAP_SECONDS = 1800  # session inactivity gap (matches relational.user_sessions)
+
+# ------------------------------------------------------------- session paths
+
+
+def _sessionized(events: DataFrame, gap_s: int) -> DataFrame:
+    """Events + session id via gaps-and-islands, one shuffle on user_id.
+
+    The µs-integer gap test matches relational.user_sessions_oracle_sql
+    exactly (a seconds-truncated compare would misclassify fractional
+    gaps). (ts_us, event_id) is the unique in-session order key.
+    """
+    by_user = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return (
+        events.withColumn("ts_us", F.unix_micros("ts"))
+        .withColumn(
+            "new_session",
+            F.when(
+                (F.col("ts_us") - F.lag("ts_us").over(by_user) > gap_s * 1_000_000)
+                | F.lag("ts_us").over(by_user).isNull(),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "sid",
+            F.sum("new_session").over(
+                by_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+
+
+def session_paths_topk(
+    spark: SparkSession, sf_dir: str, gap_s: int = GAP_SECONDS, k: int = 10
+) -> DataFrame:
+    """Top-k 3-step event-type paths inside user sessions — the
+    "common click paths" query behind every funnel-discovery UI.
+
+    Sessions are 30-min-gap islands per user (T9 semantics, same gap
+    test as ``relational.user_sessions``); a path is three consecutive
+    events inside one session, ordered by (ts, event_id); the winner
+    set is ``rank() ≤ k`` over (count DESC, path ASC) — rank, not
+    row_number, so boundary ties are included deterministically.
+
+    Scale shape: sessionize + both leads share ONE sort within the
+    user_id partition (single shuffle over (user, ts-pair) rows, the
+    event payload never moves); the path agg is partial-aggregated
+    into a domain bounded by |event_types|³ (125 here), so the final
+    rank window over that aggregate is trivially small at any corpus
+    size — no global sort of raw data anywhere.
+
+    Output: (path, cnt, rnk).
+    """
+    ev = load_events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    in_session = Window.partitionBy("user_id", "sid").orderBy("ts_us", "event_id")
+    paths = (
+        _sessionized(ev, gap_s)
+        .withColumn("e2", F.lead("event_type", 1).over(in_session))
+        .withColumn("e3", F.lead("event_type", 2).over(in_session))
+        .filter(F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("cnt"))
+    )
+    ranked = paths.withColumn(
+        "rnk", F.rank().over(Window.orderBy(F.desc("cnt"), F.asc("path")))
+    )
+    return ranked.filter(F.col("rnk") <= k)
+
+
+def session_paths_topk_oracle_sql(gap_s: int = GAP_SECONDS, k: int = 10) -> str:
+    return f"""
+WITH t AS (
+    SELECT user_id, event_id, event_type,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+           CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                     - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > {gap_s} * 1000000
+                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+), s AS (
+    SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+    FROM t
+), g AS (
+    SELECT event_type,
+           lead(event_type, 1) OVER w AS e2,
+           lead(event_type, 2) OVER w AS e3
+    FROM s
+    WINDOW w AS (PARTITION BY user_id, sid ORDER BY us, event_id)
+), p AS (
+    SELECT event_type || '>' || e2 || '>' || e3 AS path, count(*) AS cnt
+    FROM g WHERE e3 IS NOT NULL GROUP BY 1
+)
+SELECT path, cnt, rnk FROM (
+    SELECT path, cnt, rank() OVER (ORDER BY cnt DESC, path) AS rnk FROM p
+) WHERE rnk <= {k}
+"""
+
+
+# ------------------------------------------------------------- ad attribution
+
+
+def ad_attribution(spark: SparkSession, sf_dir: str, horizon_s: int = 86400) -> DataFrame:
+    """Per-ad purchase attribution under the three classic integer
+    models at once: first-touch, last-touch, and raw touch counts
+    (the linear model's exact numerators — kept as integers so the
+    oracle hash can't wobble on 1/n float sums).
+
+    A *touch* is a click on ad ``item_id`` by the same user strictly
+    before the purchase and within ``horizon_s`` of it. First/last
+    per purchase are chosen by the unique (ts, event_id) order, so
+    simultaneous clicks can't make the winner nondeterministic.
+    ``custom_joins.asof_last_click`` answers the per-purchase ASOF
+    form; this is the per-ad rollup across models.
+
+    Scale shape: one equi-join on user_id with a pushed range
+    predicate (the horizon bounds each purchase's candidate window, so
+    pair blowup is touches-per-day, not lifetime); the first/last
+    pick is a window partitioned by purchase event_id (already
+    co-partitioned by the join's user hash — no extra exchange of raw
+    events); final agg is partial-aggregated over the bounded ad
+    domain. A celebrity-user skew lands in the user join — AQE
+    skew-join splits it; nothing here forces a broadcast of the
+    unbounded side.
+
+    Output: (ad, n_first, n_last, n_touch).
+    """
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts"), F.col("event_id").alias("cid"), "item_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("event_id").alias("pid")
+    )
+    pairs = clicks.join(purchases, "user_id").filter(
+        (F.col("cts") < F.col("pts"))
+        & (F.col("cts") >= F.col("pts") - F.expr(f"INTERVAL {int(horizon_s)} SECOND"))
+    )
+    by_purchase = Window.partitionBy("pid")
+    flagged = pairs.withColumn(
+        "rn_first", F.row_number().over(by_purchase.orderBy("cts", "cid"))
+    ).withColumn(
+        "rn_last", F.row_number().over(by_purchase.orderBy(F.desc("cts"), F.desc("cid")))
+    )
+    return (
+        flagged.groupBy(F.col("item_id").alias("ad"))
+        .agg(
+            F.sum(F.when(F.col("rn_first") == 1, 1).otherwise(0)).alias("n_first"),
+            F.sum(F.when(F.col("rn_last") == 1, 1).otherwise(0)).alias("n_last"),
+            F.count("*").alias("n_touch"),
+        )
+    )
+
+
+def ad_attribution_oracle_sql(horizon_s: int = 86400) -> str:
+    return f"""
+WITH clicks AS (
+    SELECT user_id, ts AS cts, event_id AS cid,
+           CAST(json_extract_string(props, '$.k') AS INT) AS ad
+    FROM events WHERE event_type = 'click'
+), purchases AS (
+    SELECT user_id, ts AS pts, event_id AS pid
+    FROM events WHERE event_type = 'purchase'
+), pairs AS (
+    SELECT c.ad, p.pid, c.cts, c.cid,
+           row_number() OVER (PARTITION BY p.pid ORDER BY c.cts, c.cid) AS rn_first,
+           row_number() OVER (PARTITION BY p.pid ORDER BY c.cts DESC, c.cid DESC) AS rn_last
+    FROM clicks c JOIN purchases p
+      ON c.user_id = p.user_id
+     AND c.cts < p.pts
+     AND c.cts >= p.pts - INTERVAL {int(horizon_s)} SECOND
+)
+SELECT ad,
+       sum(CASE WHEN rn_first = 1 THEN 1 ELSE 0 END) AS n_first,
+       sum(CASE WHEN rn_last = 1 THEN 1 ELSE 0 END) AS n_last,
+       count(*) AS n_touch
+FROM pairs GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------- RFM segmentation
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quartile segmentation of
+    the user base — the canonical marketing segmentation over a
+    behavior stream. Per user: recency = whole days between their last
+    event and the corpus max event time; frequency = purchase count;
+    monetary = exact-DECIMAL purchase value, floored to whole dollars.
+    Each metric is scored 1–4 by *discrete histogram quartiles*:
+    boundary b_q = smallest metric value whose cumulative user count
+    reaches ⌈q·n⌉; score = 1 + Σ_q [v > b_q] (recency inverted: recent
+    = good). Integer arithmetic end-to-end — no interpolated float
+    percentile can land a user on a different side of a boundary in a
+    different engine.
+
+    Scale shape: the per-user rollup is one partial-aggregated shuffle
+    on user_id. Boundaries come from a histogram: groupBy(metric,
+    value) → counts, then a cumulative window ordered by value *per
+    metric*. That window's partition is the metric's value domain —
+    days-in-corpus, purchase counts, whole-dollar totals — aggregate
+    cardinality that grows with value ranges, not user count, which is
+    what makes this formulation viable where a global ntile() sort of
+    all users (one-task window) is not. The 9-row boundary table
+    broadcast-joins back onto users.
+
+    Output: (r_score, f_score, m_score, n_users).
+    """
+    ev = load_events(spark, sf_dir)
+    is_buy = F.col("event_type") == "purchase"
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(F.unix_micros("ts")).alias("last_us"),
+            F.sum(F.when(is_buy, 1).otherwise(0)).alias("freq"),
+            F.coalesce(
+                F.sum(F.when(is_buy, money("value"))), F.lit(0).cast("decimal(18,2)")
+            ).alias("mon"),
+        )
+    )
+    corpus_max = ev.agg(F.max(F.unix_micros("ts")).alias("max_us"))
+    users = (
+        per_user.crossJoin(F.broadcast(corpus_max))
+        .select(
+            "user_id",
+            ((F.col("max_us") - F.col("last_us")) / F.lit(86_400_000_000)).cast("long").alias("recency"),
+            F.col("freq").cast("long").alias("freq"),
+            F.floor(F.col("mon")).cast("long").alias("mon"),
+        )
+    )
+    melted = users.selectExpr(
+        "stack(3, 'r', recency, 'f', freq, 'm', mon) AS (metric, v)"
+    )
+    hist = melted.groupBy("metric", "v").agg(F.count("*").alias("c"))
+    cum = hist.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.partitionBy("metric")
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).withColumn("n", F.sum("c").over(Window.partitionBy("metric")))
+    bounds = (
+        cum.select(
+            "metric",
+            "v",
+            "cum",
+            F.expr("(n + 3) div 4").alias("t25"),
+            F.expr("(n + 1) div 2").alias("t50"),
+            F.expr("(3 * n + 3) div 4").alias("t75"),
+        )
+        .groupBy("metric")
+        .agg(
+            F.min(F.when(F.col("cum") >= F.col("t25"), F.col("v"))).alias("b25"),
+            F.min(F.when(F.col("cum") >= F.col("t50"), F.col("v"))).alias("b50"),
+            F.min(F.when(F.col("cum") >= F.col("t75"), F.col("v"))).alias("b75"),
+        )
+    )
+
+    # One wide boundary row (9 values), broadcast onto users — boundary
+    # application stays inside the dataflow, nothing collect()ed.
+    bounds_row = bounds.groupBy().pivot("metric", ["r", "f", "m"]).agg(
+        F.first("b25").alias("b25"),
+        F.first("b50").alias("b50"),
+        F.first("b75").alias("b75"),
+    )
+
+    def score(v, m):
+        return (
+            F.lit(1)
+            + (v > F.col(f"{m}_b25")).cast("int")
+            + (v > F.col(f"{m}_b50")).cast("int")
+            + (v > F.col(f"{m}_b75")).cast("int")
+        )
+
+    scored = users.crossJoin(F.broadcast(bounds_row)).select(
+        (F.lit(5) - score(F.col("recency"), "r")).alias("r_score"),
+        score(F.col("freq"), "f").alias("f_score"),
+        score(F.col("mon"), "m").alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").alias("n_users")
+    )
+
+
+RFM_SEGMENTS_SQL = """
+WITH per_user AS (
+    SELECT user_id,
+           max(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS freq,
+           coalesce(sum(CASE WHEN event_type = 'purchase'
+                             THEN CAST(value AS DECIMAL(18,2)) END),
+                    CAST(0 AS DECIMAL(18,2))) AS mon
+    FROM events GROUP BY 1
+), mx AS (
+    SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) AS max_us FROM events
+), users AS (
+    SELECT user_id,
+           (mx.max_us - last_us) // 86400000000 AS recency,
+           CAST(freq AS BIGINT) AS freq,
+           CAST(floor(mon) AS BIGINT) AS mon
+    FROM per_user, mx
+), melted AS (
+    SELECT 'r' AS metric, recency AS v FROM users
+    UNION ALL SELECT 'f', freq FROM users
+    UNION ALL SELECT 'm', mon FROM users
+), hist AS (
+    SELECT metric, v, count(*) AS c FROM melted GROUP BY 1, 2
+), cum AS (
+    SELECT metric, v,
+           sum(c) OVER (PARTITION BY metric ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(c) OVER (PARTITION BY metric) AS n
+    FROM hist
+), bounds AS (
+    SELECT metric,
+           min(CASE WHEN cum >= (n + 3) // 4 THEN v END) AS b25,
+           min(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS b50,
+           min(CASE WHEN cum >= (3 * n + 3) // 4 THEN v END) AS b75
+    FROM cum GROUP BY 1
+), scored AS (
+    SELECT 5 - (1 + CAST(u.recency > br.b25 AS INT)
+                  + CAST(u.recency > br.b50 AS INT)
+                  + CAST(u.recency > br.b75 AS INT)) AS r_score,
+           1 + CAST(u.freq > bf.b25 AS INT)
+             + CAST(u.freq > bf.b50 AS INT)
+             + CAST(u.freq > bf.b75 AS INT) AS f_score,
+           1 + CAST(u.mon > bm.b25 AS INT)
+             + CAST(u.mon > bm.b50 AS INT)
+             + CAST(u.mon > bm.b75 AS INT) AS m_score
+    FROM users u,
+         (SELECT * FROM bounds WHERE metric = 'r') br,
+         (SELECT * FROM bounds WHERE metric = 'f') bf,
+         (SELECT * FROM bounds WHERE metric = 'm') bm
+)
+SELECT r_score, f_score, m_score, count(*) AS n_users
+FROM scored GROUP BY 1, 2, 3
+"""
+
+
+# ------------------------------------------------------------- dwell gaps
+
+
+def dwell_gaps(spark: SparkSession, sf_dir: str, gap_s: int = GAP_SECONDS) -> DataFrame:
+    """Per-event-type dwell time: how long users linger on an event
+    before their next action *in the same session* (the time-on-page
+    metric; cross-session gaps are idle time, not dwell, and are
+    excluded by the same 30-min islands as the path miner).
+
+    Determinism: gaps are integer µs differences; the mean divides the
+    exact BIGINT µs sum by the exact count (one IEEE division — same
+    convention as functions.exact_avg). Scale shape: sessionize + lead
+    share one user_id-partitioned sort; final agg is partial-aggregated
+    over the event-type domain.
+
+    Output: (event_type, n_gaps, total_dwell_s, avg_dwell_s).
+    """
+    ev = load_events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    in_session = Window.partitionBy("user_id", "sid").orderBy("ts_us", "event_id")
+    gaps = (
+        _sessionized(ev, gap_s)
+        .withColumn("gap_us", F.lead("ts_us").over(in_session) - F.col("ts_us"))
+        .filter(F.col("gap_us").isNotNull())
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(F.count("*").alias("n_gaps"), F.sum("gap_us").alias("sum_us"))
+        .select(
+            "event_type",
+            "n_gaps",
+            F.expr("sum_us div 1000000").alias("total_dwell_s"),
+            (F.col("sum_us").cast("double") / F.lit(1_000_000) / F.col("n_gaps")).alias(
+                "avg_dwell_s"
+            ),
+        )
+    )
+
+
+def dwell_gaps_oracle_sql(gap_s: int = GAP_SECONDS) -> str:
+    return f"""
+WITH t AS (
+    SELECT user_id, event_id, event_type,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+           CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                     - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > {gap_s} * 1000000
+                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+), s AS (
+    SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+    FROM t
+), g AS (
+    SELECT event_type,
+           lead(us) OVER (PARTITION BY user_id, sid ORDER BY us, event_id) - us AS gap_us
+    FROM s
+)
+SELECT event_type, count(*) AS n_gaps,
+       sum(gap_us) // 1000000 AS total_dwell_s,
+       (CAST(sum(gap_us) AS DOUBLE) / 1000000) / count(*) AS avg_dwell_s
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY 1
+"""

@@ -287,6 +287,74 @@ def user_sessions_stream(
     return out.filter(F.col("user_id") >= 0)
 
 
+def session_paths_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    gap_s: int = 1800,
+    k: int = 10,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """Streaming twin of ``behavior.session_paths_topk`` — top-k 3-step
+    paths over *closed* sessions, as the two-stage pipeline production
+    would run: (1) a streaming session-window agg collects each
+    session's (ts_us, event_id, event_type) triples and emits the
+    session exactly once when the watermark passes its close (append
+    mode; the end-of-input sentinel flushes the tail); (2) a batch
+    rollup over the emitted sessions explodes in-session 3-grams and
+    ranks paths. Two stages because path ranking is a second stateful
+    agg over session output — a sink boundary (here: memory; in
+    production: the session table) is the idiomatic Spark split.
+
+    State posture: the open-session state holds the session's event
+    triples (not payloads) — bounded by events-per-session × sessions
+    inside the watermark horizon, the inherent floor for order-aware
+    path mining. ``sort_array`` over the (us, eid, et) structs makes
+    the in-session order deterministic regardless of arrival order.
+
+    Exact oracle: streaming session_window ≡ batch gap-islands on
+    finite input, so ``behavior.session_paths_topk_oracle_sql`` applies
+    unchanged (streaming ≡ batch ≡ oracle)."""
+    from flink_project_userbehavioranalysis_spark.streaming.replay import (
+        run_append_memory,
+    )
+
+    ev = events_stream(spark, sf_dir, n_chunks=n_chunks, sentinel=True)
+    sess = (
+        ev.groupBy(F.session_window("ts", f"{gap_s} seconds").alias("w"), "user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.unix_micros("ts").alias("us"),
+                        F.col("event_id").alias("eid"),
+                        F.col("event_type").alias("et"),
+                    )
+                )
+            ).alias("evs")
+        )
+        .select("user_id", "evs")
+    )
+    name = f"session_paths_stream_{abs(hash((sf_dir, n_chunks)))}"
+    closed = run_append_memory(sess, name, spark).filter(F.col("user_id") >= 0)
+    paths = (
+        closed.filter(F.size("evs") >= 3)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(evs) - 2),"
+                    " i -> concat_ws('>', evs[i-1].et, evs[i].et, evs[i+1].et))"
+                )
+            ).alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("cnt"))
+    )
+    ranked = paths.withColumn(
+        "rnk", F.rank().over(Window.orderBy(F.desc("cnt"), F.asc("path")))
+    )
+    return ranked.filter(F.col("rnk") <= k)
+
+
 def dedup_events_stream(
     spark: SparkSession,
     sf_dir: str,

@@ -1,0 +1,108 @@
+"""Behavior-analytics pillar (paths / attribution / RFM / dwell):
+oracle-match + semantic invariants + plan shape."""
+
+import pyspark.sql.functions as F
+
+from flink_project_userbehavioranalysis_spark.io import load_events
+from flink_project_userbehavioranalysis_spark.operators import behavior as B
+from tests.oracle import assert_matches_oracle
+
+
+def test_session_paths_topk(spark, sf_dir):
+    df = B.session_paths_topk(spark, sf_dir)
+    assert_matches_oracle(df, B.session_paths_topk_oracle_sql(), sf_dir)
+    rows = df.collect()
+    assert rows, "corpus is dense enough to have 3-step paths"
+    # rank() semantics: rnk values start at 1 and every path is 3 steps
+    assert min(r["rnk"] for r in rows) == 1
+    assert all(r["path"].count(">") == 2 for r in rows)
+    # counts are non-increasing when sorted by rank
+    by_rank = sorted(rows, key=lambda r: (r["rnk"], r["path"]))
+    cnts = [r["cnt"] for r in by_rank]
+    assert cnts == sorted(cnts, reverse=True)
+
+
+def test_ad_attribution(spark, sf_dir):
+    df = B.ad_attribution(spark, sf_dir)
+    assert_matches_oracle(df, B.ad_attribution_oracle_sql(), sf_dir)
+    agg = df.agg(
+        F.sum("n_first").alias("f"), F.sum("n_last").alias("l"), F.sum("n_touch").alias("t")
+    ).collect()[0]
+    # every attributed purchase has exactly one first and one last touch
+    assert agg["f"] == agg["l"]
+    assert agg["t"] >= agg["f"]
+    # Σ n_first == purchases with ≥1 preceding click in the horizon
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), "event_id"
+    )
+    touched = (
+        purchases.join(clicks, "user_id")
+        .filter(
+            (F.col("cts") < F.col("pts"))
+            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 86400 SECOND"))
+        )
+        .select("event_id")
+        .distinct()
+        .count()
+    )
+    assert agg["f"] == touched
+
+
+def test_rfm_segments(spark, sf_dir):
+    df = B.rfm_segments(spark, sf_dir)
+    assert_matches_oracle(df, B.RFM_SEGMENTS_SQL, sf_dir)
+    rows = df.collect()
+    # all scores in 1..4, user partition is exact
+    for r in rows:
+        for c in ("r_score", "f_score", "m_score"):
+            assert 1 <= r[c] <= 4, r
+    n_users = load_events(spark, sf_dir).select("user_id").distinct().count()
+    assert sum(r["n_users"] for r in rows) == n_users
+
+
+def test_rfm_no_single_task_sort(spark, sf_dir):
+    """The quartile boundary computation must be a histogram over the
+    value domain, not an ntile() global sort of all users: no window in
+    the plan may run over an *unpartitioned* raw-user relation. We
+    assert the boundary row is broadcast back (BroadcastNestedLoopJoin/
+    BroadcastExchange present) — the declarative no-collect formulation."""
+    plan = B.rfm_segments(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
+
+
+def test_dwell_gaps(spark, sf_dir):
+    df = B.dwell_gaps(spark, sf_dir)
+    assert_matches_oracle(df, B.dwell_gaps_oracle_sql(), sf_dir)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r["n_gaps"] > 0
+        assert 0 <= r["avg_dwell_s"] <= B.GAP_SECONDS  # in-session gap ≤ gap bound
+        # totals and means agree (total is floor-seconds of the µs sum)
+        assert abs(r["avg_dwell_s"] * r["n_gaps"] - r["total_dwell_s"]) <= 1
+
+
+def test_session_paths_stream_matches_batch(spark, sf_dir):
+    """Streaming twin ≡ batch ≡ oracle: the append-mode session
+    collect + batch 3-gram rollup reproduces the batch path miner
+    bit-for-bit on finite input (sentinel flushes tail sessions)."""
+    from flink_project_userbehavioranalysis_spark.streaming import windowed as W
+
+    df = W.session_paths_stream(spark, sf_dir)
+    assert_matches_oracle(df, B.session_paths_topk_oracle_sql(), sf_dir)
+
+
+def test_paths_and_dwell_share_session_semantics(spark, sf_dir):
+    """Gap-islands here ≡ session_window in relational.user_sessions:
+    the number of (user, session) islands equals the session count."""
+    from flink_project_userbehavioranalysis_spark.operators import relational as R
+
+    ev = load_events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    islands = (
+        B._sessionized(ev, B.GAP_SECONDS).select("user_id", "sid").distinct().count()
+    )
+    assert islands == R.user_sessions(spark, sf_dir).count()
