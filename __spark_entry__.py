@@ -175,6 +175,10 @@ def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str
         # distributed exact verify — probabilistic recall ⇒ rows-only;
         # subset-of-exact + ≥0.9 recall asserted in tests)
         "cosine_dup_pairs_lsh": (_sim.cosine_dup_pairs_lsh, None),
+        # §2.10 SemDeDup-style clustered semantic dedup (k-means cells
+        # engine-specific → rows-only; recall + soundness invariants
+        # asserted in tests/test_similarity.py)
+        "semantic_dedup": (_sim.semantic_dedup, None),
         # §2.10 n-gram Jaccard near-dup (exact, shingle-join)
         "ngram_jaccard_pairs": (_sim.ngram_jaccard_pairs, _sim.ngram_jaccard_oracle_sql()),
         # §2.10 near-dup cluster assignment (iterative connected

@@ -177,6 +177,33 @@ EXHIBITS = [
         "partial-aggregated per-sequence summary. Nothing materializes "
         "between stages; the only Python is the two-scalar packing state.",
     ),
+    (
+        "session_paths_topk",
+        "Session path mining: gap-island sessionization and BOTH 3-gram "
+        "leads run inside one user_id-partitioned sort (a single "
+        "exchange of (user, ts, id, type) rows — the payload never "
+        "moves); the path aggregate partial-aggregates into a domain "
+        "bounded by |event_types|^3, so the final rank window over that "
+        "aggregate is trivially small at any corpus size.",
+    ),
+    (
+        "ad_attribution",
+        "Attribution: ONE user_id equi-join with the horizon range "
+        "predicate applied at the join (pair blowup bounded by touches-"
+        "per-horizon); first/last row_numbers are windows over the "
+        "already-joined pairs partitioned by purchase id; final agg "
+        "partial-aggregates over the bounded ad domain. No broadcast "
+        "of an unbounded side; AQE free to split a celebrity-user skew.",
+    ),
+    (
+        "rfm_segments",
+        "RFM: per-user rollup is one partial-aggregated exchange on "
+        "user_id; quartile boundaries come from a HISTOGRAM over the "
+        "coarsened value domain (days / counts / whole dollars) — the "
+        "cumulative window partitions by metric over aggregate-"
+        "cardinality rows, never a global ntile sort of raw users; the "
+        "1-row boundary pivot re-enters via BroadcastNestedLoopJoin.",
+    ),
 ]
 
 
