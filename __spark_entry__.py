@@ -223,6 +223,10 @@ def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str
         "rfm_segments": (_bx.rfm_segments, _bx.RFM_SEGMENTS_SQL),
         # behavior pillar: per-event-type in-session dwell time
         "dwell_gaps": (_bx.dwell_gaps, _bx.dwell_gaps_oracle_sql()),
+        # behavior pillar: market-basket co-purchase pairs w/ supports
+        "co_purchase_pairs": (_bx.co_purchase_pairs, _bx.co_purchase_pairs_oracle_sql()),
+        # NetworkFlow extension: per-item traffic-spike z-score flags
+        "pv_anomaly": (_nf.pv_anomaly, _nf.pv_anomaly_oracle_sql()),
         # P5 regex extract/filter family
         "regex_extract_props": (_rel.regex_extract_props, _rel.REGEX_EXTRACT_PROPS_SQL),
         # P6/P7 date parse + format round trip

@@ -434,3 +434,75 @@ SELECT event_type, count(*) AS n_gaps,
 FROM g WHERE gap_us IS NOT NULL
 GROUP BY 1
 """
+
+
+# ------------------------------------------------------- item co-occurrence
+
+
+def co_purchase_pairs(
+    spark: SparkSession, sf_dir: str, min_support: int = 2
+) -> DataFrame:
+    """Market-basket item co-occurrence: pairs of ads/items purchased
+    by the same user on the same day, with the pair's basket support
+    and each item's own basket count — the integer inputs of every
+    association metric (lift/confidence are downstream ratios; emitting
+    only exact integers keeps the oracle hash airtight).
+
+    A basket is a distinct (user, day, item) triple — repeat purchases
+    of one item that day don't inflate co-occurrence. Pairs come from a
+    basket self-join on (user, day) with ``item_a < item_b``; supports
+    below ``min_support`` are noise and dropped.
+
+    Scale shape: basket distinct + self-join share one (user, day)
+    hash partitioning; pair blowup is Σ (items-per-user-day)² — a
+    per-basket property bounded by catalog behavior, not corpus size
+    (a celebrity basket is AQE's skew-split case, and production would
+    cap basket width upstream); both final aggs are partial-aggregated
+    over the item/pair domain. Nothing is broadcast.
+
+    Output: (item_a, item_b, pair_n, a_n, b_n).
+    """
+    ev = load_events(spark, sf_dir)
+    baskets = (
+        ev.filter((F.col("event_type") == "purchase") & F.col("item_id").isNotNull())
+        .select("user_id", F.to_date("ts").alias("day"), "item_id")
+        .distinct()
+    )
+    item_n = baskets.groupBy("item_id").agg(F.count("*").alias("n"))
+    a = baskets.select("user_id", "day", F.col("item_id").alias("item_a"))
+    b = baskets.select("user_id", "day", F.col("item_id").alias("item_b"))
+    pairs = (
+        a.join(b, ["user_id", "day"])
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("pair_n"))
+        .filter(F.col("pair_n") >= min_support)
+    )
+    return (
+        pairs.join(item_n.select(F.col("item_id").alias("item_a"), F.col("n").alias("a_n")), "item_a")
+        .join(item_n.select(F.col("item_id").alias("item_b"), F.col("n").alias("b_n")), "item_b")
+        .select("item_a", "item_b", "pair_n", "a_n", "b_n")
+    )
+
+
+def co_purchase_pairs_oracle_sql(min_support: int = 2) -> str:
+    return f"""
+WITH baskets AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+           CAST(json_extract_string(props, '$.k') AS INT) AS item_id
+    FROM events
+    WHERE event_type = 'purchase' AND json_extract_string(props, '$.k') IS NOT NULL
+), item_n AS (
+    SELECT item_id, count(*) AS n FROM baskets GROUP BY 1
+), pairs AS (
+    SELECT a.item_id AS item_a, b.item_id AS item_b, count(*) AS pair_n
+    FROM baskets a JOIN baskets b
+      ON a.user_id = b.user_id AND a.day = b.day AND a.item_id < b.item_id
+    GROUP BY 1, 2
+    HAVING count(*) >= {min_support}
+)
+SELECT p.item_a, p.item_b, p.pair_n, na.n AS a_n, nb.n AS b_n
+FROM pairs p
+JOIN item_n na ON na.item_id = p.item_a
+JOIN item_n nb ON nb.item_id = p.item_b
+"""

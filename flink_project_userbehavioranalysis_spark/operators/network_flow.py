@@ -198,3 +198,84 @@ SELECT window_end, page_id, cnt,
 FROM counts
 QUALIFY rn <= {n}
 """
+
+
+def pv_anomaly(
+    spark: SparkSession,
+    sf_dir: str,
+    event_type: str = "view",
+    lookback: int = 8,
+    sigmas: float = 3.0,
+) -> DataFrame:
+    """Traffic-spike detection — flag (item, hour) buckets whose view
+    count exceeds mean + ``sigmas``·σ over the item's previous
+    ``lookback`` observed hourly buckets (the NetworkFlow module's
+    natural next query: "which pages are suddenly hot, relative to
+    their own baseline"). Buckets with no events are absent rows, so
+    the baseline is the previous 24 *observed* buckets; an item is only
+    flaggable once it has a full lookback of history.
+
+    Determinism across engines: the baseline stats come from exact
+    BIGINT window sums (Σc, Σc², n — associativity-free), and the
+    threshold is a fixed IEEE expression over them evaluated in the
+    same operation order in Spark and the DuckDB oracle; the output
+    columns are all integers, and the float appears only inside the
+    strict-> comparison.
+
+    Scale shape: one partial-aggregated shuffle to hourly (item, hour)
+    counts — aggregate cardinality from there on; the trailing window
+    sorts within the item partition over those *aggregated* rows (items
+    × active hours, not raw events). Output: (item_id, hour_s, cnt).
+    """
+    events = load_events(spark, sf_dir)
+    hourly = (
+        events.filter((F.col("event_type") == event_type) & F.col("item_id").isNotNull())
+        .groupBy("item_id", F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select("item_id", F.col("w.end").cast("long").alias("hour_s"), "cnt")
+    )
+    trail = (
+        Window.partitionBy("item_id").orderBy("hour_s").rowsBetween(-lookback, -1)
+    )
+    stats = (
+        hourly.withColumn("n", F.count("cnt").over(trail))
+        .withColumn("s", F.sum("cnt").over(trail))
+        .withColumn("ss", F.sum(F.col("cnt") * F.col("cnt")).over(trail))
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (
+        F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ) / F.col("n")
+    thresh = mean + F.lit(float(sigmas)) * F.sqrt(F.greatest(var, F.lit(0.0)))
+    return stats.filter(
+        (F.col("n") == lookback) & (F.col("cnt") > thresh)
+    ).select("item_id", "hour_s", "cnt")
+
+
+def pv_anomaly_oracle_sql(
+    event_type: str = "view", lookback: int = 8, sigmas: float = 3.0
+) -> str:
+    return f"""
+WITH hourly AS (
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) AS item_id,
+           CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT) * 3600 + 3600 AS hour_s,
+           count(*) AS cnt
+    FROM events
+    WHERE event_type = '{event_type}' AND json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY 1, 2
+), stats AS (
+    SELECT item_id, hour_s, cnt,
+           count(cnt) OVER w AS n,
+           sum(cnt) OVER w AS s,
+           sum(cnt * cnt) OVER w AS ss
+    FROM hourly
+    WINDOW w AS (PARTITION BY item_id ORDER BY hour_s
+                 ROWS BETWEEN {lookback} PRECEDING AND 1 PRECEDING)
+)
+SELECT item_id, hour_s, cnt
+FROM stats
+WHERE n = {lookback}
+  AND cnt > CAST(s AS DOUBLE) / n
+            + {float(sigmas)} * sqrt(greatest(
+                (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n, 0.0))
+"""

