@@ -307,6 +307,9 @@ def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str
             _stw.user_sessions_stream,
             _rel.user_sessions_oracle_sql(),
         ),
+        # NetworkFlow extension streaming twin: closed hourly buckets →
+        # trailing z-score spike flags (streaming-exact, batch oracle)
+        "pv_anomaly_stream": (_stw.pv_anomaly_stream, _nf.pv_anomaly_oracle_sql()),
         # behavior pillar streaming twin: closed-session path mining
         # (append-mode session collect → batch 3-gram rollup) —
         # streaming-exact, same oracle as the batch path miner

@@ -16,6 +16,17 @@ appends one far-future row (event_type='__sentinel__') that advances
 the watermark past every deadline — the exact analog of Flink's
 end-of-input watermark. Operators must ignore the sentinel row (its
 event_type matches no real type, so existing filters already do).
+
+CAUTION — sentinel + pushable filters in APPEND mode: Catalyst pushes
+deterministic predicates below the EventTimeWatermark node into the
+parquet scan, where row-group stats prune the sentinel file to 0 rows
+— the watermark then never advances past end-of-input and the final
+windows are silently withheld. Update-mode twins don't care (they
+emit every batch), but an append-mode operator that filters events
+must OR ``event_type == SENTINEL_TYPE`` into its pre-aggregation
+filter and drop the sentinel's own group after the sink (see
+``windowed.pv_anomaly_stream``). Keyless/unfiltered append operators
+(sessions, global windows) are unaffected.
 """
 
 from __future__ import annotations

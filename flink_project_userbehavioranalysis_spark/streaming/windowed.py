@@ -355,6 +355,75 @@ def session_paths_stream(
     return ranked.filter(F.col("rnk") <= k)
 
 
+def pv_anomaly_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    event_type: str = "view",
+    lookback: int = 8,
+    sigmas: float = 3.0,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """Streaming twin of ``network_flow.pv_anomaly`` — per-item
+    traffic-spike flags as the two-stage pipeline production runs: (1)
+    a watermarked tumbling 1 h (item, hour) count in **append** mode
+    emits each bucket exactly once when the watermark closes it (the
+    end-of-input sentinel flushes the tail); (2) the trailing z-score
+    runs as a batch window over the emitted buckets — aggregate
+    cardinality (items × active hours), exactly where a production job
+    would hang the alerting query off the bucket table. A sink
+    boundary is the idiomatic Spark split for a second stateful
+    computation over closed windows; the alternative (chaining a
+    custom stateful processor after a windowed agg in one query) is
+    unsupported by design in Structured Streaming.
+
+    Exact oracle: append-mode hourly buckets ≡ the batch hourly agg on
+    finite input, and stage 2 is the identical expression — so
+    ``pv_anomaly_oracle_sql`` applies unchanged."""
+    from flink_project_userbehavioranalysis_spark.streaming.replay import (
+        run_append_memory,
+    )
+
+    from flink_project_userbehavioranalysis_spark.streaming.replay import SENTINEL_TYPE
+
+    ev = events_stream(spark, sf_dir, n_chunks=n_chunks, sentinel=True)
+    # The sentinel row MUST survive this filter: Catalyst pushes a
+    # deterministic predicate below the EventTimeWatermark node into
+    # the parquet scan, and row-group stats then prune the sentinel
+    # file to 0 rows — the watermark never advances past end-of-input
+    # and the corpus's final hour of buckets is silently withheld
+    # (observed at sf0.1: 820 vs 822 flags). OR-ing the sentinel type
+    # keeps the row flowing through the watermark operator; its own
+    # (null-item, far-future) bucket can never close before the query
+    # ends, and the post-sink isNotNull guard removes it regardless.
+    keep = (
+        (F.col("event_type") == event_type) & F.col("item_id").isNotNull()
+    ) | (F.col("event_type") == SENTINEL_TYPE)
+    hourly = (
+        ev.filter(keep)
+        .groupBy("item_id", F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select("item_id", F.col("w.end").cast("long").alias("hour_s"), "cnt")
+    )
+    name = f"pv_anomaly_stream_{abs(hash((sf_dir, n_chunks)))}"
+    buckets = run_append_memory(hourly, name, spark).filter(
+        F.col("item_id").isNotNull()
+    )
+    trail = Window.partitionBy("item_id").orderBy("hour_s").rowsBetween(-lookback, -1)
+    stats = (
+        buckets.withColumn("n", F.count("cnt").over(trail))
+        .withColumn("s", F.sum("cnt").over(trail))
+        .withColumn("ss", F.sum(F.col("cnt") * F.col("cnt")).over(trail))
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (
+        F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ) / F.col("n")
+    thresh = mean + F.lit(float(sigmas)) * F.sqrt(F.greatest(var, F.lit(0.0)))
+    return stats.filter((F.col("n") == lookback) & (F.col("cnt") > thresh)).select(
+        "item_id", "hour_s", "cnt"
+    )
+
+
 def dedup_events_stream(
     spark: SparkSession,
     sf_dir: str,

@@ -131,3 +131,61 @@ def test_pv_anomaly(spark):
     rows = df.collect()
     assert len(rows) >= 5  # non-vacuous at the gate SF
     assert all(r["cnt"] >= 1 for r in rows)
+
+
+def test_pv_anomaly_stream_matches_batch(spark):
+    """Streaming twin ≡ batch ≡ oracle at the gate SF: append-mode
+    watermark-closed hourly buckets + the identical trailing z-score
+    expression reproduce the batch detector bit-for-bit."""
+    from tests.conftest import SF_DIR_MID
+    from flink_project_userbehavioranalysis_spark.operators import network_flow as NF
+    from flink_project_userbehavioranalysis_spark.streaming import windowed as W
+
+    df = W.pv_anomaly_stream(spark, SF_DIR_MID)
+    assert_matches_oracle(df, NF.pv_anomaly_oracle_sql(), SF_DIR_MID)
+
+
+def test_append_filter_keeps_sentinel_flush(spark, sf_dir):
+    """Regression (r5): a pushable pre-agg filter gets pushed below the
+    EventTimeWatermark node and row-group-prunes the sentinel file, so
+    append-mode output silently loses the corpus's FINAL hour of
+    windows. pv_anomaly_stream's filter ORs the sentinel type through;
+    this asserts the emitted bucket set reaches the last batch hour
+    (at the flag level the bug only shows when a tail bucket happens
+    to flag — sf0.1 caught it; the bucket-completeness check here is
+    deterministic at every SF)."""
+    import pyspark.sql.functions as FF
+
+    from flink_project_userbehavioranalysis_spark.io import load_events
+    from flink_project_userbehavioranalysis_spark.streaming import windowed as W
+    from flink_project_userbehavioranalysis_spark.streaming.replay import (
+        SENTINEL_TYPE,
+        events_stream,
+        run_append_memory,
+    )
+
+    ev = events_stream(spark, sf_dir, n_chunks=4, sentinel=True)
+    keep = (
+        (FF.col("event_type") == "view") & FF.col("item_id").isNotNull()
+    ) | (FF.col("event_type") == SENTINEL_TYPE)
+    hourly = (
+        ev.filter(keep)
+        .groupBy("item_id", FF.window("ts", "1 hour").alias("w"))
+        .agg(FF.count("*").alias("cnt"))
+        .select("item_id", FF.col("w.end").cast("long").alias("hour_s"), "cnt")
+    )
+    got = run_append_memory(hourly, "sentinel_flush_probe", spark).filter(
+        FF.col("item_id").isNotNull()
+    )
+    batch = (
+        load_events(spark, sf_dir)
+        .filter((FF.col("event_type") == "view") & FF.col("item_id").isNotNull())
+        .groupBy("item_id", FF.window("ts", "1 hour").alias("w"))
+        .agg(FF.count("*").alias("cnt"))
+        .select("item_id", FF.col("w.end").cast("long").alias("hour_s"), "cnt")
+    )
+    assert got.count() == batch.count()  # no withheld tail buckets
+    assert (
+        got.agg(FF.max("hour_s")).collect()[0][0]
+        == batch.agg(FF.max("hour_s")).collect()[0][0]
+    )

@@ -48,6 +48,12 @@ QUERIES = [
     "order_timeout",
     "tx_reconcile",
     "user_sessions",
+    "session_paths_topk",
+    "dwell_gaps",
+    "ad_attribution",
+    "rfm_segments",
+    "co_purchase_pairs",
+    "pv_anomaly",
     "dedup_exact_events",
     "clean_corpus",
     "token_counts",
