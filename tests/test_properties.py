@@ -254,3 +254,71 @@ def test_normalize_text_idempotent_and_printable(spark, tmp_path_factory, texts)
         "norm_text",
     )
     assert again.filter(F.col("again") != F.col("norm_text")).count() == 0
+
+
+rfm_events_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 3_500_000),  # offset seconds (~40 days → recency spreads)
+        st.integers(1, 8),  # user
+        st.sampled_from(["view", "click", "purchase"]),
+    ),
+    min_size=2,
+    max_size=60,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(evs=rfm_events_strategy)
+def test_rfm_matches_python_reference(spark, tmp_path_factory, evs):
+    """rfm_segments ≡ an independent pure-Python implementation of the
+    discrete histogram-quartile scoring, for arbitrary event streams —
+    the driver oracle checks one corpus; this checks the algorithm."""
+    from collections import Counter
+
+    from flink_project_userbehavioranalysis_spark.operators import behavior as B
+
+    d = _materialize(
+        spark,
+        tmp_path_factory.mktemp("rfm"),
+        [(off, uid, typ, None) for off, uid, typ in evs],
+    )
+
+    # ---- reference: per-user metrics (value==1.0 per event fixture)
+    last, freq = {}, Counter()
+    for off, uid, typ in evs:
+        last[uid] = max(last.get(uid, 0), off)
+        if typ == "purchase":
+            freq[uid] += 1
+    mx = max(last.values())
+    users = sorted(last)
+    rec = {u: (mx - last[u]) // 86400 for u in users}
+    mon = {u: freq[u] for u in users}  # floor(Σ 1.0) == purchase count
+
+    def boundaries(vals):
+        n = len(vals)
+        cnt = Counter(vals)
+        out = []
+        for t in ((n + 3) // 4, (n + 1) // 2, (3 * n + 3) // 4):
+            cum = 0
+            for v in sorted(cnt):
+                cum += cnt[v]
+                if cum >= t:
+                    out.append(v)
+                    break
+        return out
+
+    def score(v, bs):
+        return 1 + sum(1 for b in bs if v > b)
+
+    rb = boundaries([rec[u] for u in users])
+    fb = boundaries([freq[u] for u in users])
+    mb = boundaries([mon[u] for u in users])
+    expected = Counter(
+        (5 - score(rec[u], rb), score(freq[u], fb), score(mon[u], mb)) for u in users
+    )
+
+    got = {
+        (r["r_score"], r["f_score"], r["m_score"]): r["n_users"]
+        for r in B.rfm_segments(spark, d).collect()
+    }
+    assert got == dict(expected)
