@@ -119,6 +119,8 @@ def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str
         "dedup_exact_events": (_text.dedup_exact_events, _text.DEDUP_EXACT_EVENTS_SQL),
         # §2.10 text analysis
         "token_counts": (_text.token_counts, _text.TOKEN_COUNTS_SQL),
+        # §2.10 sliding-window context chunking (map-only, staged tokens)
+        "chunk_documents": (_text.chunk_documents, _text.chunk_documents_oracle_sql()),
         "doc_quality_stats": (_text.doc_quality_stats, _text.DOC_QUALITY_STATS_SQL),
         "lang_stats": (_text.lang_stats, _text.LANG_STATS_SQL),
         "tfidf_top_term": (_text.tfidf_top_term, _text.TFIDF_TOP_TERM_SQL),

@@ -986,3 +986,65 @@ SELECT CAST(row_number() OVER (ORDER BY cnt DESC, pair ASC) AS BIGINT) AS rank,
 FROM counts
 QUALIFY rank <= {top_k}
 """
+
+
+def chunk_documents(
+    spark: SparkSession, sf_dir: str, chunk_tokens: int = 32, stride: int = 24
+) -> DataFrame:
+    """Sliding-window document chunking — the context-window prep step
+    of RAG/pretraining pipelines: each doc becomes overlapping chunks
+    of ``chunk_tokens`` whitespace tokens every ``stride`` tokens
+    (overlap = chunk_tokens - stride keeps boundary sentences in two
+    chunks; the tail chunk is shorter by construction and a tail that
+    merely re-covers the previous chunk is standard chunker output,
+    documented rather than special-cased).
+
+    Scale shape: map-only — the token array is staged ONCE per doc
+    (the lambda-staging rule: no per-chunk re-split), starts come from
+    a `sequence` explode, and each chunk is a `slice` + `concat_ws`
+    projection. Zero Exchange; output size is corpus × (1/stride)
+    overhead, the chunker's inherent cost.
+
+    Output: (doc_id, chunk_id, n_tokens, chunk_text).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", F.split("text", " ").alias("toks")
+    ).withColumn("n", F.size("toks"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.col("n") - 1, F.lit(0)), F.lit(int(stride))
+    )
+    return (
+        staged.select("doc_id", "toks", F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            (F.col("start") / F.lit(int(stride))).cast("long").alias("chunk_id"),
+            F.slice("toks", F.col("start") + 1, F.lit(int(chunk_tokens))).alias("ck"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size("ck").alias("n_tokens"),
+            F.concat_ws(" ", "ck").alias("chunk_text"),
+        )
+    )
+
+
+def chunk_documents_oracle_sql(chunk_tokens: int = 32, stride: int = 24) -> str:
+    return f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks,
+           len(string_split(text, ' ')) AS n
+    FROM documents
+), s AS (
+    SELECT doc_id, toks, n,
+           unnest(range(0, greatest(n, 1), {int(stride)})) AS start
+    FROM t
+)
+SELECT doc_id,
+       start // {int(stride)} AS chunk_id,
+       len(list_slice(toks, start + 1, start + {int(chunk_tokens)})) AS n_tokens,
+       array_to_string(list_slice(toks, start + 1, start + {int(chunk_tokens)}), ' ')
+           AS chunk_text
+FROM s
+"""

@@ -327,3 +327,26 @@ def test_bpe_pair_stats_oracle(spark, sf_dir):
         F.sum(F.col("count") * (F.length("w") - 1)).alias("t")
     ).collect()[0][0]
     assert total == expect
+
+
+def test_chunk_documents(spark, sf_dir):
+    """Sliding chunker: oracle-match + coverage/overlap invariants."""
+    import pyspark.sql.functions as FF
+
+    df = llm_text.chunk_documents(spark, sf_dir)
+    assert_matches_oracle(df, llm_text.chunk_documents_oracle_sql(), sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", FF.size(FF.split("text", " ")).alias("n")
+    )
+    per_doc = df.groupBy("doc_id").agg(
+        FF.count("*").alias("n_chunks"), FF.max("n_tokens").alias("max_ck")
+    ).join(docs, "doc_id")
+    rows = per_doc.collect()
+    assert rows and all(r["n_chunks"] == (r["n"] - 1) // 24 + 1 for r in rows)
+    assert all(r["max_ck"] <= 32 for r in rows)
+    # chunk 0 is a prefix of the doc; every token position is covered:
+    # Σ stride-advances + last chunk length ≥ doc length
+    last = df.withColumn(
+        "end", FF.col("chunk_id") * 24 + FF.col("n_tokens")
+    ).groupBy("doc_id").agg(FF.max("end").alias("covered")).join(docs, "doc_id")
+    assert last.filter(FF.col("covered") < FF.col("n")).count() == 0
