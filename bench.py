@@ -70,6 +70,7 @@ HEADLINE = [
     "dedup_incremental",    # fingerprint anti-join vs corpus index
     "passage_scrub",        # passage-frequency scrub + ordered reassembly
     "unigram_surprisal",    # self-trained unigram-LM scoring pass
+    "chunk_documents",      # map-only sliding context chunker
     # behavior pillar (sessionized sort-heavy + join-heavy reps)
     "session_paths_topk",   # gap-island sessions + 3-gram leads + rank
     "ad_attribution",       # horizon-bounded user join + per-purchase windows
