@@ -203,8 +203,8 @@ WITH clicks AS (
      AND c.cts >= p.pts - INTERVAL {int(horizon_s)} SECOND
 )
 SELECT ad,
-       sum(CASE WHEN rn_first = 1 THEN 1 ELSE 0 END) AS n_first,
-       sum(CASE WHEN rn_last = 1 THEN 1 ELSE 0 END) AS n_last,
+       CAST(sum(CASE WHEN rn_first = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+       CAST(sum(CASE WHEN rn_last = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_last,
        count(*) AS n_touch
 FROM pairs GROUP BY 1
 """
@@ -429,7 +429,7 @@ WITH t AS (
     FROM s
 )
 SELECT event_type, count(*) AS n_gaps,
-       sum(gap_us) // 1000000 AS total_dwell_s,
+       CAST(sum(gap_us) // 1000000 AS BIGINT) AS total_dwell_s,
        (CAST(sum(gap_us) AS DOUBLE) / 1000000) / count(*) AS avg_dwell_s
 FROM g WHERE gap_us IS NOT NULL
 GROUP BY 1

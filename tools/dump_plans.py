@@ -196,6 +196,28 @@ EXHIBITS = [
         "of an unbounded side; AQE free to split a celebrity-user skew.",
     ),
     (
+        "co_purchase_pairs",
+        "Market-basket pairs: basket distinct + self-join + pair agg "
+        "share ONE (user, day) hash partitioning (AQE reuses the "
+        "exchange); the item-count joins attach two narrow aggregates; "
+        "pair blowup is a per-basket property, never a cartesian.",
+    ),
+    (
+        "pv_anomaly",
+        "Traffic spikes: ONE partial-aggregated exchange to hourly "
+        "(item, hour) counts; the trailing-stats window sorts within "
+        "the item partition over AGGREGATE rows (items × active "
+        "hours); the z-score threshold is a codegen filter — raw "
+        "events never reach the window.",
+    ),
+    (
+        "chunk_documents",
+        "Context chunking: map-only — token split staged once per doc, "
+        "sequence-explode starts, slice+concat_ws chunks; ZERO "
+        "Exchange anywhere in the plan (the chunker cost is pure "
+        "scan + project, the shape that pipelines at scan rate).",
+    ),
+    (
         "rfm_segments",
         "RFM: per-user rollup is one partial-aggregated exchange on "
         "user_id; quartile boundaries come from a HISTOGRAM over the "
