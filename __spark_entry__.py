@@ -319,6 +319,9 @@ def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str
             _stw.session_paths_stream,
             _bx.session_paths_topk_oracle_sql(),
         ),
+        # behavior pillar streaming twin: closed-session dwell rollup
+        # (shares the session-collect stage; streaming-exact)
+        "dwell_gaps_stream": (_stw.dwell_gaps_stream, _bx.dwell_gaps_oracle_sql()),
         # ---- Stateful processors (applyInPandasWithState + event-time
         # timers; end-of-input watermark sentinel flushes deadlines).
         # ST5/ST6 CEP create→pay within horizon + timeout side output

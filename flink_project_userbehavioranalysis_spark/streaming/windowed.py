@@ -287,6 +287,42 @@ def user_sessions_stream(
     return out.filter(F.col("user_id") >= 0)
 
 
+def _session_collect_stream(
+    spark: SparkSession, sf_dir: str, gap_s: int, n_chunks: int, tag: str
+) -> DataFrame:
+    """Shared stage 1 of the order-aware session twins: a streaming
+    session-window agg collects each session's (ts_us, event_id,
+    event_type) triples, emitted exactly once at watermark close
+    (append mode; the end-of-input sentinel flushes the tail, and its
+    own user −1 session is dropped). ``sort_array`` over the structs
+    makes in-session order deterministic regardless of arrival order.
+    State = triples per open session — bounded by events-per-session ×
+    sessions in the watermark horizon, the inherent floor for
+    order-aware session analytics."""
+    from flink_project_userbehavioranalysis_spark.streaming.replay import (
+        run_append_memory,
+    )
+
+    ev = events_stream(spark, sf_dir, n_chunks=n_chunks, sentinel=True)
+    sess = (
+        ev.groupBy(F.session_window("ts", f"{gap_s} seconds").alias("w"), "user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.unix_micros("ts").alias("us"),
+                        F.col("event_id").alias("eid"),
+                        F.col("event_type").alias("et"),
+                    )
+                )
+            ).alias("evs")
+        )
+        .select("user_id", "evs")
+    )
+    name = f"{tag}_stream_{abs(hash((sf_dir, n_chunks)))}"
+    return run_append_memory(sess, name, spark).filter(F.col("user_id") >= 0)
+
+
 def session_paths_stream(
     spark: SparkSession,
     sf_dir: str,
@@ -314,28 +350,7 @@ def session_paths_stream(
     Exact oracle: streaming session_window ≡ batch gap-islands on
     finite input, so ``behavior.session_paths_topk_oracle_sql`` applies
     unchanged (streaming ≡ batch ≡ oracle)."""
-    from flink_project_userbehavioranalysis_spark.streaming.replay import (
-        run_append_memory,
-    )
-
-    ev = events_stream(spark, sf_dir, n_chunks=n_chunks, sentinel=True)
-    sess = (
-        ev.groupBy(F.session_window("ts", f"{gap_s} seconds").alias("w"), "user_id")
-        .agg(
-            F.sort_array(
-                F.collect_list(
-                    F.struct(
-                        F.unix_micros("ts").alias("us"),
-                        F.col("event_id").alias("eid"),
-                        F.col("event_type").alias("et"),
-                    )
-                )
-            ).alias("evs")
-        )
-        .select("user_id", "evs")
-    )
-    name = f"session_paths_stream_{abs(hash((sf_dir, n_chunks)))}"
-    closed = run_append_memory(sess, name, spark).filter(F.col("user_id") >= 0)
+    closed = _session_collect_stream(spark, sf_dir, gap_s, n_chunks, "session_paths")
     paths = (
         closed.filter(F.size("evs") >= 3)
         .select(
@@ -353,6 +368,40 @@ def session_paths_stream(
         "rnk", F.rank().over(Window.orderBy(F.desc("cnt"), F.asc("path")))
     )
     return ranked.filter(F.col("rnk") <= k)
+
+
+def dwell_gaps_stream(
+    spark: SparkSession, sf_dir: str, gap_s: int = 1800, n_chunks: int = 4
+) -> DataFrame:
+    """Streaming twin of ``behavior.dwell_gaps`` — per-event-type
+    in-session dwell time over *closed* sessions, sharing stage 1
+    (`_session_collect_stream`) with the path miner: consecutive-pair
+    µs gaps are a map-only explode over each emitted session's sorted
+    triples, then one partial-aggregated rollup over the event-type
+    domain. Exact oracle: identical gap set as the batch gap-islands
+    form on finite input, so ``behavior.dwell_gaps_oracle_sql``
+    applies unchanged (streaming ≡ batch ≡ oracle)."""
+    closed = _session_collect_stream(spark, sf_dir, gap_s, n_chunks, "dwell_gaps")
+    gaps = closed.filter(F.size("evs") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(evs) - 1),"
+                " i -> struct(evs[i-1].et AS et, evs[i].us - evs[i-1].us AS gap_us))"
+            )
+        ).alias("g")
+    )
+    return (
+        gaps.groupBy(F.col("g.et").alias("event_type"))
+        .agg(F.count("*").alias("n_gaps"), F.sum("g.gap_us").alias("sum_us"))
+        .select(
+            "event_type",
+            "n_gaps",
+            F.expr("sum_us div 1000000").alias("total_dwell_s"),
+            (F.col("sum_us").cast("double") / F.lit(1_000_000) / F.col("n_gaps")).alias(
+                "avg_dwell_s"
+            ),
+        )
+    )
 
 
 def pv_anomaly_stream(

@@ -189,3 +189,13 @@ def test_append_filter_keeps_sentinel_flush(spark, sf_dir):
         got.agg(FF.max("hour_s")).collect()[0][0]
         == batch.agg(FF.max("hour_s")).collect()[0][0]
     )
+
+
+def test_dwell_gaps_stream_matches_batch(spark, sf_dir):
+    """Streaming dwell twin ≡ batch ≡ oracle (shares the session
+    collect stage with the path miner; gap set identical on finite
+    input)."""
+    from flink_project_userbehavioranalysis_spark.streaming import windowed as W
+
+    df = W.dwell_gaps_stream(spark, sf_dir)
+    assert_matches_oracle(df, B.dwell_gaps_oracle_sql(), sf_dir)
