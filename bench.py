@@ -88,22 +88,37 @@ def _sf_of(path: str) -> float:
 
 
 def _prev_bench() -> tuple[str, dict] | None:
-    """Latest driver-recorded BENCH_r{N}.json with a parsed payload —
-    the round-over-round trend anchor (regressions visible without a
-    judge)."""
+    """NEWEST driver-recorded BENCH_r{N}.json — the round-over-round
+    trend anchor (regressions visible without a judge). The driver's
+    ``parsed`` field is null for captures whose stdout tail overflowed
+    (r01/r03/r04); those are recovered by re-parsing the last JSON
+    object embedded in the ``tail`` text, so the anchor is always the
+    PRIOR ROUND, never a stale earlier one (r05's vs_prev silently
+    compared against r02 because r04 had parsed=null)."""
     import glob
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    best = None
-    for p in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+    for p in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")), reverse=True):
         try:
             d = json.load(open(p))
         except (OSError, json.JSONDecodeError):
             continue
         parsed = d.get("parsed") if isinstance(d.get("parsed"), dict) else None
+        if not (parsed and parsed.get("queries")):
+            # tail keeps the final stdout chars; the bench line is the
+            # last {...} blob containing "queries"
+            tail = d.get("tail") or ""
+            for m in re.finditer(r"\{\"metric\".*?\}(?=\s*$|\n)", tail, re.S):
+                try:
+                    cand = json.loads(m.group(0))
+                except json.JSONDecodeError:
+                    continue
+                if cand.get("queries"):
+                    parsed = cand
         if parsed and parsed.get("queries"):
-            best = (p, parsed)
-    return best
+            return (p, parsed)
+    return None
 
 
 def _median_time(fn, runs: int = RUNS) -> float:
@@ -197,6 +212,7 @@ def main() -> None:
     }
     if prev is not None and detail["vs_prev"].get("total_ratio") is not None:
         compact["vs_prev_total"] = detail["vs_prev"]["total_ratio"]
+        compact["vs_prev_file"] = detail["vs_prev"]["prev_file"]
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) >= 1900:  # never overflow the tail: totals beat detail
         compact["queries"] = {}

@@ -16,6 +16,34 @@ _BATCH_ORACLE = sorted(
 )
 
 
+def test_driver_order_invariants():
+    """The driver's correctness pass is time-budgeted (~50 rows), so
+    registry order IS scoreboard coverage: the first 50 entries must
+    all be hash-oracled and rows-only/streaming entries must trail."""
+    keys = list(_REGISTRY)
+    # every catalog key ordered exactly once (drift raises in _registry,
+    # but assert the list itself is duplicate-free too)
+    assert len(keys) == len(set(entry_mod._DRIVER_ORDER)) == len(entry_mod._DRIVER_ORDER)
+    first50 = keys[:50]
+    assert all(_REGISTRY[k][1] is not None for k in first50), [
+        k for k in first50 if _REGISTRY[k][1] is None
+    ]
+    # one tier-1 representative per operator module
+    modules = {entry_mod._catalog()[k][0].__module__.rsplit(".", 1)[-1] for k in first50}
+    for mod in (
+        "hot_items", "network_flow", "market", "login", "order_pay",
+        "relational", "skew", "custom_joins", "behavior", "llm_text",
+        "similarity", "corpus_quality", "embeddings_ops", "multimodal",
+    ):
+        assert mod in modules, f"no tier-1 entry from {mod}"
+    # streaming strictly after all batch entries
+    def is_stream(k):
+        return k.endswith("_stream") or k.endswith("_stream_join")
+
+    first_stream = min(i for i, k in enumerate(keys) if is_stream(k))
+    assert all(is_stream(k) for k in keys[first_stream:]), keys[first_stream:]
+
+
 @pytest.mark.parametrize("name", _BATCH_ORACLE)
 def test_registry_batch_query_matches_oracle(spark, sf_dir, name):
     """Every registered batch query with an oracle is auto-covered —
