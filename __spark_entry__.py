@@ -79,7 +79,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _DRIVER_ORDER = [
     # --- tier 1: hash-oracled, every module -------------------------
     "hot_items_topn",
-    "hot_items_topn_bucketed",
+    "hot_items_topn_direct",
     "pv_hourly",
     "uv_hourly",
     "hot_pages_topn",
@@ -151,6 +151,8 @@ _DRIVER_ORDER = [
     "date_roundtrip",
     "contamination_check",
     "vocab_coverage",
+    "co_purchase_pairs_capped",
+    "bpe_train",
     # --- tier 3: rows-only by design (sketches / ANN / NB) ----------
     "uv_approx",
     "uv_daily_sketch",
@@ -205,14 +207,13 @@ def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str
 # name → (spark_fn, oracle_sql | None for rows-only)
 def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
     return {
-        # W1/W3/W4 flagship
+        # W1/W3/W4 flagship (two-level slide-grain bucket rollup)
         "hot_items_topn": (_hot.hot_items, _hot.hot_items_oracle_sql()),
         # P8 string result building (formatted ranking report)
         "hot_items_report": (_hot.hot_items_report, _hot.hot_items_report_oracle_sql()),
-        # W1 100 TB twin: two-level bucket rollup (slide-grain agg, then
-        # 12-way window sum over aggregated rows) — same oracle proves
-        # bucketed ≡ direct sliding-window
-        "hot_items_topn_bucketed": (_hot.hot_items_bucketed, _hot.hot_items_oracle_sql()),
+        # W1 textbook twin: direct F.window(1h,5m) over raw events —
+        # same oracle proves the flagship's rollup decomposition exact
+        "hot_items_topn_direct": (_hot.hot_items_direct, _hot.hot_items_oracle_sql()),
         # §2.9 Table/SQL variant parity (HotItemsWithSql [U]): same
         # flagship as pure SQL text — same oracle, same Catalyst plan
         "hot_items_topn_sql": (_hot.hot_items_sql, _hot.hot_items_oracle_sql()),
@@ -300,6 +301,10 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         ),
         # §2.10 BPE tokenizer-training pair statistics (one merge round)
         "bpe_pair_stats": (_text.bpe_pair_stats, _text.bpe_pair_stats_oracle_sql()),
+        # §2.10 BPE training LOOP closed: n greedy merge rounds, each
+        # re-tokenizing the vocab with the prior winner (declarative —
+        # 1-row broadcast winner per round, no driver collect)
+        "bpe_train": (_text.bpe_train, _text.bpe_train_oracle_sql()),
         # §2.10 similarity search: exact cosine top-k (brute baseline)
         "knn_topk": (_sim.knn_topk, _sim.knn_topk_oracle_sql()),
         # §2.10 ANN scale paths (probabilistic candidates — rows-only):
@@ -366,6 +371,12 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "dwell_gaps": (_bx.dwell_gaps, _bx.dwell_gaps_oracle_sql()),
         # behavior pillar: market-basket co-purchase pairs w/ supports
         "co_purchase_pairs": (_bx.co_purchase_pairs, _bx.co_purchase_pairs_oracle_sql()),
+        # behavior pillar 100 TB form: basket-width cap bounds the
+        # self-join quadratic by construction; dropped baskets reported
+        "co_purchase_pairs_capped": (
+            _bx.co_purchase_pairs_capped,
+            _bx.co_purchase_pairs_oracle_sql(max_basket=3),
+        ),
         # NetworkFlow extension: per-item traffic-spike z-score flags
         "pv_anomaly": (_nf.pv_anomaly, _nf.pv_anomaly_oracle_sql()),
         # P5 regex extract/filter family

@@ -42,7 +42,7 @@ RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
 HEADLINE = [
     # BASELINE.md rows
     "hot_items_topn",
-    "hot_items_topn_bucketed",  # 100 TB rollup twin, benched beside the flagship
+    "hot_items_topn_direct",  # textbook F.window twin, benched beside the flagship
     "pv_hourly",
     "uv_hourly",
     "uv_approx",

@@ -213,7 +213,7 @@ FROM pairs GROUP BY 1
 # ---------------------------------------------------------- RFM segmentation
 
 
-def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+def rfm_segments(spark: SparkSession, sf_dir: str, mon_bucket: int = 1) -> DataFrame:
     """RFM (recency / frequency / monetary) quartile segmentation of
     the user base — the canonical marketing segmentation over a
     behavior stream. Per user: recency = whole days between their last
@@ -236,8 +236,19 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     all users (one-task window) is not. The 9-row boundary table
     broadcast-joins back onto users.
 
+    ``mon_bucket`` is the scale dial for the one domain that can creep
+    toward user cardinality: high-variance spend makes distinct
+    whole-dollar totals numerous, so the monetary metric is coarsened
+    to ``mon_bucket``-dollar buckets (bucket start) BEFORE the
+    histogram — boundary selection and boundary application both see
+    the coarsened domain, so scores stay consistent quartiles of it.
+    Default 1 = whole dollars; at 100 TB pick a width that caps the
+    domain (e.g. 100 ⇒ ≤ max_spend/100 distinct values per task).
+
     Output: (r_score, f_score, m_score, n_users).
     """
+    if mon_bucket < 1:
+        raise ValueError("mon_bucket must be >= 1")
     ev = load_events(spark, sf_dir)
     is_buy = F.col("event_type") == "purchase"
     per_user = (
@@ -257,7 +268,9 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             ((F.col("max_us") - F.col("last_us")) / F.lit(86_400_000_000)).cast("long").alias("recency"),
             F.col("freq").cast("long").alias("freq"),
-            F.floor(F.col("mon")).cast("long").alias("mon"),
+            F.expr(
+                f"CAST(floor(mon) AS BIGINT) div {int(mon_bucket)} * {int(mon_bucket)}"
+            ).alias("mon"),
         )
     )
     melted = users.selectExpr(
@@ -315,7 +328,8 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-RFM_SEGMENTS_SQL = """
+def rfm_segments_oracle_sql(mon_bucket: int = 1) -> str:
+    return f"""
 WITH per_user AS (
     SELECT user_id,
            max(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us,
@@ -330,7 +344,7 @@ WITH per_user AS (
     SELECT user_id,
            (mx.max_us - last_us) // 86400000000 AS recency,
            CAST(freq AS BIGINT) AS freq,
-           CAST(floor(mon) AS BIGINT) AS mon
+           CAST(floor(mon) AS BIGINT) // {int(mon_bucket)} * {int(mon_bucket)} AS mon
     FROM per_user, mx
 ), melted AS (
     SELECT 'r' AS metric, recency AS v FROM users
@@ -367,6 +381,9 @@ WITH per_user AS (
 SELECT r_score, f_score, m_score, count(*) AS n_users
 FROM scored GROUP BY 1, 2, 3
 """
+
+
+RFM_SEGMENTS_SQL = rfm_segments_oracle_sql(1)
 
 
 # ------------------------------------------------------------- dwell gaps
@@ -440,7 +457,10 @@ GROUP BY 1
 
 
 def co_purchase_pairs(
-    spark: SparkSession, sf_dir: str, min_support: int = 2
+    spark: SparkSession,
+    sf_dir: str,
+    min_support: int = 2,
+    max_basket: int | None = None,
 ) -> DataFrame:
     """Market-basket item co-occurrence: pairs of ads/items purchased
     by the same user on the same day, with the pair's basket support
@@ -455,12 +475,19 @@ def co_purchase_pairs(
 
     Scale shape: basket distinct + self-join share one (user, day)
     hash partitioning; pair blowup is Σ (items-per-user-day)² — a
-    per-basket property bounded by catalog behavior, not corpus size
-    (a celebrity basket is AQE's skew-split case, and production would
-    cap basket width upstream); both final aggs are partial-aggregated
-    over the item/pair domain. Nothing is broadcast.
+    per-basket property bounded by catalog behavior, not corpus size.
+    ``max_basket`` makes that bound hold BY CONSTRUCTION instead of by
+    AQE rescue: user-days with more than ``max_basket`` distinct items
+    (bots, resellers, celebrity accounts) are dropped before the
+    self-join — the width filter shares the baskets' (user, day)
+    partitioning — and the number of dropped baskets rides every
+    output row as ``n_dropped_baskets`` (broadcast 1-row cross join),
+    so the cap's blast radius is visible in the result, never silent.
+    Item supports (a_n/b_n) are computed over the SAME capped basket
+    set, keeping pair_n ≤ min(a_n, b_n) true under the cap. Both final
+    aggs are partial-aggregated over the item/pair domain.
 
-    Output: (item_a, item_b, pair_n, a_n, b_n).
+    Output: (item_a, item_b, pair_n, a_n, b_n[, n_dropped_baskets]).
     """
     ev = load_events(spark, sf_dir)
     baskets = (
@@ -468,6 +495,14 @@ def co_purchase_pairs(
         .select("user_id", F.to_date("ts").alias("day"), "item_id")
         .distinct()
     )
+    dropped_n = None
+    if max_basket is not None:
+        width = baskets.groupBy("user_id", "day").agg(F.count("*").alias("bw"))
+        kept = width.filter(F.col("bw") <= max_basket).select("user_id", "day")
+        dropped_n = width.filter(F.col("bw") > max_basket).agg(
+            F.count("*").alias("n_dropped_baskets")
+        )
+        baskets = baskets.join(kept, ["user_id", "day"])
     item_n = baskets.groupBy("item_id").agg(F.count("*").alias("n"))
     a = baskets.select("user_id", "day", F.col("item_id").alias("item_a"))
     b = baskets.select("user_id", "day", F.col("item_id").alias("item_b"))
@@ -478,21 +513,59 @@ def co_purchase_pairs(
         .agg(F.count("*").alias("pair_n"))
         .filter(F.col("pair_n") >= min_support)
     )
-    return (
+    out = (
         pairs.join(item_n.select(F.col("item_id").alias("item_a"), F.col("n").alias("a_n")), "item_a")
         .join(item_n.select(F.col("item_id").alias("item_b"), F.col("n").alias("b_n")), "item_b")
         .select("item_a", "item_b", "pair_n", "a_n", "b_n")
     )
+    if dropped_n is not None:
+        out = out.crossJoin(F.broadcast(dropped_n))
+    return out
 
 
-def co_purchase_pairs_oracle_sql(min_support: int = 2) -> str:
-    return f"""
-WITH baskets AS (
+def co_purchase_pairs_capped(
+    spark: SparkSession, sf_dir: str, min_support: int = 2, max_basket: int = 3
+) -> DataFrame:
+    """Registered form of the basket-width-capped co-purchase rollup
+    (the 100 TB posture: per-basket quadratic bounded by construction;
+    see ``co_purchase_pairs``)."""
+    return co_purchase_pairs(
+        spark, sf_dir, min_support=min_support, max_basket=max_basket
+    )
+
+
+def co_purchase_pairs_oracle_sql(
+    min_support: int = 2, max_basket: int | None = None
+) -> str:
+    if max_basket is not None:
+        basket_cte = f"""baskets0 AS (
     SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
            CAST(json_extract_string(props, '$.k') AS INT) AS item_id
     FROM events
     WHERE event_type = 'purchase' AND json_extract_string(props, '$.k') IS NOT NULL
-), item_n AS (
+), width AS (
+    SELECT user_id, day, count(*) AS bw FROM baskets0 GROUP BY 1, 2
+), baskets AS (
+    SELECT b.user_id, b.day, b.item_id
+    FROM baskets0 b JOIN width w
+      ON b.user_id = w.user_id AND b.day = w.day AND w.bw <= {int(max_basket)}
+), dropped AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_dropped_baskets
+    FROM width WHERE bw > {int(max_basket)}
+)"""
+        tail_cols = ", d.n_dropped_baskets"
+        tail_join = " CROSS JOIN dropped d"
+    else:
+        basket_cte = """baskets AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+           CAST(json_extract_string(props, '$.k') AS INT) AS item_id
+    FROM events
+    WHERE event_type = 'purchase' AND json_extract_string(props, '$.k') IS NOT NULL
+)"""
+        tail_cols = ""
+        tail_join = ""
+    return f"""
+WITH {basket_cte}, item_n AS (
     SELECT item_id, count(*) AS n FROM baskets GROUP BY 1
 ), pairs AS (
     SELECT a.item_id AS item_a, b.item_id AS item_b, count(*) AS pair_n
@@ -501,8 +574,8 @@ WITH baskets AS (
     GROUP BY 1, 2
     HAVING count(*) >= {min_support}
 )
-SELECT p.item_a, p.item_b, p.pair_n, na.n AS a_n, nb.n AS b_n
+SELECT p.item_a, p.item_b, p.pair_n, na.n AS a_n, nb.n AS b_n{tail_cols}
 FROM pairs p
 JOIN item_n na ON na.item_id = p.item_a
-JOIN item_n nb ON nb.item_id = p.item_b
+JOIN item_n nb ON nb.item_id = p.item_b{tail_join}
 """

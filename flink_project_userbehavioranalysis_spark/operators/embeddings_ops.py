@@ -31,31 +31,30 @@ def _centroids_by(keyed: DataFrame, key: str) -> DataFrame:
     """Element-wise mean of ``embedding`` per ``key`` column + member
     count. Dataflow: posexplode to (key, dim, value) → ONE
     partial-aggregated shuffle on (key, dim) → re-assemble the vector
-    with a deterministic array_sort(collect_list(struct(dim, avg))) per
+    with a deterministic array_sort(collect_list(struct(dim, s))) per
     key.
 
-    The mean is computed as an exact DECIMAL(38,12) sum divided once in
-    double, NOT a float avg: decimal addition is associative, so the
-    result is independent of summation order — Spark's two-phase
-    partial aggregation and the oracle's single pass produce the
-    bit-identical sum by construction (a float avg rounded to 9 dp only
-    made an order flip *unlikely*; r4 advice flagged the residual
-    boundary risk). The float→decimal cast itself is order-free and
-    tie-free at scale 12 (no double is exactly k·10⁻¹² + 5·10⁻¹³ — the
-    denominator has a factor 5¹³, never dyadic), and one double divide
-    + round of identical inputs is deterministic across engines."""
+    Exact-integer checksum pattern (same as ``quantize_embeddings``,
+    closing the r5-advice float-rounding gap for good): each float32
+    component quantizes ONCE to nano-units (round(v·10⁹) as BIGINT —
+    ties are measure-zero over real float data), and everything
+    downstream is exact 64-bit integer arithmetic, which is associative
+    — Spark's two-phase partial aggregation and the oracle's single
+    pass produce bit-identical sums by construction, with no rounding
+    boundary anywhere. ``centroid_q`` carries the exact per-dim sums
+    (the MERGEABLE aggregate state — the form 100 TB shard rollups
+    combine); ``centroid`` derives the mean from those integers with
+    one IEEE double divide of identical operands per dim (max |sum| ~
+    10¹⁴ ≪ 2⁵³, so the long→double conversion is exact), deterministic
+    across engines."""
     per_dim = (
         keyed.select(key, F.posexplode("embedding").alias("dim", "v"))
         .groupBy(key, "dim")
         .agg(
-            F.sum(F.col("v").cast("decimal(38,12)")).alias("s"),
+            F.sum(
+                F.round(F.col("v").cast("double") * F.lit(1e9)).cast("long")
+            ).alias("s"),
             F.count("*").alias("n"),
-        )
-        .select(
-            key,
-            "dim",
-            F.round(F.col("s").cast("double") / F.col("n"), 9).alias("c"),
-            "n",
         )
     )
     return (
@@ -63,17 +62,26 @@ def _centroids_by(keyed: DataFrame, key: str) -> DataFrame:
         .agg(
             F.max("n").alias("n_vecs"),
             F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+                F.array_sort(F.collect_list(F.struct("dim", "s"))), lambda st: st["s"]
+            ).alias("centroid_q"),
+        )
+        .select(
+            key,
+            "n_vecs",
+            "centroid_q",
+            F.transform(
+                "centroid_q", lambda x: x / (F.col("n_vecs") * F.lit(1e9))
             ).alias("centroid"),
         )
-        .select(key, "n_vecs", "centroid")
     )
 
 
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Element-wise mean embedding per label + member count.
 
-    Output: label, n_vecs, centroid (array<double>, 9 dp).
+    Output: label, n_vecs, centroid_q (array<bigint> — exact per-dim
+    nano-unit sums, the mergeable state), centroid (array<double> mean
+    derived from the exact integers).
     """
     return _centroids_by(load_table(spark, sf_dir, "embeddings"), "label")
 
@@ -85,16 +93,21 @@ WITH ex AS (
            unnest(embedding) AS v
     FROM embeddings
 ), per_dim AS (
-    -- exact decimal sum + one double divide: order-independent, matches
-    -- Spark's decimal-sum mean bit-for-bit (see _centroids_by docstring)
+    -- nano-unit integer quantization + exact BIGINT sum: associative,
+    -- order-independent, no rounding boundary (see _centroids_by)
     SELECT label, dim,
-           round(CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 9) AS c,
+           CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000000.0) AS BIGINT)) AS BIGINT) AS s,
            count(*) AS n
     FROM ex GROUP BY 1, 2
+), agg AS (
+    SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
+           list(s ORDER BY dim) AS centroid_q
+    FROM per_dim GROUP BY 1
 )
-SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
-       list(c ORDER BY dim) AS centroid
-FROM per_dim GROUP BY 1
+SELECT label, n_vecs, centroid_q,
+       list_transform(centroid_q,
+                      x -> CAST(x AS DOUBLE) / (n_vecs * 1000000000.0)) AS centroid
+FROM agg
 """
 
 
@@ -188,7 +201,8 @@ def lang_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     it fits, shuffles otherwise) followed by the (lang, dim)
     partial-aggregated mean. No vector ever reaches the driver.
 
-    Output: lang, n_vecs, centroid (array<double>, 9 dp).
+    Output: lang, n_vecs, centroid_q (array<bigint> exact nano-unit
+    sums), centroid (array<double> mean derived from the integers).
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -207,11 +221,16 @@ WITH keyed AS (
     FROM keyed
 ), per_dim AS (
     SELECT lang, dim,
-           round(CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 9) AS c,
+           CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000000.0) AS BIGINT)) AS BIGINT) AS s,
            count(*) AS n
     FROM ex GROUP BY 1, 2
+), agg AS (
+    SELECT lang, CAST(max(n) AS BIGINT) AS n_vecs,
+           list(s ORDER BY dim) AS centroid_q
+    FROM per_dim GROUP BY 1
 )
-SELECT lang, CAST(max(n) AS BIGINT) AS n_vecs,
-       list(c ORDER BY dim) AS centroid
-FROM per_dim GROUP BY 1
+SELECT lang, n_vecs, centroid_q,
+       list_transform(centroid_q,
+                      x -> CAST(x AS DOUBLE) / (n_vecs * 1000000000.0)) AS centroid
+FROM agg
 """

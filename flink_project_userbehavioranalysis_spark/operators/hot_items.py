@@ -6,16 +6,23 @@ CountAgg + ItemViewWindowResult + TopNHotItems [~L25-L115 est., U]
 count → keyBy(windowEnd) → buffer+timer → sort desc → take(5).
 
 Spark-first design (not a translation):
-  filter('view') → groupBy(window(ts,1h,5m), item).count()
-  → row_number() over (partition by window_end order by cnt desc)
-  → rn <= n
+  filter('view') → tumbling slide-grain count (1× the events)
+  → explode each (bucket, item) row into the window/slide sliding
+    windows it serves → sum → row_number() over (partition by
+    window_end order by cnt desc) → rn <= n
 
 Scale notes (100 TB posture):
-- The sliding window expands each event into size/slide (=12) window
-  copies, but Catalyst places a *partial* HashAggregate before the
-  shuffle, so shuffle volume is O(distinct (window,item) per task),
-  not O(12 × events). This is the same two-stage shape the reference
-  hand-codes with CountAgg (partial) + TopNHotItems (final).
+- The textbook formulation (`hot_items_direct`, kept registered as the
+  equivalence twin) hands `F.window(ts, 1h, 5m)` the raw event stream,
+  which replicates every event into window/slide (=12) window copies
+  inside an Expand before the partial aggregate — 12× the map-side
+  aggregation CPU. The flagship instead aggregates ONCE at tumbling
+  slide grain and replicates only the already-aggregated
+  (bucket, item) rows — O(buckets × items), orders of magnitude fewer
+  than O(12 × events) at data scale — for one extra partial-aggregated
+  narrow shuffle. Exact when slide divides window (every sliding
+  window is a disjoint union of slide buckets; both stages are exact
+  integer sums); falls back to the direct form otherwise.
 - The rank is per-window (partition by window_end), never a global
   sort: each window's items fit one task; no collect-to-driver.
 - Filter + JSON projection sit directly on the scan → parquet predicate
@@ -30,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from flink_project_userbehavioranalysis_spark.io import load_events
 
 
-def hot_items(
+def hot_items_direct(
     spark: SparkSession,
     sf_dir: str,
     window: str = "1 hour",
@@ -38,7 +45,11 @@ def hot_items(
     n: int = 5,
     event_type: str = "view",
 ) -> DataFrame:
-    """Top-``n`` items per sliding window, deterministic tie-break by item_id."""
+    """The textbook single-window formulation — `F.window(ts, 1h, 5m)`
+    straight over the raw events (12-way Expand before the partial
+    agg). Registered as `hot_items_topn_direct` with the SAME oracle as
+    the flagship: the green twin row is the proof that the rollup
+    decomposition is exact, not an approximation."""
     events = load_events(spark, sf_dir)
     counts = (
         events.filter(F.col("event_type") == event_type)
@@ -57,7 +68,7 @@ def hot_items(
     )
 
 
-def hot_items_bucketed(
+def hot_items(
     spark: SparkSession,
     sf_dir: str,
     window: str = "1 hour",
@@ -65,31 +76,29 @@ def hot_items_bucketed(
     n: int = 5,
     event_type: str = "view",
 ) -> DataFrame:
-    """Top-``n`` per sliding window via TWO-LEVEL bucket rollup — the
-    100 TB twin of `hot_items` (same rows, same oracle, asserted).
+    """Top-``n`` items per sliding window, deterministic tie-break by
+    item_id — TWO-LEVEL bucket rollup (the flagship formulation).
 
-    `F.window(ts, 1h, 5m)` replicates every event into window/slide
-    (=12) window instances before the map-side partial aggregate —
-    12× the aggregation CPU on the *raw event* stream. This variant
-    aggregates once at tumbling slide grain (1× the events), then
+    Aggregates once at tumbling slide grain (1× the events), then
     explodes only the already-aggregated (bucket, item) rows into the
-    12 sliding windows each bucket serves and sums bucket counts. The
-    replication factor moves from O(events) rows to O(buckets × items)
-    rows — orders of magnitude fewer at data scale, for one extra
-    (partial-aggregated, narrow) shuffle. Exactness: slide divides
-    window, so every sliding window is a disjoint union of 12 buckets;
-    both stages are exact integer sums.
+    window/slide sliding windows each bucket serves and sums bucket
+    counts — see the module docstring for the full cost argument vs
+    the direct form. Exact when slide divides window; falls back to
+    `hot_items_direct` otherwise (arbitrary window/slide pairs keep
+    working, just on the textbook plan).
 
     The same decomposition is what the DuckDB oracle already does
-    (`hot_items_oracle_sql` expands bucket + j·slide), so this twin
-    shares the flagship's oracle verbatim.
+    (`hot_items_oracle_sql` expands bucket + j·slide), so the direct
+    twin shares this oracle verbatim.
     """
     import pandas as pd
 
     win_s = int(pd.Timedelta(window).total_seconds())
     slide_s = int(pd.Timedelta(slide).total_seconds())
     if win_s % slide_s:
-        raise ValueError("bucketed rollup requires slide to divide window")
+        return hot_items_direct(
+            spark, sf_dir, window=window, slide=slide, n=n, event_type=event_type
+        )
     ratio = win_s // slide_s
     events = load_events(spark, sf_dir)
     buckets = (
@@ -128,9 +137,9 @@ def hot_items_sql(
     """The flagship as PURE SQL text — parity with the reference's
     Table/SQL variant (HotItemsWithSql.scala [U, §2.9]: Blink planner,
     HOP window + ROW_NUMBER ≤ n). Spark SQL's `window()` table function
-    is the HOP analog; the plan is identical to the DataFrame
-    formulation (same Catalyst pipeline), which is the point: the
-    engine's SQL front end is not a separate engine."""
+    is the HOP analog; the plan is identical to the `hot_items_direct`
+    DataFrame formulation (same Catalyst pipeline), which is the point:
+    the engine's SQL front end is not a separate engine."""
     from flink_project_userbehavioranalysis_spark.io import load_events
 
     load_events(spark, sf_dir).createOrReplaceTempView("events_norm")

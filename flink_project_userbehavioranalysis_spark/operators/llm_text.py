@@ -988,6 +988,120 @@ QUALIFY rank <= {top_k}
 """
 
 
+def bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = 3) -> DataFrame:
+    """The BPE training LOOP, closed: ``n_merges`` greedy rounds, each
+    re-tokenizing the symbol table with the previous round's winning
+    merge and re-aggregating — the iterative shape a tokenizer trainer
+    actually runs (``bpe_pair_stats`` is one round of this).
+
+    Fully declarative — no driver collect anywhere: each round's winner
+    is a 1-row DataFrame (argmax by cnt DESC, lhs, rhs) broadcast back
+    onto the symbol table as a cross join, and the merge itself is a
+    literal-string ``replace``. Symbol representation: single-space
+    padding + TWO-space separators (`` a  b  c ``), so the pattern
+    ``' lhs  rhs '`` (a) can never match a partial symbol — the outer
+    spaces pin both symbol boundaries — and (b) leaves each side's
+    remaining separator space intact after replacement, which makes
+    plain left-to-right non-overlapping ``replace`` reproduce BPE's
+    greedy within-word fold exactly (verified identical in Spark and
+    DuckDB, including the adjacent-run case ``a a a a`` → ``aa aa``).
+
+    Scale shape: the loop body operates on the WORD table (vocab
+    cardinality — ~10⁷ rows at 100 TB, not corpus rows), persisted per
+    round so round k doesn't recompute rounds 1..k-1; pair counting is
+    the same two partial-aggregated (string, count) shuffles as
+    ``bpe_pair_stats``; the argmax is a 1-row limit over the pair
+    domain and travels by broadcast.
+
+    Output: (merge_round, lhs, rhs, cnt) — one row per round, exact
+    integers + symbol strings; oracle = the same recurrence unrolled.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+        .select(
+            F.concat(
+                F.lit(" "), F.concat_ws("  ", F.split("w", "")), F.lit(" ")
+            ).alias("w_sym"),
+            "wc",
+        )
+    )
+    winners = None
+    for rnd in range(1, int(n_merges) + 1):
+        words = words.persist()
+        syms = F.split(F.trim(F.col("w_sym")), "  ")
+        adjacent = F.when(
+            F.size(syms) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(syms) - 1),
+                lambda i: F.struct(
+                    F.element_at(syms, i).alias("lhs"),
+                    F.element_at(syms, i + F.lit(1)).alias("rhs"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<lhs:string,rhs:string>>"))
+        counts = (
+            words.select("wc", F.explode(adjacent).alias("p"))
+            .groupBy("p.lhs", "p.rhs")
+            .agg(F.sum("wc").alias("cnt"))
+        )
+        winner = (
+            counts.orderBy(F.desc("cnt"), F.asc("lhs"), F.asc("rhs"))
+            .limit(1)
+            .select(
+                F.lit(rnd).cast("long").alias("merge_round"), "lhs", "rhs", "cnt"
+            )
+        )
+        winners = winner if winners is None else winners.unionAll(winner)
+        words = words.crossJoin(F.broadcast(winner.select("lhs", "rhs"))).select(
+            F.expr(
+                "replace(w_sym, ' ' || lhs || '  ' || rhs || ' ',"
+                " ' ' || lhs || rhs || ' ')"
+            ).alias("w_sym"),
+            "wc",
+        )
+    return winners
+
+
+def bpe_train_oracle_sql(n_merges: int = 3) -> str:
+    """The identical recurrence unrolled round by round (winner k feeds
+    the words_k rewrite via a scalar cross join)."""
+    parts = [
+        """words0 AS (
+    SELECT ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS w_sym, wc
+    FROM (
+        SELECT w, count(*) AS wc FROM (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        ) WHERE length(w) >= 2 GROUP BY 1
+    )
+)"""
+    ]
+    for k in range(1, int(n_merges) + 1):
+        parts.append(
+            f"""counts{k} AS (
+    SELECT syms[i] AS lhs, syms[i+1] AS rhs, sum(wc) AS cnt
+    FROM (SELECT string_split(trim(w_sym), '  ') AS syms, wc FROM words{k - 1}),
+         unnest(range(1, len(syms))) AS t(i)
+    GROUP BY 1, 2
+), winner{k} AS (
+    SELECT CAST({k} AS BIGINT) AS merge_round, lhs, rhs, CAST(cnt AS BIGINT) AS cnt
+    FROM counts{k} ORDER BY cnt DESC, lhs, rhs LIMIT 1
+), words{k} AS (
+    SELECT replace(w_sym, ' ' || w.lhs || '  ' || w.rhs || ' ',
+                   ' ' || w.lhs || w.rhs || ' ') AS w_sym, wc
+    FROM words{k - 1}, winner{k} w
+)"""
+        )
+    union = "\nUNION ALL ".join(
+        f"SELECT merge_round, lhs, rhs, cnt FROM winner{k}"
+        for k in range(1, int(n_merges) + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + union
+
+
 def chunk_documents(
     spark: SparkSession, sf_dir: str, chunk_tokens: int = 32, stride: int = 24
 ) -> DataFrame:
@@ -1005,9 +1119,14 @@ def chunk_documents(
     projection. Zero Exchange; output size is corpus × (1/stride)
     overhead, the chunker's inherent cost.
 
+    NULL-text rows are filtered on BOTH sides (operator and oracle):
+    Spark's split(NULL) and DuckDB's list ops over NULL diverge (empty
+    chunk row vs NULL columns), so totality over a nullable corpus is
+    defined as "no chunks from absent text".
+
     Output: (doc_id, chunk_id, n_tokens, chunk_text).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     staged = docs.select(
         "doc_id", F.split("text", " ").alias("toks")
     ).withColumn("n", F.size("toks"))
@@ -1036,6 +1155,7 @@ WITH t AS (
     SELECT doc_id, string_split(text, ' ') AS toks,
            len(string_split(text, ' ')) AS n
     FROM documents
+    WHERE text IS NOT NULL
 ), s AS (
     SELECT doc_id, toks, n,
            unnest(range(0, greatest(n, 1), {int(stride)})) AS start

@@ -212,8 +212,8 @@ def pv_anomaly(
     ``lookback`` observed hourly buckets (the NetworkFlow module's
     natural next query: "which pages are suddenly hot, relative to
     their own baseline"). Buckets with no events are absent rows, so
-    the baseline is the previous 24 *observed* buckets; an item is only
-    flaggable once it has a full lookback of history.
+    the baseline is the previous ``lookback`` *observed* buckets; an
+    item is only flaggable once it has a full lookback of history.
 
     Determinism across engines: the baseline stats come from exact
     BIGINT window sums (Σc, Σc², n — associativity-free), and the

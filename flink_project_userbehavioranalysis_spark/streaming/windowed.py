@@ -97,7 +97,7 @@ def hot_items_stream(
     for free.
 
     State is kept at tumbling SLIDE grain, not sliding-window grain
-    (the streaming twin of `hot_items_bucketed`): a direct
+    (the streaming twin of the `hot_items` rollup): a direct
     ``window(ts, 1h, 5m)`` agg holds window/slide (=12) state rows per
     (bucket, item) and replicates every arriving event 12× through the
     state store; bucket-grain state is 12× smaller and each event

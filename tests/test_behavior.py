@@ -1,6 +1,7 @@
 """Behavior-analytics pillar (paths / attribution / RFM / dwell):
 oracle-match + semantic invariants + plan shape."""
 
+import pytest
 import pyspark.sql.functions as F
 
 from flink_project_userbehavioranalysis_spark.io import load_events
@@ -67,11 +68,39 @@ def test_rfm_segments(spark, sf_dir):
 def test_rfm_no_single_task_sort(spark, sf_dir):
     """The quartile boundary computation must be a histogram over the
     value domain, not an ntile() global sort of all users: no window in
-    the plan may run over an *unpartitioned* raw-user relation. We
-    assert the boundary row is broadcast back (BroadcastNestedLoopJoin/
-    BroadcastExchange present) — the declarative no-collect formulation."""
+    the plan may run over an *unpartitioned* relation (the reintroduced
+    global-sort regression this guards against), and the boundary row
+    must come back via broadcast, not a collect."""
     plan = B.rfm_segments(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "Broadcast" in plan
+    assert "ntile" not in plan
+    # every Window node must carry a non-empty partition spec: a global
+    # window prints as "Window [...], [ordercols...]" with no
+    # "partitionBy"-derived hash clustering — detectable as a Window
+    # whose required child distribution collapsed to SinglePartition
+    # (plan shows an Exchange SinglePartition feeding a Sort+Window)
+    import re
+
+    for m in re.finditer(r"Exchange SinglePartition", plan):
+        # the only legal SinglePartition exchanges here are the tiny
+        # boundary/corpus-max aggregations, never one feeding a Window
+        tail = plan[max(0, m.start() - 400) : m.start()]
+        assert "Window" not in tail, (
+            "Window over SinglePartition exchange — global sort reintroduced"
+        )
+
+
+def test_rfm_mon_bucket_coarsens(spark, sf_dir):
+    """The monetary-domain scale dial: coarsened RFM matches its own
+    oracle (boundaries chosen AND applied on the coarsened domain),
+    keeps valid quartile scores, and genuinely shrinks the domain."""
+    df = B.rfm_segments(spark, sf_dir, mon_bucket=25)
+    assert_matches_oracle(df, B.rfm_segments_oracle_sql(mon_bucket=25), sf_dir)
+    for r in df.collect():
+        for c in ("r_score", "f_score", "m_score"):
+            assert 1 <= r[c] <= 4, r
+    with pytest.raises(ValueError):
+        B.rfm_segments(spark, sf_dir, mon_bucket=0)
 
 
 def test_dwell_gaps(spark, sf_dir):
@@ -116,6 +145,41 @@ def test_co_purchase_pairs(spark, sf_dir):
         # a pair can't co-occur more often than either item occurs
         assert r["pair_n"] <= min(r["a_n"], r["b_n"])
         assert r["pair_n"] >= 2
+
+
+def test_co_purchase_max_basket_drops_wide_basket(spark, tmp_path):
+    """Crafted celebrity basket: one user-day with 40 distinct items,
+    two normal 2-item baskets. The cap must (a) remove every pair the
+    wide basket would generate, (b) report exactly one dropped basket
+    on every row, (c) keep the normal baskets' pair intact."""
+    from tests.test_properties import BASE_NS, write_events
+
+    rows = []
+    eid = 0
+    # celebrity: user 1, 40 distinct items, same day
+    for k in range(1, 41):
+        rows.append((eid, BASE_NS + eid * 1_000_000_000, 1, "purchase", k))
+        eid += 1
+    # two normal users buy items (100, 101) the same day → support-2 pair
+    for uid in (2, 3):
+        for k in (100, 101):
+            rows.append((eid, BASE_NS + eid * 1_000_000_000, uid, "purchase", k))
+            eid += 1
+    path = write_events(spark, str(tmp_path), rows)
+
+    capped = B.co_purchase_pairs(spark, path, min_support=2, max_basket=3).collect()
+    assert len(capped) == 1
+    r = capped[0]
+    assert (r["item_a"], r["item_b"], r["pair_n"]) == (100, 101, 2)
+    assert r["n_dropped_baskets"] == 1
+    # supports computed over the capped set only
+    assert r["a_n"] == r["b_n"] == 2
+    # uncapped: the celebrity basket floods in (40·39/2 pairs at support
+    # 1 are cut by min_support, but item pair (k,k') appears once each —
+    # so only the support-2 pair survives; widen min_support to prove
+    # the quadratic existed)
+    uncapped = B.co_purchase_pairs(spark, path, min_support=1).collect()
+    assert len(uncapped) == 40 * 39 // 2 + 1
 
 
 def test_pv_anomaly(spark):

@@ -14,10 +14,15 @@ def test_centroid_shape_and_counts(spark, sf_dir):
     labels = {r["label"] for r in emb.select("label").distinct().collect()}
     assert {r["label"] for r in rows} == labels
     assert all(len(r["centroid"]) == dims for r in rows)
+    assert all(len(r["centroid_q"]) == dims for r in rows)
     assert sum(r["n_vecs"] for r in rows) == emb.count()
-    # every centroid component must lie within the corpus value range
     for r in rows:
+        # every centroid component must lie within the corpus value
+        # range, and the double mean must be the exact-integer sum
+        # divided out (the derivation _centroids_by documents)
         assert all(-1.0 <= c <= 1.0 for c in r["centroid"])
+        for q, c in zip(r["centroid_q"], r["centroid"]):
+            assert c == q / (r["n_vecs"] * 1e9)
 
 
 def test_quantize_saturates_max_component(spark, sf_dir):

@@ -39,7 +39,7 @@ def empty_dir(spark, sf_dir, tmp_path_factory):
 
 OPERATORS = [
     H.hot_items,
-    H.hot_items_bucketed,
+    H.hot_items_direct,
     H.hot_items_report,
     NF.pv_hourly,
     NF.uv_hourly,

@@ -22,33 +22,43 @@ def test_hot_items_rank_bounded(spark, sf_dir):
     assert per_win.filter(F.col("c") != F.col("mx")).count() == 0
 
 
-def test_hot_items_bucketed_equals_direct(spark, sf_dir):
-    """Two-level bucket rollup ≡ direct sliding window, row for row,
-    and it matches the shared oracle independently."""
+def test_hot_items_rollup_equals_direct(spark, sf_dir):
+    """Two-level bucket rollup (the flagship) ≡ direct sliding window,
+    row for row, and the direct twin matches the shared oracle
+    independently."""
     from flink_project_userbehavioranalysis_spark.operators.hot_items import (
         hot_items,
-        hot_items_bucketed,
+        hot_items_direct,
         hot_items_oracle_sql,
     )
     from tests.oracle import assert_matches_oracle
 
-    direct = {tuple(r) for r in hot_items(spark, sf_dir).collect()}
-    bucketed_df = hot_items_bucketed(spark, sf_dir)
-    bucketed = {tuple(r) for r in bucketed_df.collect()}
-    assert bucketed == direct and len(bucketed) > 0
-    assert_matches_oracle(bucketed_df, hot_items_oracle_sql(), sf_dir)
+    rollup = {tuple(r) for r in hot_items(spark, sf_dir).collect()}
+    direct_df = hot_items_direct(spark, sf_dir)
+    direct = {tuple(r) for r in direct_df.collect()}
+    assert rollup == direct and len(rollup) > 0
+    assert_matches_oracle(direct_df, hot_items_oracle_sql(), sf_dir)
 
 
-def test_hot_items_bucketed_plan_two_stage(spark, sf_dir):
-    """The rollup's plan shape: partial aggregation before BOTH
-    exchanges (slide-grain stage and window stage), explode runs on
-    aggregated rows (after the first exchange), no Python eval."""
+def test_hot_items_indivisible_slide_falls_back(spark, sf_dir):
+    """A window/slide pair the rollup can't decompose still answers
+    (via the direct formulation) and matches the direct twin."""
     from flink_project_userbehavioranalysis_spark.operators.hot_items import (
-        hot_items_bucketed,
+        hot_items,
+        hot_items_direct,
     )
 
+    got = {tuple(r) for r in hot_items(spark, sf_dir, window="1 hour", slide="7 minutes").collect()}
+    want = {tuple(r) for r in hot_items_direct(spark, sf_dir, window="1 hour", slide="7 minutes").collect()}
+    assert got == want and len(got) > 0
+
+
+def test_hot_items_plan_two_stage(spark, sf_dir):
+    """The flagship rollup's plan shape: partial aggregation before
+    BOTH exchanges (slide-grain stage and window stage), explode runs
+    on aggregated rows (after the first exchange), no Python eval."""
     plan = (
-        hot_items_bucketed(spark, sf_dir)
+        hot_items(spark, sf_dir)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()

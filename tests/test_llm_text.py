@@ -329,6 +329,24 @@ def test_bpe_pair_stats_oracle(spark, sf_dir):
     assert total == expect
 
 
+def test_bpe_train_loop(spark, sf_dir):
+    """Multi-round BPE: oracle-match (recurrence unrolled in SQL),
+    round-1 winner ≡ bpe_pair_stats' top pair, winner counts
+    non-increasing across rounds (greedy argmax property), and no
+    round repeats an earlier merge (the winning pair is consumed)."""
+    df = llm_text.bpe_train(spark, sf_dir, n_merges=3)
+    assert_matches_oracle(df, llm_text.bpe_train_oracle_sql(n_merges=3), sf_dir)
+    rows = sorted(df.collect(), key=lambda r: r["merge_round"])
+    assert [r["merge_round"] for r in rows] == [1, 2, 3]
+    top1 = llm_text.bpe_pair_stats(spark, sf_dir, top_k=1).collect()[0]
+    assert rows[0]["lhs"] + rows[0]["rhs"] == top1["pair"]
+    assert rows[0]["cnt"] == top1["cnt"]
+    cnts = [r["cnt"] for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+    merges = {(r["lhs"], r["rhs"]) for r in rows}
+    assert len(merges) == 3
+
+
 def test_chunk_documents(spark, sf_dir):
     """Sliding chunker: oracle-match + coverage/overlap invariants."""
     import pyspark.sql.functions as FF

@@ -18,7 +18,7 @@ import sys
 # BASELINE.md "Locally measured baseline" medians (ms) at sf0.1.
 BASELINE_MS = {
     "hot_items_topn": 199.2,
-    "hot_items_topn_bucketed": 199.2,  # same query, rollup plan — same bar
+    "hot_items_topn_direct": 199.2,  # same query, textbook plan — same bar
     "pv_hourly": 6.9,
     "uv_hourly": 19.4,
     "uv_approx": 15.8,

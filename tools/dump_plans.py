@@ -26,10 +26,11 @@ SF = "/root/testdata/sf0.01"
 EXHIBITS = [
     (
         "hot_items_topn",
-        "Flagship W1. Filter + JSON projection pushed to the parquet scan "
-        "(PushedFilters, pruned ReadSchema); map-side partial_count before "
-        "the single hash exchange; WindowGroupLimit keeps Top-N from ever "
-        "materializing the full rank; WholeStageCodegen spans the hot path.",
+        "Flagship W1 (two-level rollup since r6). Filter + JSON projection "
+        "pushed to the parquet scan (PushedFilters, pruned ReadSchema); "
+        "partial aggregation before BOTH exchanges (slide-grain stage, then "
+        "window stage) with the 12-way explode on aggregated bucket rows; "
+        "WindowGroupLimit keeps Top-N from materializing the full rank.",
     ),
     (
         "pv_hourly",
@@ -89,11 +90,12 @@ EXHIBITS = [
         "BatchEvalPython; top-k via per-query rank, no global sort.",
     ),
     (
-        "hot_items_topn_bucketed",
-        "W1 100 TB twin: two-level rollup — partial aggregation before "
-        "BOTH exchanges (slide-grain stage, then window stage), with the "
-        "12-way explode running on aggregated bucket rows instead of raw "
-        "events. Same oracle as the flagship proves the rewrite exact.",
+        "hot_items_topn_direct",
+        "W1 textbook twin: direct F.window(1h,5m) — the 12-way Expand sits "
+        "on RAW events (the map-side cost the rollup flagship avoids); "
+        "map-side partial_count before the single hash exchange; "
+        "WindowGroupLimit present. Same oracle as the flagship proves the "
+        "rollup rewrite exact.",
     ),
     (
         "ann_lsh_topk",

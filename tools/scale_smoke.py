@@ -41,7 +41,7 @@ BASE = "/root/testdata/sf0.1"
 
 QUERIES = [
     "hot_items_topn",
-    "hot_items_topn_bucketed",
+    "hot_items_topn_direct",
     "pv_hourly",
     "uv_hourly",
     "count_by_channel_behavior",
