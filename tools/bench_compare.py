@@ -34,8 +34,13 @@ BASELINE_MS = {
 def main() -> None:
     path = sys.argv[1] if len(sys.argv) > 1 else None
     data = json.load(open(path)) if path else json.loads(sys.stdin.read())
-    q, adj = data["queries"], data.get("queries_adj", {})
+    q = data["queries"]
     floor = data.get("floor_sec", 0.0) * 1000
+    # the compact stdout line has no queries_adj (only bench_detail.json
+    # does) — derive it from the floor so adj never silently equals abs
+    adj = data.get("queries_adj") or {
+        k: max(0.0, v - data.get("floor_sec", 0.0)) for k, v in q.items()
+    }
     print(f"floor = {floor:.0f} ms (per-query scheduling+planning cost)")
     print(f"{'query':<28}{'base ms':>9}{'abs ms':>9}{'adj ms':>9}{'abs x':>7}{'adj x':>7}  verdict")
     worst = 0.0
