@@ -153,6 +153,8 @@ _DRIVER_ORDER = [
     "vocab_coverage",
     "co_purchase_pairs_capped",
     "bpe_train",
+    "bpe_encode",
+    "kmeans_lloyd",
     # --- tier 3: rows-only by design (sketches / ANN / NB) ----------
     "uv_approx",
     "uv_daily_sketch",
@@ -305,6 +307,10 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         # re-tokenizing the vocab with the prior winner (declarative —
         # 1-row broadcast winner per round, no driver collect)
         "bpe_train": (_text.bpe_train, _text.bpe_train_oracle_sql()),
+        # §2.10 the encode half of the tokenizer lifecycle: the trained
+        # vocab (same _bpe_rounds state) applied per doc via a words⇄
+        # vocab equi-join + per-doc partial-aggregated token rollup
+        "bpe_encode": (_text.bpe_encode, _text.bpe_encode_oracle_sql()),
         # §2.10 similarity search: exact cosine top-k (brute baseline)
         "knn_topk": (_sim.knn_topk, _sim.knn_topk_oracle_sql()),
         # §2.10 ANN scale paths (probabilistic candidates — rows-only):
@@ -419,6 +425,12 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "lang_centroids": (_emb.lang_centroids, _emb.LANG_CENTROIDS_SQL),
         # §2.10 symmetric int8 quantization (map-only, integer checksums)
         "quantize_embeddings": (_emb.quantize_embeddings, _emb.QUANTIZE_EMBEDDINGS_SQL),
+        # §2.10 distributed Lloyd's k-means — the representative
+        # ITERATIVE algorithm, declarative + exact-integer lattice so a
+        # float-iterative method is oracle-checkable (recurrence
+        # unrolled in SQL); per-iteration cost = one broadcast + one
+        # partial-aggregated (cid, dim) shuffle
+        "kmeans_lloyd": (_emb.kmeans_lloyd, _emb.kmeans_lloyd_oracle_sql()),
         # §2.10 multimodal: binary payload feature-extract via mapInPandas
         "binary_features": (_mm.binary_features, _mm.BINARY_FEATURES_SQL),
         # §2.9 GROUPED_AGG pandas_udf (custom aggregate)

@@ -1,5 +1,7 @@
 """Embedding-column operators for training-data pipelines: per-label
-centroids (distributed vector mean) and int8 quantization.
+centroids (distributed vector mean), int8 quantization, and a
+declarative Lloyd's k-means (the full-data iterative counterpart of
+the sampled cell seeding in similarity.py).
 
 No reference analog (SURVEY §2.10 extension pillar) — these are the
 vector-side utilities a pretraining/embedding pipeline needs next to
@@ -7,7 +9,7 @@ ANN search: cluster/class centroids for diagnostics and IVF-style
 seeding, and symmetric int8 quantization to cut a 100 TB embedding
 store 4× before serving.
 
-100 TB posture: both are pure expression-level dataflows.
+100 TB posture: all pure expression-level dataflows.
 - Centroids shuffle (label, dim) pairs with partial aggregation — the
   map-side combine collapses each partition to ≤ labels×dims partial
   sums, so the exchange carries aggregates, not vectors. No driver
@@ -234,3 +236,183 @@ SELECT lang, n_vecs, centroid_q,
                       x -> CAST(x AS DOUBLE) / (n_vecs * 1000000000.0)) AS centroid
 FROM agg
 """
+
+
+# ------------------------------------------------------- Lloyd's k-means
+
+
+def kmeans_lloyd(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 8,
+    iters: int = 2,
+    grid: int = 10_000,
+) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding column — the
+    representative ITERATIVE algorithm (the full-data form of the
+    sampled k-means that seeds IVF/SemDeDup cells in similarity.py),
+    declarative end to end: no driver collect, no numpy, no UDF.
+
+    Exact-integer formulation (what makes a float-iterative algorithm
+    ORACLE-CHECKABLE across engines): components quantize once to a
+    1/``grid`` lattice (|x| ≤ 1 ⇒ |xq| ≤ grid); distances are exact
+    BIGINT sums of squared integer deltas (64 dims × (2·10⁴)² ≈ 2.6e10
+    ≪ 2⁶³); centroid updates are exact integer sums truncated back to
+    the lattice with ``div`` (Spark) ≡ ``//`` (DuckDB) — both truncate
+    toward zero, verified. Argmin ties break on cluster id via struct
+    ordering (array_min ≡ list_sort[1], both lexicographic). Seeding is
+    deterministic: the k vectors with the smallest md5(vec_id) — a
+    distributed top-k (TakeOrderedAndProject), never a full sort.
+
+    Per-iteration dataflow: centroids fold to ONE broadcast row
+    (collect_list of k structs); assignment is a map-only pass over
+    the points (nested higher-order functions — zip_with inside
+    transform — inside whole-stage codegen); the update is one
+    partial-aggregated (cid, dim) shuffle, same shape as
+    ``embedding_centroids``. Empty clusters keep their previous
+    centroid (LEFT JOIN + coalesce on the k-row table). Iteration cost
+    at 100 TB: one narrow shuffle per round, points never re-shuffle.
+
+    Output: (cid, n_points, inertia_q, centroid_q) — all exact
+    integers on the lattice; one row per non-empty cluster.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda v: F.round(v.cast("double") * grid).cast("long")
+        ).alias("xq"),
+    ).persist()
+
+    from pyspark.sql import Window
+
+    seeds = (
+        pts.select("vec_id", "xq", F.md5(F.col("vec_id").cast("string")).alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(int(k))
+    )
+    cents = seeds.select(
+        F.row_number().over(Window.orderBy("h", "vec_id")).alias("cid"),
+        F.col("xq").alias("cq"),
+    )
+
+    def assign(cents_df: DataFrame) -> DataFrame:
+        one = cents_df.groupBy().agg(
+            F.array_sort(F.collect_list(F.struct("cid", "cq"))).alias("cents")
+        )
+        return (
+            pts.crossJoin(F.broadcast(one))
+            .select(
+                "vec_id",
+                "xq",
+                F.array_min(
+                    F.transform(
+                        "cents",
+                        lambda c: F.struct(
+                            F.aggregate(
+                                F.zip_with(
+                                    F.col("xq"), c["cq"], lambda a, b: (a - b) * (a - b)
+                                ),
+                                F.lit(0).cast("long"),
+                                lambda acc, v: acc + v,
+                            ).alias("d"),
+                            c["cid"].alias("cid"),
+                        ),
+                    )
+                ).alias("best"),
+            )
+            .select(
+                "vec_id", "xq", F.col("best.cid").alias("cid"), F.col("best.d").alias("d")
+            )
+        )
+
+    for _ in range(int(iters)):
+        cents = cents.persist()
+        upd = (
+            assign(cents)
+            .select("cid", F.posexplode("xq").alias("dim", "v"))
+            .groupBy("cid", "dim")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("dim", F.expr("s div n").alias("q")))
+                    ),
+                    lambda st: st["q"],
+                ).alias("cq_new")
+            )
+        )
+        cents = cents.join(upd, "cid", "left").select(
+            "cid", F.coalesce("cq_new", "cq").alias("cq")
+        )
+
+    final = assign(cents)
+    return (
+        final.groupBy("cid")
+        .agg(F.count("*").alias("n_points"), F.sum("d").alias("inertia_q"))
+        .join(cents, "cid")
+        .select(
+            F.col("cid").cast("long").alias("cid"),
+            "n_points",
+            "inertia_q",
+            F.col("cq").alias("centroid_q"),
+        )
+    )
+
+
+def kmeans_lloyd_oracle_sql(k: int = 8, iters: int = 2, grid: int = 10_000) -> str:
+    """The identical recurrence unrolled: same lattice, same integer
+    distance/update arithmetic, same md5 seeding and tie-breaks."""
+
+    def best(cents: str) -> str:
+        return (
+            "list_sort(list_transform("
+            f"(SELECT list(struct_pack(cid := cid, cq := cq) ORDER BY cid) FROM {cents}), "
+            "x -> struct_pack(d := CAST(list_sum(list_transform(list_zip(xq, x.cq), "
+            "p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT), cid := x.cid)))[1]"
+        )
+
+    parts = [
+        f"""pts AS (
+    SELECT vec_id,
+           list_transform(embedding,
+                          v -> CAST(round(CAST(v AS DOUBLE) * {int(grid)}) AS BIGINT)) AS xq
+    FROM embeddings
+), cents0 AS (
+    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cid,
+           xq AS cq
+    FROM pts QUALIFY cid <= {int(k)}
+)"""
+    ]
+    for i in range(1, int(iters) + 1):
+        parts.append(
+            f"""assign{i} AS (
+    SELECT vec_id, xq, best.cid AS cid FROM (
+        SELECT vec_id, xq, {best(f"cents{i - 1}")} AS best FROM pts)
+), upd{i} AS (
+    SELECT cid, list(s // n ORDER BY dim) AS cq_new FROM (
+        SELECT cid, dim, sum(v) AS s, count(*) AS n FROM (
+            SELECT cid, generate_subscripts(xq, 1) - 1 AS dim, unnest(xq) AS v
+            FROM assign{i}
+        ) GROUP BY 1, 2
+    ) GROUP BY 1
+), cents{i} AS (
+    SELECT c.cid, coalesce(u.cq_new, c.cq) AS cq
+    FROM cents{i - 1} c LEFT JOIN upd{i} u ON c.cid = u.cid
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+, final AS (
+    SELECT vec_id, best.cid AS cid, best.d AS d FROM (
+        SELECT vec_id, xq, {best(f"cents{int(iters)}")} AS best FROM pts)
+)
+SELECT CAST(f.cid AS BIGINT) AS cid, count(*) AS n_points,
+       CAST(sum(f.d) AS BIGINT) AS inertia_q, c.cq AS centroid_q
+FROM final f JOIN cents{int(iters)} c ON f.cid = c.cid
+GROUP BY f.cid, c.cq
+"""
+    )

@@ -1016,6 +1016,19 @@ def bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = 3) -> DataFrame:
     Output: (merge_round, lhs, rhs, cnt) — one row per round, exact
     integers + symbol strings; oracle = the same recurrence unrolled.
     """
+    winners, _ = _bpe_rounds(spark, sf_dir, int(n_merges))
+    return winners
+
+
+def _bpe_rounds(
+    spark: SparkSession, sf_dir: str, n_merges: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared BPE training loop: returns (winners, final vocab state).
+
+    ``winners`` = one (merge_round, lhs, rhs, cnt) row per round;
+    vocab state = (w, w_sym, wc) with the merges applied in order —
+    ``bpe_train`` publishes the former, ``bpe_encode`` consumes the
+    latter (the trained tokenizer IS the rewritten vocab)."""
     docs = load_table(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(F.split("text", " ")).alias("w"))
@@ -1023,6 +1036,7 @@ def bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = 3) -> DataFrame:
         .groupBy("w")
         .agg(F.count("*").alias("wc"))
         .select(
+            "w",
             F.concat(
                 F.lit(" "), F.concat_ws("  ", F.split("w", "")), F.lit(" ")
             ).alias("w_sym"),
@@ -1030,7 +1044,7 @@ def bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = 3) -> DataFrame:
         )
     )
     winners = None
-    for rnd in range(1, int(n_merges) + 1):
+    for rnd in range(1, n_merges + 1):
         words = words.persist()
         syms = F.split(F.trim(F.col("w_sym")), "  ")
         adjacent = F.when(
@@ -1057,13 +1071,104 @@ def bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = 3) -> DataFrame:
         )
         winners = winner if winners is None else winners.unionAll(winner)
         words = words.crossJoin(F.broadcast(winner.select("lhs", "rhs"))).select(
+            "w",
             F.expr(
                 "replace(w_sym, ' ' || lhs || '  ' || rhs || ' ',"
                 " ' ' || lhs || rhs || ' ')"
             ).alias("w_sym"),
             "wc",
         )
-    return winners
+    return winners, words
+
+
+def bpe_encode(spark: SparkSession, sf_dir: str, n_merges: int = 3) -> DataFrame:
+    """Apply the trained BPE merge table to the corpus — the encode
+    half of the tokenizer lifecycle (train = ``bpe_train``; both share
+    ``_bpe_rounds``, so the tokenizer applied here is exactly the one
+    trained, not a re-derivation).
+
+    Per document: the word multiset joins the rewritten VOCAB (the
+    final symbol state after ``n_merges`` greedy merges) and each
+    word's post-merge symbol count is summed; single-char words carry
+    no pairs and encode to one symbol (coalesced around the vocab's
+    length ≥ 2 cut), empty splits are dropped.
+
+    Scale shape: encoding is a words⇄vocab equi-join on the word
+    string — vocab cardinality, not corpus cardinality, rides the
+    broadcast/shuffle side — plus one partial-aggregated per-doc sum.
+    The training loop cost is vocab-sized (see ``_bpe_rounds``).
+
+    Output: (doc_id, n_words, n_chars, n_bpe_tokens) — exact integers.
+    """
+    _, vocab = _bpe_rounds(spark, sf_dir, int(n_merges))
+    n_sym = vocab.select(
+        "w", F.size(F.split(F.trim(F.col("w_sym")), "  ")).alias("n_sym")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    doc_words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.length("w") >= 1)
+    return (
+        doc_words.join(n_sym, "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.length("w")).alias("n_chars"),
+            F.sum(F.coalesce(F.col("n_sym"), F.lit(1))).alias("n_bpe_tokens"),
+        )
+    )
+
+
+def bpe_encode_oracle_sql(n_merges: int = 3) -> str:
+    """The train-oracle's unrolled recurrence, extended with w kept in
+    the words CTEs and a final per-doc join + rollup."""
+    k = int(n_merges)
+    parts = [
+        """words0 AS (
+    SELECT w, ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS w_sym, wc
+    FROM (
+        SELECT w, count(*) AS wc FROM (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        ) WHERE length(w) >= 2 GROUP BY 1
+    )
+)"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"""counts{i} AS (
+    SELECT syms[j] AS lhs, syms[j+1] AS rhs, sum(wc) AS cnt
+    FROM (SELECT string_split(trim(w_sym), '  ') AS syms, wc FROM words{i - 1}),
+         unnest(range(1, len(syms))) AS t(j)
+    GROUP BY 1, 2
+), winner{i} AS (
+    SELECT lhs, rhs FROM counts{i} ORDER BY cnt DESC, lhs, rhs LIMIT 1
+), words{i} AS (
+    SELECT w, replace(w_sym, ' ' || x.lhs || '  ' || x.rhs || ' ',
+                   ' ' || x.lhs || x.rhs || ' ') AS w_sym, wc
+    FROM words{i - 1}, winner{i} x
+)"""
+        )
+    parts.append(
+        f"""vocab AS (
+    SELECT w, len(string_split(trim(w_sym), '  ')) AS n_sym FROM words{k}
+), doc_words AS (
+    SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ) WHERE length(w) >= 1
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT d.doc_id,
+       count(*) AS n_words,
+       CAST(sum(length(d.w)) AS BIGINT) AS n_chars,
+       CAST(sum(coalesce(v.n_sym, 1)) AS BIGINT) AS n_bpe_tokens
+FROM doc_words d LEFT JOIN vocab v ON d.w = v.w
+GROUP BY 1
+"""
+    )
 
 
 def bpe_train_oracle_sql(n_merges: int = 3) -> str:

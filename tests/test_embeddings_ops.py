@@ -53,3 +53,31 @@ def test_quantize_plan_is_map_only(spark, sf_dir):
     plan = EMB.quantize_embeddings(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, "quantization must not shuffle"
     assert "BatchEvalPython" not in plan
+
+
+def test_kmeans_lloyd(spark, sf_dir):
+    """Iterative k-means: oracle-match (recurrence unrolled), exact
+    partition of the corpus, Lloyd improvement over the seed
+    assignment, and a JVM-only plan."""
+    from tests.oracle import assert_matches_oracle
+
+    df = EMB.kmeans_lloyd(spark, sf_dir, k=4, iters=2)
+    assert_matches_oracle(
+        df, EMB.kmeans_lloyd_oracle_sql(k=4, iters=2), sf_dir
+    )
+    rows = df.collect()
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r["n_points"] for r in rows) == n_vecs  # exact partition
+    assert 1 <= len(rows) <= 4
+    # two Lloyd rounds must not be worse than the raw seed assignment
+    seed_inertia = sum(
+        r["inertia_q"]
+        for r in EMB.kmeans_lloyd(spark, sf_dir, k=4, iters=0).collect()
+    )
+    two_inertia = sum(r["inertia_q"] for r in rows)
+    assert two_inertia <= seed_inertia
+    plan = (
+        EMB.kmeans_lloyd(spark, sf_dir, k=4, iters=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -347,6 +347,24 @@ def test_bpe_train_loop(spark, sf_dir):
     assert len(merges) == 3
 
 
+def test_bpe_encode(spark, sf_dir):
+    """Encode applies the SAME merges train found: oracle-match plus
+    the compression identity — corpus-wide, n_bpe_tokens is exactly
+    n_chars minus one char per applied merge occurrence, bounded
+    between word count and char count."""
+    df = llm_text.bpe_encode(spark, sf_dir, n_merges=3)
+    assert_matches_oracle(df, llm_text.bpe_encode_oracle_sql(n_merges=3), sf_dir)
+    tot = df.agg(
+        F.sum("n_words").alias("w"), F.sum("n_chars").alias("c"), F.sum("n_bpe_tokens").alias("t")
+    ).collect()[0]
+    assert tot["w"] <= tot["t"] < tot["c"]  # merges compressed something
+    # zero merges ⇒ every (len≥1) word encodes to its char count
+    base = llm_text.bpe_encode(spark, sf_dir, n_merges=0).agg(
+        F.sum("n_chars").alias("c"), F.sum("n_bpe_tokens").alias("t")
+    ).collect()[0]
+    assert base["c"] == base["t"]
+
+
 def test_chunk_documents(spark, sf_dir):
     """Sliding chunker: oracle-match + coverage/overlap invariants."""
     import pyspark.sql.functions as FF
