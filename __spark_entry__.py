@@ -155,6 +155,7 @@ _DRIVER_ORDER = [
     "bpe_train",
     "bpe_encode",
     "kmeans_lloyd",
+    "near_dup_incremental",
     # --- tier 3: rows-only by design (sketches / ANN / NB) ----------
     "uv_approx",
     "uv_daily_sketch",
@@ -340,6 +341,13 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         # recall 1 at these band params on this corpus, so the exact
         # Jaccard SQL is its oracle too)
         "minhash_near_dup": (_sim.minhash_near_dup, _sim.ngram_jaccard_oracle_sql()),
+        # §2.10 incremental (ingestion-time) NEAR-dup: the batch probes
+        # the corpus's persisted LSH band index — candidate cost scales
+        # with the batch, not the corpus; exact-Jaccard verified
+        "near_dup_incremental": (
+            _sim.near_dup_incremental,
+            _sim.near_dup_incremental_oracle_sql(),
+        ),
         # §2.10 SimHash fingerprint + hamming near-dup
         "simhash64": (_sim.simhash64, _sim.SIMHASH64_SQL),
         "simhash_near_dup": (_sim.simhash_near_dup, _sim.simhash_near_dup_oracle_sql()),

@@ -1053,6 +1053,28 @@ GROUP BY d.doc_id
 # ----------------------------------------------------- MinHash + LSH near-dup
 
 
+def _banded(sh: DataFrame, n_hashes: int, n_bands: int) -> DataFrame:
+    """(doc_id, band_id, band_key) MinHash-LSH band rows from shingle
+    rows — the shared signature/banding stage of `minhash_near_dup`
+    and `near_dup_incremental` (the persisted form of this IS the
+    production band index). All expression-level: per-hash-salted
+    xxhash64 minima, bands of r = n_hashes/n_bands hashed to one key."""
+    r = n_hashes // n_bands
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.concat(F.col("shingle"), F.lit(f"#s{i}")))).alias(f"mh{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    band_keys = F.array(
+        *[
+            F.xxhash64(*[F.col(f"mh{b * r + j}") for j in range(r)])
+            for b in range(n_bands)
+        ]
+    )
+    return sig.select("doc_id", F.posexplode(band_keys).alias("band_id", "band_key"))
+
+
 def minhash_near_dup(
     spark: SparkSession,
     sf_dir: str,
@@ -1076,24 +1098,9 @@ def minhash_near_dup(
 
     Output: (doc_a, doc_b, n_common, n_union) — same shape as exact.
     """
-    r = n_hashes // n_bands
     docs = load_table(spark, sf_dir, "documents")
     sh = _shingles(docs, shingle_len)
-    sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.concat(F.col("shingle"), F.lit(f"#s{i}")))).alias(f"mh{i}")
-            for i in range(n_hashes)
-        ]
-    )
-    band_keys = F.array(
-        *[
-            F.xxhash64(*[F.col(f"mh{b * r + j}") for j in range(r)])
-            for b in range(n_bands)
-        ]
-    )
-    banded = sig.select(
-        "doc_id", F.posexplode(band_keys).alias("band_id", "band_key")
-    )
+    banded = _banded(sh, n_hashes, n_bands)
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band_id", "band_key"])
@@ -1119,6 +1126,100 @@ def minhash_near_dup(
         .filter(F.col("n_common") / F.col("n_union") >= threshold)
         .select("doc_a", "doc_b", "n_common", "n_union")
     )
+
+
+def near_dup_incremental(
+    spark: SparkSession,
+    sf_dir: str,
+    split_id: int = 250,
+    shingle_len: int = 3,
+    threshold: float = 0.4,
+    n_hashes: int = 32,
+    n_bands: int = 16,
+) -> DataFrame:
+    """Incremental (ingestion-time) NEAR-dup — the fuzzy sibling of
+    ``llm_text.dedup_incremental``: an incoming batch (doc_id ≥
+    ``split_id``) probes the already-ingested corpus's MinHash-LSH
+    band index instead of re-pairing the whole corpus. This is the
+    hourly job a production pipeline runs: the corpus index (the
+    persisted form of ``_banded``) is bucketed on (band_id, band_key),
+    so each ingest touches only the buckets its batch hashes into —
+    candidate generation cost scales with the BATCH, not the corpus.
+
+    Stages: (1) band rows for both sides from one shared signature
+    pass; (2) batch⇄corpus candidate pairs via the (band_id, band_key)
+    equi-join (never batch×corpus); (3) exact shingle-intersection
+    Jaccard verify, so emitted values are exact integers — LSH affects
+    recall only (same band params as ``minhash_near_dup``, whose
+    recall-1-on-this-corpus parity with the exact pair set is
+    test-asserted; the cross-split subset inherits it).
+
+    Output: (doc_id, corpus_doc, n_common, n_union) — one row per
+    (incoming, corpus) near-dup pair; a downstream keep/drop gate is
+    one groupBy(doc_id) away and stays exact.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs, shingle_len).persist()
+    banded = _banded(sh, n_hashes, n_bands)
+    corpus_index = banded.filter(F.col("doc_id") < split_id)
+    probes = banded.filter(F.col("doc_id") >= split_id)
+    cand = (
+        probes.alias("x")
+        .join(corpus_index.alias("y"), ["band_id", "band_key"])
+        .select(F.col("x.doc_id").alias("doc_id"), F.col("y.doc_id").alias("corpus_doc"))
+        .distinct()
+    )
+    batch_sh = sh.filter(F.col("doc_id") >= split_id)
+    corpus_sh = sh.filter(F.col("doc_id") < split_id).select(
+        F.col("doc_id").alias("corpus_doc"), "shingle"
+    )
+    common = (
+        batch_sh.join(corpus_sh, "shingle")
+        .groupBy("doc_id", "corpus_doc")
+        .agg(F.count("*").alias("n_common"))
+        .join(cand, ["doc_id", "corpus_doc"])
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    return (
+        common.join(
+            F.broadcast(sizes.withColumnRenamed("n_sh", "sa")), "doc_id"
+        )
+        .join(
+            F.broadcast(
+                sizes.withColumnRenamed("doc_id", "corpus_doc").withColumnRenamed(
+                    "n_sh", "sb"
+                )
+            ),
+            "corpus_doc",
+        )
+        .withColumn("n_union", F.col("sa") + F.col("sb") - F.col("n_common"))
+        .filter(F.col("n_common") / F.col("n_union") >= threshold)
+        .select("doc_id", "corpus_doc", "n_common", "n_union")
+    )
+
+
+def near_dup_incremental_oracle_sql(
+    split_id: int = 250, shingle_len: int = 3, threshold: float = 0.4
+) -> str:
+    # Independent quadratic form restricted to batch×corpus pairs
+    # (sf0.01-sized; shares no algorithmic shape with the LSH probe).
+    n = shingle_len
+    return f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(w[i:i + {n - 1}], ' ')
+                          FOR i IN range(1, greatest(len(w) - {n - 2}, 2))]) AS s
+    FROM t
+)
+SELECT b.doc_id AS doc_id, c.doc_id AS corpus_doc,
+       len(list_intersect(b.s, c.s)) AS n_common,
+       len(b.s) + len(c.s) - len(list_intersect(b.s, c.s)) AS n_union
+FROM sh b JOIN sh c ON b.doc_id >= {split_id} AND c.doc_id < {split_id}
+WHERE len(list_intersect(b.s, c.s))::DOUBLE
+      / (len(b.s) + len(c.s) - len(list_intersect(b.s, c.s))) >= {threshold}
+"""
 
 
 # ----------------------------------------------------------------- SimHash

@@ -51,6 +51,31 @@ def test_minhash_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_near_dup_incremental(spark, sf_dir):
+    """Ingestion-time LSH probe: oracle-match against the independent
+    quadratic batch×corpus Jaccard; the emitted set is exactly the
+    cross-split slice of the full exact pair set (recall 1 inherited
+    from the minhash parity); every pair straddles the split; and the
+    probe plan is equi-join only."""
+    from tests.oracle import assert_matches_oracle
+
+    split = 250
+    df = S.near_dup_incremental(spark, sf_dir, split_id=split)
+    assert_matches_oracle(
+        df, S.near_dup_incremental_oracle_sql(split_id=split), sf_dir
+    )
+    got = {(r["corpus_doc"], r["doc_id"]) for r in df.collect()}
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in S.ngram_jaccard_pairs(spark, sf_dir).collect()
+    }
+    assert got == {(a, b) for a, b in full if a < split <= b}
+    assert all(c < split <= d for c, d in got) and got
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_ann_lsh_recall(spark, sf_dir):
     """Banded sign-LSH kNN: ≥80% of exact top-5 edges recovered with
     the default band params, and the plan is a bucketed equi-join."""

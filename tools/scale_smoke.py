@@ -67,6 +67,11 @@ QUERIES = [
     "vocab_coverage",
     "embedding_centroids",
     "quantize_embeddings",
+    # r6 additions: the iterative/capped/lifecycle operators
+    "kmeans_lloyd",
+    "bpe_train",
+    "bpe_encode",
+    "co_purchase_pairs_capped",
 ]
 
 
