@@ -95,6 +95,8 @@ _DRIVER_ORDER = [
     "interval_join",
     "tx_reconcile",
     "tpch_q1ish",
+    "tpch_q3ish",
+    "tpch_q6ish",
     "user_set_ops",
     "user_sessions",
     "funnel_conversion",
@@ -123,6 +125,7 @@ _DRIVER_ORDER = [
     "simhash64",
     "near_dup_clusters",
     "repetition_stats",
+    "gopher_quality_filter",
     "pack_sequences",
     "prep_corpus",
     "embedding_centroids",
@@ -167,6 +170,7 @@ _DRIVER_ORDER = [
     "pq_topk",
     "cosine_dup_pairs_lsh",
     "semantic_dedup",
+    "embedding_pca",
     "decode_meta",
     "frame_sample",
     # --- tier 4: streaming (finite replay jobs, seconds each) -------
@@ -353,6 +357,13 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "simhash_near_dup": (_sim.simhash_near_dup, _sim.simhash_near_dup_oracle_sql()),
         # BASELINE.md engine sanity op (exact DECIMAL money math)
         "tpch_q1ish": (_rel.tpch_q1ish, _rel.TPCH_Q1ISH_SQL),
+        # TPC-H Q3 shape: broadcast-dim + fact-fact shuffle join whose
+        # groupBy reuses the join's order-key clustering; top-10 via
+        # TakeOrderedAndProject
+        "tpch_q3ish": (_rel.tpch_q3ish, _rel.TPCH_Q3ISH_SQL),
+        # TPC-H Q6 shape: pushdown/pruning probe — map-only scan +
+        # single-row exact-DECIMAL aggregate
+        "tpch_q6ish": (_rel.tpch_q6ish, _rel.TPCH_Q6ISH_SQL),
         # P9/A4 explicit salting (physical rewrite — same oracles as the
         # unsalted twins prove salted ≡ plain)
         "count_by_channel_salted": (
@@ -412,6 +423,12 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "range_join_tiers": (_cj.range_join_tiers, _cj.range_join_tiers_oracle_sql()),
         # §2.10 Gopher-style repetition/boilerplate signals (exact ints)
         "repetition_stats": (_cq.repetition_stats, _cq.REPETITION_STATS_SQL),
+        # §2.10 Gopher-rules keep/drop decision layer with per-rule
+        # audit bitmap (one explode + one partial-aggregated shuffle)
+        "gopher_quality_filter": (
+            _cq.gopher_quality_filter,
+            _cq.gopher_quality_filter_oracle_sql(),
+        ),
         # §2.10 eval-set decontamination (k-gram overlap vs held-out slice)
         "contamination_check": (
             _cq.contamination_check,
@@ -439,6 +456,11 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         # unrolled in SQL); per-iteration cost = one broadcast + one
         # partial-aggregated (cid, dim) shuffle
         "kmeans_lloyd": (_emb.kmeans_lloyd, _emb.kmeans_lloyd_oracle_sql()),
+        # §2.10 distributed PCA projection (partial-Gram mapInPandas →
+        # bounded d² driver eigh → map-only codegen projection); float
+        # eigenvectors are blas-specific → rows-only, numpy-equivalence
+        # asserted in tests/test_embeddings_ops.py
+        "embedding_pca": (_emb.embedding_pca, None),
         # §2.10 multimodal: binary payload feature-extract via mapInPandas
         "binary_features": (_mm.binary_features, _mm.BINARY_FEATURES_SQL),
         # §2.9 GROUPED_AGG pandas_udf (custom aggregate)

@@ -339,3 +339,139 @@ SELECT source, seq_id, count(*) AS n_docs,
        min(doc_id) AS first_doc
 FROM packed GROUP BY 1, 2
 """
+
+
+# ------------------------------------------------- Gopher quality filter
+
+# Stopword probe list for the Gopher-style "natural language" gate.
+# The published rule requires >= 2 distinct common stopwords per doc;
+# the probe list is tiny by design (it is a presence test, not a
+# lexicon) and inlined as a literal IN-list on both engines.
+GOPHER_STOPWORDS = ("the", "a", "of", "to", "and", "in")
+
+
+def gopher_quality_filter(
+    spark: SparkSession,
+    sf_dir: str,
+    min_tokens: int = 30,
+    max_tokens: int = 100_000,
+    min_mwl_x10: int = 40,
+    max_mwl_x10: int = 100,
+    rep_max_pct: int = 20,
+    min_distinct_pct: int = 40,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher-rules document quality DECISION layer (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", appendix A1.1 heuristics):
+    where ``doc_quality_stats``/``repetition_stats`` emit raw signals,
+    this applies the published keep/drop gates and reports a per-rule
+    verdict bitmap so a pipeline can audit WHY a doc was dropped:
+
+    - g_count:    min_tokens <= n_tokens <= max_tokens;
+    - g_wordlen:  mean word length in [min_mwl_x10, max_mwl_x10]/10
+                  (integer cross-multiply: 10*sum_word_chars vs
+                  bound*n_tokens — no float division anywhere);
+    - g_rep:      most-frequent token covers <= rep_max_pct% of the doc
+                  (Gopher's top-token repetition gate);
+    - g_distinct: distinct/total token ratio >= min_distinct_pct%
+                  (degenerate-generation gate);
+    - g_stop:     >= min_stopwords DISTINCT probe stopwords present
+                  (the "is this natural language" gate);
+    - keep:       AND of all gates.
+
+    Everything derives from ONE token-frequency relation:
+    n_tokens = sum(tf), sum_word_chars = sum(tf*len(token)),
+    n_distinct = count(*), top_token_cnt = max(tf), n_stop = count of
+    probe hits — so the whole filter is one explode + two narrow
+    partial-aggregated shuffles ((doc_id, token) tf, then the per-doc
+    rollup); no join, no second pass over the text. All outputs and
+    gates are exact integers (hash-stable).
+
+    100 TB posture: the explode carries (doc_id, token) with map-side
+    combine collapsing to per-doc distinct tokens before the exchange;
+    the decision layer is pure post-aggregation projection. Thresholds
+    are integer-scaled so the same comparison is bit-identical on any
+    engine or partial-agg order.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    stats = tf.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.sum(F.col("tf") * F.length("token")).alias("sum_word_chars"),
+        F.count("*").alias("n_distinct_tokens"),
+        F.max("tf").alias("top_token_cnt"),
+        F.sum(
+            F.when(F.col("token").isin(*GOPHER_STOPWORDS), F.lit(1)).otherwise(0)
+        ).alias("n_stopwords_present"),
+    )
+    n, swc = F.col("n_tokens"), F.col("sum_word_chars")
+    gates = {
+        "g_count": (n >= min_tokens) & (n <= max_tokens),
+        "g_wordlen": (swc * 10 >= n * min_mwl_x10) & (swc * 10 <= n * max_mwl_x10),
+        "g_rep": F.col("top_token_cnt") * 100 <= n * rep_max_pct,
+        "g_distinct": F.col("n_distinct_tokens") * 100 >= n * min_distinct_pct,
+        "g_stop": F.col("n_stopwords_present") >= min_stopwords,
+    }
+    out = stats.select(
+        "doc_id",
+        "n_tokens",
+        "sum_word_chars",
+        "n_distinct_tokens",
+        "top_token_cnt",
+        "n_stopwords_present",
+        *[g.cast("int").alias(name) for name, g in gates.items()],
+    )
+    # keep is built from the emitted int columns so the audit bitmap
+    # and the decision can never disagree
+    keep = None
+    for name in gates:
+        cond = F.col(name) == 1
+        keep = cond if keep is None else keep & cond
+    return out.withColumn("keep", keep.cast("int"))
+
+
+def gopher_quality_filter_oracle_sql(
+    min_tokens: int = 30,
+    max_tokens: int = 100_000,
+    min_mwl_x10: int = 40,
+    max_mwl_x10: int = 100,
+    rep_max_pct: int = 20,
+    min_distinct_pct: int = 40,
+    min_stopwords: int = 2,
+) -> str:
+    stop = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    return f"""
+WITH tf AS (
+    SELECT doc_id, token, count(*) AS tf
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents WHERE text IS NOT NULL)
+    GROUP BY 1, 2
+), s AS (
+    SELECT doc_id,
+           CAST(sum(tf) AS BIGINT) AS n_tokens,
+           CAST(sum(tf * len(token)) AS BIGINT) AS sum_word_chars,
+           count(*) AS n_distinct_tokens,
+           max(tf) AS top_token_cnt,
+           CAST(sum(CASE WHEN token IN ({stop}) THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_stopwords_present
+    FROM tf GROUP BY 1
+), g AS (
+    SELECT *,
+        CAST(n_tokens >= {min_tokens} AND n_tokens <= {max_tokens} AS INT) AS g_count,
+        CAST(sum_word_chars * 10 >= n_tokens * {min_mwl_x10}
+             AND sum_word_chars * 10 <= n_tokens * {max_mwl_x10} AS INT) AS g_wordlen,
+        CAST(top_token_cnt * 100 <= n_tokens * {rep_max_pct} AS INT) AS g_rep,
+        CAST(n_distinct_tokens * 100 >= n_tokens * {min_distinct_pct} AS INT) AS g_distinct,
+        CAST(n_stopwords_present >= {min_stopwords} AS INT) AS g_stop
+    FROM s
+)
+SELECT doc_id, n_tokens, sum_word_chars, n_distinct_tokens, top_token_cnt,
+       n_stopwords_present, g_count, g_wordlen, g_rep, g_distinct, g_stop,
+       CAST(g_count = 1 AND g_wordlen = 1 AND g_rep = 1 AND g_distinct = 1
+            AND g_stop = 1 AS INT) AS keep
+FROM g
+"""

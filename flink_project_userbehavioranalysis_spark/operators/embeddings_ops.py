@@ -391,7 +391,7 @@ def kmeans_lloyd_oracle_sql(k: int = 8, iters: int = 2, grid: int = 10_000) -> s
     SELECT vec_id, xq, best.cid AS cid FROM (
         SELECT vec_id, xq, {best(f"cents{i - 1}")} AS best FROM pts)
 ), upd{i} AS (
-    SELECT cid, list(s // n ORDER BY dim) AS cq_new FROM (
+    SELECT cid, list(CAST(s // n AS BIGINT) ORDER BY dim) AS cq_new FROM (
         SELECT cid, dim, sum(v) AS s, count(*) AS n FROM (
             SELECT cid, generate_subscripts(xq, 1) - 1 AS dim, unnest(xq) AS v
             FROM assign{i}
@@ -416,3 +416,110 @@ FROM final f JOIN cents{int(iters)} c ON f.cid = c.cid
 GROUP BY f.cid, c.cq
 """
     )
+
+
+# ------------------------------------------------------------- PCA / whitening
+
+
+def embedding_pca(
+    spark: SparkSession, sf_dir: str, k: int = 4
+) -> DataFrame:
+    """Distributed PCA projection of the embedding column — the
+    classic two-phase map-reduce PCA every large-scale embedding
+    pipeline runs before whitening/visualisation/coarse clustering
+    (and the standard preprocessing step ahead of SemDeDup-style
+    semantic dedup):
+
+    Phase 1 (distributed): per-partition PARTIAL second moments via
+    ``mapInPandas`` — each partition emits its d·(d+1)/2 upper-triangle
+    Gram entries, its d-vector component sums, and its row count as
+    (i, j, s, n) rows. The shuffle therefore carries
+    ``num_partitions × O(d²)`` aggregate rows, never the vectors; a
+    final partial-aggregated groupBy folds them to ONE d×d summary.
+
+    Phase 2 (driver, bounded by construction): the d(d+1)/2+d+1 ≈ 2.1k
+    summary rows (d=64) collect to the driver — same bounded-collect
+    class as the k-means seeding sample — where the covariance
+    C = E[xxᵀ] − μμᵀ is assembled and eigendecomposed (numpy ``eigh``
+    on a 64×64 symmetric matrix, microseconds). The top-``k``
+    eigenvectors broadcast back as column LITERALS.
+
+    Phase 3 (map-only): the projection pc_c = (x − μ)·v_c runs as
+    zip_with/aggregate array expressions inside whole-stage codegen —
+    zero shuffle, no Python in the per-row path.
+
+    Float eigenvectors are engine/blas-specific (sign and last-ulp),
+    so this registers rows-only; tests/test_embeddings_ops.py asserts
+    equivalence to a single-node numpy PCA up to per-component sign,
+    descending explained variance, and component orthonormality.
+
+    Output: (vec_id, label, pc0..pc{k-1}) doubles.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def gram_partials(batches):
+        G, mu, n = None, None, 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+            G = X.T @ X if G is None else G + X.T @ X
+            mu = X.sum(axis=0) if mu is None else mu + X.sum(axis=0)
+            n += X.shape[0]
+        if n == 0:
+            return
+        d = G.shape[0]
+        iu, ju = np.triu_indices(d)
+        yield pd.DataFrame(
+            {
+                "i": np.concatenate([iu, np.arange(d), [-1]]),
+                "j": np.concatenate([ju, np.full(d, -1), [-1]]),
+                "s": np.concatenate([G[iu, ju], mu, [0.0]]),
+                "n": np.concatenate([np.zeros(len(iu) + d, dtype=np.int64), [n]]),
+            }
+        )
+
+    summary = (
+        emb.select("embedding")
+        .mapInPandas(gram_partials, schema="i int, j int, s double, n long")
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+        .collect()  # bounded: d(d+1)/2 + d + 1 rows regardless of data size
+    )
+    n_rows = sum(r["n"] for r in summary if r["i"] == -1)
+    d = max(r["i"] for r in summary) + 1
+    G = np.zeros((d, d))
+    mu = np.zeros(d)
+    for r in summary:
+        if r["i"] == -1:
+            continue
+        if r["j"] == -1:
+            mu[r["i"]] = r["s"]
+        else:
+            G[r["i"], r["j"]] = r["s"]
+            G[r["j"], r["i"]] = r["s"]
+    mu /= n_rows
+    cov = G / n_rows - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][: int(k)]
+    V = evecs[:, order]  # d x k
+    # deterministic sign convention: largest-|component| entry positive
+    for c in range(V.shape[1]):
+        piv = int(np.argmax(np.abs(V[:, c])))
+        if V[piv, c] < 0:
+            V[:, c] = -V[:, c]
+
+    x = F.col("embedding").cast("array<double>")
+    cols = []
+    for c in range(int(k)):
+        vc = F.array(*[F.lit(float(V[i, c])) for i in range(d)])
+        dot = F.aggregate(
+            F.zip_with(x, vc, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, y: acc + y,
+        )
+        cols.append((dot - float(mu @ V[:, c])).alias(f"pc{c}"))
+    return emb.select("vec_id", "label", *cols)

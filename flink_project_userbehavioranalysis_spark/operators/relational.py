@@ -462,3 +462,104 @@ FROM active a JOIN cohort c USING (user_id)
 WHERE a.week >= c.cohort_week
 GROUP BY 1, 2
 """
+
+
+# --------------------------------------------------------------- TPC-H Q3/Q6
+
+
+def tpch_q3ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority revenue (TPC-H Q3 shape): customer ⋈ orders ⋈
+    lineitem with selective filters on all three inputs, DECIMAL
+    revenue aggregation per order, top-10 by revenue.
+
+    Scale shape: the segment-filtered CUSTOMER side is explicitly
+    broadcast (a single-segment customer slice is a classic
+    broadcastable dim even at 100 TB scale-factor — it prunes to
+    ~1/5 of a dimension table); orders→lineitem is the fact-fact join
+    and shuffles on the order key, which the revenue groupBy then
+    REUSES (same key ⇒ no second exchange). Filters sit against the
+    scans (pushed into parquet), and the top-10 is a
+    TakeOrderedAndProject, never a global sort.
+
+    Revenue sums run in exact DECIMAL so partial-agg order cannot
+    wobble a cent; final cast to DOUBLE matches the oracle.
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    revenue = F.sum(
+        money("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - money("l_discount"))
+    )
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+TPCH_Q3ISH_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def tpch_q6ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-revenue-change (TPC-H Q6 shape): pure scan→filter→agg
+    with range predicates on date, discount and quantity — the
+    canonical predicate-pushdown / column-pruning probe. The whole
+    query is one map-only pass plus a single-row global aggregate;
+    every filter reaches the parquet reader (PushedFilters audited in
+    tests/test_plans.py) and only 4 of 11 lineitem columns are read.
+
+    The discount BETWEEN bound quantizes to exact DECIMAL(3,2) BEFORE
+    comparison — comparing raw float64 0.05/0.07 against binary floats
+    like 0.06999... would make boundary rows engine-dependent;
+    DECIMAL-vs-DECIMAL is exact on both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    d = money("l_discount").cast("decimal(3,2)")
+    out = li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (d >= F.lit("0.05").cast("decimal(3,2)"))
+        & (d <= F.lit("0.07").cast("decimal(3,2)"))
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(money("l_extendedprice") * money("l_discount"))
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+    return out
+
+
+TPCH_Q6ISH_SQL = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+              * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND CAST(l_discount AS DECIMAL(3,2)) BETWEEN CAST(0.05 AS DECIMAL(3,2))
+                                           AND CAST(0.07 AS DECIMAL(3,2))
+  AND l_quantity < 24
+"""

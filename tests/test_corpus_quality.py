@@ -1,0 +1,48 @@
+"""Semantic invariants of the corpus-quality decision layer (the
+oracle match itself is auto-covered by test_operators_oracle)."""
+
+import pyspark.sql.functions as F
+
+from flink_project_userbehavioranalysis_spark.operators import corpus_quality as CQ
+
+SF_MID = "/root/testdata/sf0.01"
+
+
+def test_gopher_gates_consistent_and_discriminating(spark):
+    df = CQ.gopher_quality_filter(spark, SF_MID)
+    gates = ["g_count", "g_wordlen", "g_rep", "g_distinct", "g_stop"]
+    agg = df.agg(
+        F.count("*").alias("n"),
+        F.sum("keep").alias("kept"),
+        # keep must equal the AND of the emitted gate bitmap, row-wise
+        F.sum(
+            (
+                F.col("keep")
+                != (
+                    F.col("g_count")
+                    * F.col("g_wordlen")
+                    * F.col("g_rep")
+                    * F.col("g_distinct")
+                    * F.col("g_stop")
+                )
+            ).cast("int")
+        ).alias("inconsistent"),
+        *[F.sum(g).alias(g) for g in gates],
+    ).collect()[0]
+    assert agg["inconsistent"] == 0
+    # the filter must actually split the corpus, and every rule must
+    # both fire and pass somewhere (thresholds chosen against the
+    # synthetic corpus distributions; a testdata regen that degenerates
+    # a rule should fail loudly here)
+    assert 0 < agg["kept"] < agg["n"]
+    for g in gates:
+        assert 0 < agg[g] <= agg["n"], g
+
+
+def test_gopher_single_shuffle_plan(spark):
+    # one explode + ONE partial-aggregated shuffle: the (doc_id, token)
+    # tf aggregation reuses its clustering for the per-doc rollup, so
+    # exactly one Exchange appears in the whole plan
+    plan = CQ.gopher_quality_filter(spark, SF_MID)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2  # tf shuffle (+ AQE read), no join
+    assert "Join" not in plan

@@ -81,3 +81,37 @@ def test_kmeans_lloyd(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_embedding_pca_matches_numpy(spark, sf_dir):
+    """embedding_pca ≡ single-node numpy PCA: identical projections
+    (same deterministic sign convention), descending component
+    variance, and orthonormal implied components."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").orderBy("vec_id")
+    X = np.asarray(
+        [r["embedding"] for r in emb.select("embedding").collect()], dtype=np.float64
+    )
+    mu = X.mean(axis=0)
+    cov = (X - mu).T @ (X - mu) / X.shape[0]
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:4]
+    V = evecs[:, order]
+    for c in range(V.shape[1]):
+        piv = int(np.argmax(np.abs(V[:, c])))
+        if V[piv, c] < 0:
+            V[:, c] = -V[:, c]
+    ref = (X - mu) @ V  # n x 4
+
+    rows = EMB.embedding_pca(spark, sf_dir, k=4).orderBy("vec_id").collect()
+    got = np.asarray([[r[f"pc{c}"] for c in range(4)] for r in rows])
+    assert got.shape == ref.shape
+    # distributed partial-Gram order only perturbs sums at ~1e-12
+    # relative; eigenvector perturbation stays far under this tol
+    assert np.allclose(got, ref, atol=1e-6)
+    # explained variance must be descending across components
+    var = got.var(axis=0)
+    assert all(var[i] >= var[i + 1] - 1e-12 for i in range(len(var) - 1))
+    # projected variances must equal the top eigenvalues
+    assert np.allclose(var, np.sort(evals)[::-1][:4], atol=1e-6)

@@ -228,6 +228,31 @@ EXHIBITS = [
         "cardinality rows, never a global ntile sort of raw users; the "
         "1-row boundary pivot re-enters via BroadcastNestedLoopJoin.",
     ),
+    (
+        "kmeans_lloyd",
+        "Iterative Lloyd's k-means: per round, the k-row centroid table "
+        "folds to ONE broadcast row (collect_list), the assignment is a "
+        "map-only nested-HOF pass over the points (zip_with inside "
+        "transform, codegen), and the update is one partial-aggregated "
+        "(cid, dim) exchange — points never re-shuffle across rounds; "
+        "no Python eval, no cartesian, no collected corpus.",
+    ),
+    (
+        "bpe_train",
+        "BPE training loop: each round is two (string, count) partial-"
+        "aggregated exchanges over the VOCAB (heavy hitters collapse "
+        "before char explosion), a 1-row argmax winner that re-enters "
+        "via broadcast cross join, and a literal-replace rewrite — the "
+        "corpus is scanned once; the loop operates on vocab cardinality.",
+    ),
+    (
+        "near_dup_incremental",
+        "Ingestion-time near-dup: the incoming batch probes the corpus "
+        "band index via a (band_id, band_key) equi-join — candidate "
+        "cost scales with the batch; the exact-Jaccard verify joins "
+        "shingles only for candidate pairs. No cartesian, no "
+        "BroadcastNestedLoopJoin.",
+    ),
 ]
 
 
