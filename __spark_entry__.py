@@ -89,14 +89,11 @@ _DRIVER_ORDER = [
     "ad_clicks_by_geo",
     "blacklist",
     "consec_fail",
-    "consec_fail_triple",
     "order_timeout",
-    "order_pay_matched",
     "interval_join",
     "tx_reconcile",
     "tpch_q1ish",
     "tpch_q3ish",
-    "tpch_q6ish",
     "user_set_ops",
     "user_sessions",
     "funnel_conversion",
@@ -132,6 +129,9 @@ _DRIVER_ORDER = [
     "quantize_embeddings",
     "geomean_by_type",
     # --- tier 2: remaining hash-oracled batch -----------------------
+    "consec_fail_triple",
+    "order_pay_matched",
+    "tpch_q6ish",
     "binary_features",
     "lang_centroids",
     "hot_items_report",

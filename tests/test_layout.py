@@ -120,3 +120,31 @@ def test_zorder_key_is_codegen_expression(spark, sf_dir):
     n_pairs = pairs.select("uq", "iq").distinct().count()
     n_keys = pairs.select("zkey").distinct().count()
     assert n_pairs == n_keys
+
+
+def test_dynamic_partition_pruning_on_joined_dim(spark, sf_dir, tmp_path):
+    """DPP: when the pruning predicate lives on a JOINED dim (not the
+    fact itself), Catalyst must inject a runtime subquery filter into
+    the fact scan's PartitionFilters — the mechanism that makes
+    star-joins over a date-partitioned 100 TB fact read only the
+    matching partitions."""
+    ev = load_events(spark, sf_dir).withColumn("dt", F.to_date("ts"))
+    layout.write_partitioned(ev, str(tmp_path / "fact"), ["dt"])
+    fact = spark.read.parquet(str(tmp_path / "fact"))
+
+    # dim: one row per day with an attribute we can filter on. The
+    # predicate must be an explicit comparison (dow = 1): Spark's
+    # isLikelySelective() does not treat a bare boolean attribute as
+    # selective, so `filter(col("flag"))` silently disables DPP — a
+    # real-world pitfall worth pinning here.
+    dim = fact.select("dt").distinct().withColumn("dow", F.dayofweek("dt"))
+    dim.write.mode("overwrite").parquet(str(tmp_path / "dim"))
+    dim = spark.read.parquet(str(tmp_path / "dim"))
+
+    joined = (
+        fact.join(dim.filter(F.col("dow") == 1), "dt")
+        .groupBy("dt")
+        .agg(F.sum("value").alias("v"))
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
