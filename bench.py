@@ -76,6 +76,9 @@ HEADLINE = [
     "ad_attribution",       # horizon-bounded user join + per-purchase windows
     "rfm_segments",         # histogram-quantile segmentation
     "dwell_gaps",           # sessionized lead gaps
+    # r6 additions
+    "gopher_quality_filter",  # one-pass tf rollup + gate bitmap
+    "tpch_q3ish",             # broadcast-dim + fact-fact join, top-10
 ]
 
 
