@@ -175,6 +175,7 @@ _DRIVER_ORDER = [
     "frame_sample",
     # --- tier 4: streaming (finite replay jobs, seconds each) -------
     "pii_scrub_stream",
+    "gopher_quality_stream",
     "pv_hourly_stream",
     "uv_hourly_stream",
     "hot_items_stream",
@@ -477,6 +478,12 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         # doubles as the streaming oracle (streaming ≡ batch ≡ oracle).
         # §2.10 stateless streaming transform (append mode, zero state)
         "pii_scrub_stream": (_stw.pii_scrub_stream, _text.PII_SCRUB_SQL),
+        # stateless streaming Gopher gate (map-only projection twin —
+        # batch oracle ≡ streaming oracle)
+        "gopher_quality_stream": (
+            _stw.gopher_quality_stream,
+            _cq.gopher_quality_filter_oracle_sql(),
+        ),
         "pv_hourly_stream": (_stw.pv_hourly_stream, _nf.PV_HOURLY_SQL),
         "uv_hourly_stream": (_stw.uv_hourly_stream, _nf.UV_HOURLY_SQL),
         "hot_items_stream": (_stw.hot_items_stream, _hot.hot_items_oracle_sql()),

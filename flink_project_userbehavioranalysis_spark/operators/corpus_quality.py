@@ -475,3 +475,89 @@ SELECT doc_id, n_tokens, sum_word_chars, n_distinct_tokens, top_token_cnt,
             AND g_stop = 1 AS INT) AS keep
 FROM g
 """
+
+
+def gopher_quality_projection(
+    docs: DataFrame,
+    min_tokens: int = 30,
+    max_tokens: int = 100_000,
+    min_mwl_x10: int = 40,
+    max_mwl_x10: int = 100,
+    rep_max_pct: int = 20,
+    min_distinct_pct: int = 40,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """MAP-ONLY formulation of ``gopher_quality_filter`` — identical
+    output contract, zero shuffle: every signal comes from array
+    higher-order functions over the per-row token array instead of the
+    explode→groupBy rollup. This is the form a STATELESS streaming
+    quality gate runs at ingest (each document arrives whole, so no
+    cross-row state exists by construction), and the row-local batch
+    fast path for short/medium documents.
+
+    top_token_cnt uses the sorted-run trick: array_sort the tokens,
+    then one aggregate() pass tracking (prev, run, best) — O(d log d)
+    per row vs the explode form's shuffle. Trade-off vs the groupBy
+    formulation: per-row cost grows with document length, so for
+    million-token documents at 100 TB prefer ``gopher_quality_filter``
+    (explode + partial agg); for feed-speed short docs this one runs
+    at scan rate.
+
+    Both formulations emit bit-identical integers (same oracle SQL) —
+    asserted in tests/test_corpus_quality.py.
+    """
+    staged = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    run_state = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def run_step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    stats = staged.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.aggregate(
+            F.transform("toks", F.length), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("sum_word_chars"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct_tokens"),
+        F.aggregate(
+            F.array_sort("toks"), run_state, run_step, lambda acc: acc["best"]
+        )
+        .cast("long")
+        .alias("top_token_cnt"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct("toks"), F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+            )
+        )
+        .cast("long")
+        .alias("n_stopwords_present"),
+    )
+    n, swc = F.col("n_tokens"), F.col("sum_word_chars")
+    gates = {
+        "g_count": (n >= min_tokens) & (n <= max_tokens),
+        "g_wordlen": (swc * 10 >= n * min_mwl_x10) & (swc * 10 <= n * max_mwl_x10),
+        "g_rep": F.col("top_token_cnt") * 100 <= n * rep_max_pct,
+        "g_distinct": F.col("n_distinct_tokens") * 100 >= n * min_distinct_pct,
+        "g_stop": F.col("n_stopwords_present") >= min_stopwords,
+    }
+    out = stats.select(
+        "doc_id",
+        "n_tokens",
+        "sum_word_chars",
+        "n_distinct_tokens",
+        "top_token_cnt",
+        "n_stopwords_present",
+        *[g.cast("int").alias(name) for name, g in gates.items()],
+    )
+    keep = None
+    for name in gates:
+        cond = F.col(name) == 1
+        keep = cond if keep is None else keep & cond
+    return out.withColumn("keep", keep.cast("int"))

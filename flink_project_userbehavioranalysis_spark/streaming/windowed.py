@@ -719,3 +719,30 @@ def dedup_incremental_stream(
         .select("doc_id", "set_md5")
     )
     return run_append_memory(fresh, "dedup_incremental_stream", spark)
+
+
+def gopher_quality_stream(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> DataFrame:
+    """Stateless streaming quality gate: the Gopher-rules decision
+    layer applied at INGEST over the document feed — each doc arrives
+    whole, so the per-doc signals need no cross-row state and the
+    whole gate is a map-only append-mode projection running at scan
+    rate (same streaming family as ``pii_scrub_stream``).
+
+    Uses the map-only ``gopher_quality_projection`` formulation
+    (array HOFs + sorted-run top-token count) rather than the batch
+    explode→groupBy form — a streaming groupBy(doc_id) would hold
+    per-doc state until watermark for no reason. Output is
+    bit-identical to the batch operator, so the batch oracle is the
+    streaming oracle.
+    """
+    from flink_project_userbehavioranalysis_spark.operators.corpus_quality import (
+        gopher_quality_projection,
+    )
+    from flink_project_userbehavioranalysis_spark.streaming.replay import (
+        run_append_memory,
+    )
+
+    docs = docs_stream(spark, sf_dir, n_chunks=n_chunks)
+    return run_append_memory(
+        gopher_quality_projection(docs), "gopher_quality_stream", spark
+    )

@@ -46,3 +46,25 @@ def test_gopher_single_shuffle_plan(spark):
     plan = CQ.gopher_quality_filter(spark, SF_MID)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 2  # tf shuffle (+ AQE read), no join
     assert "Join" not in plan
+
+
+def test_gopher_projection_equals_groupby_form(spark):
+    """The map-only formulation and the explode→groupBy formulation
+    must emit bit-identical rows (they share one oracle)."""
+    from flink_project_userbehavioranalysis_spark.io import load_table
+
+    a = CQ.gopher_quality_filter(spark, SF_MID)
+    b = CQ.gopher_quality_projection(load_table(spark, SF_MID, "documents"))
+    assert sorted(a.columns) == sorted(b.columns)
+    ra = sorted(tuple(r) for r in a.select(*sorted(a.columns)).collect())
+    rb = sorted(tuple(r) for r in b.select(*sorted(b.columns)).collect())
+    assert ra == rb
+
+
+def test_gopher_projection_is_map_only(spark):
+    from flink_project_userbehavioranalysis_spark.io import load_table
+
+    df = CQ.gopher_quality_projection(load_table(spark, SF_MID, "documents"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
