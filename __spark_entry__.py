@@ -20,6 +20,7 @@ from flink_project_userbehavioranalysis_spark.operators import behavior as _bx
 from flink_project_userbehavioranalysis_spark.operators import corpus_quality as _cq
 from flink_project_userbehavioranalysis_spark.operators import custom_joins as _cj
 from flink_project_userbehavioranalysis_spark.operators import embeddings_ops as _emb
+from flink_project_userbehavioranalysis_spark.operators import graph as _gr
 from flink_project_userbehavioranalysis_spark.operators import hot_items as _hot
 from flink_project_userbehavioranalysis_spark.operators import llm_text as _text
 from flink_project_userbehavioranalysis_spark.operators import login as _login
@@ -79,7 +80,6 @@ def entry(spark: SparkSession) -> DataFrame:
 _DRIVER_ORDER = [
     # --- tier 1: hash-oracled, every module -------------------------
     "hot_items_topn",
-    "hot_items_topn_direct",
     "pv_hourly",
     "uv_hourly",
     "hot_pages_topn",
@@ -101,6 +101,7 @@ _DRIVER_ORDER = [
     "pv_rollup",
     "value_percentiles",
     "revenue_by_priority_salted",
+    "item_pagerank",
     "asof_last_click",
     "range_join_tiers",
     "session_paths_topk",
@@ -129,6 +130,7 @@ _DRIVER_ORDER = [
     "quantize_embeddings",
     "geomean_by_type",
     # --- tier 2: remaining hash-oracled batch -----------------------
+    "hot_items_topn_direct",
     "consec_fail_triple",
     "order_pay_matched",
     "tpch_q6ish",
@@ -457,6 +459,11 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         # unrolled in SQL); per-iteration cost = one broadcast + one
         # partial-aggregated (cid, dim) shuffle
         "kmeans_lloyd": (_emb.kmeans_lloyd, _emb.kmeans_lloyd_oracle_sql()),
+        # graph pillar: exact-integer damped PageRank over the
+        # session-transition item graph (iterative broadcast-rank join
+        # + one partial-agg shuffle per round; recurrence unrolled in
+        # SQL as the oracle)
+        "item_pagerank": (_gr.item_pagerank, _gr.item_pagerank_oracle_sql()),
         # §2.10 distributed PCA projection (partial-Gram mapInPandas →
         # bounded d² driver eigh → map-only codegen projection); float
         # eigenvectors are blas-specific → rows-only, numpy-equivalence

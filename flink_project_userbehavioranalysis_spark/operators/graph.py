@@ -1,0 +1,192 @@
+"""Graph analytics over the behavior stream: PageRank on the
+session-transition item graph.
+
+No direct reference analog (the closest reference behavior is the
+NetworkFlow hot-page ranking, SURVEY §2.5 [U]) — but item-graph
+centrality is the canonical "which items anchor browsing sessions"
+analytics query, and it exercises the one dataflow shape the rest of
+the matrix lacks: an ITERATIVE join-aggregate fixpoint over an edge
+relation (near_dup_clusters iterates min-label propagation, but over
+candidate pairs, not a weighted transition graph).
+
+Exact-integer formulation (same oracle-ability trick as
+``embeddings_ops.kmeans_lloyd``): ranks live on a 1/SCALE lattice as
+BIGINTs; the per-edge contribution is ``(r(u) * w(u,v)) div W(u)``
+(integer division — Spark ``div`` and DuckDB ``//`` agree on
+nonnegative operands), and the damped update is
+``(15*SCALE) div 100 + (85*contrib) div 100``. Truncation bleeds
+O(out-degree) lattice units of rank mass per node per round —
+deterministic on every engine and partial-agg order, which is the
+point: the recurrence unrolls to plain SQL and the driver hash-checks
+it. Dangling nodes (no out-edges) simply stop forwarding mass — the
+standard simplification of the non-normalized power iteration.
+
+Scale shape per round: the rank relation has NODE cardinality (items,
+not events). With ``rank_join='broadcast'`` (default — item catalogs
+are dimension-sized) each round is a map-only broadcast join over the
+static edge relation plus ONE partial-aggregated shuffle on dst; the
+edge relation is computed once, persisted, and never re-shuffled.
+``rank_join='shuffle'`` swaps in a SHUFFLE_HASH equi-join for
+open-ended node sets (the ``lang_id_naive_bayes`` model_join
+pattern) — edges and ranks then co-shuffle on src once per round.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from flink_project_userbehavioranalysis_spark.io import load_events
+
+GAP_SECONDS = 1800
+SCALE = 1_000_000_000
+
+
+def _transition_edges(events: DataFrame, gap_s: int) -> DataFrame:
+    """Weighted item→item session-transition edges + per-src out-mass.
+
+    Item-bearing events per user sessionize with the standard 30-min
+    µs-exact gap test (same as behavior._sessionized, applied to the
+    item-event subsequence); an edge is each consecutive in-session
+    pair. One shuffle on user_id for the sessionize+lead sort, one
+    partial-aggregated shuffle to (src, dst) weights; the out-mass
+    total rides a src-partitioned window over the aggregated edge
+    relation (edge cardinality, not event cardinality).
+    """
+    by_user = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    items = (
+        events.filter(F.col("item_id").isNotNull())
+        .select("user_id", "event_id", "item_id", F.unix_micros("ts").alias("ts_us"))
+        .withColumn(
+            "new_session",
+            F.when(
+                (F.col("ts_us") - F.lag("ts_us").over(by_user) > gap_s * 1_000_000)
+                | F.lag("ts_us").over(by_user).isNull(),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "sid",
+            F.sum("new_session").over(
+                by_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    in_session = Window.partitionBy("user_id", "sid").orderBy("ts_us", "event_id")
+    edges = (
+        items.withColumn("dst", F.lead("item_id").over(in_session))
+        .filter(F.col("dst").isNotNull())
+        .select(F.col("item_id").alias("src"), "dst")
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+    )
+    return edges.withColumn(
+        "wtot", F.sum("w").over(Window.partitionBy("src"))
+    )
+
+
+def item_pagerank(
+    spark: SparkSession,
+    sf_dir: str,
+    iters: int = 3,
+    gap_s: int = GAP_SECONDS,
+    rank_join: str = "broadcast",
+) -> DataFrame:
+    """Damped PageRank (d=0.85) over the session-transition item graph,
+    ``iters`` exact-integer power-iteration rounds from a uniform
+    SCALE start. Output: (item_id, rank_q) — rank on the 1/SCALE
+    lattice, exact BIGINT.
+    """
+    ev = load_events(spark, sf_dir).select("user_id", "ts", "event_id", "item_id")
+    edges = _transition_edges(ev, gap_s).persist()
+    nodes = (
+        edges.select(F.col("src").alias("item_id"))
+        .union(edges.select(F.col("dst").alias("item_id")))
+        .distinct()
+        .persist()
+    )
+
+    ranks = nodes.select("item_id", F.lit(SCALE).cast("long").alias("r"))
+    for _ in range(int(iters)):
+        rk = F.broadcast(ranks) if rank_join == "broadcast" else ranks.hint("SHUFFLE_HASH")
+        contribs = (
+            edges.join(rk, edges.src == rk.item_id)
+            .select(
+                "dst",
+                F.expr("(r * w) div wtot").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(
+            contribs, nodes.item_id == contribs.dst, "left"
+        ).select(
+            "item_id",
+            (
+                F.lit(15 * SCALE // 100).cast("long")
+                + F.expr("85 * coalesce(s, 0L) div 100")
+            ).alias("r"),
+        )
+    return ranks.select("item_id", F.col("r").alias("rank_q"))
+
+
+def item_pagerank_oracle_sql(
+    iters: int = 3, gap_s: int = GAP_SECONDS
+) -> str:
+    """The identical recurrence unrolled in DuckDB SQL: same edges,
+    same lattice, same integer truncations (``//`` ≡ ``div`` on
+    nonnegative operands)."""
+    parts = [
+        f"""t0 AS (
+    SELECT user_id, event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS item_id,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS us
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+), t AS (
+    SELECT *,
+           CASE WHEN us - lag(us) OVER w > {gap_s} * 1000000
+                     OR lag(us) OVER w IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM t0
+    WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+), s AS (
+    SELECT *,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+    FROM t
+), tr AS (
+    SELECT item_id AS src,
+           lead(item_id) OVER (PARTITION BY user_id, sid
+                               ORDER BY us, event_id) AS dst
+    FROM s
+), e AS (
+    SELECT src, dst, count(*) AS w FROM tr WHERE dst IS NOT NULL GROUP BY 1, 2
+), ew AS (
+    SELECT src, dst, w, sum(w) OVER (PARTITION BY src) AS wtot FROM e
+), nodes AS (
+    SELECT DISTINCT item_id FROM (
+        SELECT src AS item_id FROM e UNION ALL SELECT dst FROM e)
+), r0 AS (
+    SELECT item_id, CAST({SCALE} AS BIGINT) AS r FROM nodes
+)"""
+    ]
+    for i in range(1, int(iters) + 1):
+        parts.append(
+            f"""c{i} AS (
+    SELECT ew.dst, CAST(sum((r.r * ew.w) // ew.wtot) AS BIGINT) AS s
+    FROM ew JOIN r{i - 1} r ON r.item_id = ew.src
+    GROUP BY 1
+), r{i} AS (
+    SELECT n.item_id,
+           CAST({15 * SCALE // 100} + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+    FROM nodes n LEFT JOIN c{i} c ON c.dst = n.item_id
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT item_id, r AS rank_q FROM r{int(iters)}
+"""
+    )
