@@ -253,6 +253,42 @@ EXHIBITS = [
         "shingles only for candidate pairs. No cartesian, no "
         "BroadcastNestedLoopJoin.",
     ),
+    (
+        "gopher_quality_filter",
+        "Gopher decision layer: ONE explode feeding a (doc_id, token) "
+        "partial-aggregated tf shuffle, a second narrow per-doc rollup, "
+        "then pure projection for every gate — no join, text never "
+        "shuffles (only the 32-char-bounded tokens + counts).",
+    ),
+    (
+        "embedding_pca",
+        "Distributed PCA projection: after the bounded partial-Gram "
+        "collect, the per-row projection is zip_with/aggregate arithmetic "
+        "inside WholeStageCodegen — zero Exchange, zero Python eval in "
+        "the row path.",
+    ),
+    (
+        "tpch_q3ish",
+        "Q3 star shape: the ONLY forced broadcast is the segment-filtered "
+        "customer dim; the orders-lineitem fact join is size-based "
+        "(shuffles on the order key at scale, broadcasts the tiny slice "
+        "at test SF) and the revenue groupBy reuses the join's order-key "
+        "clustering; top-10 via TakeOrderedAndProject.",
+    ),
+    (
+        "tpch_q6ish",
+        "Q6 pushdown probe: every range predicate (shipdate, quantity) in "
+        "PushedFilters, 4 of 11 lineitem columns in ReadSchema, map-only "
+        "scan into a partial-aggregated single-row DECIMAL aggregate.",
+    ),
+    (
+        "item_pagerank",
+        "Graph fixpoint: per round, the node-cardinality rank relation "
+        "broadcasts into the persisted edge relation (InMemoryTableScan, "
+        "never recomputed) and ONE (dst) partial-aggregated exchange "
+        "updates ranks — events are touched once at edge extraction; "
+        "iteration cost scales with edges, not the event log.",
+    ),
 ]
 
 
