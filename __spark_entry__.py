@@ -133,6 +133,7 @@ _DRIVER_ORDER = [
     "hot_items_topn_direct",
     "consec_fail_triple",
     "order_pay_matched",
+    "item_next_topk",
     "tpch_q6ish",
     "binary_features",
     "lang_centroids",
@@ -464,6 +465,9 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         # + one partial-agg shuffle per round; recurrence unrolled in
         # SQL as the oracle)
         "item_pagerank": (_gr.item_pagerank, _gr.item_pagerank_oracle_sql()),
+        # graph pillar: Markov next-item top-k with exact (w, wtot)
+        # integer probabilities
+        "item_next_topk": (_gr.item_next_topk, _gr.item_next_topk_oracle_sql()),
         # §2.10 distributed PCA projection (partial-Gram mapInPandas →
         # bounded d² driver eigh → map-only codegen projection); float
         # eigenvectors are blas-specific → rows-only, numpy-equivalence

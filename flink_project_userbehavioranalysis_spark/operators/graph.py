@@ -190,3 +190,68 @@ def item_pagerank_oracle_sql(
 SELECT item_id, r AS rank_q FROM r{int(iters)}
 """
     )
+
+
+def item_next_topk(
+    spark: SparkSession, sf_dir: str, k: int = 3, gap_s: int = GAP_SECONDS
+) -> DataFrame:
+    """First-order Markov next-item table: for every item, the top-``k``
+    most likely next items in a session (the "customers who viewed X
+    then viewed Y" recommender primitive), with the transition
+    probability carried as the EXACT integer pair (w, wtot) instead of
+    a float ratio — hash-stable, and the division belongs to the
+    serving layer anyway.
+
+    Shares the persisted-shape edge extraction with ``item_pagerank``;
+    on top of it this is one rank() window partitioned by src (edge
+    cardinality, bounded by catalog², in practice ~sessions·len) —
+    rank, not row_number, so probability ties surface both candidates
+    deterministically.
+
+    Output: (src, dst, w, wtot, rnk).
+    """
+    ev = load_events(spark, sf_dir).select("user_id", "ts", "event_id", "item_id")
+    edges = _transition_edges(ev, gap_s)
+    by_src = Window.partitionBy("src").orderBy(F.desc("w"), F.asc("dst"))
+    return (
+        edges.withColumn("rnk", F.rank().over(by_src))
+        .filter(F.col("rnk") <= k)
+        .select("src", "dst", "w", "wtot", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+def item_next_topk_oracle_sql(k: int = 3, gap_s: int = GAP_SECONDS) -> str:
+    return f"""
+WITH t0 AS (
+    SELECT user_id, event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS item_id,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS us
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+), t AS (
+    SELECT *,
+           CASE WHEN us - lag(us) OVER w > {gap_s} * 1000000
+                     OR lag(us) OVER w IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM t0
+    WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+), s AS (
+    SELECT *,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+    FROM t
+), tr AS (
+    SELECT item_id AS src,
+           lead(item_id) OVER (PARTITION BY user_id, sid
+                               ORDER BY us, event_id) AS dst
+    FROM s
+), e AS (
+    SELECT src, dst, count(*) AS w FROM tr WHERE dst IS NOT NULL GROUP BY 1, 2
+), ew AS (
+    SELECT src, dst, w, CAST(sum(w) OVER (PARTITION BY src) AS BIGINT) AS wtot,
+           rank() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rnk
+    FROM e
+)
+SELECT src, dst, w, wtot, CAST(rnk AS BIGINT) AS rnk
+FROM ew WHERE rnk <= {k}
+"""
