@@ -490,6 +490,12 @@ def embedding_pca(
         .collect()  # bounded: d(d+1)/2 + d + 1 rows regardless of data size
     )
     n_rows = sum(r["n"] for r in summary if r["i"] == -1)
+    if not summary or n_rows == 0:
+        # empty corpus: nothing to decompose — emit the output schema
+        # with zero rows (same totality contract as every operator)
+        return emb.select(
+            "vec_id", "label", *[F.lit(0.0).alias(f"pc{c}") for c in range(int(k))]
+        )
     d = max(r["i"] for r in summary) + 1
     G = np.zeros((d, d))
     mu = np.zeros(d)

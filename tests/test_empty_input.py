@@ -15,6 +15,7 @@ from flink_project_userbehavioranalysis_spark.operators import (
     corpus_quality as CQ,
     custom_joins as CJ,
     embeddings_ops as EMB,
+    graph as GR,
     hot_items as H,
     llm_text as TXT,
     login as L,
@@ -104,9 +105,21 @@ OPERATORS = [
     EMB.embedding_centroids,
     EMB.quantize_embeddings,
     EMB.lang_centroids,
+    EMB.embedding_pca,
+    CQ.gopher_quality_filter,
+    R.tpch_q3ish,
+    GR.item_pagerank,
+    GR.item_next_topk,
 ]
 
 
 @pytest.mark.parametrize("op", OPERATORS, ids=lambda f: f.__name__)
 def test_operator_handles_empty_input(spark, empty_dir, op):
     assert op(spark, empty_dir).count() == 0
+
+
+def test_global_agg_returns_single_zero_row_on_empty(spark, empty_dir):
+    # a GLOBAL aggregate legitimately emits one row on empty input
+    # (count 0, sum NULL) — same as the SQL oracle
+    rows = R.tpch_q6ish(spark, empty_dir).collect()
+    assert len(rows) == 1 and rows[0]["n_lines"] == 0

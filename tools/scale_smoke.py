@@ -72,6 +72,13 @@ QUERIES = [
     "bpe_train",
     "bpe_encode",
     "co_purchase_pairs_capped",
+    # r6 additions: graph + quality-decision + PCA + relational breadth
+    "item_pagerank",
+    "item_next_topk",
+    "gopher_quality_filter",
+    "embedding_pca",
+    "tpch_q3ish",
+    "tpch_q6ish",
 ]
 
 
