@@ -179,6 +179,7 @@ _DRIVER_ORDER = [
     # --- tier 4: streaming (finite replay jobs, seconds each) -------
     "pii_scrub_stream",
     "gopher_quality_stream",
+    "chunk_documents_stream",
     "pv_hourly_stream",
     "uv_hourly_stream",
     "hot_items_stream",
@@ -494,6 +495,12 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "gopher_quality_stream": (
             _stw.gopher_quality_stream,
             _cq.gopher_quality_filter_oracle_sql(),
+        ),
+        # stateless streaming chunker (shared projection — batch
+        # oracle ≡ streaming oracle)
+        "chunk_documents_stream": (
+            _stw.chunk_documents_stream,
+            _text.chunk_documents_oracle_sql(),
         ),
         "pv_hourly_stream": (_stw.pv_hourly_stream, _nf.PV_HOURLY_SQL),
         "uv_hourly_stream": (_stw.uv_hourly_stream, _nf.UV_HOURLY_SQL),

@@ -1231,10 +1231,21 @@ def chunk_documents(
 
     Output: (doc_id, chunk_id, n_tokens, chunk_text).
     """
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    staged = docs.select(
-        "doc_id", F.split("text", " ").alias("toks")
-    ).withColumn("n", F.size("toks"))
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_projection(docs, chunk_tokens=chunk_tokens, stride=stride)
+
+
+def chunk_projection(
+    docs: DataFrame, chunk_tokens: int = 32, stride: int = 24
+) -> DataFrame:
+    """The chunker dataflow over any document relation — shared by the
+    batch operator and the stateless streaming twin (each doc arrives
+    whole, so chunking needs no cross-row state)."""
+    staged = (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .withColumn("n", F.size("toks"))
+    )
     starts = F.sequence(
         F.lit(0), F.greatest(F.col("n") - 1, F.lit(0)), F.lit(int(stride))
     )

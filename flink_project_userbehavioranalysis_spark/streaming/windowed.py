@@ -746,3 +746,24 @@ def gopher_quality_stream(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -
     return run_append_memory(
         gopher_quality_projection(docs), "gopher_quality_stream", spark
     )
+
+
+def chunk_documents_stream(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> DataFrame:
+    """Stateless streaming chunker: sliding-window context chunking
+    applied at ingest over the document feed (append mode, zero state —
+    same streaming family as ``pii_scrub_stream``/
+    ``gopher_quality_stream``). Shares ``llm_text.chunk_projection``,
+    so the batch oracle is the streaming oracle."""
+    from flink_project_userbehavioranalysis_spark.operators.llm_text import (
+        chunk_projection,
+    )
+    from flink_project_userbehavioranalysis_spark.streaming.replay import (
+        run_append_memory,
+    )
+
+    docs = docs_stream(spark, sf_dir, n_chunks=n_chunks)
+    return run_append_memory(
+        chunk_projection(docs.select("doc_id", "text")),
+        "chunk_documents_stream",
+        spark,
+    )
