@@ -150,10 +150,16 @@ def main() -> None:
 
     queries = {n: f for n, f in entry_mod.queries().items() if n in HEADLINE}
     per_query: dict[str, float] = {}
+    per_query_arrow: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name, fn in queries.items():
         df = fn(spark, SF_DIR)
         per_query[name] = round(_median_time(lambda d=df: d.collect()), 4)
+        # the Arrow client path (toPandas): same engine work, efficient
+        # materialization — the delivery mode a real consumer uses for
+        # wide results; recorded so the client-overhead component of
+        # the collect() number is visible (pii_scrub: ~60% of it)
+        per_query_arrow[name] = round(_median_time(lambda d=df: d.toPandas()), 4)
         rows[name] = df.count()
 
     total = round(sum(per_query.values()), 4)
@@ -174,6 +180,53 @@ def main() -> None:
         "runs": RUNS,
         "cpus": CPUS,
     }
+    # Same-host DuckDB baseline, measured IN THIS RUN: BASELINE.md's
+    # medians came from a different host session, and the documented
+    # ±2x session swing applies to both engines — a same-moment
+    # measurement is the only ratio that isolates engine efficiency
+    # from host drift. fetchall() mirrors BASELINE.md's method;
+    # .df() is DuckDB's own efficient (Arrow-backed) client path,
+    # the honest counterpart to Spark's toPandas.
+    BASELINE_COMPARABLE = [
+        "hot_items_topn", "pv_hourly", "uv_hourly", "uv_approx",
+        "count_by_channel_behavior", "blacklist", "consec_fail",
+        "order_timeout", "interval_join", "tpch_q1ish",
+    ]
+    duck_ms: dict[str, float] = {}
+    duck_df_ms: dict[str, float] = {}
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        for t in ("region nation customer supplier part orders lineitem "
+                  "events documents embeddings").split():
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+            )
+        osql = entry_mod.oracle_sql()
+        for name in BASELINE_COMPARABLE:
+            q = osql.get(name)
+            if not q or name not in per_query:
+                continue
+            duck_ms[name] = round(_median_time(lambda q=q: con.execute(q).fetchall()), 4)
+            duck_df_ms[name] = round(_median_time(lambda q=q: con.execute(q).df()), 4)
+        con.close()
+    except Exception:
+        pass  # baseline-in-run is best-effort; BASELINE.md still anchors
+    if duck_ms:
+        comp = [k for k in duck_ms if k in per_query]
+        detail["same_host_baseline"] = {
+            "duckdb_fetchall": duck_ms,
+            "duckdb_df": duck_df_ms,
+            "ratio_collect_vs_fetchall": round(
+                sum(per_query[k] for k in comp) / sum(duck_ms[k] for k in comp), 3
+            ),
+            "ratio_arrow_vs_df": round(
+                sum(per_query_arrow[k] for k in comp) / sum(duck_df_ms[k] for k in comp), 3
+            ),
+        }
+    detail["queries_arrow"] = per_query_arrow
+
     prev = _prev_bench()
     if prev is not None:
         ppath, pdata = prev
@@ -216,6 +269,10 @@ def main() -> None:
     if prev is not None and detail["vs_prev"].get("total_ratio") is not None:
         compact["vs_prev_total"] = detail["vs_prev"]["total_ratio"]
         compact["vs_prev_file"] = detail["vs_prev"]["prev_file"]
+    if "same_host_baseline" in detail:
+        shb = detail["same_host_baseline"]
+        compact["vs_duckdb_same_host"] = shb["ratio_collect_vs_fetchall"]
+        compact["vs_duckdb_same_host_arrow"] = shb["ratio_arrow_vs_df"]
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) >= 1900:  # never overflow the tail: totals beat detail
         compact["queries"] = {}
