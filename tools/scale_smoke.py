@@ -77,9 +77,10 @@ QUERIES = [
     "item_next_topk",
     "gopher_quality_filter",
     "embedding_pca",
-    "tpch_q3ish",
-    "tpch_q6ish",
 ]
+# tpch_q3ish/q6ish are NOT in the smoke: synthesize() scales events/
+# documents/embeddings only, so a lineitem query would report a flat
+# ratio that reads as scaling evidence without being one.
 
 
 def synthesize(spark, factor: int) -> str:
