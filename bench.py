@@ -203,7 +203,19 @@ def main() -> None:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
             )
-        osql = entry_mod.oracle_sql()
+        osql = dict(entry_mod.oracle_sql())
+        # uv_approx is rows-only in the correctness gate (sketch
+        # estimates are engine-specific), but the BASELINE.md row timed
+        # DuckDB's own approx sketch — supply that query here so the
+        # same-host comparable set matches BASELINE's 10 rows
+        osql.setdefault(
+            "uv_approx",
+            """
+SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS w,
+       approx_count_distinct(user_id) AS uv_approx
+FROM events WHERE event_type = 'view' GROUP BY 1
+""",
+        )
         for name in BASELINE_COMPARABLE:
             q = osql.get(name)
             if not q or name not in per_query:

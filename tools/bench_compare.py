@@ -54,6 +54,14 @@ def main() -> None:
         worst = max(worst, rj)
         verdict = "ok" if rj <= 2.0 else ("ok-abs" if ra <= 2.0 else "WEAK")
         print(f"{name:<28}{base:>9.1f}{a:>9.1f}{j:>9.1f}{ra:>7.2f}{rj:>7.2f}  {verdict}")
+    shb = data.get("same_host_baseline") or {}
+    if data.get("vs_duckdb_same_host") or shb:
+        rc = data.get("vs_duckdb_same_host") or shb.get("ratio_collect_vs_fetchall")
+        ra = data.get("vs_duckdb_same_host_arrow") or shb.get("ratio_arrow_vs_df")
+        print(
+            f"\nsame-host DuckDB (this run): collect/fetchall = {rc}x, "
+            f"toPandas/.df() = {ra}x  <- host-drift-free ratios (r6 method)"
+        )
     extras = sorted(set(q) - set(BASELINE_MS))
     if extras:
         print("\nextension queries (no baseline row):")
