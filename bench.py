@@ -216,17 +216,25 @@ SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS w,
 FROM events WHERE event_type = 'view' GROUP BY 1
 """,
         )
-        for name in BASELINE_COMPARABLE:
-            q = osql.get(name)
-            if not q or name not in per_query:
-                continue
-            duck_ms[name] = round(_median_time(lambda q=q: con.execute(q).fetchall()), 4)
-            duck_df_ms[name] = round(_median_time(lambda q=q: con.execute(q).df()), 4)
-        con.close()
+        try:
+            for name in BASELINE_COMPARABLE:
+                q = osql.get(name)
+                if not q or name not in per_query:
+                    continue
+                duck_ms[name] = round(
+                    _median_time(lambda q=q: con.execute(q).fetchall()), 4
+                )
+                duck_df_ms[name] = round(
+                    _median_time(lambda q=q: con.execute(q).df()), 4
+                )
+        finally:
+            con.close()
     except Exception:
         pass  # baseline-in-run is best-effort; BASELINE.md still anchors
     if duck_ms:
-        comp = [k for k in duck_ms if k in per_query]
+        # intersect all three dicts: a failure between the fetchall and
+        # .df() timings of one query must not KeyError the whole report
+        comp = [k for k in duck_ms if k in duck_df_ms and k in per_query]
         detail["same_host_baseline"] = {
             "duckdb_fetchall": duck_ms,
             "duckdb_df": duck_df_ms,

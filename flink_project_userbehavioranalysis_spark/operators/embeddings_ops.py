@@ -497,6 +497,10 @@ def embedding_pca(
             "vec_id", "label", *[F.lit(0.0).alias(f"pc{c}") for c in range(int(k))]
         )
     d = max(r["i"] for r in summary) + 1
+    if int(k) > d:
+        raise ValueError(
+            f"embedding_pca: k={k} exceeds the embedding dimension d={d}"
+        )
     G = np.zeros((d, d))
     mu = np.zeros(d)
     for r in summary:

@@ -91,6 +91,7 @@ def item_pagerank(
     iters: int = 3,
     gap_s: int = GAP_SECONDS,
     rank_join: str = "broadcast",
+    materialize: bool = True,
 ) -> DataFrame:
     """Damped PageRank (d=0.85) over the session-transition item graph,
     ``iters`` exact-integer power-iteration rounds from a uniform
@@ -127,22 +128,36 @@ def item_pagerank(
                 + F.expr("85 * coalesce(s, 0L) div 100")
             ).alias("r"),
         )
-    return ranks.select("item_id", F.col("r").alias("rank_q"))
+    out = ranks.select("item_id", F.col("r").alias("rank_q"))
+    if not materialize:
+        # lazy form for plan inspection/composition; caller owns the
+        # cached edge/node lifetime
+        return out
+    # materialize the final ranks (node-cardinality, distributed — no
+    # driver collect) so the cached edge/node relations can be released
+    # instead of leaking into the shared session for its lifetime (the
+    # near_dup_clusters unpersist discipline); localCheckpoint also cuts
+    # the iters-deep lineage.
+    out = out.localCheckpoint(eager=True)
+    edges.unpersist()
+    nodes.unpersist()
+    return out
 
 
-def item_pagerank_oracle_sql(
-    iters: int = 3, gap_s: int = GAP_SECONDS
-) -> str:
-    """The identical recurrence unrolled in DuckDB SQL: same edges,
-    same lattice, same integer truncations (``//`` ≡ ``div`` on
-    nonnegative operands)."""
-    parts = [
-        f"""t0 AS (
+def _edges_cte(gap_s: int) -> str:
+    """Shared WITH-block prefix for both graph oracles — the sessionize
+    / transition / edge-aggregation pipeline, written ONCE so the gap
+    test and tie-break keys cannot diverge between the two oracles (or
+    from ``_transition_edges``, which they mirror). TRY_CAST + post-cast
+    NULL filter matches the Spark side exactly (repo convention,
+    hot_items.py oracle): a non-integer props.k drops the row on both
+    engines instead of crashing DuckDB's strict CAST."""
+    return f"""t0 AS (
     SELECT user_id, event_id,
-           CAST(json_extract_string(props, '$.k') AS INT) AS item_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS item_id,
            epoch_us(CAST(ts AS TIMESTAMP)) AS us
     FROM events
-    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    WHERE TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) IS NOT NULL
 ), t AS (
     SELECT *,
            CASE WHEN us - lag(us) OVER w > {gap_s} * 1000000
@@ -164,7 +179,18 @@ def item_pagerank_oracle_sql(
     SELECT src, dst, count(*) AS w FROM tr WHERE dst IS NOT NULL GROUP BY 1, 2
 ), ew AS (
     SELECT src, dst, w, sum(w) OVER (PARTITION BY src) AS wtot FROM e
-), nodes AS (
+)"""
+
+
+def item_pagerank_oracle_sql(
+    iters: int = 3, gap_s: int = GAP_SECONDS
+) -> str:
+    """The identical recurrence unrolled in DuckDB SQL: same edges,
+    same lattice, same integer truncations (``//`` ≡ ``div`` on
+    nonnegative operands)."""
+    parts = [
+        _edges_cte(gap_s)
+        + f""", nodes AS (
     SELECT DISTINCT item_id FROM (
         SELECT src AS item_id FROM e UNION ALL SELECT dst FROM e)
 ), r0 AS (
@@ -221,37 +247,15 @@ def item_next_topk(
 
 
 def item_next_topk_oracle_sql(k: int = 3, gap_s: int = GAP_SECONDS) -> str:
-    return f"""
-WITH t0 AS (
-    SELECT user_id, event_id,
-           CAST(json_extract_string(props, '$.k') AS INT) AS item_id,
-           epoch_us(CAST(ts AS TIMESTAMP)) AS us
-    FROM events
-    WHERE json_extract_string(props, '$.k') IS NOT NULL
-), t AS (
-    SELECT *,
-           CASE WHEN us - lag(us) OVER w > {gap_s} * 1000000
-                     OR lag(us) OVER w IS NULL
-                THEN 1 ELSE 0 END AS new_session
-    FROM t0
-    WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
-), s AS (
-    SELECT *,
-           sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
-                                  ROWS UNBOUNDED PRECEDING) AS sid
-    FROM t
-), tr AS (
-    SELECT item_id AS src,
-           lead(item_id) OVER (PARTITION BY user_id, sid
-                               ORDER BY us, event_id) AS dst
-    FROM s
-), e AS (
-    SELECT src, dst, count(*) AS w FROM tr WHERE dst IS NOT NULL GROUP BY 1, 2
-), ew AS (
-    SELECT src, dst, w, CAST(sum(w) OVER (PARTITION BY src) AS BIGINT) AS wtot,
+    return (
+        "WITH "
+        + _edges_cte(gap_s)
+        + f""", ranked AS (
+    SELECT src, dst, w, CAST(wtot AS BIGINT) AS wtot,
            rank() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rnk
-    FROM e
+    FROM ew
 )
 SELECT src, dst, w, wtot, CAST(rnk AS BIGINT) AS rnk
-FROM ew WHERE rnk <= {k}
+FROM ranked WHERE rnk <= {k}
 """
+    )

@@ -527,8 +527,12 @@ def tpch_q6ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     with range predicates on date, discount and quantity — the
     canonical predicate-pushdown / column-pruning probe. The whole
     query is one map-only pass plus a single-row global aggregate;
-    every filter reaches the parquet reader (PushedFilters audited in
-    tests/test_plans.py) and only 4 of 11 lineitem columns are read.
+    the shipdate and quantity predicates reach the parquet reader
+    (PushedFilters audited in tests/test_plans.py) and only 4 of 11
+    lineitem columns are read. The discount bound is deliberately NOT
+    pushable: it compares through a DECIMAL(3,2) cast (exactness over
+    pushdown — see below), so it evaluates post-scan inside the same
+    codegen stage.
 
     The discount BETWEEN bound quantizes to exact DECIMAL(3,2) BEFORE
     comparison — comparing raw float64 0.05/0.07 against binary floats

@@ -40,12 +40,14 @@ def test_pagerank_structural_properties(spark, sf_dir):
 
 
 def test_pagerank_join_strategies(spark, sf_dir):
-    b = G.item_pagerank(spark, sf_dir, iters=1, rank_join="broadcast")
+    # materialize=False keeps the lazy plan (the default localCheckpoint
+    # collapses it to an ExistingRDD scan, hiding the joins)
+    b = G.item_pagerank(spark, sf_dir, iters=1, rank_join="broadcast", materialize=False)
     plan_b = b._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan_b
     assert "CartesianProduct" not in plan_b and "BroadcastNestedLoopJoin" not in plan_b
 
-    s = G.item_pagerank(spark, sf_dir, iters=1, rank_join="shuffle")
+    s = G.item_pagerank(spark, sf_dir, iters=1, rank_join="shuffle", materialize=False)
     plan_s = s._jdf.queryExecution().executedPlan().toString()
     # the rank relation must honor the open-vocabulary form: its join
     # with edges runs as a shuffled hash join, not a broadcast
