@@ -135,6 +135,7 @@ _DRIVER_ORDER = [
     "order_pay_matched",
     "item_next_topk",
     "tpch_q6ish",
+    "tpch_q5ish",
     "binary_features",
     "lang_centroids",
     "hot_items_report",
@@ -369,6 +370,9 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         # TPC-H Q6 shape: pushdown/pruning probe — map-only scan +
         # single-row exact-DECIMAL aggregate
         "tpch_q6ish": (_rel.tpch_q6ish, _rel.TPCH_Q6ISH_SQL),
+        # TPC-H Q5 shape: deepest join tree — broadcast dim chain +
+        # fact-fact order-key shuffle + local-supplier condition
+        "tpch_q5ish": (_rel.tpch_q5ish, _rel.tpch_q5ish_oracle_sql()),
         # P9/A4 explicit salting (physical rewrite — same oracles as the
         # unsalted twins prove salted ≡ plain)
         "count_by_channel_salted": (

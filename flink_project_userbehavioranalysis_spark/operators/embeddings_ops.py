@@ -326,8 +326,10 @@ def kmeans_lloyd(
             )
         )
 
+    pinned = []
     for _ in range(int(iters)):
         cents = cents.persist()
+        pinned.append(cents)
         upd = (
             assign(cents)
             .select("cid", F.posexplode("xq").alias("dim", "v"))
@@ -348,7 +350,7 @@ def kmeans_lloyd(
         )
 
     final = assign(cents)
-    return (
+    out = (
         final.groupBy("cid")
         .agg(F.count("*").alias("n_points"), F.sum("d").alias("inertia_q"))
         .join(cents, "cid")
@@ -358,7 +360,16 @@ def kmeans_lloyd(
             "inertia_q",
             F.col("cq").alias("centroid_q"),
         )
+        # k-row result: materialize so the persisted points and the
+        # per-round centroid caches can be released instead of living
+        # for the session (same unpersist discipline as item_pagerank /
+        # near_dup_clusters); also cuts the iters-deep lineage
+        .localCheckpoint(eager=True)
     )
+    pts.unpersist()
+    for c in pinned:
+        c.unpersist()
+    return out
 
 
 def kmeans_lloyd_oracle_sql(k: int = 8, iters: int = 2, grid: int = 10_000) -> str:

@@ -567,3 +567,75 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01'
                                            AND CAST(0.07 AS DECIMAL(3,2))
   AND l_quantity < 24
 """
+
+
+def tpch_q5ish(spark: SparkSession, sf_dir: str, region: str = "ASIA") -> DataFrame:
+    """Local-supplier-volume (TPC-H Q5 shape): the deepest join tree in
+    the engine — region → nation → supplier and customer → orders →
+    lineitem meeting on BOTH the order key and the "local supplier"
+    condition (customer and supplier share a nation), grouped to
+    per-nation revenue.
+
+    Scale shape: the ONLY forced broadcast is geography — the
+    region-filtered nation list (≤ |nations| rows by construction, the
+    one table bounded at any scale factor). Suppliers and customers
+    are SF-proportional dimensions (TPC-H grows both linearly), so
+    hinting them broadcast would be a 100 TB lie: they reach the facts
+    through plain equi-joins whose strategy stays size-based — AQE
+    broadcasts the region-pruned supplier slice when it measures
+    small and shuffles it when it doesn't. The two FACT relations
+    (orders, lineitem) meet in one shuffle join on the order key; the
+    final per-nation rollup is a partial-aggregated shuffle over
+    ≤ |nations| groups.
+
+    Money math in exact DECIMAL (the q1/q3 discipline).
+    """
+    nat = (
+        load_table(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "region").filter(F.col("r_name") == region)
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    sup = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.sum(
+        money("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - money("l_discount"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(sup, li.l_suppkey == F.col("s_suppkey"))
+        .join(
+            cust,
+            (orders.o_custkey == cust.c_custkey)
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(revenue.cast("double").alias("revenue"))
+    )
+
+
+def tpch_q5ish_oracle_sql(region: str = "ASIA") -> str:
+    return f"""
+SELECT n_name, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = '{region}'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""

@@ -223,3 +223,15 @@ def test_tpch_q3_broadcasts_dim_and_reuses_order_clustering(spark, sf_dir):
     assert analyzed.count("ResolvedHint") == 1
     # top-10 is a distributed TakeOrdered, never a global Sort+collect
     assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q5_forces_only_geography_broadcasts(spark, sf_dir):
+    df = R.tpch_q5ish(spark, sf_dir)
+    # exactly two forced broadcasts: region into nation, and the
+    # region-filtered nation list into supplier — both bounded by
+    # geography at any scale factor. Supplier/customer joins carry no
+    # hint (SF-proportional dims stay size-based).
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 2
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
