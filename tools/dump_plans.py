@@ -289,6 +289,14 @@ EXHIBITS = [
         "updates ranks — events are touched once at edge extraction; "
         "iteration cost scales with edges, not the event log.",
     ),
+    (
+        "tpch_q5ish",
+        "Q5 local-supplier volume, the deepest join tree: only the "
+        "geography-bounded dims (region, region-filtered nations) are "
+        "hint-broadcast; the SF-proportional supplier and customer "
+        "joins carry no hint, and the two facts meet in one order-key "
+        "shuffle; final rollup bounded by |nations|.",
+    ),
 ]
 
 
