@@ -24,6 +24,7 @@ from flink_project_userbehavioranalysis_spark.operators import graph as _gr
 from flink_project_userbehavioranalysis_spark.operators import hot_items as _hot
 from flink_project_userbehavioranalysis_spark.operators import llm_text as _text
 from flink_project_userbehavioranalysis_spark.operators import login as _login
+from flink_project_userbehavioranalysis_spark.operators import maintenance as _mt
 from flink_project_userbehavioranalysis_spark.operators import market as _market
 from flink_project_userbehavioranalysis_spark.operators import multimodal as _mm
 from flink_project_userbehavioranalysis_spark.operators import network_flow as _nf
@@ -136,6 +137,9 @@ _DRIVER_ORDER = [
     "item_next_topk",
     "tpch_q6ish",
     "tpch_q5ish",
+    "tpch_q18ish",
+    "mv_pv_hourly_maintain",
+    "compact_roundtrip",
     "binary_features",
     "lang_centroids",
     "hot_items_report",
@@ -373,6 +377,18 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         # TPC-H Q5 shape: deepest join tree — broadcast dim chain +
         # fact-fact order-key shuffle + local-supplier condition
         "tpch_q5ish": (_rel.tpch_q5ish, _rel.tpch_q5ish_oracle_sql()),
+        # TPC-H Q18 shape: HAVING-subquery semi-join — one order-key
+        # rollup reused by the join, AQE-broadcast big-order list,
+        # top-100 via TakeOrderedAndProject
+        "tpch_q18ish": (_rel.tpch_q18ish, _rel.tpch_q18ish_oracle_sql()),
+        # maintenance: incremental MV refresh via dynamic partition
+        # overwrite (build on history + idempotent day swap ×2);
+        # oracle = full recompute — maintained ≡ recomputed
+        "mv_pv_hourly_maintain": (_mt.mv_pv_hourly_maintain, _mt.MV_PV_HOURLY_SQL),
+        # maintenance: small-file bin-pack compaction; the aggregate
+        # over the compacted copy hash-matches the raw-table oracle,
+        # certifying the rewrite is content-preserving
+        "compact_roundtrip": (_mt.compact_roundtrip, _mt.COMPACT_ROUNDTRIP_SQL),
         # P9/A4 explicit salting (physical rewrite — same oracles as the
         # unsalted twins prove salted ≡ plain)
         "count_by_channel_salted": (

@@ -79,6 +79,7 @@ HEADLINE = [
     # r6 additions
     "gopher_quality_filter",  # one-pass tf rollup + gate bitmap
     "tpch_q3ish",             # broadcast-dim + fact-fact join, top-10
+    "item_pagerank",          # iterative graph fixpoint (3 rounds)
 ]
 
 

@@ -29,10 +29,13 @@ sort — exactly the shuffle a sorted write needs anyway.
 
 from __future__ import annotations
 
+import math
+import os
 from functools import reduce
+from urllib.parse import unquote, urlparse
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 
 
 def write_partitioned(
@@ -101,3 +104,45 @@ def cluster_zorder(
     else:
         rp = df.repartitionByRange(zkey)
     return rp.sortWithinPartitions(zkey)
+
+
+def compact_small_files(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_bytes: int = 128 << 20,
+    sort_cols: list[str] | None = None,
+) -> dict[str, int]:
+    """OPTIMIZE-style bin-pack compaction: rewrite ``src_path`` into
+    ``ceil(total_bytes / target_bytes)`` files at ``dst_path``.
+
+    At 100 TB, FILE COUNT is the scan-planning killer — a day of
+    ingest from a 1000-task writer leaves 1000 files per partition,
+    and listing/footer-reading millions of small files dominates query
+    startup long before a byte of data is read. The fix is the
+    standard lakehouse maintenance pass (Delta/Iceberg ``OPTIMIZE``):
+    periodically rewrite each partition's files into ~128 MB bins.
+
+    With ``sort_cols`` the rewrite ALSO re-clusters (range-partition +
+    in-partition sort — compaction is the natural moment to restore
+    clustering, since it pays the full rewrite anyway); without, a
+    round-robin ``repartition`` balances bytes evenly across bins.
+    Returns ``{files_before, files_after, total_bytes, n_out}`` —
+    driver-side file-listing metadata only, never row data.
+    """
+    df = spark.read.parquet(src_path)
+    local = [unquote(urlparse(f).path) for f in df.inputFiles()]
+    total = sum(os.path.getsize(p) for p in local if os.path.exists(p))
+    n_out = max(1, math.ceil(total / target_bytes))
+    if sort_cols:
+        out = df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(*sort_cols)
+    else:
+        out = df.repartition(n_out)
+    out.write.mode("overwrite").parquet(dst_path)
+    after = spark.read.parquet(dst_path)
+    return {
+        "files_before": len(local),
+        "files_after": len(after.inputFiles()),
+        "total_bytes": total,
+        "n_out": n_out,
+    }

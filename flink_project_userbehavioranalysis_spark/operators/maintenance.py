@@ -1,0 +1,149 @@
+"""Table-maintenance operators: incremental materialized-rollup
+refresh (dynamic partition overwrite) and small-file compaction.
+
+No reference analog (the reference recomputes every job from raw CSV;
+SURVEY §2.1 S1/S2 [U]) — but at 100 TB nothing is recomputed from
+scratch: the production pattern is a day-partitioned materialized
+rollup where each ingest batch refreshes ONLY the partitions it
+touches. Spark expresses the swap natively via
+``spark.sql.sources.partitionOverwriteMode=dynamic``: the overwrite
+replaces exactly the partitions present in the incoming write and
+leaves all other history untouched (no read-modify-write of the whole
+table, no append-duplicate risk on re-ingest).
+
+Two properties make this the 100 TB shape:
+
+- **cost ∝ delta, not corpus** — the refresh aggregates one day of
+  events and rewrites one directory; the other 364/365ths of the
+  store are neither read nor written.
+- **idempotent re-ingest** — replaying the same batch swaps the same
+  partition to the same content (exercised twice in the registered
+  query), which is what makes retry-on-failure safe without a
+  transaction log.
+
+``compact_roundtrip`` is the other half of daily maintenance: ingest
+leaves behind as many files per partition as there were writer tasks,
+and file count — not byte count — is what kills 100 TB scan planning.
+The bin-pack rewrite (``layout.compact_small_files``) sizes output
+files to a target and the registered query proves the rewrite is
+content-preserving by hash-matching an aggregate over the compacted
+copy against the raw-table oracle.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_project_userbehavioranalysis_spark import layout
+from flink_project_userbehavioranalysis_spark.functions import win_end_s
+from flink_project_userbehavioranalysis_spark.io import load_events
+
+# Read-back schema for the PV materialized view: explicit, so an
+# empty view (zero files yet) reads as an empty frame instead of a
+# schema-inference error, and the dt partition directory parses as a
+# plain string on every engine/config.
+_MV_SCHEMA = "window_end BIGINT, pv BIGINT, dt STRING"
+
+
+def _hourly_pv(events: DataFrame) -> DataFrame:
+    """Hourly page-view rollup carrying its day partition key — the
+    content of the materialized view (same grain and values as
+    ``network_flow.pv_hourly``; ``dt`` added as the partition column)."""
+    return (
+        events.filter(F.col("event_type") == "view")
+        .groupBy(
+            F.to_date("ts").cast("string").alias("dt"),
+            F.window("ts", "1 hour").alias("w"),
+        )
+        .agg(F.count("*").alias("pv"))
+        .select(win_end_s(), "pv", "dt")
+    )
+
+
+def build_mv(rollup: DataFrame, path: str) -> None:
+    """Initial full build: day-partitioned overwrite write."""
+    rollup.write.mode("overwrite").partitionBy("dt").parquet(path)
+
+
+def refresh_mv(spark: SparkSession, delta_rollup: DataFrame, path: str) -> None:
+    """Incremental refresh: swap in ONLY the partitions present in
+    ``delta_rollup`` (dynamic partition overwrite), leaving every
+    other day directory untouched. Conf is set-and-restored so the
+    session's static overwrite semantics are unchanged elsewhere."""
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        delta_rollup.write.mode("overwrite").partitionBy("dt").parquet(path)
+    finally:
+        spark.conf.set(key, prev)
+
+
+def mv_pv_hourly_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered lifecycle query: build the hourly-PV view on history
+    (every day but the newest), then incrementally refresh the newest
+    day — TWICE, proving the re-ingest swap is idempotent — and return
+    the maintained view's content. Oracle = full recompute
+    (``PV_HOURLY_SQL``): maintained ≡ recomputed is the correctness
+    contract of any incremental MV.
+
+    The max-day probe is a bounded single-row action (the same bound
+    class as the replay harness); everything else is declarative.
+    """
+    ev = load_events(spark, sf_dir)
+    maxd = ev.agg(F.max(F.to_date("ts"))).collect()[0][0]
+    if maxd is None:  # empty input: an empty view, total by construction
+        return spark.createDataFrame([], _MV_SCHEMA).select("window_end", "pv")
+    path = tempfile.mkdtemp(prefix="ubx_mv_pv_")
+    hist = ev.filter(F.to_date("ts") < F.lit(maxd))
+    delta = ev.filter(F.to_date("ts") >= F.lit(maxd))
+    build_mv(_hourly_pv(hist), path)
+    refresh_mv(spark, _hourly_pv(delta), path)  # the day's first ingest
+    refresh_mv(spark, _hourly_pv(delta), path)  # retry replay: same swap
+    back = spark.read.schema(_MV_SCHEMA).parquet(path)
+    return back.select("window_end", "pv")
+
+
+def compact_roundtrip(
+    spark: SparkSession, sf_dir: str, shatter: int = 64, target_bytes: int = 8 << 20
+) -> DataFrame:
+    """Registered compaction proof: shatter the events table into
+    ``shatter`` writer-task files (what a wide ingest shuffle leaves
+    behind), bin-pack-compact them to ``target_bytes`` outputs, and
+    return a per-type aggregate over the COMPACTED copy. Oracle = the
+    same aggregate over the raw table, so a hash match certifies the
+    rewrite lost/duplicated nothing. File-count mechanics are asserted
+    in tests/test_layout.py."""
+    ev = load_events(spark, sf_dir).select("user_id", "item_id", "event_type", "ts")
+    frag = tempfile.mkdtemp(prefix="ubx_frag_")
+    comp = tempfile.mkdtemp(prefix="ubx_comp_")
+    ev.repartition(shatter).write.mode("overwrite").parquet(frag)
+    layout.compact_small_files(spark, frag, comp, target_bytes=target_bytes)
+    return (
+        spark.read.parquet(comp)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_distinct("user_id").alias("users"),
+            F.sum("item_id").alias("item_sum"),
+        )
+    )
+
+
+MV_PV_HOURLY_SQL = """
+SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour') AS BIGINT) AS window_end,
+       COUNT(*) AS pv
+FROM events WHERE event_type = 'view'
+GROUP BY 1
+"""
+
+COMPACT_ROUNDTRIP_SQL = """
+SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS users,
+       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+           AS item_sum
+FROM events
+GROUP BY 1
+"""

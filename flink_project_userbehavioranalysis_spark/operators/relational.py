@@ -639,3 +639,67 @@ WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
   AND o_orderdate < TIMESTAMP '1998-01-01'
 GROUP BY 1
 """
+
+
+def tpch_q18ish(spark: SparkSession, sf_dir: str, threshold: int = 300) -> DataFrame:
+    """Large-volume-customer (TPC-H Q18 shape): the HAVING-subquery /
+    semi-join pattern — find orders whose total line quantity exceeds
+    ``threshold``, then enrich with order and customer attributes and
+    return the top-100 by order value.
+
+    Scale shape: the quantity rollup is ONE partial-aggregated shuffle
+    on ``l_orderkey``; the classic formulation then SEMI-joins lineitem
+    back to the big-order list and re-aggregates, but the rollup
+    already carries the per-order sum, so the re-join is dropped
+    (algebraically identical, one fewer fact-scan). The orders join
+    lands on the SAME order-key clustering the rollup produced — AQE
+    sees the filtered big-order side is tiny (HAVING > 300 keeps
+    ~0.05% of orders at any SF: the threshold is a per-order bound,
+    not SF-proportional) and broadcasts it. Customer joins size-based.
+    Top-100 is a TakeOrderedAndProject, never a global sort.
+
+    Quantity sums run in exact DECIMAL (quantities are integral
+    doubles); final cast to DOUBLE matches the oracle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_qty")
+        )
+        .filter(F.col("total_qty") > threshold)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+def tpch_q18ish_oracle_sql(threshold: int = 300) -> str:
+    return f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > {int(threshold)})
+  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+GROUP BY 1, 2, 3, 4, 5
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 100
+"""

@@ -1,0 +1,104 @@
+"""Maintenance-tier audits: incremental MV refresh must touch ONLY the
+delta partitions (and be idempotent on re-ingest), and compaction must
+hit its file-count target while preserving content exactly.
+
+The value-level contract (maintained view ≡ full recompute; compacted
+aggregate ≡ raw-table oracle) is auto-covered by the registry oracle
+test; these tests pin the FILE-level mechanics the oracle can't see.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyspark.sql.functions as F
+
+from flink_project_userbehavioranalysis_spark import layout
+from flink_project_userbehavioranalysis_spark.io import load_events
+from flink_project_userbehavioranalysis_spark.operators import maintenance as mt
+
+
+def _part_files(path: str) -> dict[str, set[str]]:
+    """Partition dir → set of parquet file names (the identity of the
+    physical layout; an untouched partition keeps identical names)."""
+    out: dict[str, set[str]] = {}
+    for d in glob.glob(os.path.join(path, "dt=*")):
+        out[os.path.basename(d)] = {
+            os.path.basename(f) for f in glob.glob(os.path.join(d, "*.parquet"))
+        }
+    return out
+
+
+def test_refresh_touches_only_delta_partitions(spark, sf_dir, tmp_path):
+    ev = load_events(spark, sf_dir)
+    maxd = ev.agg(F.max(F.to_date("ts"))).collect()[0][0]
+    hist = ev.filter(F.to_date("ts") < F.lit(maxd))
+    delta = ev.filter(F.to_date("ts") >= F.lit(maxd))
+    path = str(tmp_path / "mv")
+
+    mt.build_mv(mt._hourly_pv(hist), path)
+    before = _part_files(path)
+    assert len(before) > 1, "fixture needs multiple history days"
+
+    mt.refresh_mv(spark, mt._hourly_pv(delta), path)
+    after = _part_files(path)
+    delta_dt = f"dt={maxd}"
+    assert delta_dt in after and delta_dt not in before
+    # every history partition: same directory, same file names — the
+    # refresh never rewrote them (dynamic overwrite, not truncate)
+    for d, files in before.items():
+        assert after[d] == files, f"history partition {d} was rewritten"
+
+    # idempotent re-ingest: replaying the same delta swaps the same
+    # partition (content equal), never appends duplicates
+    rows1 = spark.read.schema(mt._MV_SCHEMA).parquet(path).count()
+    mt.refresh_mv(spark, mt._hourly_pv(delta), path)
+    rows2 = spark.read.schema(mt._MV_SCHEMA).parquet(path).count()
+    assert rows1 == rows2
+
+
+def test_compact_hits_file_target_and_preserves_content(spark, sf_dir, tmp_path):
+    ev = load_events(spark, sf_dir).select("user_id", "item_id", "event_type", "ts")
+    frag, comp = str(tmp_path / "frag"), str(tmp_path / "comp")
+    ev.repartition(64).write.mode("overwrite").parquet(frag)
+
+    stats = layout.compact_small_files(spark, frag, comp, target_bytes=64 << 20)
+    assert stats["files_before"] == 64
+    assert stats["files_after"] == stats["n_out"] < 8
+    # content-exact: multiset equality in both directions
+    a, b = spark.read.parquet(frag), spark.read.parquet(comp)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_compact_with_sort_cols_restores_clustering(spark, sf_dir, tmp_path):
+    ev = load_events(spark, sf_dir).select("user_id", "item_id", "ts")
+    frag, comp = str(tmp_path / "frag"), str(tmp_path / "comp")
+    ev.repartition(32).write.mode("overwrite").parquet(frag)
+    layout.compact_small_files(
+        spark, frag, comp, target_bytes=1 << 20, sort_cols=["user_id"]
+    )
+    files = sorted(glob.glob(os.path.join(comp, "*.parquet")))
+    if len(files) < 2:
+        return  # too little data to check disjointness at this SF
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            row = md.row_group(rg)
+            for ci in range(row.num_columns):
+                col = row.column(ci)
+                if col.path_in_schema == "user_id" and col.statistics:
+                    mins.append(col.statistics.min)
+                    maxs.append(col.statistics.max)
+        if mins:
+            ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    # range-partitioned rewrite ⇒ per-file user_id ranges are
+    # non-overlapping (boundary value may be shared across adjacent
+    # files: range partitioning splits AT a key, not between keys)
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, ranges
