@@ -148,47 +148,3 @@ def test_dynamic_partition_pruning_on_joined_dim(spark, sf_dir, tmp_path):
     )
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
-
-
-def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark):
-    """Runtime bloom-filter injection — DPP's cousin for NON-partition
-    columns: when a shuffle join's build side carries a selective
-    filter, Catalyst plants a bloom_filter_agg subquery on the build
-    side and a might_contain() filter on the probe side's scan, so
-    probe rows that cannot join die at the scan instead of riding the
-    shuffle. At 100 TB (where the probe-side scan exceeds the 10 GB
-    default applicationSideScanSizeThreshold out of the box) this is
-    the difference between shuffling the full fact table and shuffling
-    the ~matching slice. Thresholds are lowered here only because the
-    test corpus is small; broadcast is disabled so the join actually
-    has a shuffle to prune."""
-    confs = {
-        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
-        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
-        "spark.sql.autoBroadcastJoinThreshold": "-1",
-    }
-    saved = {k: spark.conf.get(k, None) for k in confs}
-    try:
-        for k, v in confs.items():
-            spark.conf.set(k, v)
-        li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
-        orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet").filter(
-            F.col("o_orderpriority") == "1-URGENT"
-        )
-        j = (
-            li.join(orders, li.l_orderkey == orders.o_orderkey)
-            .groupBy("o_orderpriority")
-            .count()
-        )
-        plan = j._jdf.queryExecution().optimizedPlan().toString()
-        assert "bloom_filter_agg" in plan, plan[:2000]
-        assert "might_contain" in plan, plan[:2000]
-        # the might_contain probe must sit on the FACT (lineitem) side
-        probe = plan.split("might_contain")[1][:120]
-        assert "l_orderkey" in probe, probe
-    finally:
-        for k, v in saved.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)

@@ -235,3 +235,22 @@ def test_tpch_q5_forces_only_geography_broadcasts(spark, sf_dir):
     assert analyzed.count("ResolvedHint") == 2
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q18_single_lineitem_scan_and_take_ordered(spark, sf_dir):
+    df = R.tpch_q18ish(spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    # the HAVING-subquery is folded into ONE lineitem rollup — the
+    # classic formulation's second lineitem scan (re-join + re-agg)
+    # must not exist. AQE's toString prints Final AND Initial plan
+    # sections; count scans in the final section only.
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("lineitem.parquet") == 1, final.count("lineitem.parquet")
+    # no forced hints anywhere: the big-order list broadcast is AQE's
+    # size-based call, valid at any SF (HAVING threshold is per-order)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+    # top-100 is a distributed TakeOrdered, never a global Sort
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

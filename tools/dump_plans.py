@@ -297,6 +297,14 @@ EXHIBITS = [
         "joins carry no hint, and the two facts meet in one order-key "
         "shuffle; final rollup bounded by |nations|.",
     ),
+    (
+        "tpch_q18ish",
+        "Q18 HAVING-subquery semi-join: ONE partial-aggregated order-key "
+        "rollup (no lineitem re-join — the rollup already carries the "
+        "sum); the big-order list shrinks to ~0.05% of orders, so AQE "
+        "broadcasts it into the orders join unhinted; top-100 is "
+        "TakeOrderedAndProject, never a global sort.",
+    ),
 ]
 
 
