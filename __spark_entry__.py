@@ -138,6 +138,7 @@ _DRIVER_ORDER = [
     "tpch_q6ish",
     "tpch_q5ish",
     "tpch_q18ish",
+    "tpch_q13ish",
     "mv_pv_hourly_maintain",
     "compact_roundtrip",
     "binary_features",
@@ -381,6 +382,11 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         # rollup reused by the join, AQE-broadcast big-order list,
         # top-100 via TakeOrderedAndProject
         "tpch_q18ish": (_rel.tpch_q18ish, _rel.tpch_q18ish_oracle_sql()),
+        # TPC-H Q13 shape: OUTER join + double aggregation — zero-order
+        # customers kept via count(non-null); per-customer groupBy
+        # reuses the join's custkey clustering, final rollup
+        # domain-bounded
+        "tpch_q13ish": (_rel.tpch_q13ish, _rel.TPCH_Q13ISH_SQL),
         # maintenance: incremental MV refresh via dynamic partition
         # overwrite (build on history + idempotent day swap ×2);
         # oracle = full recompute — maintained ≡ recomputed

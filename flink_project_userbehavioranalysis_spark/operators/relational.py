@@ -703,3 +703,45 @@ GROUP BY 1, 2, 3, 4, 5
 ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
 LIMIT 100
 """
+
+
+def tpch_q13ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-order-count distribution (TPC-H Q13 shape): the OUTER
+    join + double aggregation pattern — every customer keeps a row
+    even with zero qualifying orders (``count(o_orderkey)`` counts
+    non-null, so no-order customers land in the ``c_count = 0`` bin),
+    then the per-customer counts collapse into a distribution.
+
+    Scale shape: the left-outer join shuffles both sides on the
+    customer key and the per-customer groupBy REUSES that clustering
+    (same key ⇒ no second exchange before the first aggregate); the
+    distribution rollup's key domain is max-orders-per-customer —
+    constant-bounded, so the final shuffle is trivially small at any
+    SF. The priority filter stands in for Q13's ``o_comment NOT
+    LIKE`` and is pushed to the orders scan. No hints anywhere: both
+    sides are SF-proportional, strategy stays size-based.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+TPCH_Q13ISH_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+    SELECT c_custkey, count(o_orderkey) AS c_count
+    FROM customer LEFT OUTER JOIN orders
+      ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+    GROUP BY c_custkey
+) t
+GROUP BY c_count
+"""
