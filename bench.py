@@ -150,11 +150,21 @@ def main() -> None:
     floor = _median_time(lambda: spark.range(1).collect(), runs=5)
 
     queries = {n: f for n, f in entry_mod.queries().items() if n in HEADLINE}
+    # Session-wide warm pass BEFORE any timing: JVM JIT/codegen warmth
+    # accumulates across the whole run, so without this the queries
+    # benched first (the BASELINE comparable set) read systematically
+    # slower than identical queries benched late — measured ~20% drift
+    # across three same-session sweeps of the same 10 queries. One
+    # untimed collect of every headline query levels the field; the
+    # per-query warm-up in _median_time still handles shuffle files
+    # and per-plan caches.
+    warmed = {name: fn(spark, SF_DIR) for name, fn in queries.items()}
+    for df in warmed.values():
+        df.collect()
     per_query: dict[str, float] = {}
     per_query_arrow: dict[str, float] = {}
     rows: dict[str, int] = {}
-    for name, fn in queries.items():
-        df = fn(spark, SF_DIR)
+    for name, df in warmed.items():
         per_query[name] = round(_median_time(lambda d=df: d.collect()), 4)
         # the Arrow client path (toPandas): same engine work, efficient
         # materialization — the delivery mode a real consumer uses for
