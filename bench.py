@@ -79,7 +79,9 @@ HEADLINE = [
     # r6 additions
     "gopher_quality_filter",  # one-pass tf rollup + gate bitmap
     "tpch_q3ish",             # broadcast-dim + fact-fact join, top-10
-    "item_pagerank",          # iterative graph fixpoint (3 rounds)
+    # NOT benched: item_pagerank / kmeans_lloyd eagerly materialize
+    # (localCheckpoint) at DataFrame-construction time, so timing their
+    # collect() would measure a block-manager read, not the iteration.
 ]
 
 
@@ -147,8 +149,6 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     cache_events(spark, SF_DIR)
 
-    floor = _median_time(lambda: spark.range(1).collect(), runs=5)
-
     queries = {n: f for n, f in entry_mod.queries().items() if n in HEADLINE}
     # Session-wide warm pass BEFORE any timing: JVM JIT/codegen warmth
     # accumulates across the whole run, so without this the queries
@@ -161,6 +161,10 @@ def main() -> None:
     warmed = {name: fn(spark, SF_DIR) for name, fn in queries.items()}
     for df in warmed.values():
         df.collect()
+    # floor AFTER the warm pass: queries_adj subtracts it from medians
+    # taken in the warmed state, so it must be the warmed floor — the
+    # cold-session floor is ~20% larger and would over-subtract.
+    floor = _median_time(lambda: spark.range(1).collect(), runs=5)
     per_query: dict[str, float] = {}
     per_query_arrow: dict[str, float] = {}
     rows: dict[str, int] = {}
@@ -183,6 +187,11 @@ def main() -> None:
         "metric": "warm_query_total",
         "value": total,
         "unit": "sec",
+        # method version: bumped when the measurement procedure changes
+        # (v2 = session-wide warm pass + warmed floor, r6) so a
+        # cross-method vs_prev ratio is readable as a method change,
+        # not a performance delta.
+        "method": "warmpass-v2",
         "queries": per_query,
         "sf": _sf_of(SF_DIR),
         "floor_sec": round(floor, 4),
@@ -272,6 +281,7 @@ FROM events WHERE event_type = 'view' GROUP BY 1
         prev_common = sum(pq[k] for k in common)
         detail["vs_prev"] = {
             "prev_file": os.path.basename(ppath),
+            "prev_method": pdata.get("method"),  # None = pre-warmpass capture
             "prev_sf": pdata.get("sf"),
             "prev_total": pdata.get("value"),
             "common_queries": len(common),
@@ -293,6 +303,7 @@ FROM events WHERE event_type = 'view' GROUP BY 1
         "metric": "warm_query_total",
         "value": total,
         "unit": "sec",
+        "method": detail["method"],
         "queries": per_query,
         "sf": detail["sf"],
         "floor_sec": detail["floor_sec"],

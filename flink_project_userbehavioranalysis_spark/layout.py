@@ -132,7 +132,19 @@ def compact_small_files(
     """
     df = spark.read.parquet(src_path)
     local = [unquote(urlparse(f).path) for f in df.inputFiles()]
-    total = sum(os.path.getsize(p) for p in local if os.path.exists(p))
+    statable = [p for p in local if os.path.exists(p)]
+    if local and not statable:
+        # inputFiles() listed files but none are locally stat-able —
+        # a non-local filesystem (hdfs://, s3a://). Silently treating
+        # that as total=0 would funnel an arbitrarily large table into
+        # ONE output file; fail loudly instead (this utility sizes
+        # bins from local stat; remote stores need a FileSystem-API
+        # listing).
+        raise ValueError(
+            f"compact_small_files: none of {len(local)} input files are "
+            f"locally stat-able (non-local filesystem?): {local[0]!r}"
+        )
+    total = sum(os.path.getsize(p) for p in statable)
     n_out = max(1, math.ceil(total / target_bytes))
     if sort_cols:
         out = df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(*sort_cols)

@@ -32,6 +32,8 @@ copy against the raw-table oracle.
 
 from __future__ import annotations
 
+import hashlib
+import os
 import tempfile
 
 import pyspark.sql.functions as F
@@ -40,6 +42,23 @@ from pyspark.sql import DataFrame, SparkSession
 from flink_project_userbehavioranalysis_spark import layout
 from flink_project_userbehavioranalysis_spark.functions import win_end_s
 from flink_project_userbehavioranalysis_spark.io import load_events
+from flink_project_userbehavioranalysis_spark.operators.network_flow import (
+    PV_HOURLY_SQL as MV_PV_HOURLY_SQL,  # the MV's contract IS pv_hourly's:
+    # maintained ≡ recomputed, so the oracle is shared, not duplicated —
+    # an oracle fix there fixes both
+)
+
+
+def _scratch_dir(spark: SparkSession, tag: str, sf_dir: str) -> str:
+    """Session-keyed scratch path (same keying as io._EVENTS_CACHE):
+    repeat invocations in one session — the oracle gate, bench loops,
+    repeated tests — REUSE and overwrite one directory per (query,
+    sf_dir) instead of mkdtemp-leaking a parquet copy per call."""
+    h = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    app = spark.sparkContext.applicationId
+    path = os.path.join(tempfile.gettempdir(), f"ubx-maint-{app}-{tag}-{h}")
+    os.makedirs(path, exist_ok=True)
+    return path
 
 # Read-back schema for the PV materialized view: explicit, so an
 # empty view (zero files yet) reads as an empty frame instead of a
@@ -97,7 +116,7 @@ def mv_pv_hourly_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     maxd = ev.agg(F.max(F.to_date("ts"))).collect()[0][0]
     if maxd is None:  # empty input: an empty view, total by construction
         return spark.createDataFrame([], _MV_SCHEMA).select("window_end", "pv")
-    path = tempfile.mkdtemp(prefix="ubx_mv_pv_")
+    path = _scratch_dir(spark, "mv", sf_dir)
     hist = ev.filter(F.to_date("ts") < F.lit(maxd))
     delta = ev.filter(F.to_date("ts") >= F.lit(maxd))
     build_mv(_hourly_pv(hist), path)
@@ -116,10 +135,10 @@ def compact_roundtrip(
     return a per-type aggregate over the COMPACTED copy. Oracle = the
     same aggregate over the raw table, so a hash match certifies the
     rewrite lost/duplicated nothing. File-count mechanics are asserted
-    in tests/test_layout.py."""
+    in tests/test_maintenance.py."""
     ev = load_events(spark, sf_dir).select("user_id", "item_id", "event_type", "ts")
-    frag = tempfile.mkdtemp(prefix="ubx_frag_")
-    comp = tempfile.mkdtemp(prefix="ubx_comp_")
+    frag = _scratch_dir(spark, "frag", sf_dir)
+    comp = _scratch_dir(spark, "comp", sf_dir)
     ev.repartition(shatter).write.mode("overwrite").parquet(frag)
     layout.compact_small_files(spark, frag, comp, target_bytes=target_bytes)
     return (
@@ -132,13 +151,6 @@ def compact_roundtrip(
         )
     )
 
-
-MV_PV_HOURLY_SQL = """
-SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour') AS BIGINT) AS window_end,
-       COUNT(*) AS pv
-FROM events WHERE event_type = 'view'
-GROUP BY 1
-"""
 
 COMPACT_ROUNDTRIP_SQL = """
 SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS users,

@@ -50,8 +50,10 @@ def main() -> None:
     n_days = ev.select(F.to_date("ts").alias("d")).distinct().count()
     delta = ev.filter(F.to_date("ts") >= F.lit(maxd))
 
+    full_dir = tempfile.mkdtemp(prefix="ubx-smoke-full-")
+
     def full_build():
-        mt.build_mv(mt._hourly_pv(ev), tempfile.mkdtemp(prefix="ubx-smoke-full-"))
+        mt.build_mv(mt._hourly_pv(ev), full_dir)  # overwrite: one dir reused
 
     # refresh target: a prebuilt history MV (so the refresh write is
     # the real dynamic-overwrite path against existing partitions)
