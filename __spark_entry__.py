@@ -164,6 +164,7 @@ _DRIVER_ORDER = [
     "contamination_check",
     "vocab_coverage",
     "co_purchase_pairs_capped",
+    "corpus_shuffle_order",
     "bpe_train",
     "bpe_encode",
     "kmeans_lloyd",
@@ -316,6 +317,13 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "dedup_incremental": (
             _text.dedup_incremental,
             _text.dedup_incremental_oracle_sql(),
+        ),
+        # §2.10 deterministic epoch-shuffle order: md5-sharded,
+        # per-shard independent sorts — reproducible permutation with
+        # no global sort; re-seedable per epoch
+        "corpus_shuffle_order": (
+            _text.corpus_shuffle_order,
+            _text.corpus_shuffle_order_oracle_sql(),
         ),
         # §2.10 BPE tokenizer-training pair statistics (one merge round)
         "bpe_pair_stats": (_text.bpe_pair_stats, _text.bpe_pair_stats_oracle_sql()),

@@ -1284,3 +1284,58 @@ SELECT doc_id,
            AS chunk_text
 FROM s
 """
+
+
+def corpus_shuffle_order(
+    spark: SparkSession, sf_dir: str, seed: str = "shuf1", buckets: int = 64
+) -> DataFrame:
+    """Deterministic global-shuffle order for training reads — the
+    "shuffle the corpus before each epoch" step, computed scalably.
+
+    A naive global shuffle is ``ORDER BY rand()``: irreproducible AND
+    a single-task global sort at the end. Here the read order is a
+    pure function of the row — ``shard = md5(seed:doc_id) mod
+    buckets``, ``pos = rank of the hash within its shard`` — so the
+    permutation is reproducible across runs/engines/partitionings and
+    re-seedable per epoch (change ``seed``). The shard is exactly the
+    output file a training job would write (shard count = the
+    parallelism dial), and each shard's positions come from an
+    INDEPENDENT partition-local sort of ~N/buckets rows: ``buckets``
+    parallel sorts, never a global one. md5's avalanche makes the
+    (shard, pos) order statistically indistinguishable from a uniform
+    shuffle for training purposes.
+
+    Output: (doc_id, shard, pos) — read order is ORDER BY (shard, pos).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    h = F.md5(
+        F.concat(F.lit(f"{seed}:"), F.col("doc_id").cast("string")).cast("binary")
+    )
+    shard = F.conv(F.substring(F.col("h"), 1, 2), 16, 10).cast("long") % buckets
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        docs.select("doc_id", h.alias("h"))
+        .select("doc_id", "h", shard.alias("shard"))
+        .select(
+            "doc_id",
+            "shard",
+            F.row_number().over(w).cast("long").alias("pos"),
+        )
+    )
+
+
+def corpus_shuffle_order_oracle_sql(seed: str = "shuf1", buckets: int = 64) -> str:
+    # hex→int via digit positions (the strpos idiom shared with the
+    # stratified_sample / simhash oracles)
+    digit = "(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+    val = f"{digit.format(i=1)} * 16 + {digit.format(i=2)}"
+    return f"""
+WITH t AS (
+    SELECT doc_id, md5('{seed}:' || CAST(doc_id AS VARCHAR)) AS h FROM documents
+), b AS (
+    SELECT doc_id, h, ({val}) % {int(buckets)} AS shard FROM t
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+FROM b
+"""
