@@ -110,7 +110,7 @@ _DRIVER_ORDER = [
     "rfm_segments",
     "dwell_gaps",
     "co_purchase_pairs",
-    "dedup_exact_docs",
+    "mv_pv_hourly_maintain",
     "dedup_exact_events",
     "token_counts",
     "chunk_documents",
@@ -139,7 +139,7 @@ _DRIVER_ORDER = [
     "tpch_q5ish",
     "tpch_q18ish",
     "tpch_q13ish",
-    "mv_pv_hourly_maintain",
+    "dedup_exact_docs",
     "compact_roundtrip",
     "binary_features",
     "lang_centroids",
