@@ -79,9 +79,13 @@ HEADLINE = [
     # r6 additions
     "gopher_quality_filter",  # one-pass tf rollup + gate bitmap
     "tpch_q3ish",             # broadcast-dim + fact-fact join, top-10
+    "tpch_q13ish",            # outer join + double aggregation
+    "corpus_shuffle_order",   # sharded permutation: 64 independent sorts
     # NOT benched: item_pagerank / kmeans_lloyd eagerly materialize
     # (localCheckpoint) at DataFrame-construction time, so timing their
-    # collect() would measure a block-manager read, not the iteration.
+    # collect() would measure a block-manager read, not the iteration;
+    # mv_pv_hourly_maintain / compact_roundtrip do table WRITES inside
+    # fn(), so their cost is the write path, not the returned scan.
 ]
 
 
