@@ -37,6 +37,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from flink_project_userbehavioranalysis_spark.io import load_events
+from flink_project_userbehavioranalysis_spark.operators.behavior import _sessionized
 
 GAP_SECONDS = 1800
 SCALE = 1_000_000_000
@@ -53,24 +54,14 @@ def _transition_edges(events: DataFrame, gap_s: int) -> DataFrame:
     total rides a src-partitioned window over the aggregated edge
     relation (edge cardinality, not event cardinality).
     """
-    by_user = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    items = (
-        events.filter(F.col("item_id").isNotNull())
-        .select("user_id", "event_id", "item_id", F.unix_micros("ts").alias("ts_us"))
-        .withColumn(
-            "new_session",
-            F.when(
-                (F.col("ts_us") - F.lag("ts_us").over(by_user) > gap_s * 1_000_000)
-                | F.lag("ts_us").over(by_user).isNull(),
-                1,
-            ).otherwise(0),
-        )
-        .withColumn(
-            "sid",
-            F.sum("new_session").over(
-                by_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-        )
+    # one session definition across pillars: the behavior module's
+    # gaps-and-islands helper (µs-exact gap test, (ts_us, event_id)
+    # tie-break), applied to the item-event subsequence
+    items = _sessionized(
+        events.filter(F.col("item_id").isNotNull()).select(
+            "user_id", "event_id", "item_id", "ts"
+        ),
+        gap_s,
     )
     in_session = Window.partitionBy("user_id", "sid").orderBy("ts_us", "event_id")
     edges = (
@@ -98,14 +89,21 @@ def item_pagerank(
     SCALE start. Output: (item_id, rank_q) — rank on the 1/SCALE
     lattice, exact BIGINT.
     """
+    if rank_join not in ("broadcast", "shuffle"):
+        raise ValueError(f"rank_join must be 'broadcast' or 'shuffle', got {rank_join!r}")
     ev = load_events(spark, sf_dir).select("user_id", "ts", "event_id", "item_id")
-    edges = _transition_edges(ev, gap_s).persist()
+    edges = _transition_edges(ev, gap_s)
     nodes = (
         edges.select(F.col("src").alias("item_id"))
         .union(edges.select(F.col("dst").alias("item_id")))
         .distinct()
-        .persist()
     )
+    if materialize:
+        # persist only when this call also owns the release (below);
+        # the lazy plan-inspection form must not pin caches the caller
+        # has no handle to unpersist
+        edges = edges.persist()
+        nodes = nodes.persist()
 
     ranks = nodes.select("item_id", F.lit(SCALE).cast("long").alias("r"))
     for _ in range(int(iters)):
@@ -114,7 +112,13 @@ def item_pagerank(
             edges.join(rk, edges.src == rk.item_id)
             .select(
                 "dst",
-                F.expr("(r * w) div wtot").alias("c"),
+                # the product runs in DECIMAL(38,0): rank can reach the
+                # TOTAL lattice mass (nodes × SCALE) under heavy skew,
+                # and a BIGINT r*w overflows once r·w ≥ 2^63 (w ~ 1e7
+                # in-edges against r ~ 1e12 is enough). DECIMAL(38,0)
+                # holds any realistic product exactly; `div` truncates
+                # back to BIGINT identically on both engines.
+                F.expr("(cast(r as decimal(38,0)) * w) div wtot").alias("c"),
             )
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
@@ -125,7 +129,7 @@ def item_pagerank(
             "item_id",
             (
                 F.lit(15 * SCALE // 100).cast("long")
-                + F.expr("85 * coalesce(s, 0L) div 100")
+                + F.expr("(85 * cast(coalesce(s, 0L) as decimal(38,0))) div 100")
             ).alias("r"),
         )
     out = ranks.select("item_id", F.col("r").alias("rank_q"))
@@ -160,7 +164,7 @@ def _edges_cte(gap_s: int) -> str:
     WHERE TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) IS NOT NULL
 ), t AS (
     SELECT *,
-           CASE WHEN us - lag(us) OVER w > {gap_s} * 1000000
+           CASE WHEN us - lag(us) OVER w > {gap_s * 1_000_000}
                      OR lag(us) OVER w IS NULL
                 THEN 1 ELSE 0 END AS new_session
     FROM t0
@@ -200,12 +204,14 @@ def item_pagerank_oracle_sql(
     for i in range(1, int(iters) + 1):
         parts.append(
             f"""c{i} AS (
-    SELECT ew.dst, CAST(sum((r.r * ew.w) // ew.wtot) AS BIGINT) AS s
+    SELECT ew.dst,
+           CAST(sum((CAST(r.r AS HUGEINT) * ew.w) // ew.wtot) AS BIGINT) AS s
     FROM ew JOIN r{i - 1} r ON r.item_id = ew.src
     GROUP BY 1
 ), r{i} AS (
     SELECT n.item_id,
-           CAST({15 * SCALE // 100} + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+           CAST({15 * SCALE // 100}
+                + (85 * CAST(COALESCE(c.s, 0) AS HUGEINT)) // 100 AS BIGINT) AS r
     FROM nodes n LEFT JOIN c{i} c ON c.dst = n.item_id
 )"""
         )

@@ -47,6 +47,7 @@ from flink_project_userbehavioranalysis_spark.operators.network_flow import (
     # maintained ≡ recomputed, so the oracle is shared, not duplicated —
     # an oracle fix there fixes both
 )
+from flink_project_userbehavioranalysis_spark.operators.network_flow import pv_rollup_frame
 
 
 def _scratch_dir(spark: SparkSession, tag: str, sf_dir: str) -> str:
@@ -69,17 +70,13 @@ _MV_SCHEMA = "window_end BIGINT, pv BIGINT, dt STRING"
 
 def _hourly_pv(events: DataFrame) -> DataFrame:
     """Hourly page-view rollup carrying its day partition key — the
-    content of the materialized view (same grain and values as
-    ``network_flow.pv_hourly``; ``dt`` added as the partition column)."""
-    return (
-        events.filter(F.col("event_type") == "view")
-        .groupBy(
-            F.to_date("ts").cast("string").alias("dt"),
-            F.window("ts", "1 hour").alias("w"),
-        )
-        .agg(F.count("*").alias("pv"))
-        .select(win_end_s(), "pv", "dt")
-    )
+    content of the materialized view. Delegates to
+    ``network_flow.pv_rollup_frame`` (the SAME frame ``pv_hourly``
+    serves), adding only ``dt`` as the partition column — so MV
+    content and the query it answers cannot drift."""
+    return pv_rollup_frame(
+        events, "view", extra_keys=[F.to_date("ts").cast("string").alias("dt")]
+    ).select(win_end_s(), "pv", "dt")
 
 
 def build_mv(rollup: DataFrame, path: str) -> None:
@@ -123,7 +120,12 @@ def mv_pv_hourly_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     refresh_mv(spark, _hourly_pv(delta), path)  # the day's first ingest
     refresh_mv(spark, _hourly_pv(delta), path)  # retry replay: same swap
     back = spark.read.schema(_MV_SCHEMA).parquet(path)
-    return back.select("window_end", "pv")
+    # eager localCheckpoint decouples the returned frame from the
+    # scratch files: the next invocation OVERWRITES the reused dir
+    # (see _scratch_dir), which would otherwise invalidate a result a
+    # caller is still holding. The view is aggregate-cardinality
+    # (hours), so the pinned blocks are tiny.
+    return back.select("window_end", "pv").localCheckpoint(eager=True)
 
 
 def compact_roundtrip(
@@ -149,6 +151,9 @@ def compact_roundtrip(
             F.count_distinct("user_id").alias("users"),
             F.sum("item_id").alias("item_sum"),
         )
+        # eager: the reused scratch dirs are overwritten by the next
+        # call; the per-type aggregate is a handful of rows
+        .localCheckpoint(eager=True)
     )
 
 

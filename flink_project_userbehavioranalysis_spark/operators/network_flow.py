@@ -22,15 +22,23 @@ from flink_project_userbehavioranalysis_spark.functions import win_end_s
 from flink_project_userbehavioranalysis_spark.io import load_events
 
 
+def pv_rollup_frame(events: DataFrame, event_type: str = "view", extra_keys=()) -> DataFrame:
+    """THE hourly-PV rollup (filter → 1 h window → count), shared by
+    ``pv_hourly`` and ``maintenance._hourly_pv`` so the materialized
+    view's content and the query it answers can never drift (they also
+    share ``PV_HOURLY_SQL`` as the oracle). ``extra_keys`` prepends
+    grouping columns (the MV adds its day partition key)."""
+    return (
+        events.filter(F.col("event_type") == event_type)
+        .groupBy(*extra_keys, F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("pv"))
+    )
+
+
 def pv_hourly(spark: SparkSession, sf_dir: str, event_type: str = "view") -> DataFrame:
     """A3 — tumbling 1 h page-view count (reference PageView.scala [U])."""
     events = load_events(spark, sf_dir)
-    return (
-        events.filter(F.col("event_type") == event_type)
-        .groupBy(F.window("ts", "1 hour").alias("w"))
-        .agg(F.count("*").alias("pv"))
-        .select(win_end_s(), "pv")
-    )
+    return pv_rollup_frame(events, event_type).select(win_end_s(), "pv")
 
 
 def uv_hourly(spark: SparkSession, sf_dir: str, event_type: str = "view") -> DataFrame:

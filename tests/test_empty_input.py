@@ -19,6 +19,7 @@ from flink_project_userbehavioranalysis_spark.operators import (
     hot_items as H,
     llm_text as TXT,
     login as L,
+    maintenance as MT,
     market as M,
     multimodal as MM,
     network_flow as NF,
@@ -108,8 +109,13 @@ OPERATORS = [
     EMB.embedding_pca,
     CQ.gopher_quality_filter,
     R.tpch_q3ish,
+    R.tpch_q18ish,
+    R.tpch_q13ish,
     GR.item_pagerank,
     GR.item_next_topk,
+    MT.mv_pv_hourly_maintain,
+    MT.compact_roundtrip,
+    TXT.corpus_shuffle_order,
 ]
 
 
