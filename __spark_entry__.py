@@ -32,6 +32,7 @@ from flink_project_userbehavioranalysis_spark.operators import order_pay as _op
 from flink_project_userbehavioranalysis_spark.operators import relational as _rel
 from flink_project_userbehavioranalysis_spark.operators import similarity as _sim
 from flink_project_userbehavioranalysis_spark.operators import skew as _skew
+from flink_project_userbehavioranalysis_spark.operators import tpch as _tp
 from flink_project_userbehavioranalysis_spark.streaming import joins as _stj
 from flink_project_userbehavioranalysis_spark.streaming import processors as _stp
 from flink_project_userbehavioranalysis_spark.streaming import windowed as _stw
@@ -139,6 +140,13 @@ _DRIVER_ORDER = [
     "tpch_q5ish",
     "tpch_q18ish",
     "tpch_q13ish",
+    "tpch_q4ish",
+    "tpch_q10ish",
+    "tpch_q12ish",
+    "tpch_q14ish",
+    "tpch_q17ish",
+    "tpch_q19ish",
+    "tpch_q22ish",
     "dedup_exact_docs",
     "compact_roundtrip",
     "binary_features",
@@ -395,6 +403,22 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         # reuses the join's custkey clustering, final rollup
         # domain-bounded
         "tpch_q13ish": (_rel.tpch_q13ish, _rel.TPCH_Q13ISH_SQL),
+        # TPC-H wave-2 shapes (operators/tpch.py): the physical
+        # patterns wave 1 doesn't exercise
+        # Q4: EXISTS → LEFT SEMI with a cross-side residual predicate
+        "tpch_q4ish": (_tp.tpch_q4ish, _tp.tpch_q4ish_oracle_sql()),
+        # Q10: 3-way fact join + per-customer rollup + TakeOrdered top-20
+        "tpch_q10ish": (_tp.tpch_q10ish, _tp.tpch_q10ish_oracle_sql()),
+        # Q12: join + CASE conditional aggregation, single fact pass
+        "tpch_q12ish": (_tp.tpch_q12ish, _tp.TPCH_Q12ISH_SQL),
+        # Q14: single-row conditional-percentage aggregate over fact⋈dim
+        "tpch_q14ish": (_tp.tpch_q14ish, _tp.TPCH_Q14ISH_SQL),
+        # Q17: correlated scalar subquery decorrelated to agg-then-rejoin
+        "tpch_q17ish": (_tp.tpch_q17ish, _tp.tpch_q17ish_oracle_sql()),
+        # Q19: disjunctive OR-of-ANDs join residual + pushed hull
+        "tpch_q19ish": (_tp.tpch_q19ish, _tp.TPCH_Q19ISH_SQL),
+        # Q22: scalar-mean broadcast filter + NOT EXISTS anti-join
+        "tpch_q22ish": (_tp.tpch_q22ish, _tp.tpch_q22ish_oracle_sql()),
         # maintenance: incremental MV refresh via dynamic partition
         # overwrite (build on history + idempotent day swap ×2);
         # oracle = full recompute — maintained ≡ recomputed

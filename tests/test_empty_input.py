@@ -27,6 +27,7 @@ from flink_project_userbehavioranalysis_spark.operators import (
     relational as R,
     similarity as SIM,
     skew as SK,
+    tpch as TP,
 )
 
 
@@ -116,6 +117,10 @@ OPERATORS = [
     MT.mv_pv_hourly_maintain,
     MT.compact_roundtrip,
     TXT.corpus_shuffle_order,
+    TP.tpch_q4ish,
+    TP.tpch_q10ish,
+    TP.tpch_q12ish,
+    TP.tpch_q22ish,
 ]
 
 
@@ -129,3 +134,11 @@ def test_global_agg_returns_single_zero_row_on_empty(spark, empty_dir):
     # (count 0, sum NULL) — same as the SQL oracle
     rows = R.tpch_q6ish(spark, empty_dir).collect()
     assert len(rows) == 1 and rows[0]["n_lines"] == 0
+    # wave-2 global aggregates: one row, NULL value (same as SQL)
+    for op, col in (
+        (TP.tpch_q14ish, "promo_revenue_pct"),
+        (TP.tpch_q17ish, "avg_yearly"),
+        (TP.tpch_q19ish, "revenue"),
+    ):
+        rows = op(spark, empty_dir).collect()
+        assert len(rows) == 1 and rows[0][col] is None

@@ -1,0 +1,86 @@
+"""TPC-H wave-2 shapes: oracle-match + per-shape physical invariants."""
+
+import pyspark.sql.functions as F
+
+from flink_project_userbehavioranalysis_spark.operators import tpch as T
+from tests.oracle import assert_matches_oracle
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_tpch_q4ish(spark, sf_dir):
+    df = T.tpch_q4ish(spark, sf_dir)
+    assert_matches_oracle(df, T.tpch_q4ish_oracle_sql(), sf_dir)
+    # the EXISTS must run as a semi-join: orders are never duplicated,
+    # so per-priority counts are bounded by the quarter's order count
+    n_orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+        )
+        .count()
+    )
+    assert df.agg(F.sum("order_count")).collect()[0][0] <= n_orders
+    assert "LeftSemi" in _plan(df)
+
+
+def test_tpch_q10ish(spark, sf_dir):
+    df = T.tpch_q10ish(spark, sf_dir)
+    assert_matches_oracle(df, T.tpch_q10ish_oracle_sql(), sf_dir)
+    rows = df.collect()
+    assert len(rows) == 20
+    # top-k must be a bounded TakeOrderedAndProject, not a global sort
+    assert "TakeOrderedAndProject" in _plan(df)
+    # returnflag filter reaches the lineitem scan
+    assert "PushedFilters" in _plan(df) or "pushedfilters" in _plan(df).lower()
+
+
+def test_tpch_q12ish(spark, sf_dir):
+    df = T.tpch_q12ish(spark, sf_dir)
+    assert_matches_oracle(df, T.TPCH_Q12ISH_SQL, sf_dir)
+    # high + low == all joined lines in the year (single-pass CASE agg)
+    r = df.agg(
+        F.sum(F.col("high_line_count") + F.col("low_line_count")).alias("t")
+    ).collect()[0]["t"]
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    assert r == li.count()  # every order key resolves (FK integrity)
+
+
+def test_tpch_q14ish(spark, sf_dir):
+    df = T.tpch_q14ish(spark, sf_dir)
+    assert_matches_oracle(df, T.TPCH_Q14ISH_SQL, sf_dir)
+    pct = df.collect()[0]["promo_revenue_pct"]
+    assert 0.0 < pct < 100.0
+
+
+def test_tpch_q17ish(spark, sf_dir):
+    df = T.tpch_q17ish(spark, sf_dir)
+    assert_matches_oracle(df, T.tpch_q17ish_oracle_sql(), sf_dir)
+    v = df.collect()[0]["avg_yearly"]
+    assert v is None or v > 0
+
+
+def test_tpch_q19ish(spark, sf_dir):
+    df = T.tpch_q19ish(spark, sf_dir)
+    assert_matches_oracle(df, T.TPCH_Q19ISH_SQL, sf_dir)
+    # the quantity hull must reach the lineitem scan as a pushed range
+    plan = _plan(df)
+    assert "l_quantity" in plan
+
+
+def test_tpch_q22ish(spark, sf_dir):
+    df = T.tpch_q22ish(spark, sf_dir)
+    assert_matches_oracle(df, T.tpch_q22ish_oracle_sql(), sf_dir)
+    # dormancy window keeps the answer non-degenerate
+    assert df.agg(F.sum("numcust")).collect()[0][0] > 0
+    plan = _plan(df)
+    # NOT EXISTS must be an anti-join; the scalar mean rides a
+    # one-row broadcast, never a collect
+    assert "LeftAnti" in plan
+    assert "Broadcast" in plan
