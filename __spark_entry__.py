@@ -163,6 +163,7 @@ _DRIVER_ORDER = [
     "doc_entropy",
     "passage_scrub",
     "unigram_surprisal",
+    "bigram_lm_score",
     "normalize_text",
     "source_mix_sample",
     "dedup_incremental",
@@ -314,6 +315,9 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "passage_scrub": (_text.passage_scrub, _text.passage_scrub_oracle_sql()),
         # §2.10 unigram-LM surprisal (CCNet/Gopher perplexity filter)
         "unigram_surprisal": (_text.unigram_surprisal, _text.UNIGRAM_SURPRISAL_SQL),
+        # bigram LM perplexity filter: map-only bigram extraction,
+        # stacked partial-agg model, broadcast/shuffle scoring join
+        "bigram_lm_score": (_text.bigram_lm_score, _text.bigram_lm_score_oracle_sql()),
         # §2.10 deterministic text normalization (pre-dedup canonical form)
         "normalize_text": (_text.normalize_text, _text.NORMALIZE_TEXT_SQL),
         # §2.10 token-budget mixture sampling (training-mix quota fill)

@@ -717,6 +717,106 @@ GROUP BY t.doc_id
 """
 
 
+def bigram_lm_score(
+    spark: SparkSession, sf_dir: str, k: float = 0.5, model_join: str = "broadcast"
+) -> DataFrame:
+    """Per-document mean bigram negative log-likelihood under an add-k
+    smoothed bigram LM trained on the corpus itself — the CCNet-style
+    perplexity quality filter one order up from ``unigram_surprisal``
+    (SURVEY §2.10). A bigram model penalizes scrambled/boilerplate
+    word ORDER that a unigram model cannot see: two documents with
+    identical token multisets but different sequencing score apart.
+
+    P(w|v) = (c(v,w) + k) / (c(v·) + k·V), c(v·) summed from the
+    bigram table itself (= occurrences of v as a prefix), V = corpus
+    vocabulary size.
+
+    Scale shape: bigram EXTRACTION is map-only — the token array is
+    sliced and zipped in one codegen ``transform`` (no window, no
+    per-doc shuffle; a lag() window would shuffle the whole corpus by
+    doc_id first). The model is two stacked partial aggregations
+    (bigram counts, then prefix counts from those — never a second
+    corpus pass); V is a single-row broadcast. Scoring re-streams the
+    corpus against the model: ``model_join='broadcast'`` for bounded
+    vocabularies, ``'shuffle'`` for open-vocab (plain equi-join on the
+    prefix pair, the lang_id_naive_bayes pattern). Rounded to 6 dp so
+    both engines' double sums hash identically.
+
+    Single-token and NULL-text documents have no bigrams and emit no
+    row (same as the SQL oracle's inner join over an empty unnest).
+
+    Output: (doc_id, n_bigrams, avg_nll_r6).
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    arr = docs.select("doc_id", F.split("text", " ").alias("a"))
+    bg = arr.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(a, 1, size(a) - 1),"
+                " (x, i) -> struct(x AS prev, a[i + 1] AS cur))"
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur"))
+    c2 = bg.groupBy("prev", "cur").agg(F.count("*").alias("c2"))
+    c1 = c2.groupBy("prev").agg(F.sum("c2").alias("c1"))
+    vocab = arr.select(F.explode("a").alias("t")).agg(
+        F.countDistinct("t").alias("v")
+    )
+    model = (
+        c2.join(c1, "prev")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "prev",
+            "cur",
+            (
+                -F.log(
+                    (F.col("c2").cast("double") + F.lit(float(k)))
+                    / (F.col("c1").cast("double") + F.lit(float(k)) * F.col("v"))
+                )
+            ).alias("nll"),
+        )
+    )
+    if model_join == "broadcast":
+        model = F.broadcast(model)
+    return (
+        bg.join(model, ["prev", "cur"], "inner")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg("nll"), 6).alias("avg_nll_r6"),
+        )
+    )
+
+
+def bigram_lm_score_oracle_sql(k: float = 0.5) -> str:
+    return f"""
+WITH arr AS (
+    SELECT doc_id, string_split(text, ' ') AS a
+    FROM documents WHERE text IS NOT NULL
+), bg AS (
+    SELECT doc_id, a[i] AS prev, a[i + 1] AS cur
+    FROM arr, unnest(range(1, len(a))) AS t(i)
+), c2 AS (
+    SELECT prev, cur, count(*) AS c2 FROM bg GROUP BY 1, 2
+), c1 AS (
+    SELECT prev, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1
+), v AS (
+    SELECT count(DISTINCT t) AS v
+    FROM (SELECT unnest(a) AS t FROM arr)
+)
+SELECT b.doc_id, count(*) AS n_bigrams,
+       round(avg(-ln((CAST(c2.c2 AS DOUBLE) + {float(k)})
+                     / (CAST(c1.c1 AS DOUBLE) + {float(k)} * v.v))), 6)
+           AS avg_nll_r6
+FROM bg b
+JOIN c2 ON b.prev = c2.prev AND b.cur = c2.cur
+JOIN c1 ON b.prev = c1.prev
+CROSS JOIN v
+GROUP BY 1
+"""
+
+
 # ----------------------------------------------------- text normalization
 
 

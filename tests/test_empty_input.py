@@ -117,6 +117,7 @@ OPERATORS = [
     MT.mv_pv_hourly_maintain,
     MT.compact_roundtrip,
     TXT.corpus_shuffle_order,
+    TXT.bigram_lm_score,
     TP.tpch_q4ish,
     TP.tpch_q10ish,
     TP.tpch_q12ish,

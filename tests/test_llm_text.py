@@ -218,6 +218,45 @@ def test_unigram_surprisal_positive(spark, sf_dir):
     assert df.filter(F.col("avg_nll_r6") <= 0).count() == 0
 
 
+def test_bigram_lm_score_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        llm_text.bigram_lm_score(spark, sf_dir),
+        llm_text.bigram_lm_score_oracle_sql(),
+        sf_dir,
+    )
+
+
+def test_bigram_lm_score_shuffle_variant_identical(spark, sf_dir):
+    a = llm_text.bigram_lm_score(spark, sf_dir).orderBy("doc_id").collect()
+    b = (
+        llm_text.bigram_lm_score(spark, sf_dir, model_join="shuffle")
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert a == b
+
+
+def test_bigram_lm_score_no_window_shuffle(spark, sf_dir):
+    """Bigram extraction must be the map-only array transform — a lag()
+    window would shuffle the whole corpus by doc_id before scoring."""
+    plan = (
+        llm_text.bigram_lm_score(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    # smoothing keeps every probability < 1 → strictly positive NLL
+    df = llm_text.bigram_lm_score(spark, sf_dir)
+    assert df.filter(F.col("avg_nll_r6") <= 0).count() == 0
+    # bigrams per doc == tokens per doc - 1 (conservation)
+    toks = llm_text.doc_quality_stats(spark, sf_dir).filter(F.col("n_tokens") > 1)
+    joined = df.join(toks.select("doc_id", "n_tokens"), "doc_id")
+    assert joined.filter(
+        F.col("n_bigrams") != F.col("n_tokens") - 1
+    ).count() == 0
+
+
 def test_normalize_text_oracle(spark, sf_dir):
     assert_matches_oracle(
         llm_text.normalize_text(spark, sf_dir), llm_text.NORMALIZE_TEXT_SQL, sf_dir
