@@ -305,6 +305,51 @@ EXHIBITS = [
         "broadcasts it into the orders join unhinted; top-100 is "
         "TakeOrderedAndProject, never a global sort.",
     ),
+    (
+        "tpch_q4ish",
+        "Q4 EXISTS: a true LeftSemi on the order key with the late-ship "
+        "comparison riding as a cross-side residual — orders are never "
+        "duplicated however many late lines an order has; the quarter "
+        "filter is pushed to the orders scan; priority rollup bounded "
+        "at 5 groups.",
+    ),
+    (
+        "tpch_q10ish",
+        "Q10 returned-item revenue: returnflag pushed to the lineitem "
+        "scan (~1/3 kept), quarter pushed to orders; facts meet in one "
+        "order-key shuffle, customer join strategy size-based; top-20 "
+        "is TakeOrderedAndProject with a custkey tie-break.",
+    ),
+    (
+        "tpch_q17ish",
+        "Q17 correlated scalar subquery, decorrelated: the brand filter "
+        "prunes part, the per-part mean aggregates only branded "
+        "lineitems, and the threshold re-join lands on the same "
+        "part-key clustering (AQE broadcasts the tiny aggregate side); "
+        "no per-row subquery execution anywhere.",
+    ),
+    (
+        "tpch_q19ish",
+        "Q19 OR-of-ANDs: ONE part-key equi-join with the three-band "
+        "disjunction as a codegen residual (never three join passes "
+        "unioned); the derivable quantity hull [1,30] is pushed to the "
+        "lineitem scan.",
+    ),
+    (
+        "tpch_q22ish",
+        "Q22 dormant-customer: the mean-positive-balance scalar is a "
+        "one-row BroadcastNestedLoopJoin (SF-invariant by construction); "
+        "NOT EXISTS runs as LeftAnti on the customer key with the "
+        "dormancy date pushed to the orders scan.",
+    ),
+    (
+        "bigram_lm_score",
+        "Bigram LM perplexity: bigram extraction is a map-only array "
+        "transform (NO Window operator — a lag() formulation would "
+        "shuffle the raw corpus by doc_id); the model is two stacked "
+        "partial aggregations off one corpus read, scoring joins it "
+        "back broadcast (or equi-shuffle for open vocab).",
+    ),
 ]
 
 
