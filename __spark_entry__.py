@@ -141,11 +141,15 @@ _DRIVER_ORDER = [
     "tpch_q18ish",
     "tpch_q13ish",
     "tpch_q4ish",
+    "tpch_q7ish",
+    "tpch_q8ish",
     "tpch_q10ish",
     "tpch_q12ish",
     "tpch_q14ish",
+    "tpch_q15ish",
     "tpch_q17ish",
     "tpch_q19ish",
+    "tpch_q21ish",
     "tpch_q22ish",
     "dedup_exact_docs",
     "compact_roundtrip",
@@ -411,16 +415,28 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         # patterns wave 1 doesn't exercise
         # Q4: EXISTS → LEFT SEMI with a cross-side residual predicate
         "tpch_q4ish": (_tp.tpch_q4ish, _tp.tpch_q4ish_oracle_sql()),
+        # Q7: two-role nation dim (supplier + customer) + cross-pair
+        # disjunction residual; facts meet in one order-key shuffle
+        "tpch_q7ish": (_tp.tpch_q7ish, _tp.tpch_q7ish_oracle_sql()),
+        # Q8: widest join tree (6 relations, nation twice) feeding a
+        # per-year conditional-percentage market share
+        "tpch_q8ish": (_tp.tpch_q8ish, _tp.tpch_q8ish_oracle_sql()),
         # Q10: 3-way fact join + per-customer rollup + TakeOrdered top-20
         "tpch_q10ish": (_tp.tpch_q10ish, _tp.tpch_q10ish_oracle_sql()),
         # Q12: join + CASE conditional aggregation, single fact pass
         "tpch_q12ish": (_tp.tpch_q12ish, _tp.TPCH_Q12ISH_SQL),
         # Q14: single-row conditional-percentage aggregate over fact⋈dim
         "tpch_q14ish": (_tp.tpch_q14ish, _tp.TPCH_Q14ISH_SQL),
+        # Q15: view + scalar-max argmax keeping all ties (one-row
+        # broadcast back onto the per-supplier aggregate)
+        "tpch_q15ish": (_tp.tpch_q15ish, _tp.TPCH_Q15ISH_SQL),
         # Q17: correlated scalar subquery decorrelated to agg-then-rejoin
         "tpch_q17ish": (_tp.tpch_q17ish, _tp.tpch_q17ish_oracle_sql()),
         # Q19: disjunctive OR-of-ANDs join residual + pushed hull
         "tpch_q19ish": (_tp.tpch_q19ish, _tp.TPCH_Q19ISH_SQL),
+        # Q21: EXISTS + NOT EXISTS stacked semi/anti on one order-key
+        # clustering (only-this-supplier-late)
+        "tpch_q21ish": (_tp.tpch_q21ish, _tp.tpch_q21ish_oracle_sql()),
         # Q22: scalar-mean broadcast filter + NOT EXISTS anti-join
         "tpch_q22ish": (_tp.tpch_q22ish, _tp.tpch_q22ish_oracle_sql()),
         # maintenance: incremental MV refresh via dynamic partition

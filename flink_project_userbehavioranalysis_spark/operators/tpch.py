@@ -366,6 +366,338 @@ WHERE p_partkey = l_partkey
 """
 
 
+# ------------------------------------------------------------------ Q7
+
+
+def tpch_q7ish(
+    spark: SparkSession,
+    sf_dir: str,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+) -> DataFrame:
+    """Volume shipping (TPC-H Q7 shape): bilateral trade revenue
+    between two nations by ship year — the TWO-ROLE dimension join
+    (nation joins the fact tree twice: once through the supplier, once
+    through the customer) with a cross-pair disjunction.
+
+    Scale shape: each nation role is pre-filtered to the two named
+    nations and hint-broadcast (≤ |nations| rows by construction, the
+    SF-invariant table) — so the supplier and customer joins each
+    prune their side to ~2/25 BEFORE the facts meet in the one
+    order-key shuffle. The (A→B or B→A) disjunction is a codegen
+    residual over the two attached names. Rollup bounded at
+    2 pairs × years.
+    """
+    pair = [nation_a, nation_b]
+    nat = load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(pair))
+    n1 = F.broadcast(
+        nat.select(
+            F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        nat.select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    sup = load_table(spark, sf_dir, "supplier").join(
+        n1, F.col("s_nationkey") == F.col("n1_key")
+    ).select("s_suppkey", "supp_nation")
+    cust = load_table(spark, sf_dir, "customer").join(
+        n2, F.col("c_nationkey") == F.col("n2_key")
+    ).select("c_custkey", "cust_nation")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    revenue = F.sum(
+        money("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - money("l_discount"))
+    )
+    return (
+        li.join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            (
+                (F.col("supp_nation") == nation_a)
+                & (F.col("cust_nation") == nation_b)
+            )
+            | (
+                (F.col("supp_nation") == nation_b)
+                & (F.col("cust_nation") == nation_a)
+            )
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(revenue.cast("double").alias("revenue"))
+    )
+
+
+def tpch_q7ish_oracle_sql(
+    nation_a: str = "NATION_1", nation_b: str = "NATION_2"
+) -> str:
+    return f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+            * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue
+FROM supplier, lineitem, orders, customer, nation n1, nation n2
+WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+  AND c_custkey = o_custkey
+  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+  AND ((n1.n_name = '{nation_a}' AND n2.n_name = '{nation_b}')
+    OR (n1.n_name = '{nation_b}' AND n2.n_name = '{nation_a}'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+"""
+
+
+# ------------------------------------------------------------------ Q8
+
+
+def tpch_q8ish(
+    spark: SparkSession,
+    sf_dir: str,
+    region: str = "ASIA",
+    nation: str = "NATION_2",
+    ptype: str = "PROMO",
+) -> DataFrame:
+    """National market share (TPC-H Q8 shape): one nation's share of a
+    region's revenue for one part type, by order year — the widest
+    join tree in the suite (6 relations + nation in two roles) feeding
+    a conditional-percentage aggregate.
+
+    Scale shape: geography (region, nations) is hint-broadcast
+    (SF-invariant); part is filtered to one type and joins size-based;
+    the customer-side nation→region chain prunes customers to one
+    region BEFORE the fact join; supplier nation attaches only the
+    NAME used by the CASE. Facts meet in one order-key shuffle; both
+    CASE sums ride one pass in exact DECIMAL; share divides exact
+    doubles once per year group.
+    """
+    reg = F.broadcast(
+        load_table(spark, sf_dir, "region").filter(F.col("r_name") == region)
+    )
+    nat = load_table(spark, sf_dir, "nation")
+    cust_nat = F.broadcast(
+        nat.join(reg, F.col("n_regionkey") == F.col("r_regionkey")).select(
+            F.col("n_nationkey").alias("cn_key")
+        )
+    )
+    supp_nat = F.broadcast(
+        nat.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    )
+    cust = load_table(spark, sf_dir, "customer").join(
+        cust_nat, F.col("c_nationkey") == F.col("cn_key")
+    ).select("c_custkey")
+    sup = load_table(spark, sf_dir, "supplier").join(
+        supp_nat, F.col("s_nationkey") == F.col("sn_key")
+    ).select("s_suppkey", "supp_nation")
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == ptype)
+        .select("p_partkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = money("l_extendedprice") * (
+        F.lit(1).cast("decimal(3,2)") - money("l_discount")
+    )
+    zero = F.lit(0).cast("decimal(22,4)")
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == nation, disc).otherwise(zero)).alias("nrev"),
+            F.sum(disc).alias("trev"),
+        )
+        .select(
+            "o_year",
+            (F.col("nrev").cast("double") / F.col("trev").cast("double")).alias(
+                "mkt_share"
+            ),
+        )
+    )
+
+
+def tpch_q8ish_oracle_sql(
+    region: str = "ASIA", nation: str = "NATION_2", ptype: str = "PROMO"
+) -> str:
+    return f"""
+SELECT year(o_orderdate) AS o_year,
+       CAST(sum(CASE WHEN n1.n_name = '{nation}'
+                THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                ELSE CAST(0 AS DECIMAL(22,4)) END) AS DOUBLE)
+     / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+            * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS mkt_share
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+JOIN region ON n2.n_regionkey = r_regionkey
+WHERE r_name = '{region}' AND p_type = '{ptype}'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+
+# ------------------------------------------------------------------ Q15
+
+
+def tpch_q15ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier (TPC-H Q15 shape): the supplier(s) whose quarterly
+    revenue equals the global maximum — the view + scalar-max
+    subquery pattern (an argmax that must keep ALL ties, which a
+    LIMIT 1 would not).
+
+    Scale shape: per-supplier revenue is ONE partial-aggregated
+    shuffle over the quarter-pruned fact; the global max collapses
+    that aggregate to a single row and broadcasts back (one-row
+    BroadcastNestedLoopJoin — SF-invariant); the supplier name join is
+    size-based. The equality filter compares doubles both derived
+    from exact DECIMAL sums, so Spark and the oracle agree bit-exactly.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            money("l_extendedprice")
+            * (F.lit(1).cast("decimal(3,2)") - money("l_discount"))
+        )
+        .cast("double")
+        .alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_rev"))
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+TPCH_Q15ISH_SQL = """
+WITH rev AS (
+    SELECT l_suppkey,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1997-04-01'
+    GROUP BY 1
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+"""
+
+
+# ------------------------------------------------------------------ Q21
+
+
+def tpch_q21ish(
+    spark: SparkSession, sf_dir: str, late_days: int = 90, k: int = 10
+) -> DataFrame:
+    """Suppliers who kept orders waiting (TPC-H Q21 shape): for
+    finished orders, count per supplier the multi-supplier orders
+    where ONLY that supplier shipped late — the hardest join shape in
+    the suite: one fact line correlated with an EXISTS (some other
+    supplier participated) AND a NOT EXISTS (no other supplier was
+    also late), i.e. a LeftSemi and a LeftAnti stacked on the same
+    order-key clustering.
+
+    "Late" is shipped more than ``late_days`` days after the order
+    date (the reduced schema's receipt/commit proxy, as in q4ish).
+
+    Scale shape: the base (late line ⋈ finished order) shuffles once
+    on the order key; BOTH the semi and the anti probe reuse that same
+    clustering against projected 2-3 column lineitem slices, with the
+    different-supplier (and lateness) comparisons as residuals — no
+    row duplication at any step, no second aggregation. The top-k is
+    TakeOrderedAndProject with the unique supplier name as tie-break.
+    """
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late_cut = F.col("o_orderdate") + F.expr(f"INTERVAL {int(late_days)} DAY")
+    l1 = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).filter(
+        F.col("l_shipdate") > late_cut
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("k3"),
+        F.col("l_suppkey").alias("s3"),
+        F.col("l_shipdate").alias("d3"),
+    )
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("k3"))
+            & (F.col("l_suppkey") != F.col("s3"))
+            & (F.col("d3") > late_cut),
+            "left_anti",
+        )
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(k)
+    )
+
+
+def tpch_q21ish_oracle_sql(late_days: int = 90, k: int = 10) -> str:
+    return f"""
+SELECT s_name, count(*) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL {int(late_days)} DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL {int(late_days)} DAY)
+GROUP BY 1
+ORDER BY numwait DESC, s_name
+LIMIT {int(k)}
+"""
+
+
 # ------------------------------------------------------------------ Q22
 
 

@@ -119,8 +119,12 @@ OPERATORS = [
     TXT.corpus_shuffle_order,
     TXT.bigram_lm_score,
     TP.tpch_q4ish,
+    TP.tpch_q7ish,
+    TP.tpch_q8ish,
     TP.tpch_q10ish,
     TP.tpch_q12ish,
+    TP.tpch_q15ish,
+    TP.tpch_q21ish,
     TP.tpch_q22ish,
 ]
 

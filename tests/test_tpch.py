@@ -74,6 +74,82 @@ def test_tpch_q19ish(spark, sf_dir):
     assert "l_quantity" in plan
 
 
+def test_tpch_q7ish(spark, sf_dir):
+    df = T.tpch_q7ish(spark, sf_dir)
+    assert_matches_oracle(df, T.tpch_q7ish_oracle_sql(), sf_dir)
+    # never a same-nation pair (the pair filter's whole point)
+    assert {(r["supp_nation"], r["cust_nation"]) for r in df.collect()} <= {
+        ("NATION_1", "NATION_2"),
+        ("NATION_2", "NATION_1"),
+    }
+
+
+def test_tpch_q7ish_nonempty_mid_sf(spark):
+    """sf0.001 can lack the chosen nation pair entirely; at sf0.01 both
+    trade directions exist — oracle-match the non-degenerate case."""
+    from tests.conftest import SF_DIR_MID
+
+    df = T.tpch_q7ish(spark, SF_DIR_MID)
+    assert_matches_oracle(df, T.tpch_q7ish_oracle_sql(), SF_DIR_MID)
+    assert {(r["supp_nation"], r["cust_nation"]) for r in df.collect()} == {
+        ("NATION_1", "NATION_2"),
+        ("NATION_2", "NATION_1"),
+    }
+
+
+def test_tpch_q8ish(spark, sf_dir):
+    df = T.tpch_q8ish(spark, sf_dir)
+    assert_matches_oracle(df, T.tpch_q8ish_oracle_sql(), sf_dir)
+    for r in df.collect():
+        assert 0.0 <= r["mkt_share"] <= 1.0
+
+
+def test_tpch_q15ish(spark, sf_dir):
+    df = T.tpch_q15ish(spark, sf_dir)
+    assert_matches_oracle(df, T.TPCH_Q15ISH_SQL, sf_dir)
+    rows = df.collect()
+    assert len(rows) >= 1  # argmax keeps all ties
+    # winner really is the max over the full per-supplier aggregate
+    top = rows[0]["total_revenue"]
+    import pyspark.sql.functions as _F
+    from flink_project_userbehavioranalysis_spark.io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (_F.col("l_shipdate") >= _F.lit("1997-01-01").cast("timestamp"))
+        & (_F.col("l_shipdate") < _F.lit("1997-04-01").cast("timestamp"))
+    )
+    mx = (
+        li.groupBy("l_suppkey")
+        .agg(
+            _F.sum(
+                _F.col("l_extendedprice").cast("decimal(18,2)")
+                * (
+                    _F.lit(1).cast("decimal(3,2)")
+                    - _F.col("l_discount").cast("decimal(18,2)")
+                )
+            )
+            .cast("double")
+            .alias("r")
+        )
+        .agg(_F.max("r"))
+        .collect()[0][0]
+    )
+    assert top == mx
+
+
+def test_tpch_q21ish(spark, sf_dir):
+    df = T.tpch_q21ish(spark, sf_dir)
+    assert_matches_oracle(df, T.tpch_q21ish_oracle_sql(), sf_dir)
+    rows = df.collect()
+    assert rows and all(r["numwait"] > 0 for r in rows)
+    plan = _plan(df)
+    # the EXISTS/NOT EXISTS pair must be semi + anti joins, and the
+    # top-k a TakeOrderedAndProject
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_tpch_q22ish(spark, sf_dir):
     df = T.tpch_q22ish(spark, sf_dir)
     assert_matches_oracle(df, T.tpch_q22ish_oracle_sql(), sf_dir)
