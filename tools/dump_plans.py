@@ -343,6 +343,30 @@ EXHIBITS = [
         "dormancy date pushed to the orders scan.",
     ),
     (
+        "tpch_q7ish",
+        "Q7 bilateral trade: nation joined in TWO roles, each pre-filtered "
+        "to the named pair and hint-broadcast (SF-invariant table); the "
+        "cross-pair disjunction is a codegen residual on the attached "
+        "names. NOTE the filtered-lineitem broadcast in this sf0.01 "
+        "capture is a size-based decision that reverses at scale — no "
+        "hint forces it.",
+    ),
+    (
+        "tpch_q15ish",
+        "Q15 argmax-with-ties: per-supplier revenue is one partial-agg "
+        "shuffle; the global max collapses to a single row and broadcasts "
+        "BACK onto the same aggregate (one-row BroadcastNestedLoopJoin), "
+        "keeping all ties — no LIMIT 1, no global sort.",
+    ),
+    (
+        "tpch_q21ish",
+        "Q21 only-this-supplier-late: the EXISTS and NOT EXISTS probes "
+        "run as LeftSemi and LeftAnti joins stacked on the SAME order-key "
+        "clustering against 2-3 column lineitem slices; different-supplier "
+        "and lateness comparisons ride as residuals; top-k is "
+        "TakeOrderedAndProject.",
+    ),
+    (
         "bigram_lm_score",
         "Bigram LM perplexity: bigram extraction is a map-only array "
         "transform (NO Window operator — a lag() formulation would "
