@@ -20,6 +20,7 @@ from flink_project_userbehavioranalysis_spark.operators import behavior as _bx
 from flink_project_userbehavioranalysis_spark.operators import corpus_quality as _cq
 from flink_project_userbehavioranalysis_spark.operators import custom_joins as _cj
 from flink_project_userbehavioranalysis_spark.operators import embeddings_ops as _emb
+from flink_project_userbehavioranalysis_spark.operators import expectations as _exp
 from flink_project_userbehavioranalysis_spark.operators import graph as _gr
 from flink_project_userbehavioranalysis_spark.operators import hot_items as _hot
 from flink_project_userbehavioranalysis_spark.operators import llm_text as _text
@@ -119,7 +120,7 @@ _DRIVER_ORDER = [
     "pii_scrub",
     "bpe_pair_stats",
     "knn_topk",
-    "cosine_dup_pairs",
+    "table_expectations",
     "ngram_jaccard_pairs",
     "minhash_near_dup",
     "simhash64",
@@ -132,6 +133,7 @@ _DRIVER_ORDER = [
     "quantize_embeddings",
     "geomean_by_type",
     # --- tier 2: remaining hash-oracled batch -----------------------
+    "cosine_dup_pairs",
     "hot_items_topn_direct",
     "consec_fail_triple",
     "order_pay_matched",
@@ -556,6 +558,12 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "binary_features": (_mm.binary_features, _mm.BINARY_FEATURES_SQL),
         # §2.9 GROUPED_AGG pandas_udf (custom aggregate)
         "geomean_by_type": (_mm.geomean_by_type, _mm.GEOMEAN_BY_TYPE_SQL),
+        # data-quality gate: 11 expectations fused into 3 single-pass
+        # conditional-sum scans + 2 key-only anti-joins (Deequ-style)
+        "table_expectations": (
+            _exp.table_expectations,
+            _exp.table_expectations_oracle_sql(),
+        ),
         # §2.10 multimodal decode/frame-sample (stubbed codec — rows-only)
         "decode_meta": (_mm.decode_meta_table, None),
         "frame_sample": (_mm.frame_sample, None),
