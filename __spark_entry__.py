@@ -212,6 +212,7 @@ _DRIVER_ORDER = [
     "ad_clicks_by_geo_stream",
     "user_sessions_stream",
     "pv_anomaly_stream",
+    "expectations_stream",
     "session_paths_stream",
     "dwell_gaps_stream",
     "order_lifecycle_stream",
@@ -615,6 +616,13 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         # NetworkFlow extension streaming twin: closed hourly buckets →
         # trailing z-score spike flags (streaming-exact, batch oracle)
         "pv_anomaly_stream": (_stw.pv_anomaly_stream, _nf.pv_anomaly_oracle_sql()),
+        # continuous data-quality monitoring: per-hour violation
+        # counts for the single-row expectation families (update-mode
+        # merge on (window_end, check); batch-SQL hourly oracle)
+        "expectations_stream": (
+            _stw.expectations_stream,
+            _exp.expectations_hourly_oracle_sql(),
+        ),
         # behavior pillar streaming twin: closed-session path mining
         # (append-mode session collect → batch 3-gram rollup) —
         # streaming-exact, same oracle as the batch path miner

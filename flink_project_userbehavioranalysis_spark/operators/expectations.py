@@ -197,3 +197,31 @@ SELECT check_ AS "check", n_checked, n_violations,
        n_violations = 0 AS passed
 FROM rows_out
 """
+
+
+def expectations_hourly_oracle_sql() -> str:
+    """Batch oracle for ``streaming.windowed.expectations_stream`` —
+    the same conditional sums grouped by event-time hour."""
+    types = ", ".join(f"'{t}'" for t in EVENT_TYPES)
+    return f"""
+WITH w AS (
+    SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour')
+                AS BIGINT) AS window_end,
+           CAST(count(*) AS BIGINT) AS n_checked,
+           CAST(coalesce(sum(CASE WHEN coalesce(event_type NOT IN ({types}), TRUE)
+                         THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_type,
+           CAST(coalesce(sum(CASE WHEN coalesce(NOT (value > 0), TRUE)
+                         THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_value_pos,
+           CAST(coalesce(sum(CASE WHEN coalesce(value > 400, TRUE)
+                         THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_value_cap
+    FROM events GROUP BY 1
+)
+SELECT window_end, 'events_type_in_domain' AS "check", n_checked,
+       v_type AS n_violations, v_type = 0 AS passed FROM w
+UNION ALL
+SELECT window_end, 'events_value_positive', n_checked,
+       v_value_pos, v_value_pos = 0 FROM w
+UNION ALL
+SELECT window_end, 'events_value_le_400', n_checked,
+       v_value_cap, v_value_cap = 0 FROM w
+"""

@@ -767,3 +767,60 @@ def chunk_documents_stream(spark: SparkSession, sf_dir: str, n_chunks: int = 4) 
         "chunk_documents_stream",
         spark,
     )
+
+
+def expectations_stream(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 4
+) -> DataFrame:
+    """Continuous data-quality monitoring: the per-row expectation
+    families of ``operators.expectations.table_expectations`` (domain
+    membership, value bounds) evaluated per event-time hour over the
+    live stream — the alerting form of the batch gate (a production
+    pipeline runs BOTH: the stream flags a bad producer within one
+    window; the batch gate blocks the day's batch).
+
+    Only the single-row checks stream; key-uniqueness and referential
+    integrity stay batch-side by design — they are cross-row global
+    properties whose streaming forms (dropDuplicatesWithinWatermark,
+    stream-static anti-join) already exist as dedicated operators
+    (``dedup_events_stream``, ``dedup_incremental_stream``).
+
+    Scale shape: ONE watermarked windowed aggregate carrying the
+    conditional sums (same fused-scan discipline as the batch suite —
+    never one stream per check); the stack to verdict rows is a
+    map-only projection AFTER the agg; update-mode merge keyed on
+    (window_end, check). Late events re-open only their own hour.
+    """
+    from flink_project_userbehavioranalysis_spark.operators.expectations import (
+        EVENT_TYPES,
+    )
+
+    def viol(cond) -> F.Column:
+        return F.coalesce(
+            F.sum(F.when(F.coalesce(cond, F.lit(True)), 1).otherwise(0)), F.lit(0)
+        ).cast("long")
+
+    ev = events_stream(spark, sf_dir, n_chunks=n_chunks)
+    agg = ev.groupBy(F.window("ts", "1 hour").alias("w")).agg(
+        F.count("*").cast("long").alias("n_checked"),
+        viol(~F.col("event_type").isin(*EVENT_TYPES)).alias("v_type"),
+        viol(~(F.col("value") > 0)).alias("v_value_pos"),
+        viol(F.col("value") > 400).alias("v_value_cap"),
+    )
+    rows = agg.select(
+        F.col("w.end").cast("long").alias("window_end"),
+        "n_checked",
+        F.expr(
+            "stack(3,"
+            " 'events_type_in_domain', v_type,"
+            " 'events_value_positive', v_value_pos,"
+            " 'events_value_le_400', v_value_cap) AS (check, n_violations)"
+        ),
+    ).select(
+        "window_end",
+        "check",
+        "n_checked",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    )
+    return run_update_merge(rows, ["window_end", "check"], spark)

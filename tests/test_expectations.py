@@ -53,6 +53,26 @@ def test_expectations_empty_input_gate_passes(spark, sf_dir, tmp_path):
         assert r["n_violations"] == 0 and bool(r["passed"]) is True
 
 
+def test_expectations_stream_matches_hourly_oracle(spark, sf_dir):
+    """Streaming twin: per-hour violation counts over the replayed
+    event stream equal the batch hourly SQL on identical input."""
+    from flink_project_userbehavioranalysis_spark.streaming.windowed import (
+        expectations_stream,
+    )
+
+    df = expectations_stream(spark, sf_dir)
+    assert_matches_oracle(df, X.expectations_hourly_oracle_sql(), sf_dir)
+    rows = df.collect()
+    checks = {r["check"] for r in rows}
+    assert checks == {
+        "events_type_in_domain",
+        "events_value_positive",
+        "events_value_le_400",
+    }
+    # generated data is in-domain: only the value cap can fire
+    assert all(r["passed"] for r in rows if r["check"] != "events_value_le_400")
+
+
 def test_expectations_catch_planted_violations(spark, sf_dir, tmp_path):
     """Plant one violation of each family and assert the right checks
     flip to failed with exact counts."""
