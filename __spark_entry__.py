@@ -175,6 +175,7 @@ _DRIVER_ORDER = [
     "dedup_incremental",
     "simhash_near_dup",
     "regex_extract_props",
+    "behavior_pivot",
     "date_roundtrip",
     "contamination_check",
     "vocab_coverage",
@@ -492,6 +493,9 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "pv_anomaly": (_nf.pv_anomaly, _nf.pv_anomaly_oracle_sql()),
         # P5 regex extract/filter family
         "regex_extract_props": (_rel.regex_extract_props, _rel.REGEX_EXTRACT_PROPS_SQL),
+        # PIVOT wide-format rollup with DECLARED values (no
+        # distinct-collect pre-pass); compiles to CASE-sum agg
+        "behavior_pivot": (_rel.behavior_pivot, _rel.BEHAVIOR_PIVOT_SQL),
         # P6/P7 date parse + format round trip
         "date_roundtrip": (_rel.date_roundtrip, _rel.DATE_ROUNDTRIP_SQL),
         # grouping-sets family (ROLLUP + grouping_id)

@@ -88,6 +88,7 @@ OPERATORS = [
     R.regex_extract_props,
     R.date_roundtrip,
     R.pv_rollup,
+    R.behavior_pivot,
     R.value_percentiles,
     R.value_percentiles_approx,
     MM.binary_features,

@@ -30,6 +30,24 @@ def test_user_sessions(spark, sf_dir):
     assert df.filter(F.col("session_end") - F.col("session_start") < 1800).count() == 0
 
 
+def test_behavior_pivot(spark, sf_dir):
+    df = R.behavior_pivot(spark, sf_dir)
+    assert_matches_oracle(df, R.BEHAVIOR_PIVOT_SQL, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # declared pivot values: ONE scan, no distinct-collect pre-pass
+    # (AQE prints final + initial plans; count the final section only)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("events.parquet") == 1
+    # wide counts conserve the long total
+    import pyspark.sql.functions as _F
+    from flink_project_userbehavioranalysis_spark.io import load_events
+
+    total = sum(
+        sum(r[f"n_{t}"] for t in R.BEHAVIOR_TYPES) for r in df.collect()
+    )
+    assert total == load_events(spark, sf_dir).count()
+
+
 def test_regex_extract_props(spark, sf_dir):
     df = R.regex_extract_props(spark, sf_dir)
     assert_matches_oracle(df, R.REGEX_EXTRACT_PROPS_SQL, sf_dir)
