@@ -367,6 +367,20 @@ EXHIBITS = [
         "TakeOrderedAndProject.",
     ),
     (
+        "table_expectations",
+        "Data-quality gate: the five events expectations fuse into ONE "
+        "conditional-sum aggregate scan (events.parquet appears once in "
+        "the final plan); FK orphans are key-only LeftAnti probes; the "
+        "verdict explosion is a map-only stack over 1-row aggregates.",
+    ),
+    (
+        "behavior_pivot",
+        "PIVOT with DECLARED values: compiles to CASE-sum conditional "
+        "aggregation over one scan — no distinct-collect pre-pass over "
+        "the pivot column (the silent extra job an undeclared pivot "
+        "runs at any scale).",
+    ),
+    (
         "bigram_lm_score",
         "Bigram LM perplexity: bigram extraction is a map-only array "
         "transform (NO Window operator — a lag() formulation would "
