@@ -80,8 +80,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #     seconds apiece — the slowest rows by far).
 # tests/test_operators_oracle.py asserts the invariants (every catalog
 # key ordered exactly once; first 50 all oracled; streaming last).
-_DRIVER_ORDER = [
-    # --- tier 1: hash-oracled, every module -------------------------
+# --- tier 1: hash-oracled, every module -----------------------------
+_TIER1 = [
     "hot_items_topn",
     "pv_hourly",
     "uv_hourly",
@@ -132,7 +132,9 @@ _DRIVER_ORDER = [
     "embedding_centroids",
     "quantize_embeddings",
     "geomean_by_type",
-    # --- tier 2: remaining hash-oracled batch -----------------------
+]
+# --- tier 2: remaining hash-oracled batch ---------------------------
+_TIER2 = [
     "cosine_dup_pairs",
     "hot_items_topn_direct",
     "consec_fail_triple",
@@ -185,7 +187,9 @@ _DRIVER_ORDER = [
     "bpe_encode",
     "kmeans_lloyd",
     "near_dup_incremental",
-    # --- tier 3: rows-only by design (sketches / ANN / NB) ----------
+]
+# --- tier 3: rows-only by design (sketches / ANN / NB) --------------
+_TIER3 = [
     "uv_approx",
     "uv_daily_sketch",
     "item_freq_sketch",
@@ -199,7 +203,9 @@ _DRIVER_ORDER = [
     "embedding_pca",
     "decode_meta",
     "frame_sample",
-    # --- tier 4: streaming (finite replay jobs, seconds each) -------
+]
+# --- tier 4: streaming (finite replay jobs, seconds each) -----------
+_TIER4 = [
     "pii_scrub_stream",
     "gopher_quality_stream",
     "chunk_documents_stream",
@@ -226,6 +232,7 @@ _DRIVER_ORDER = [
     "dedup_events_stream",
     "dedup_incremental_stream",
 ]
+_DRIVER_ORDER = _TIER1 + _TIER2 + _TIER3 + _TIER4
 
 
 def _registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
@@ -534,9 +541,13 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "pii_scrub": (_text.pii_scrub, _text.PII_SCRUB_SQL),
         # §2.10 tokenizer-vocab coverage (broadcast top-K vocab, OOV rate)
         "vocab_coverage": (_text.vocab_coverage, _text.vocab_coverage_oracle_sql()),
-        # §2.10 per-label embedding centroids (partial-agg vector mean)
+        # §2.10 per-label embedding centroids (partial-agg vector mean;
+        # registered in LONG format — one scalar row per (label, dim) —
+        # because the driver's canonicalizer cannot hash array cells;
+        # the array API is embedding_centroids_vec)
         "embedding_centroids": (_emb.embedding_centroids, _emb.EMBEDDING_CENTROIDS_SQL),
-        # §2.10 docs↔embeddings join edge (per-language centroids)
+        # §2.10 docs↔embeddings join edge (per-language centroids, same
+        # long-format registered surface; array API = lang_centroids_vec)
         "lang_centroids": (_emb.lang_centroids, _emb.LANG_CENTROIDS_SQL),
         # §2.10 symmetric int8 quantization (map-only, integer checksums)
         "quantize_embeddings": (_emb.quantize_embeddings, _emb.QUANTIZE_EMBEDDINGS_SQL),
@@ -544,8 +555,10 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         # ITERATIVE algorithm, declarative + exact-integer lattice so a
         # float-iterative method is oracle-checkable (recurrence
         # unrolled in SQL); per-iteration cost = one broadcast + one
-        # partial-aggregated (cid, dim) shuffle
-        "kmeans_lloyd": (_emb.kmeans_lloyd, _emb.kmeans_lloyd_oracle_sql()),
+        # partial-aggregated (cid, dim) shuffle. Registered via the
+        # digest view (centroid array → md5 of its exact-integer
+        # components) so every cell is driver-hashable
+        "kmeans_lloyd": (_emb.kmeans_summary, _emb.kmeans_summary_oracle_sql()),
         # graph pillar: exact-integer damped PageRank over the
         # session-transition item graph (iterative broadcast-rank join
         # + one partial-agg shuffle per round; recurrence unrolled in

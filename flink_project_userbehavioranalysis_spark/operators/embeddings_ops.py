@@ -78,8 +78,43 @@ def _centroids_by(keyed: DataFrame, key: str) -> DataFrame:
     )
 
 
-def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Element-wise mean embedding per label + member count.
+def _centroids_long(keyed: DataFrame, key: str) -> DataFrame:
+    """Long-format (driver-hashable) centroid view: one scalar row per
+    (key, dim) instead of one array row per key. Same dataflow as
+    ``_centroids_by`` minus the array re-assembly — posexplode → ONE
+    partial-aggregated (key, dim) shuffle, done. The REGISTERED surface
+    uses this form because the driver's correctness canonicalizer sorts
+    a pandas frame by every column, which requires hashable (scalar)
+    cells; array cells raised ``unhashable type: 'list'`` and turned a
+    correct result into a red scoreboard row (CORRECTNESS_r06).
+
+    Same exact-integer scheme as ``_centroids_by``: ``s_q`` is the
+    exact nano-unit BIGINT component sum (the mergeable aggregate
+    state); ``mean`` is one IEEE double divide of identical operands on
+    both engines, so the hash is stable."""
+    return (
+        keyed.select(key, F.posexplode("embedding").alias("dim", "v"))
+        .groupBy(key, "dim")
+        .agg(
+            F.sum(
+                F.round(F.col("v").cast("double") * F.lit(1e9)).cast("long")
+            ).alias("s_q"),
+            F.count("*").alias("n_vecs"),
+        )
+        .select(
+            key,
+            F.col("dim").cast("long").alias("dim"),
+            "n_vecs",
+            "s_q",
+            (F.col("s_q") / (F.col("n_vecs") * F.lit(1e9))).alias("mean"),
+        )
+    )
+
+
+def embedding_centroids_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise mean embedding per label + member count — the
+    ARRAY-shaped library API (what a pipeline composes with: one vector
+    row per label).
 
     Output: label, n_vecs, centroid_q (array<bigint> — exact per-dim
     nano-unit sums, the mergeable state), centroid (array<double> mean
@@ -88,28 +123,32 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _centroids_by(load_table(spark, sf_dir, "embeddings"), "label")
 
 
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroids, long format — the registered/oracled view
+    of ``embedding_centroids_vec`` (see ``_centroids_long`` for why the
+    registered surface must emit scalar cells only).
+
+    Output: label, dim, n_vecs, s_q (exact nano-unit BIGINT component
+    sum), mean (double component mean derived from the integers).
+    """
+    return _centroids_long(load_table(spark, sf_dir, "embeddings"), "label")
+
+
 EMBEDDING_CENTROIDS_SQL = """
 WITH ex AS (
     SELECT label,
            generate_subscripts(embedding, 1) - 1 AS dim,
            unnest(embedding) AS v
     FROM embeddings
-), per_dim AS (
-    -- nano-unit integer quantization + exact BIGINT sum: associative,
-    -- order-independent, no rounding boundary (see _centroids_by)
-    SELECT label, dim,
-           CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000000.0) AS BIGINT)) AS BIGINT) AS s,
-           count(*) AS n
-    FROM ex GROUP BY 1, 2
-), agg AS (
-    SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
-           list(s ORDER BY dim) AS centroid_q
-    FROM per_dim GROUP BY 1
 )
-SELECT label, n_vecs, centroid_q,
-       list_transform(centroid_q,
-                      x -> CAST(x AS DOUBLE) / (n_vecs * 1000000000.0)) AS centroid
-FROM agg
+-- nano-unit integer quantization + exact BIGINT sum: associative,
+-- order-independent, no rounding boundary (see _centroids_long)
+SELECT label, CAST(dim AS BIGINT) AS dim,
+       count(*) AS n_vecs,
+       CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000000.0) AS BIGINT)) AS BIGINT) AS s_q,
+       CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000000.0) AS BIGINT)) AS DOUBLE)
+         / (count(*) * 1000000000.0) AS mean
+FROM ex GROUP BY label, dim
 """
 
 
@@ -192,11 +231,18 @@ FROM q
 # ------------------------------------------------- doc-joined centroids
 
 
-def lang_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lang_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return emb.join(docs, emb.vec_id == docs.doc_id).select("lang", "embedding")
+
+
+def lang_centroids_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language centroids of the document embeddings — the
     documents↔embeddings join edge: attribute each vector to its
     document's language (vec_id = doc_id where both exist), then the
-    same partial-aggregated vector mean as ``embedding_centroids``.
+    same partial-aggregated vector mean as ``embedding_centroids_vec``.
+    Array-shaped library API.
 
     Scale shape: ONE equi-shuffle join on the id (both sides narrow —
     (id, lang) vs (id, vector); Catalyst broadcasts the dim side when
@@ -206,10 +252,17 @@ def lang_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: lang, n_vecs, centroid_q (array<bigint> exact nano-unit
     sums), centroid (array<double> mean derived from the integers).
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    keyed = emb.join(docs, emb.vec_id == docs.doc_id).select("lang", "embedding")
-    return _centroids_by(keyed, "lang")
+    return _centroids_by(_lang_keyed(spark, sf_dir), "lang")
+
+
+def lang_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language centroids, long format — the registered/oracled
+    view of ``lang_centroids_vec`` (scalar cells only; see
+    ``_centroids_long``).
+
+    Output: lang, dim, n_vecs, s_q, mean.
+    """
+    return _centroids_long(_lang_keyed(spark, sf_dir), "lang")
 
 
 LANG_CENTROIDS_SQL = """
@@ -221,20 +274,13 @@ WITH keyed AS (
            generate_subscripts(embedding, 1) - 1 AS dim,
            unnest(embedding) AS v
     FROM keyed
-), per_dim AS (
-    SELECT lang, dim,
-           CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000000.0) AS BIGINT)) AS BIGINT) AS s,
-           count(*) AS n
-    FROM ex GROUP BY 1, 2
-), agg AS (
-    SELECT lang, CAST(max(n) AS BIGINT) AS n_vecs,
-           list(s ORDER BY dim) AS centroid_q
-    FROM per_dim GROUP BY 1
 )
-SELECT lang, n_vecs, centroid_q,
-       list_transform(centroid_q,
-                      x -> CAST(x AS DOUBLE) / (n_vecs * 1000000000.0)) AS centroid
-FROM agg
+SELECT lang, CAST(dim AS BIGINT) AS dim,
+       count(*) AS n_vecs,
+       CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000000.0) AS BIGINT)) AS BIGINT) AS s_q,
+       CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000000.0) AS BIGINT)) AS DOUBLE)
+         / (count(*) * 1000000000.0) AS mean
+FROM ex GROUP BY lang, dim
 """
 
 
@@ -426,6 +472,45 @@ SELECT CAST(f.cid AS BIGINT) AS cid, count(*) AS n_points,
 FROM final f JOIN cents{int(iters)} c ON f.cid = c.cid
 GROUP BY f.cid, c.cq
 """
+    )
+
+
+def kmeans_summary(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 8,
+    iters: int = 2,
+    grid: int = 10_000,
+) -> DataFrame:
+    """Driver-hashable registered view of ``kmeans_lloyd``: identical
+    computation, but the ``centroid_q`` array collapses to an md5
+    digest of its comma-joined components (exact integers ⇒ identical
+    digit strings ⇒ identical digests on both engines). Scalar cells
+    only — the driver's pandas canonicalizer cannot sort array cells
+    (see ``_centroids_long``); the array API stays ``kmeans_lloyd``.
+
+    Output: (cid, n_points, inertia_q, centroid_md5).
+    """
+    out = kmeans_lloyd(spark, sf_dir, k=k, iters=iters, grid=grid)
+    return out.select(
+        "cid",
+        "n_points",
+        "inertia_q",
+        F.md5(
+            F.concat_ws(",", F.transform("centroid_q", lambda x: x.cast("string")))
+        ).alias("centroid_md5"),
+    )
+
+
+def kmeans_summary_oracle_sql(
+    k: int = 8, iters: int = 2, grid: int = 10_000
+) -> str:
+    """``kmeans_lloyd_oracle_sql`` with the same array→digest collapse."""
+    inner = kmeans_lloyd_oracle_sql(k=k, iters=iters, grid=grid)
+    return (
+        "SELECT cid, n_points, inertia_q,\n"
+        "       md5(array_to_string(list_transform(centroid_q, x -> CAST(x AS VARCHAR)), ',')) AS centroid_md5\n"
+        f"FROM ({inner})"
     )
 
 

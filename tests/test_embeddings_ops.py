@@ -10,7 +10,7 @@ from flink_project_userbehavioranalysis_spark.operators import embeddings_ops as
 def test_centroid_shape_and_counts(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     dims = emb.select(F.size("embedding").alias("d")).agg(F.max("d")).collect()[0][0]
-    rows = EMB.embedding_centroids(spark, sf_dir).collect()
+    rows = EMB.embedding_centroids_vec(spark, sf_dir).collect()
     labels = {r["label"] for r in emb.select("label").distinct().collect()}
     assert {r["label"] for r in rows} == labels
     assert all(len(r["centroid"]) == dims for r in rows)
@@ -23,6 +23,45 @@ def test_centroid_shape_and_counts(spark, sf_dir):
         assert all(-1.0 <= c <= 1.0 for c in r["centroid"])
         for q, c in zip(r["centroid_q"], r["centroid"]):
             assert c == q / (r["n_vecs"] * 1e9)
+
+
+def test_centroid_long_matches_vec(spark, sf_dir):
+    """The registered long-format view carries EXACTLY the vec API's
+    per-dim integer state: pivoting the long rows back by dim must
+    reproduce each label's centroid_q array, and every registered cell
+    must be a driver-hashable scalar (the r6 red-row regression)."""
+    vec = {
+        r["label"]: r for r in EMB.embedding_centroids_vec(spark, sf_dir).collect()
+    }
+    long_rows = EMB.embedding_centroids(spark, sf_dir).collect()
+    assert all(
+        not isinstance(v, (list, dict)) for r in long_rows for v in r
+    ), "registered centroid surface must emit scalar cells only"
+    by_label: dict[str, dict[int, tuple[int, int]]] = {}
+    for r in long_rows:
+        by_label.setdefault(r["label"], {})[r["dim"]] = (r["s_q"], r["n_vecs"])
+    assert by_label.keys() == vec.keys()
+    for label, dims in by_label.items():
+        v = vec[label]
+        assert [dims[d][0] for d in sorted(dims)] == v["centroid_q"]
+        assert all(n == v["n_vecs"] for _, n in dims.values())
+
+
+def test_kmeans_summary_digest_pins_centroids(spark, sf_dir):
+    """kmeans_summary ≡ kmeans_lloyd with the centroid array collapsed
+    to a deterministic md5 of its comma-joined integer components."""
+    import hashlib
+
+    arr = {r["cid"]: r for r in EMB.kmeans_lloyd(spark, sf_dir, k=4, iters=1).collect()}
+    dig = {r["cid"]: r for r in EMB.kmeans_summary(spark, sf_dir, k=4, iters=1).collect()}
+    assert arr.keys() == dig.keys()
+    for cid, r in dig.items():
+        a = arr[cid]
+        assert (r["n_points"], r["inertia_q"]) == (a["n_points"], a["inertia_q"])
+        want = hashlib.md5(
+            ",".join(str(x) for x in a["centroid_q"]).encode()
+        ).hexdigest()
+        assert r["centroid_md5"] == want
 
 
 def test_quantize_saturates_max_component(spark, sf_dir):

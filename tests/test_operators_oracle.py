@@ -44,6 +44,36 @@ def test_driver_order_invariants():
     assert all(is_stream(k) for k in keys[first_stream:]), keys[first_stream:]
 
 
+def _has_nonscalar(dt):
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, (ArrayType, MapType)):
+        return True
+    if isinstance(dt, StructType):
+        return any(_has_nonscalar(f.dataType) for f in dt.fields)
+    return False
+
+
+def test_oracled_registry_schemas_are_driver_hashable(spark, sf_dir):
+    """Registry-wide guard for the r6 red-row failure class: the
+    DRIVER's canonicalizer sorts a pandas frame by every column before
+    hashing, which requires hashable (scalar) cells — an array/map/
+    struct column passes the local harness (tests/oracle.py stringifies
+    lists) yet errors on the driver (`unhashable type: 'list'`,
+    CORRECTNESS_r06 embedding_centroids). No hash-oracled entry (tier 1
+    or 2 — anything tier rotation could put in the budgeted window) may
+    emit a non-scalar column; array APIs belong on library functions
+    (e.g. embedding_centroids_vec), not the registered surface."""
+    offenders = {}
+    for name in entry_mod._TIER1 + entry_mod._TIER2:
+        fn, sql = _REGISTRY[name]
+        assert sql is not None, f"{name}: tier-1/2 entry must be hash-oracled"
+        bad = [f.name for f in fn(spark, sf_dir).schema.fields if _has_nonscalar(f.dataType)]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"driver-unhashable columns on the oracled surface: {offenders}"
+
+
 @pytest.mark.parametrize("name", _BATCH_ORACLE)
 def test_registry_batch_query_matches_oracle(spark, sf_dir, name):
     """Every registered batch query with an oracle is auto-covered —
