@@ -783,13 +783,22 @@ def behavior_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-BEHAVIOR_PIVOT_SQL = """
-SELECT 'ch' || CAST(user_id % 4 AS VARCHAR) AS channel,
-       CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS n_click,
-       CAST(coalesce(sum(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS BIGINT) AS n_signup,
-       CAST(coalesce(sum(CASE WHEN event_type = 'error' THEN 1 END), 0) AS BIGINT) AS n_error,
-       CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN 1 END), 0) AS BIGINT) AS n_view,
-       CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS n_purchase
+def _behavior_pivot_sql() -> str:
+    # derived from the SAME constants as the Spark side (market.CHANNELS,
+    # BEHAVIOR_TYPES) — a literal here would silently break hash parity
+    # the day either constant changes
+    from flink_project_userbehavioranalysis_spark.operators.market import CHANNELS
+
+    cases = "\n".join(
+        f"       CAST(coalesce(sum(CASE WHEN event_type = '{t}' THEN 1 END), 0) AS BIGINT) AS n_{t},"
+        for t in BEHAVIOR_TYPES
+    ).rstrip(",")
+    return f"""
+SELECT 'ch' || CAST(user_id % {CHANNELS} AS VARCHAR) AS channel,
+{cases}
 FROM events
 GROUP BY 1
 """
+
+
+BEHAVIOR_PIVOT_SQL = _behavior_pivot_sql()

@@ -1180,7 +1180,7 @@ def near_dup_incremental(
         .join(cand, ["doc_id", "corpus_doc"])
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    return (
+    out = (
         common.join(
             F.broadcast(sizes.withColumnRenamed("n_sh", "sa")), "doc_id"
         )
@@ -1195,7 +1195,14 @@ def near_dup_incremental(
         .withColumn("n_union", F.col("sa") + F.col("sb") - F.col("n_common"))
         .filter(F.col("n_common") / F.col("n_union") >= threshold)
         .select("doc_id", "corpus_doc", "n_common", "n_union")
+        # near-dup pairs are a small result: materialize eagerly so the
+        # corpus-sized shingle cache can be released instead of living
+        # for the session (same unpersist discipline as item_pagerank /
+        # kmeans_lloyd)
+        .localCheckpoint(eager=True)
     )
+    sh.unpersist()
+    return out
 
 
 def near_dup_incremental_oracle_sql(

@@ -167,7 +167,12 @@ def tpch_q12ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
     )
-    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    # coalesce keeps the two CASE sums a partition of the joined rows:
+    # a NULL priority yields NULL from isin(), which would drop the row
+    # from BOTH counts while the oracle's CASE…ELSE counts it as low
+    high = F.coalesce(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(False)
+    ).cast("long")
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_linestatus")

@@ -425,3 +425,35 @@ def test_chunk_documents(spark, sf_dir):
         "end", FF.col("chunk_id") * 24 + FF.col("n_tokens")
     ).groupBy("doc_id").agg(FF.max("end").alias("covered")).join(docs, "doc_id")
     assert last.filter(FF.col("covered") < FF.col("n")).count() == 0
+
+
+def test_chunk_projection_total_over_null_text(spark):
+    """Totality over a nullable corpus (r6 verdict #3): NULL text must
+    yield ZERO chunks — not a phantom empty-chunk row — and must agree
+    with the DuckDB oracle formulation on a crafted frame. Latent on
+    the shipped testdata (no NULL text today); a nullable regeneration
+    must not flip the tier-1 row red."""
+    import duckdb
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, None), (3, "x"), (4, None)],
+        "doc_id int, text string",
+    )
+    got = sorted(
+        tuple(r)
+        for r in llm_text.chunk_projection(docs, chunk_tokens=3, stride=2).collect()
+    )
+    # doc 1: starts 0,2 → ("a b c", 3), ("c d", 2); doc 3: ("x", 1)
+    assert got == [(1, 0, 3, "a b c"), (1, 1, 2, "c d"), (3, 0, 1, "x")]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        "(1, 'a b c d'), (2, NULL), (3, 'x'), (4, NULL)) t(doc_id, text)"
+    )
+    oracle = sorted(
+        tuple(r)
+        for r in con.execute(
+            llm_text.chunk_documents_oracle_sql(chunk_tokens=3, stride=2)
+        ).fetchall()
+    )
+    assert got == oracle
