@@ -81,12 +81,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_operators_oracle.py asserts the invariants (every catalog
 # key ordered exactly once; first 50 all oracled; streaming last).
 # --- tier 1: hash-oracled, every module -----------------------------
+# Membership ROTATES a few slots per round (r6 verdict #7) so driver-
+# verified coverage accumulates instead of re-proving the same 50:
+# r7 swaps 12 r6-green rows to tier 2 and pulls in 11 never-driver-
+# verified entries + the new tpch_q9ish, keeping one-per-pillar and
+# the all-oracled invariant. The r6-red fix (embedding_centroids) and
+# its shape siblings (lang_centroids, kmeans_lloyd) sit early so the
+# red→green proof cannot fall off a time-budgeted tail.
 _TIER1 = [
     "hot_items_topn",
+    "embedding_centroids",
+    "lang_centroids",
+    "kmeans_lloyd",
+    "tpch_q9ish",
     "pv_hourly",
     "uv_hourly",
-    "hot_pages_topn",
-    "pv_anomaly",
     "count_by_channel_behavior",
     "marketing_total",
     "ad_clicks_by_geo",
@@ -96,7 +105,6 @@ _TIER1 = [
     "interval_join",
     "tx_reconcile",
     "tpch_q1ish",
-    "tpch_q3ish",
     "user_set_ops",
     "user_sessions",
     "funnel_conversion",
@@ -104,42 +112,44 @@ _TIER1 = [
     "pv_rollup",
     "value_percentiles",
     "revenue_by_priority_salted",
-    "item_pagerank",
+    "item_next_topk",
     "asof_last_click",
-    "range_join_tiers",
     "session_paths_topk",
     "ad_attribution",
     "rfm_segments",
     "dwell_gaps",
-    "co_purchase_pairs",
-    "mv_pv_hourly_maintain",
+    "co_purchase_pairs_capped",
+    "compact_roundtrip",
     "dedup_exact_events",
     "token_counts",
     "chunk_documents",
     "clean_corpus",
     "pii_scrub",
-    "bpe_pair_stats",
+    "bpe_train",
+    "corpus_shuffle_order",
+    "behavior_pivot",
     "knn_topk",
     "table_expectations",
     "ngram_jaccard_pairs",
-    "minhash_near_dup",
+    "near_dup_incremental",
     "simhash64",
     "near_dup_clusters",
-    "repetition_stats",
+    "contamination_check",
     "gopher_quality_filter",
     "pack_sequences",
     "prep_corpus",
-    "embedding_centroids",
-    "quantize_embeddings",
-    "geomean_by_type",
+    "binary_features",
 ]
 # --- tier 2: remaining hash-oracled batch ---------------------------
 _TIER2 = [
     "cosine_dup_pairs",
     "hot_items_topn_direct",
+    "hot_pages_topn",
+    "pv_anomaly",
     "consec_fail_triple",
     "order_pay_matched",
-    "item_next_topk",
+    "item_pagerank",
+    "tpch_q3ish",
     "tpch_q6ish",
     "tpch_q5ish",
     "tpch_q18ish",
@@ -155,10 +165,14 @@ _TIER2 = [
     "tpch_q19ish",
     "tpch_q21ish",
     "tpch_q22ish",
+    "tpch_q2ish",
+    "tpch_q11ish",
+    "tpch_q16ish",
+    "tpch_q20ish",
     "dedup_exact_docs",
-    "compact_roundtrip",
-    "binary_features",
-    "lang_centroids",
+    "mv_pv_hourly_maintain",
+    "range_join_tiers",
+    "co_purchase_pairs",
     "hot_items_report",
     "hot_items_topn_sql",
     "count_by_channel_salted",
@@ -177,16 +191,14 @@ _TIER2 = [
     "dedup_incremental",
     "simhash_near_dup",
     "regex_extract_props",
-    "behavior_pivot",
     "date_roundtrip",
-    "contamination_check",
     "vocab_coverage",
-    "co_purchase_pairs_capped",
-    "corpus_shuffle_order",
-    "bpe_train",
+    "bpe_pair_stats",
     "bpe_encode",
-    "kmeans_lloyd",
-    "near_dup_incremental",
+    "minhash_near_dup",
+    "repetition_stats",
+    "quantize_embeddings",
+    "geomean_by_type",
 ]
 # --- tier 3: rows-only by design (sketches / ANN / NB) --------------
 _TIER3 = [
@@ -450,6 +462,22 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "tpch_q21ish": (_tp.tpch_q21ish, _tp.tpch_q21ish_oracle_sql()),
         # Q22: scalar-mean broadcast filter + NOT EXISTS anti-join
         "tpch_q22ish": (_tp.tpch_q22ish, _tp.tpch_q22ish_oracle_sql()),
+        # TPC-H wave 3 — the partsupp-blocked shapes, unlocked by a
+        # deterministic derived partsupp (identical closed-form integer
+        # derivation on both engines; tpch.py partsupp-wave header).
+        # Q9: THREE-fact join (lineitem ⋈ ps ⋈ orders) + dim chain →
+        # per-(nation, year) profit rollup — the biggest missing shape
+        "tpch_q9ish": (_tp.tpch_q9ish, _tp.tpch_q9ish_oracle_sql()),
+        # Q2: correlated MIN decorrelated to agg-then-rejoin on a
+        # composite (part, min-cost) key + spec-order top-100
+        "tpch_q2ish": (_tp.tpch_q2ish, _tp.tpch_q2ish_oracle_sql()),
+        # Q11: group-by + global-scalar HAVING (1-row broadcast)
+        "tpch_q11ish": (_tp.tpch_q11ish, _tp.tpch_q11ish_oracle_sql()),
+        # Q16: count-distinct over join + broadcast NOT-IN anti-join
+        "tpch_q16ish": (_tp.tpch_q16ish, _tp.tpch_q16ish_oracle_sql()),
+        # Q20: nested EXISTS — co-shuffled (partkey, suppkey) excess-
+        # stock join probing a year-pruned shipped-qty rollup
+        "tpch_q20ish": (_tp.tpch_q20ish, _tp.tpch_q20ish_oracle_sql()),
         # maintenance: incremental MV refresh via dynamic partition
         # overwrite (build on history + idempotent day swap ×2);
         # oracle = full recompute — maintained ≡ recomputed

@@ -1,15 +1,18 @@
-"""TPC-H breadth, wave 2: the join/subquery physical shapes the wave-1
-set (q1/q3/q5/q6/q13/q18 in ``relational.py``) does not exercise —
-semi-join EXISTS (Q4), top-k over a 3-way fact join (Q10), conditional
-aggregation (Q12), single-row percentage aggregate (Q14), scalar
-per-group subquery re-join (Q17), disjunctive OR-of-ANDs predicates
-(Q19), and anti-join + global scalar filter (Q22).
+"""TPC-H breadth, waves 2 and 3: the join/subquery physical shapes the
+wave-1 set (q1/q3/q5/q6/q13/q18 in ``relational.py``) does not
+exercise — semi-join EXISTS (Q4), top-k over a 3-way fact join (Q10),
+conditional aggregation (Q12), single-row percentage aggregate (Q14),
+scalar per-group subquery re-join (Q17), disjunctive OR-of-ANDs
+predicates (Q19), anti-join + global scalar filter (Q22) — plus the
+five previously partsupp-blocked shapes (Q2/Q9/Q11/Q16/Q20, see the
+"partsupp wave" section), completing the expressible suite at 22/22.
 
 Reference mapping (SURVEY.md §2, all [U] — checkout empty): the
 reference project has no TPC-H suite; these are engine-sanity shapes
 in the spirit of BASELINE.md's ``tpch_q1ish``, adapted to the driver
 testdata's reduced columns (no l_commitdate/l_receiptdate/l_shipmode,
-no partsupp table, no c_phone):
+no partsupp table — derived deterministically instead, see below —
+no c_phone):
 
 - Q4's "commit < receipt" late test  → ``l_shipdate > o_orderdate +
   60 days`` (same EXISTS-per-order shape, different predicate);
@@ -17,7 +20,14 @@ no partsupp table, no c_phone):
 - Q14's ``p_type LIKE 'PROMO%'``     → ``p_type = 'PROMO'`` (the
   testdata generator emits bare categories);
 - Q17's Brand#23 + MED BOX filter    → brand filter only;
-- Q22's phone-prefix country grouping → ``c_mktsegment``.
+- Q22's phone-prefix country grouping → ``c_mktsegment``;
+- Q2's ``%BRASS`` + p_mfgr/s_address  → p_type/p_size filter, p_brand
+  output, address columns omitted;
+- Q9's ``%green%`` name filter        → ``p_name LIKE 'red%'``;
+- Q11/Q20's single nation             → a region (testdata density:
+  25 nations over 100 suppliers);
+- Q16's Customer-Complaints comment blocklist → negative-acctbal
+  suppliers (no s_comment column).
 
 Scale posture (the per-query docstrings carry the details): every
 query is equi-join + partial-aggregated shuffle; the only forced
@@ -763,4 +773,480 @@ WHERE c_acctbal > (
                   WHERE o_custkey = c_custkey
                     AND o_orderdate >= TIMESTAMP '{since}')
 GROUP BY 1
+"""
+
+
+# ======================================================= partsupp wave
+# The driver testdata ships no partsupp table, which blocked the last
+# five TPC-H shapes (Q2/Q9/Q11/Q16/Q20). They are unlocked here by a
+# DERIVED partsupp: the distinct (l_partkey, l_suppkey) pairs actually
+# observed in lineitem (so the Q9 cost-lookup join is total, as in the
+# spec, where lineitem draws its pairs from partsupp), with availqty /
+# supplycost as closed-form integer functions of the key pair — pure
+# BIGINT arithmetic, so Spark and the DuckDB oracle derive
+# bit-identical tables with no hash/float boundary anywhere. Supply
+# cost is carried in CENTS (BIGINT) end-to-end; dollar conversion
+# happens only in final DOUBLE casts of exact operands.
+#
+# In production partsupp is of course a real table; the derivation
+# stands in for the missing testdata only (one partial-aggregated
+# distinct on the pair — the same shuffle the real table's scan+join
+# would need — so every plan shape below is the one the real schema
+# would produce).
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived partsupp relation: (ps_partkey, ps_suppkey,
+    ps_availqty, ps_supplycost_cents)."""
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .distinct()
+    )
+    return pairs.select(
+        "ps_partkey",
+        "ps_suppkey",
+        (
+            (F.col("ps_partkey") * 13 + F.col("ps_suppkey") * 7919) % 9999 + 1
+        ).alias("ps_availqty"),
+        (
+            (F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 997) % 90000 + 10000
+        ).alias("ps_supplycost_cents"),
+    )
+
+
+# Shared oracle CTE — textually identical derivation for DuckDB.
+PARTSUPP_CTE = """ps AS (
+    SELECT ps_partkey, ps_suppkey,
+           (ps_partkey * 13 + ps_suppkey * 7919) % 9999 + 1 AS ps_availqty,
+           (ps_partkey * 31 + ps_suppkey * 997) % 90000 + 10000 AS ps_supplycost_cents
+    FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+          FROM lineitem)
+)"""
+
+
+# ------------------------------------------------------------------ Q9
+
+
+def tpch_q9ish(spark: SparkSession, sf_dir: str, name_prefix: str = "red") -> DataFrame:
+    """Product-type profit measure (TPC-H Q9 shape): profit per
+    (supplier nation, order year) over parts matching a name pattern —
+    the biggest missing shape: a THREE-fact join (lineitem ⋈ partsupp
+    ⋈ orders) plus three dimensions, feeding a two-key rollup.
+
+    Q9's ``p_name like '%green%'`` becomes ``p_name LIKE 'red%'`` (the
+    testdata's names are '<adj> <noun>'); profit = Σ extprice·(1−disc)
+    − Σ supplycost·qty with revenue in exact DECIMAL(22,4) and cost in
+    exact BIGINT cents (qty is integer-valued), converted to dollars
+    only in the final DOUBLE cast of the two exact sums — two IEEE ops
+    in a fixed order, identical on both engines.
+
+    Scale shape: the part filter prunes ~1/8 of parts and broadcasts;
+    supplier/nation broadcast; lineitem and the derived ps meet in ONE
+    (partkey, suppkey) shuffle (ps is already clustered on that key by
+    its distinct); orders joins on the order key — the second and last
+    fact shuffle; the (nation, year) rollup is partial-aggregated over
+    a ≤ nations×years domain.
+    """
+    ps = _partsupp(spark, sf_dir)
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith(name_prefix))
+        .select("p_partkey")
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount",
+    )
+    rev = money("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - money("l_discount"))
+    cost_cents = F.col("ps_supplycost_cents") * F.col("l_quantity").cast("long")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(ps, (F.col("l_partkey") == F.col("ps_partkey"))
+                  & (F.col("l_suppkey") == F.col("ps_suppkey")))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(rev).alias("r"), F.sum(cost_cents).alias("c"))
+        .select(
+            "nation",
+            "o_year",
+            (F.col("r").cast("double") - F.col("c").cast("double") / F.lit(100.0))
+            .alias("profit"),
+        )
+    )
+
+
+def tpch_q9ish_oracle_sql(name_prefix: str = "red") -> str:
+    return f"""
+WITH {PARTSUPP_CTE}
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+       - CAST(sum(ps_supplycost_cents * CAST(l_quantity AS BIGINT)) AS DOUBLE) / 100.0
+           AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_name LIKE '{name_prefix}%'
+JOIN ps ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------------------ Q2
+
+
+def tpch_q2ish(
+    spark: SparkSession,
+    sf_dir: str,
+    region: str = "EUROPE",
+    p_type: str = "LARGE",
+    max_size: int = 10,
+    k: int = 100,
+) -> DataFrame:
+    """Minimum-cost supplier (TPC-H Q2 shape): for each qualifying
+    part, the supplier(s) in one region offering it at the region's
+    minimum supply cost — the correlated-scalar-MIN subquery,
+    decorrelated to aggregate-then-rejoin (the same pattern as Q17,
+    here on a composite condition: equal part AND equal min cost).
+
+    Substitutions (reduced schema): ``p_type like '%BRASS'`` →
+    ``p_type = '{LARGE}' AND p_size <= max_size``; the p_mfgr output
+    column → ``p_brand``; s_address/s_phone/s_comment are absent and
+    omitted.
+
+    Scale shape: region→nation→supplier is a broadcast dim chain onto
+    the derived ps; the per-part MIN reuses the regional join's
+    partkey clustering; min-cost rows re-join on (partkey, cents) —
+    both sides aggregates. Top-k via TakeOrderedAndProject on the
+    four-key spec order, never a global sort.
+    """
+    ps = _partsupp(spark, sf_dir)
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_type") == p_type) & (F.col("p_size") <= max_size))
+        .select("p_partkey", "p_brand")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region_df = load_table(spark, sf_dir, "region").filter(F.col("r_name") == region)
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region_df),
+                    nation.n_regionkey == region_df.r_regionkey,
+                ).select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    regional = ps.join(F.broadcast(sup), F.col("ps_suppkey") == F.col("s_suppkey"))
+    min_cost = regional.groupBy(F.col("ps_partkey").alias("mc_partkey")).agg(
+        F.min("ps_supplycost_cents").alias("min_cents")
+    )
+    return (
+        regional.join(
+            min_cost,
+            (F.col("ps_partkey") == F.col("mc_partkey"))
+            & (F.col("ps_supplycost_cents") == F.col("min_cents")),
+        )
+        .drop("mc_partkey", "min_cents")
+        .join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+            "ps_supplycost_cents",
+        )
+        .orderBy(
+            F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey")
+        )
+        .limit(int(k))
+    )
+
+
+def tpch_q2ish_oracle_sql(
+    region: str = "EUROPE", p_type: str = "LARGE", max_size: int = 10, k: int = 100
+) -> str:
+    return f"""
+WITH {PARTSUPP_CTE},
+regional AS (
+    SELECT ps.*, s_name, s_acctbal, n_name
+    FROM ps
+    JOIN supplier ON ps_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey AND r_name = '{region}'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_supplycost_cents
+FROM regional
+JOIN part ON ps_partkey = p_partkey
+WHERE p_type = '{p_type}' AND p_size <= {int(max_size)}
+  AND ps_supplycost_cents = (
+        SELECT min(r2.ps_supplycost_cents) FROM regional r2
+        WHERE r2.ps_partkey = regional.ps_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT {int(k)}
+"""
+
+
+# ------------------------------------------------------------------ Q11
+
+
+def tpch_q11ish(
+    spark: SparkSession, sf_dir: str, region: str = "EUROPE", fraction: float = 0.0005
+) -> DataFrame:
+    """Important-stock identification (TPC-H Q11 shape): parts whose
+    regional inventory value exceeds a FRACTION of the region's total
+    inventory value — the group-by + global-scalar HAVING pattern
+    (the threshold is a one-row aggregate of the same relation,
+    broadcast back, exactly Q15/Q22's scalar shape).
+
+    Q11's single nation ('GERMANY') widens to a region for a
+    non-degenerate supplier count on the reduced testdata (25 nations
+    over 100 suppliers); value stays in exact BIGINT cents so both the
+    per-part sums and the global threshold comparison are
+    integer-exact (the fraction scales the DOUBLE cast of an exact
+    sum — one IEEE multiply, same on both engines).
+
+    Scale shape: one broadcast dim chain onto ps, ONE partkey
+    partial-aggregated shuffle for the per-part values, and a 1-row
+    broadcast for the threshold; no global sort (hash compare is
+    order-insensitive).
+    """
+    ps = _partsupp(spark, sf_dir)
+    nation = load_table(spark, sf_dir, "nation")
+    region_df = load_table(spark, sf_dir, "region").filter(F.col("r_name") == region)
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region_df),
+                    nation.n_regionkey == region_df.r_regionkey,
+                ).select("n_nationkey")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    value = F.col("ps_supplycost_cents") * F.col("ps_availqty")
+    per_part = (
+        ps.join(F.broadcast(sup), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .groupBy("ps_partkey")
+        .agg(F.sum(value).alias("value_cents"))
+    )
+    total = per_part.groupBy().agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value_cents").cast("double")
+            > F.col("total_cents").cast("double") * F.lit(float(fraction))
+        )
+        .select("ps_partkey", "value_cents")
+    )
+
+
+def tpch_q11ish_oracle_sql(region: str = "EUROPE", fraction: float = 0.0005) -> str:
+    return f"""
+WITH {PARTSUPP_CTE},
+regional AS (
+    SELECT ps_partkey, ps_supplycost_cents * ps_availqty AS v
+    FROM ps
+    JOIN supplier ON ps_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey AND r_name = '{region}'
+)
+SELECT ps_partkey, CAST(sum(v) AS BIGINT) AS value_cents
+FROM regional
+GROUP BY ps_partkey
+HAVING CAST(sum(v) AS DOUBLE) >
+       (SELECT CAST(sum(v) AS DOUBLE) * {fraction!r} FROM regional)
+"""
+
+
+# ------------------------------------------------------------------ Q16
+
+
+def tpch_q16ish(
+    spark: SparkSession,
+    sf_dir: str,
+    excl_brand: str = "Brand#4",
+    excl_type: str = "PROMO",
+    sizes: tuple[int, ...] = (1, 2, 3, 4, 5, 8, 9, 10),
+) -> DataFrame:
+    """Parts/supplier relationship (TPC-H Q16 shape): how many
+    DISTINCT suppliers can provide parts of each (brand, type, size)
+    combination, excluding one brand, one type family, and a
+    blocklisted supplier set — the count-distinct-over-join +
+    NOT-IN-subquery pattern.
+
+    Substitutions: the ``s_comment LIKE '%Customer%Complaints%'``
+    blocklist (no s_comment column) → suppliers with negative account
+    balance; ``p_type NOT LIKE 'MEDIUM POLISHED%'`` → ``p_type <>
+    excl_type`` (bare categories).
+
+    Scale shape: the part filter prunes at the scan and broadcasts
+    onto ps; the blocklist is a tiny broadcast ANTI join (NOT IN with
+    non-null keys ≡ anti); count(DISTINCT ps_suppkey) per attr triple
+    runs as the standard two-level partial aggregate (expand on the
+    group keys — no row explosion beyond the distinct pairs).
+    """
+    ps = _partsupp(spark, sf_dir)
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != excl_brand)
+            & (F.col("p_type") != excl_type)
+            & F.col("p_size").isin(*[int(s) for s in sizes])
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    blocklist = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("bad_suppkey"))
+    )
+    return (
+        ps.join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(blocklist),
+            F.col("ps_suppkey") == F.col("bad_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+def tpch_q16ish_oracle_sql(
+    excl_brand: str = "Brand#4",
+    excl_type: str = "PROMO",
+    sizes: tuple[int, ...] = (1, 2, 3, 4, 5, 8, 9, 10),
+) -> str:
+    size_list = ", ".join(str(int(s)) for s in sizes)
+    return f"""
+WITH {PARTSUPP_CTE}
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT ps_suppkey) AS supplier_cnt
+FROM ps
+JOIN part ON ps_partkey = p_partkey
+WHERE p_brand <> '{excl_brand}'
+  AND p_type <> '{excl_type}'
+  AND p_size IN ({size_list})
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+
+
+# ------------------------------------------------------------------ Q20
+
+
+def tpch_q20ish(
+    spark: SparkSession,
+    sf_dir: str,
+    region: str = "EUROPE",
+    name_prefix: str = "blue",
+    year: int = 1997,
+) -> DataFrame:
+    """Potential part promotion (TPC-H Q20 shape): suppliers in one
+    region holding EXCESS stock — more than half the quantity they
+    actually shipped of a name-matched part during one year — the
+    nested-EXISTS shape: supplier ∈ (ps pairs where availqty >
+    ½·shipped(part, supp, year)).
+
+    Q20's nation ('CANADA') widens to a region (testdata density);
+    the half-shipped threshold compares an exact integer availqty
+    against 0.5·an exact integer-valued DOUBLE sum — both engines
+    evaluate the same two IEEE ops on identical operands.
+
+    Scale shape: the per-(part, supp, year) shipped quantities are ONE
+    partial-aggregated shuffle of the pruned-year lineitem on the SAME
+    (partkey, suppkey) key ps is clustered on — the excess-stock join
+    is co-shuffled; the part name filter broadcasts; the final
+    supplier projection is a semi-join (distinct suppliers), then a
+    broadcast nation/region chain.
+    """
+    ps = _partsupp(spark, sf_dir)
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith(name_prefix))
+        .select("p_partkey")
+    )
+    shipped = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(f"{year + 1}-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("shipped_qty"))
+    )
+    excess = (
+        ps.join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            shipped,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .filter(
+            F.col("ps_availqty").cast("double") > F.lit(0.5) * F.col("shipped_qty")
+        )
+        .select("ps_suppkey")
+        .distinct()
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region_df = load_table(spark, sf_dir, "region").filter(F.col("r_name") == region)
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region_df),
+                    nation.n_regionkey == region_df.r_regionkey,
+                ).select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    return sup.join(
+        excess, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi"
+    ).select("s_suppkey", "s_name", "n_name")
+
+
+def tpch_q20ish_oracle_sql(
+    region: str = "EUROPE", name_prefix: str = "blue", year: int = 1997
+) -> str:
+    return f"""
+WITH {PARTSUPP_CTE},
+shipped AS (
+    SELECT l_partkey, l_suppkey, sum(l_quantity) AS shipped_qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{year}-01-01'
+      AND l_shipdate < TIMESTAMP '{year + 1}-01-01'
+    GROUP BY 1, 2
+)
+SELECT s_suppkey, s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey AND r_name = '{region}'
+WHERE s_suppkey IN (
+    SELECT ps_suppkey
+    FROM ps
+    JOIN part ON ps_partkey = p_partkey AND p_name LIKE '{name_prefix}%'
+    JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+    WHERE CAST(ps_availqty AS DOUBLE) > 0.5 * shipped_qty)
 """
