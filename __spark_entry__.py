@@ -199,6 +199,10 @@ _TIER2 = [
     "repetition_stats",
     "quantize_embeddings",
     "geomean_by_type",
+    # r7 additions
+    "user_trailing_features",
+    "cluster_canonical",
+    "erase_users_roundtrip",
 ]
 # --- tier 3: rows-only by design (sketches / ANN / NB) --------------
 _TIER3 = [
@@ -215,6 +219,7 @@ _TIER3 = [
     "embedding_pca",
     "decode_meta",
     "frame_sample",
+    "uv_trailing_sketch",
 ]
 # --- tier 4: streaming (finite replay jobs, seconds each) -----------
 _TIER4 = [
@@ -280,6 +285,11 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "uv_approx": (_nf.uv_approx_hourly, None),
         # A6-scale (mergeable sketches — rows-only)
         "uv_daily_sketch": (_nf.uv_daily_sketch_rollup, None),
+        # A6-scale sliding form (r7): trailing-24h UV by hourly-sketch
+        # fan-out + union-merge — raw events scanned once, the trailing
+        # merge works on KB sketch rows (rows-only: sketch estimate;
+        # 5% bound vs exact trailing UV asserted in test_sketches.py)
+        "uv_trailing_sketch": (_nf.uv_trailing_sketch, None),
         # W2 batch core
         "hot_pages_topn": (_nf.hot_pages_topn, _nf.hot_pages_oracle_sql()),
         # A7 / P3
@@ -399,6 +409,13 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         # §2.10 near-dup cluster assignment (iterative connected
         # components; oracle = recursive-CTE transitive closure)
         "near_dup_clusters": (_sim.near_dup_clusters, _sim.near_dup_clusters_oracle_sql()),
+        # §2.10 canonical-doc election (r7): per-cluster keep-best
+        # decision (longest wins, min-id tie-break) as a combiner-
+        # friendly struct-max — no window/sort in the election
+        "cluster_canonical": (
+            _sim.cluster_canonical,
+            _sim.cluster_canonical_oracle_sql(),
+        ),
         # §2.10 MinHash+LSH near-dup (verified candidates ⇒ exact values;
         # recall 1 at these band params on this corpus, so the exact
         # Jaccard SQL is its oracle too)
@@ -486,6 +503,13 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         # over the compacted copy hash-matches the raw-table oracle,
         # certifying the rewrite is content-preserving
         "compact_roundtrip": (_mt.compact_roundtrip, _mt.COMPACT_ROUNDTRIP_SQL),
+        # maintenance (r7): right-to-be-forgotten sweep — scrubbed
+        # rewrite + audit; oracle = anti-joined raw table, so a hash
+        # match certifies exactly-the-listed-users deletion
+        "erase_users_roundtrip": (
+            _mt.erase_users_roundtrip,
+            _mt.erase_users_oracle_sql(),
+        ),
         # P9/A4 explicit salting (physical rewrite — same oracles as the
         # unsalted twins prove salted ≡ plain)
         "count_by_channel_salted": (
@@ -523,6 +547,13 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "co_purchase_pairs_capped": (
             _bx.co_purchase_pairs_capped,
             _bx.co_purchase_pairs_oracle_sql(max_basket=3),
+        ),
+        # behavior pillar (r7): point-in-time-correct trailing feature
+        # generation — strict-preceding RANGE frame per user, one
+        # shuffle, incremental frame evaluation (no O(n²) per user)
+        "user_trailing_features": (
+            _bx.user_trailing_features,
+            _bx.user_trailing_features_oracle_sql(),
         ),
         # NetworkFlow extension: per-item traffic-spike z-score flags
         "pv_anomaly": (_nf.pv_anomaly, _nf.pv_anomaly_oracle_sql()),

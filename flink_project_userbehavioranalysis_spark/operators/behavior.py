@@ -579,3 +579,71 @@ FROM pairs p
 JOIN item_n na ON na.item_id = p.item_a
 JOIN item_n nb ON nb.item_id = p.item_b{tail_join}
 """
+
+
+# ------------------------------------------- point-in-time trailing features
+
+
+def user_trailing_features(
+    spark: SparkSession, sf_dir: str, window_days: int = 7
+) -> DataFrame:
+    """Point-in-time-correct trailing activity features — the feature-
+    generation step of a training pipeline: for EVERY event, the user's
+    activity counts over the trailing ``window_days`` ending strictly
+    BEFORE the event (so a model trained on these features sees only
+    information available at prediction time — no label leakage; the
+    strict bound also excludes same-microsecond peers on both engines,
+    making the frame definition engine-exact).
+
+    Scale shape: ONE shuffle on user_id; the RANGE frame over the
+    µs-integer order is evaluated incrementally (sliding two-pointer
+    over each user's sorted events — O(events) per user, not
+    O(events²)); both feature columns share the single window. At
+    100 TB the user-key partitioning is the natural one (bounded rows
+    per user), and the same frame extends to any number of trailing
+    aggregates without new shuffles.
+
+    Output: (event_id, user_id, ts_us, n_prev, n_prev_purchases) —
+    all exact integers.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-window_days * 86_400 * 1_000_000, -1)
+    )
+    return (
+        load_events(spark, sf_dir)
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_type",
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            F.count("ts_us").over(w).alias("n_prev"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                ).over(w),
+                F.lit(0),
+            ).cast("long").alias("n_prev_purchases"),
+        )
+    )
+
+
+def user_trailing_features_oracle_sql(window_days: int = 7) -> str:
+    us = window_days * 86_400 * 1_000_000
+    return f"""
+SELECT event_id, user_id,
+       epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+       count(*) OVER w AS n_prev,
+       CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                     OVER w, 0) AS BIGINT) AS n_prev_purchases
+FROM events
+WINDOW w AS (PARTITION BY user_id
+             ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+             RANGE BETWEEN {us} PRECEDING AND 1 PRECEDING)
+"""

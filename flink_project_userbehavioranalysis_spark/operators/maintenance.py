@@ -164,3 +164,72 @@ SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS users,
 FROM events
 GROUP BY 1
 """
+
+
+def erase_users_roundtrip(
+    spark: SparkSession, sf_dir: str, modulus: int = 101
+) -> DataFrame:
+    """Registered right-to-be-forgotten sweep (GDPR/CCPA deletion —
+    the third leg of table maintenance next to refresh and compaction):
+    given an erasure list (deterministic stand-in: ``user_id %
+    modulus == 0``), rewrite the events store WITHOUT those users and
+    return a per-type aggregate over the scrubbed copy plus the erased
+    row counts as an audit column. Oracle = the same aggregates over
+    an anti-joined raw table, so a hash match certifies the rewrite
+    dropped exactly the listed users' rows and nothing else — the
+    compliance property an auditor asks for.
+
+    Scale shape: the erasure predicate is a map-side filter on the
+    rewrite scan (at 100 TB the list is a broadcast anti-join against
+    a user-key table, and partition pruning limits the rewrite to
+    partitions containing listed users — here the whole store is one
+    scan either way); the verification aggregate is one
+    partial-aggregated shuffle over ≤ |event_types| groups.
+
+    Output: (event_type, n, users, item_sum, n_erased).
+    """
+    ev = load_events(spark, sf_dir).select("user_id", "item_id", "event_type", "ts")
+    erased = F.col("user_id") % int(modulus) == 0
+    path = _scratch_dir(spark, "erase", sf_dir)
+    ev.filter(~erased).write.mode("overwrite").parquet(path)
+    audit = (
+        ev.filter(erased)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_erased"))
+    )
+    return (
+        spark.read.parquet(path)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_distinct("user_id").alias("users"),
+            F.sum("item_id").alias("item_sum"),
+        )
+        .join(audit, "event_type", "left")
+        .select(
+            "event_type", "n", "users", "item_sum",
+            F.coalesce("n_erased", F.lit(0)).alias("n_erased"),
+        )
+        # eager: the reused scratch dir is overwritten by the next call
+        .localCheckpoint(eager=True)
+    )
+
+
+def erase_users_oracle_sql(modulus: int = 101) -> str:
+    return f"""
+WITH raw AS (
+    SELECT user_id, event_type,
+           TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS item_id
+    FROM events
+), kept AS (
+    SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS users,
+           CAST(sum(item_id) AS BIGINT) AS item_sum
+    FROM raw WHERE user_id % {int(modulus)} <> 0 GROUP BY 1
+), er AS (
+    SELECT event_type, count(*) AS n_erased
+    FROM raw WHERE user_id % {int(modulus)} = 0 GROUP BY 1
+)
+SELECT k.event_type, k.n, k.users, k.item_sum,
+       coalesce(er.n_erased, 0) AS n_erased
+FROM kept k LEFT JOIN er USING (event_type)
+"""

@@ -287,3 +287,48 @@ WHERE n = {lookback}
             + {float(sigmas)} * sqrt(greatest(
                 (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n, 0.0))
 """
+
+
+def uv_trailing_sketch(
+    spark: SparkSession,
+    sf_dir: str,
+    hours: int = 24,
+    event_type: str = "view",
+) -> DataFrame:
+    """A6-scale, sliding form — trailing-``hours`` unique visitors at
+    every hour boundary, computed by MERGING hourly HLL sketches
+    instead of re-scanning raw events per window. The raw stream is
+    touched ONCE (one partial-aggregated shuffle into ~|hours| hourly
+    sketches, KB each); each sketch then fans out to the ``hours``
+    trailing window positions that contain it (the same
+    explode-on-aggregated-rows trick as the flagship rollup) and the
+    positions union-merge. A direct countDistinct over 24 h sliding
+    windows re-shuffles every raw event ``hours`` times — the sketch
+    reuse is what makes trailing distinct counts feasible at 100 TB,
+    at HLL's documented ~1-2% relative error (rsd 0.01, bound-asserted
+    vs the exact trailing UV in tests/test_sketches.py).
+
+    Edge positions whose lookback precedes the corpus merge fewer
+    sketches (partial windows, standard trailing semantics). Sketch
+    estimates are engine-specific ⇒ rows-only driver check.
+
+    Output: (window_end, uv_trailing).
+    """
+    events = load_events(spark, sf_dir)
+    hourly = (
+        events.filter(F.col("event_type") == event_type)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.hll_sketch_agg("user_id", 12).alias("sketch"))
+        .select(F.col("w.end").cast("long").alias("hour_end"), "sketch")
+    )
+    contrib = hourly.select(
+        "hour_end",
+        "sketch",
+        F.explode(F.sequence(F.lit(0), F.lit(int(hours) - 1))).alias("j"),
+    ).select(
+        (F.col("hour_end") + F.col("j") * 3600).alias("window_end"), "sketch"
+    )
+    return (
+        contrib.groupBy("window_end")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("uv_trailing"))
+    )

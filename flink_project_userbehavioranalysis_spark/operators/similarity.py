@@ -1409,3 +1409,82 @@ WHERE list_sum(list_transform(range(1, 17),
       i -> bit_count(CAST(xor(strpos('0123456789abcdef', substr(a.simhash, i, 1)) - 1,
                               strpos('0123456789abcdef', substr(b.simhash, i, 1)) - 1) AS BIGINT)))) <= {max_hamming}
 """
+
+
+# ------------------------------------------------- canonical-doc election
+
+
+def cluster_canonical(
+    spark: SparkSession,
+    sf_dir: str,
+    shingle_len: int = 3,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Canonical-document election per near-dup cluster — the DECISION
+    step production dedup runs after clustering: from each transitive
+    near-dup family, keep the highest-quality member (here: most
+    whitespace tokens — the "longest version wins" rule fuzzy-dedup
+    pipelines default to) with min-doc_id tie-break, and report how
+    many copies that decision drops. Composes ``near_dup_clusters``
+    (iterative min-label components) with a per-cluster argmax.
+
+    Scale shape: one doc_id equi-join of the label table onto a narrow
+    (doc_id, n_toks) projection, then ONE partial-aggregated shuffle on
+    cluster_id — the argmax is a max over a (n_toks, -doc_id) struct,
+    so election needs no window/sort, and the combiner collapses each
+    map partition to one candidate per cluster before the exchange.
+
+    Output: (cluster_id, canonical_doc, canonical_toks, n_members,
+    n_dropped) — exact integers; singletons elect themselves with
+    n_dropped = 0.
+    """
+    labels = near_dup_clusters(spark, sf_dir, shingle_len, threshold)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        # coalesce-to-'' keeps totality over a nullable corpus (NULL
+        # text ⇒ 1 empty token on BOTH engines, not -1 vs NULL)
+        F.size(F.split(F.coalesce("text", F.lit("")), " ")).alias("n_toks"),
+    )
+    return (
+        labels.join(docs, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(F.col("n_toks"), (-F.col("doc_id")).alias("neg_id"))
+            ).alias("b"),
+            F.count("*").alias("n_members"),
+        )
+        .select(
+            "cluster_id",
+            (-F.col("b.neg_id")).cast("long").alias("canonical_doc"),
+            F.col("b.n_toks").cast("long").alias("canonical_toks"),
+            "n_members",
+            (F.col("n_members") - 1).alias("n_dropped"),
+        )
+    )
+
+
+def cluster_canonical_oracle_sql(
+    shingle_len: int = 3, threshold: float = 0.4
+) -> str:
+    clusters = near_dup_clusters_oracle_sql(shingle_len, threshold).strip()
+    return f"""
+WITH clusters AS ({clusters}),
+m AS (
+    SELECT c.cluster_id, d.doc_id,
+           len(string_split(coalesce(d.text, ''), ' ')) AS n_toks
+    FROM clusters c JOIN documents d USING (doc_id)
+), ranked AS (
+    SELECT cluster_id, doc_id, n_toks,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY n_toks DESC, doc_id ASC) AS rn,
+           count(*) OVER (PARTITION BY cluster_id) AS n_members
+    FROM m
+)
+SELECT cluster_id,
+       CAST(doc_id AS BIGINT) AS canonical_doc,
+       CAST(n_toks AS BIGINT) AS canonical_toks,
+       n_members,
+       n_members - 1 AS n_dropped
+FROM ranked WHERE rn = 1
+"""

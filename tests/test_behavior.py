@@ -263,3 +263,41 @@ def test_dwell_gaps_stream_matches_batch(spark, sf_dir):
 
     df = W.dwell_gaps_stream(spark, sf_dir)
     assert_matches_oracle(df, B.dwell_gaps_oracle_sql(), sf_dir)
+
+
+def test_user_trailing_features_point_in_time(spark, sf_dir):
+    """Leakage-freedom: each row's features equal a brute recount of
+    the SAME user's events in [ts-7d, ts) — never including the row
+    itself or same-µs peers (strict-preceding frame), never another
+    user. Oracle-match is auto-covered; this pins the semantics."""
+    df = B.user_trailing_features(spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    from collections import defaultdict
+
+    from flink_project_userbehavioranalysis_spark.io import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", F.unix_micros("ts").alias("us"), "event_type"
+    )
+    by_user = defaultdict(list)
+    for r in ev.collect():
+        by_user[r["user_id"]].append((r["us"], r["event_type"]))
+    horizon = 7 * 86_400 * 1_000_000
+    for r in rows[:500]:
+        evs = by_user[r["user_id"]]
+        prev = [t for t, _ in evs if r["ts_us"] - horizon <= t < r["ts_us"]]
+        purch = [
+            t for t, k in evs
+            if r["ts_us"] - horizon <= t < r["ts_us"] and k == "purchase"
+        ]
+        assert r["n_prev"] == len(prev), r
+        assert r["n_prev_purchases"] == len(purch), r
+
+
+def test_user_trailing_features_single_shuffle(spark, sf_dir):
+    """Both feature columns must share ONE user-key exchange."""
+    plan = B.user_trailing_features(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan

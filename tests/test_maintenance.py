@@ -102,3 +102,28 @@ def test_compact_with_sort_cols_restores_clustering(spark, sf_dir, tmp_path):
     # files: range partitioning splits AT a key, not between keys)
     for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, ranges
+
+
+def test_erase_users_roundtrip(spark, sf_dir):
+    """The scrubbed store contains ZERO blocklisted-user rows, keeps
+    every other row, and the audit column accounts for every erased
+    row (oracle hash-match is auto-covered)."""
+    import pyspark.sql.functions as F
+
+    from flink_project_userbehavioranalysis_spark.io import load_events
+    from flink_project_userbehavioranalysis_spark.operators import maintenance as M
+
+    df = M.erase_users_roundtrip(spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    ev = load_events(spark, sf_dir)
+    n_total = ev.count()
+    n_blocked = ev.filter(F.col("user_id") % 101 == 0).count()
+    assert n_blocked > 0, "modulus must erase a non-trivial set at this SF"
+    assert sum(r["n"] for r in rows) == n_total - n_blocked
+    assert sum(r["n_erased"] for r in rows) == n_blocked
+    # the written store itself (not just the aggregate) is clean
+    path = M._scratch_dir(spark, "erase", sf_dir)
+    back = spark.read.parquet(path)
+    assert back.filter(F.col("user_id") % 101 == 0).count() == 0
+    assert back.count() == n_total - n_blocked

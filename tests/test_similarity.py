@@ -300,3 +300,33 @@ def test_semantic_dedup(spark, sf_dir, monkeypatch):
     assert {(r["vec_id"], r["dup_of"]) for r in S.semantic_dedup(spark, sf_dir).collect()} == got
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_cluster_canonical_election(spark, sf_dir):
+    """Canonical docs are genuine cluster members, every cluster
+    elects exactly one, member counts partition the corpus, and the
+    winner really is (max tokens, min id) within its cluster."""
+    import pyspark.sql.functions as FF
+
+    from flink_project_userbehavioranalysis_spark.io import load_table
+
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in S.near_dup_clusters(spark, sf_dir).collect()
+    }
+    toks = {
+        r["doc_id"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", FF.size(FF.split(FF.coalesce("text", FF.lit("")), " ")).alias("n"))
+        .collect()
+    }
+    rows = S.cluster_canonical(spark, sf_dir).collect()
+    assert len(rows) == len(set(labels.values()))  # one row per cluster
+    assert sum(r["n_members"] for r in rows) == len(labels)
+    for r in rows:
+        members = [d for d, c in labels.items() if c == r["cluster_id"]]
+        assert r["canonical_doc"] in members
+        best = max(members, key=lambda d: (toks[d], -d))
+        assert r["canonical_doc"] == best
+        assert r["canonical_toks"] == toks[best]
+        assert r["n_dropped"] == len(members) - 1

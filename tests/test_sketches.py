@@ -38,3 +38,38 @@ def test_approx_percentiles_near_exact(spark, sf_dir):
         for col in ("p50", "p90"):
             tol = max(abs(e[col]) * 0.05, 1e-6)
             assert abs(a[col] - e[col]) <= tol, (et, col, a[col], e[col])
+
+
+def test_uv_trailing_sketch_bound(spark, sf_dir):
+    """Trailing-24h sketch UV within 5% of the exact trailing UV at
+    every window position, and position set = hourly ends fanned out
+    24 slots (partial edge windows included)."""
+    from collections import defaultdict
+
+    import pyspark.sql.functions as F
+
+    from flink_project_userbehavioranalysis_spark.io import load_events
+    from flink_project_userbehavioranalysis_spark.operators import network_flow
+
+    got = {
+        r["window_end"]: r["uv_trailing"]
+        for r in network_flow.uv_trailing_sketch(spark, sf_dir).collect()
+    }
+    ev = (
+        load_events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.floor(F.unix_micros("ts") / 3_600_000_000).cast("long").alias("h"),
+            "user_id",
+        )
+    )
+    by_h = defaultdict(set)
+    for r in ev.collect():
+        by_h[r["h"]].add(r["user_id"])
+    exact = defaultdict(set)
+    for h, us in by_h.items():
+        for j in range(24):
+            exact[(h + 1 + j) * 3600] |= us
+    assert got.keys() == exact.keys()
+    for k, s in exact.items():
+        assert abs(got[k] - len(s)) <= max(2, 0.05 * len(s))

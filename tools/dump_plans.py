@@ -388,6 +388,33 @@ EXHIBITS = [
         "partial aggregations off one corpus read, scoring joins it "
         "back broadcast (or equi-shuffle for open vocab).",
     ),
+    # --- r7 additions: partsupp wave + long-format centroids ---------
+    (
+        "tpch_q9ish",
+        "TPC-H Q9 (three-fact join): part/supplier/nation dims ride "
+        "broadcasts; lineitem meets the derived partsupp in ONE "
+        "(partkey, suppkey) exchange (ps is pre-clustered on that key "
+        "by its distinct); orders joins on the order key — the second "
+        "and last fact shuffle; the (nation, year) rollup is "
+        "partial-aggregated over a constant-bounded domain.",
+    ),
+    (
+        "tpch_q2ish",
+        "TPC-H Q2 (decorrelated MIN): the regional ps relation is "
+        "built once under a broadcast dim chain; the per-part MIN "
+        "aggregates on the same partkey clustering; the min-cost "
+        "re-join matches on (partkey, cents) — both sides aggregates; "
+        "spec-order top-100 is TakeOrderedAndProject, never a global "
+        "sort.",
+    ),
+    (
+        "embedding_centroids",
+        "Long-format registered centroids: posexplode + ONE "
+        "partial-aggregated (label, dim) exchange — the map-side "
+        "combine collapses each partition to ≤ labels×dims rows before "
+        "the shuffle; no array re-assembly, no collect_list, every "
+        "output cell a scalar (driver-canonicalizer-hashable).",
+    ),
 ]
 
 
