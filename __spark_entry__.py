@@ -242,6 +242,7 @@ _TIER4 = [
     "order_lifecycle_stream",
     "funnel_stream",
     "consec_fail_stream",
+    "trailing_features_stream",
     "tx_reconcile_stream",
     "blacklist_stream",
     "interval_join_stream",
@@ -718,6 +719,13 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "funnel_stream": (_stp.funnel_stream, _rel.funnel_conversion_oracle_sql()),
         # ST2 streaming-exact consecutive-failure detect
         "consec_fail_stream": (_stp.consec_fail_stream, _login.consec_fail_oracle_sql()),
+        # r7: streaming-exact point-in-time trailing features — the
+        # online/offline-skew proof: the stateful online generator
+        # hash-matches the batch RANGE-window oracle exactly
+        "trailing_features_stream": (
+            _stp.trailing_features_stream,
+            _bx.user_trailing_features_oracle_sql(),
+        ),
         # ST7 streaming two-stream reconcile with unmatched side outputs
         "tx_reconcile_stream": (_stp.tx_reconcile_stream, _op.tx_reconcile_oracle_sql()),
         # ST4 fire-once daily blacklist

@@ -505,3 +505,73 @@ def funnel_stream(
     )
     name = f"funnel_stream_{abs(hash((sf_dir, n_chunks)))}"
     return run_append_memory(out, name, spark).filter(F.col("user_id") >= 0)
+
+
+# ---------------------------------------------- trailing-feature generator
+
+
+def trailing_features_func(window_days: int = 7):
+    """Streaming-exact point-in-time feature generator (the online
+    twin of ``behavior.user_trailing_features``): per user, a trailing
+    buffer of (ts_us, is_purchase) spanning the feature horizon; each
+    arriving event first evicts everything older than its own horizon,
+    then emits its features counting ONLY strictly-earlier events
+    (same-µs peers excluded — the exact frame the batch RANGE window
+    defines), then joins the buffer. State per key is bounded by the
+    user's events within ``window_days`` — the horizon-GC invariant
+    every processor in this module keeps. Relies on the replay's
+    time-ordered micro-batches (same contract as
+    ``consecutive_events_func``)."""
+    horizon_us = window_days * 86_400 * US
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:  # no timers used; defensive
+            return
+        batch = _rows(pdfs)
+        if batch is None:
+            return
+        ts_buf, purch_buf = state.get if state.exists else ([], [])
+        buf = list(zip(list(ts_buf), list(purch_buf)))
+        out = []
+        for r in batch.itertuples(index=False):
+            if r.event_type == SENTINEL_TYPE:
+                continue
+            us = int(r.ts_us)
+            while buf and buf[0][0] < us - horizon_us:
+                buf.pop(0)
+            n_prev = sum(1 for t, _ in buf if t < us)
+            n_purch = sum(1 for t, p in buf if t < us and p)
+            out.append((int(r.event_id), key[0], us, n_prev, n_purch))
+            buf.append((us, 1 if r.event_type == "purchase" else 0))
+        state.update(([t for t, _ in buf], [p for _, p in buf]))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["event_id", "user_id", "ts_us", "n_prev", "n_prev_purchases"],
+            )
+
+    return fn
+
+
+def trailing_features_stream(
+    spark: SparkSession, sf_dir: str, window_days: int = 7, n_chunks: int = 4
+) -> DataFrame:
+    """Streaming-exact trailing features — same DuckDB oracle as the
+    batch ``user_trailing_features`` (online feature computation must
+    equal the offline training features, or the model trains on a
+    distribution it never sees at serving time — the classic
+    online/offline skew this twin-oracle setup proves absent)."""
+    types = ["view", "click", "purchase", "signup", "error"]
+    inp = _keyed_stream(spark, sf_dir, types, n_chunks=n_chunks)
+    out = inp.groupBy("user_id").applyInPandasWithState(
+        trailing_features_func(window_days),
+        outputStructType=(
+            "event_id BIGINT, user_id BIGINT, ts_us BIGINT, "
+            "n_prev BIGINT, n_prev_purchases BIGINT"
+        ),
+        stateStructType="ts_buf ARRAY<BIGINT>, purch_buf ARRAY<BIGINT>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"trailing_features_stream_{abs(hash((sf_dir, n_chunks)))}"
+    return run_append_memory(out, name, spark).filter(F.col("user_id") >= 0)

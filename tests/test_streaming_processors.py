@@ -75,3 +75,21 @@ def test_funnel_stream_equals_batch_and_oracle(spark, sf_dir):
     assert_matches_oracle(
         P.funnel_stream(spark, sf_dir), R.funnel_conversion_oracle_sql(), sf_dir
     )
+
+
+def test_trailing_features_stream_equals_batch_oracle(spark, sf_dir):
+    """Online/offline feature parity: the stateful streaming generator
+    must hash-match the batch RANGE-window oracle exactly — including
+    with a different chunking (state crosses micro-batch boundaries)."""
+    from flink_project_userbehavioranalysis_spark.operators import behavior as B
+
+    assert_matches_oracle(
+        P.trailing_features_stream(spark, sf_dir),
+        B.user_trailing_features_oracle_sql(),
+        sf_dir,
+    )
+    assert_matches_oracle(
+        P.trailing_features_stream(spark, sf_dir, n_chunks=7),
+        B.user_trailing_features_oracle_sql(),
+        sf_dir,
+    )
