@@ -203,6 +203,8 @@ _TIER2 = [
     "user_trailing_features",
     "cluster_canonical",
     "erase_users_roundtrip",
+    "quality_weighted_sample",
+    "negative_sample_pairs",
 ]
 # --- tier 3: rows-only by design (sketches / ANN / NB) --------------
 _TIER3 = [
@@ -346,6 +348,13 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "stratified_sample": (
             _text.stratified_sample,
             _text.stratified_sample_oracle_sql(),
+        ),
+        # §2.10 quality-weighted resampling (r7): keep-probability ∝
+        # saturating length score, exact BIGINT cross-multiply decision
+        # — map-only, re-seedable per epoch
+        "quality_weighted_sample": (
+            _text.quality_weighted_sample,
+            _text.quality_weighted_sample_oracle_sql(),
         ),
         # §2.10 token-entropy quality signal (repetition/boilerplate)
         "doc_entropy": (_text.doc_entropy, _text.DOC_ENTROPY_SQL),
@@ -555,6 +564,13 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "user_trailing_features": (
             _bx.user_trailing_features,
             _bx.user_trailing_features_oracle_sql(),
+        ),
+        # behavior pillar (r7): deterministic recsys negative sampling
+        # — broadcast bounded catalog, (user, item) anti-join, seeded-
+        # hash per-user top-k (≤ catalog rows per user, no global sort)
+        "negative_sample_pairs": (
+            _bx.negative_sample_pairs,
+            _bx.negative_sample_pairs_oracle_sql(),
         ),
         # NetworkFlow extension: per-item traffic-spike z-score flags
         "pv_anomaly": (_nf.pv_anomaly, _nf.pv_anomaly_oracle_sql()),

@@ -81,10 +81,15 @@ HEADLINE = [
     "tpch_q3ish",             # broadcast-dim + fact-fact join, top-10
     "tpch_q13ish",            # outer join + double aggregation
     "corpus_shuffle_order",   # sharded permutation: 64 independent sorts
-    # NOT benched: item_pagerank / kmeans_lloyd eagerly materialize
-    # (localCheckpoint) at DataFrame-construction time, so timing their
-    # collect() would measure a block-manager read, not the iteration;
-    # mv_pv_hourly_maintain / compact_roundtrip do table WRITES inside
+    # r7 additions
+    "tpch_q9ish",             # three-fact join over the derived partsupp
+    "user_trailing_features", # per-event RANGE-frame feature generation
+    "uv_trailing_sketch",     # hourly-sketch fan-out trailing UV
+    # NOT benched: item_pagerank / kmeans_lloyd / cluster_canonical
+    # eagerly materialize (localCheckpoint / iterate) at DataFrame-
+    # construction time, so timing their collect() would measure a
+    # block-manager read, not the iteration; mv_pv_hourly_maintain /
+    # compact_roundtrip / erase_users_roundtrip do table WRITES inside
     # fn(), so their cost is the write path, not the returned scan.
 ]
 

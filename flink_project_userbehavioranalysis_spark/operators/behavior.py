@@ -647,3 +647,83 @@ WINDOW w AS (PARTITION BY user_id
              ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
              RANGE BETWEEN {us} PRECEDING AND 1 PRECEDING)
 """
+
+
+# ------------------------------------------------------ negative sampling
+
+
+def negative_sample_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    catalog_size: int = 20,
+    seed: str = "neg1",
+) -> DataFrame:
+    """Deterministic negative sampling for recommender training — for
+    every user, ``k`` popularity-ranked catalog items the user NEVER
+    interacted with, ordered by a seeded hash so negatives are
+    reproducible across runs/engines and re-seedable per epoch (the
+    (user, positive, negative) triple generator of BPR/contrastive
+    training, minus the trivial positives join).
+
+    Scale shape: the candidate catalog is the top-``catalog_size``
+    items by interaction count (TakeOrderedAndProject + broadcast —
+    a bounded dimension no matter the SF); users × catalog explodes to
+    |users|·M rows which the interaction anti-join prunes (one shuffle
+    on the (user, item) pair); the per-user top-k window sorts ≤ M
+    rows per user, never a global sort. No RNG state anywhere: rank =
+    md5(seed:user:item) — a pure function of the pair.
+
+    Output: (user_id, item_id, rnk) with rnk 1..k — integers only.
+    """
+    ev = load_events(spark, sf_dir).filter(F.col("item_id").isNotNull())
+    pop = (
+        ev.groupBy("item_id")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("item_id"))
+        .limit(int(catalog_size))
+        .select("item_id")
+    )
+    users = ev.select("user_id").distinct()
+    inter = ev.select("user_id", "item_id").distinct()
+    cand = users.crossJoin(F.broadcast(pop))
+    h = F.md5(
+        F.concat_ws(":", F.lit(seed), F.col("user_id").cast("string"), F.col("item_id").cast("string")).cast("binary")
+    )
+    w = Window.partitionBy("user_id").orderBy(h, "item_id")
+    return (
+        cand.join(inter, ["user_id", "item_id"], "left_anti")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= int(k))
+        .select("user_id", "item_id", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+def negative_sample_pairs_oracle_sql(
+    k: int = 5, catalog_size: int = 20, seed: str = "neg1"
+) -> str:
+    return f"""
+WITH ev AS (
+    SELECT user_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS item_id
+    FROM events
+    WHERE TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) IS NOT NULL
+), pop AS (
+    SELECT item_id FROM ev GROUP BY 1
+    ORDER BY count(*) DESC, item_id ASC LIMIT {int(catalog_size)}
+), users AS (
+    SELECT DISTINCT user_id FROM ev
+), cand AS (
+    SELECT u.user_id, p.item_id FROM users u CROSS JOIN pop p
+    WHERE NOT EXISTS (SELECT 1 FROM ev e
+                      WHERE e.user_id = u.user_id AND e.item_id = p.item_id)
+)
+SELECT user_id, item_id, CAST(rnk AS BIGINT) AS rnk FROM (
+    SELECT user_id, item_id,
+           row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY md5('{seed}:' || CAST(user_id AS VARCHAR) || ':'
+                            || CAST(item_id AS VARCHAR)), item_id) AS rnk
+    FROM cand
+) WHERE rnk <= {int(k)}
+"""

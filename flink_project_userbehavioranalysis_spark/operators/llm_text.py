@@ -1439,3 +1439,63 @@ SELECT doc_id, CAST(shard AS BIGINT) AS shard,
        CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
 FROM b
 """
+
+
+def quality_weighted_sample(
+    spark: SparkSession, sf_dir: str, k: int = 50, seed: str = "qw1"
+) -> DataFrame:
+    """Deterministic quality-weighted resampling — the continuous
+    sibling of ``stratified_sample`` (group rates) and
+    ``source_mix_sample`` (budget quotas): each doc is kept with
+    probability proportional to a quality score, here the saturating
+    length weight p = n_toks / (n_toks + k) (short/empty docs are
+    mostly dropped, long docs approach certainty — the shape
+    quality-weighted mixtures like DoReMi-style reweighting use).
+
+    Membership is a pure function of the row (no RNG state): u =
+    first 8 hex digits of md5(seed:doc_id) as a uniform over [0,16⁸);
+    keep iff u·(n_toks + k) < n_toks·16⁸ — an exact BIGINT
+    cross-multiply (max ~10⁹·10⁴ ≪ 2⁶³), so both engines decide every
+    row identically and re-runs/partitionings cannot flip membership.
+    Re-seedable per epoch via ``seed``. Map-only, zero shuffle.
+
+    Output: (doc_id, n_toks, u) for kept rows — integers only.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_toks = F.size(F.split(F.coalesce("text", F.lit("")), " "))
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col("doc_id").cast("string")).cast("binary")),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        docs.select(
+            "doc_id",
+            n_toks.cast("long").alias("n_toks"),
+            u.alias("u"),
+        )
+        .filter(F.col("u") * (F.col("n_toks") + F.lit(int(k))) < F.col("n_toks") * F.lit(16**8))
+        .select("doc_id", "n_toks", "u")
+    )
+
+
+def quality_weighted_sample_oracle_sql(k: int = 50, seed: str = "qw1") -> str:
+    digit = "(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+    val = " + ".join(f"{digit.format(i=i + 1)} * {16 ** (7 - i)}" for i in range(8))
+    return f"""
+WITH t AS (
+    SELECT doc_id,
+           len(string_split(coalesce(text, ''), ' ')) AS n_toks,
+           md5('{seed}:' || CAST(doc_id AS VARCHAR)) AS h
+    FROM documents
+), b AS (
+    SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks, CAST({val} AS BIGINT) AS u
+    FROM t
+)
+SELECT doc_id, n_toks, u
+FROM b WHERE u * (n_toks + {int(k)}) < n_toks * {16 ** 8}
+"""

@@ -301,3 +301,31 @@ def test_user_trailing_features_single_shuffle(spark, sf_dir):
     import re
 
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_negative_sample_pairs_are_true_negatives(spark, sf_dir):
+    """Every sampled pair is (a) a catalog item, (b) never interacted
+    with by that user, (c) ranked 1..k densely, and the sample is
+    reproducible."""
+    df = B.negative_sample_pairs(spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    ev = load_events(spark, sf_dir).filter(F.col("item_id").isNotNull())
+    pop = {
+        r["item_id"]
+        for r in ev.groupBy("item_id").count()
+        .orderBy(F.desc("count"), F.asc("item_id")).limit(20).collect()
+    }
+    inter = {(r["user_id"], r["item_id"]) for r in ev.select("user_id", "item_id").distinct().collect()}
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for r in rows:
+        assert r["item_id"] in pop
+        assert (r["user_id"], r["item_id"]) not in inter
+        per_user[r["user_id"]].append(r["rnk"])
+    for u, rnks in per_user.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1))
+        assert len(rnks) <= 5
+    again = {(r["user_id"], r["item_id"], r["rnk"]) for r in B.negative_sample_pairs(spark, sf_dir).collect()}
+    assert again == {(r["user_id"], r["item_id"], r["rnk"]) for r in rows}

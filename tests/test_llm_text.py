@@ -457,3 +457,23 @@ def test_chunk_projection_total_over_null_text(spark):
         ).fetchall()
     )
     assert got == oracle
+
+
+def test_quality_weighted_sample_properties(spark, sf_dir):
+    """Keep-rate rises with the saturating length weight, membership is
+    a pure function of the row (re-run identical), and every decision
+    satisfies the exact cross-multiply rule."""
+    df = llm_text.quality_weighted_sample(spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r["u"] * (r["n_toks"] + 50) < r["n_toks"] * 16**8
+    again = {r["doc_id"] for r in llm_text.quality_weighted_sample(spark, sf_dir).collect()}
+    assert again == {r["doc_id"] for r in rows}
+    # a different seed flips SOME membership but similar volume
+    other = {
+        r["doc_id"]
+        for r in llm_text.quality_weighted_sample(spark, sf_dir, seed="qw2").collect()
+    }
+    assert other != again
+    assert 0.5 < len(other) / len(again) < 2.0
