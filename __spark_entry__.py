@@ -205,6 +205,7 @@ _TIER2 = [
     "erase_users_roundtrip",
     "quality_weighted_sample",
     "negative_sample_pairs",
+    "user_tier_scd2",
 ]
 # --- tier 3: rows-only by design (sketches / ANN / NB) --------------
 _TIER3 = [
@@ -581,6 +582,10 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "behavior_pivot": (_rel.behavior_pivot, _rel.BEHAVIOR_PIVOT_SQL),
         # P6/P7 date parse + format round trip
         "date_roundtrip": (_rel.date_roundtrip, _rel.DATE_ROUNDTRIP_SQL),
+        # warehouse modeling (r7): type-2 SCD build — per-day change
+        # log → validity ranges via gaps-and-islands at day grain; one
+        # user-key shuffle shared by all three window passes
+        "user_tier_scd2": (_rel.user_tier_scd2, _rel.user_tier_scd2_oracle_sql()),
         # grouping-sets family (ROLLUP + grouping_id)
         "pv_rollup": (_rel.pv_rollup, _rel.PV_ROLLUP_SQL),
         # percentile family (exact interpolated median/p90)

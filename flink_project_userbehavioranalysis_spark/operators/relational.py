@@ -802,3 +802,97 @@ GROUP BY 1
 
 
 BEHAVIOR_PIVOT_SQL = _behavior_pivot_sql()
+
+
+# -------------------------------------------------------------- SCD2 build
+
+
+def user_tier_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build — the warehouse-modeling
+    operator that turns a per-day attribute change log into validity
+    ranges: one row per (user, consecutive run of equal attribute)
+    carrying [valid_from, valid_to) day bounds, valid_to NULL on the
+    current row. The attribute here is an activity tier derived from
+    exact integer day-counts (≤2 events → 0, ≤5 → 1, else → 2), so
+    every column the oracle hashes is engine-exact.
+
+    Dataflow (the gaps-and-islands the sessionizer already uses, at
+    day grain): daily partial-aggregated counts → per-user ordered
+    change detection (lag) → run ids (running sum) → per-run collapse
+    → valid_to via lead over the collapsed runs. ONE user-key shuffle;
+    the three window passes share its clustering; the collapse is a
+    partial-aggregated groupBy on (user, run). At 100 TB the incoming
+    day's delta merges into the stored SCD2 table with the same
+    dataflow over (current rows ∪ delta) + dynamic partition overwrite
+    — the write mechanics ``mv_pv_hourly_maintain`` already proves.
+
+    Output: (user_id, tier, valid_from, valid_to, n_days) — dates as
+    ISO strings, valid_to NULL on each user's current row.
+    """
+    from pyspark.sql import Window
+
+    ev = load_events(spark, sf_dir)
+    daily = (
+        ev.groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user_id",
+            "d",
+            F.when(F.col("n") <= 2, 0).when(F.col("n") <= 5, 1).otherwise(2).alias("tier"),
+        )
+    )
+    by_user = Window.partitionBy("user_id").orderBy("d")
+    runs = daily.withColumn(
+        "new_run",
+        F.when(F.lag("tier").over(by_user).isNull() | (F.lag("tier").over(by_user) != F.col("tier")), 1).otherwise(0),
+    ).withColumn(
+        "run_id",
+        F.sum("new_run").over(by_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    collapsed = runs.groupBy("user_id", "run_id").agg(
+        F.max("tier").alias("tier"),  # constant within the run
+        F.min("d").alias("valid_from_d"),
+        F.count("*").alias("n_days"),
+    )
+    by_user_runs = Window.partitionBy("user_id").orderBy("valid_from_d")
+    return collapsed.select(
+        "user_id",
+        F.col("tier").cast("long").alias("tier"),
+        F.col("valid_from_d").cast("string").alias("valid_from"),
+        F.lead("valid_from_d").over(by_user_runs).cast("string").alias("valid_to"),
+        "n_days",
+    )
+
+
+def user_tier_scd2_oracle_sql() -> str:
+    return """
+WITH daily AS (
+    SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, count(*) AS n
+    FROM events GROUP BY 1, 2
+), tiers AS (
+    SELECT user_id, d,
+           CASE WHEN n <= 2 THEN 0 WHEN n <= 5 THEN 1 ELSE 2 END AS tier
+    FROM daily
+), marked AS (
+    SELECT user_id, d, tier,
+           CASE WHEN lag(tier) OVER (PARTITION BY user_id ORDER BY d) IS NULL
+                     OR lag(tier) OVER (PARTITION BY user_id ORDER BY d) <> tier
+                THEN 1 ELSE 0 END AS new_run
+    FROM tiers
+), runs AS (
+    SELECT user_id, d, tier,
+           sum(new_run) OVER (PARTITION BY user_id ORDER BY d
+                              ROWS UNBOUNDED PRECEDING) AS run_id
+    FROM marked
+), collapsed AS (
+    SELECT user_id, run_id, CAST(max(tier) AS BIGINT) AS tier,
+           min(d) AS valid_from_d, count(*) AS n_days
+    FROM runs GROUP BY 1, 2
+)
+SELECT user_id, tier,
+       strftime(valid_from_d, '%Y-%m-%d') AS valid_from,
+       strftime(lead(valid_from_d) OVER (PARTITION BY user_id ORDER BY valid_from_d),
+                '%Y-%m-%d') AS valid_to,
+       n_days
+FROM collapsed
+"""

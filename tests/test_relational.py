@@ -140,3 +140,37 @@ def test_cohort_retention_semantics(spark, sf_dir):
     assert joined.filter(F.col("retained") > F.col("size")).count() == 0
     assert base.count() >= 2
     assert df.select("k").distinct().count() >= 2
+
+
+def test_user_tier_scd2_validity_ranges(spark, sf_dir):
+    """SCD2 invariants: exactly one current (NULL valid_to) row per
+    user; ranges are chronologically chained (each row's valid_to =
+    next row's valid_from); adjacent runs differ in tier; n_days sums
+    to the user's distinct active days."""
+    import pyspark.sql.functions as FF
+
+    from flink_project_userbehavioranalysis_spark.io import load_events
+    from flink_project_userbehavioranalysis_spark.operators import relational as R
+
+    rows = R.user_tier_scd2(spark, sf_dir).collect()
+    assert rows
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for r in rows:
+        per_user[r["user_id"]].append(r)
+    active = {
+        r["user_id"]: r["nd"]
+        for r in load_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(FF.countDistinct(FF.to_date("ts")).alias("nd"))
+        .collect()
+    }
+    for u, rs in per_user.items():
+        rs.sort(key=lambda r: r["valid_from"])
+        assert sum(1 for r in rs if r["valid_to"] is None) == 1
+        assert rs[-1]["valid_to"] is None  # the current row is the last
+        for a, b in zip(rs, rs[1:]):
+            assert a["valid_to"] == b["valid_from"]  # chained, no gaps/overlap
+            assert a["tier"] != b["tier"]  # runs collapse maximally
+        assert sum(r["n_days"] for r in rs) == active[u]

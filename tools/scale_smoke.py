@@ -77,6 +77,11 @@ QUERIES = [
     "item_next_topk",
     "gopher_quality_filter",
     "embedding_pca",
+    # r7 additions: trailing features, sampling, sketch fan-out
+    "user_trailing_features",
+    "quality_weighted_sample",
+    "negative_sample_pairs",
+    "uv_trailing_sketch",
 ]
 # tpch_q3ish/q6ish are NOT in the smoke: synthesize() scales events/
 # documents/embeddings only, so a lineitem query would report a flat
