@@ -155,3 +155,48 @@ def test_aqe_skew_join_split(spark):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """Runtime bloom-filter semi-join reduction (the 100 TB fact-fact
+    join saver): with the optimizer's runtime bloom filter enabled, a
+    selective dim-side filter injects a might_contain() pre-filter on
+    the fact scan BEFORE its shuffle — rows that cannot join never
+    enter the exchange. Results must be identical with and without
+    (it is a pure physical rewrite). Conf is set-and-restored; the
+    engine leaves the default planner state untouched elsewhere."""
+    import pyspark.sql.functions as FF
+
+    sf = "/root/testdata/sf0.01"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet").filter(
+        FF.col("o_orderpriority") == "1-URGENT"
+    )
+
+    def q():
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(FF.count("*").alias("n"), FF.sum("l_quantity").alias("q"))
+        )
+
+    keys = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # shuffled join, so pruning matters
+    }
+    prev = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        for k, v in keys.items():
+            spark.conf.set(k, v)
+        with_bloom = q().collect()
+        plan = q()._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "might_contain" in plan and "bloom_filter_agg" in plan, plan[:2000]
+    baseline = q().collect()
+    assert sorted(map(tuple, with_bloom)) == sorted(map(tuple, baseline))
