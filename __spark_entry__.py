@@ -206,6 +206,7 @@ _TIER2 = [
     "quality_weighted_sample",
     "negative_sample_pairs",
     "user_tier_scd2",
+    "events_with_tier_asof",
 ]
 # --- tier 3: rows-only by design (sketches / ANN / NB) --------------
 _TIER3 = [
@@ -586,6 +587,13 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         # log → validity ranges via gaps-and-islands at day grain; one
         # user-key shuffle shared by all three window passes
         "user_tier_scd2": (_rel.user_tier_scd2, _rel.user_tier_scd2_oracle_sql()),
+        # warehouse modeling (r7): the consumption side — point-in-time
+        # as-of join of facts onto the SCD2 dim (validity-range
+        # residual on a user-key equi-shuffle, never a cartesian)
+        "events_with_tier_asof": (
+            _rel.events_with_tier_asof,
+            _rel.events_with_tier_asof_oracle_sql(),
+        ),
         # grouping-sets family (ROLLUP + grouping_id)
         "pv_rollup": (_rel.pv_rollup, _rel.PV_ROLLUP_SQL),
         # percentile family (exact interpolated median/p90)

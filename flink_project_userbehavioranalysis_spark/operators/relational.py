@@ -896,3 +896,63 @@ SELECT user_id, tier,
        n_days
 FROM collapsed
 """
+
+
+def events_with_tier_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time SCD2 dimension join — the consumption side of
+    ``user_tier_scd2``: enrich each event with the tier that was valid
+    ON ITS DAY (the as-of dimension lookup every warehouse fact query
+    runs against a type-2 dim; historically correct, no leakage from
+    later tier changes).
+
+    Scale shape: ONE user-key equi-shuffle joins facts to the SCD2
+    rows (a handful per user — the residual validity-range predicate
+    rides the join, never a cartesian); the daily rollup before the
+    join means the join input is (user, day) grain, not raw events.
+    Summary output keeps the driver row small: per (tier, day) event
+    counts — the tier-mix time series.
+
+    Output: (d, tier, n_user_days, n_events) — exact integers, date as
+    ISO string.
+    """
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("d")
+    ).agg(F.count("*").alias("n_events"))
+    scd2 = user_tier_scd2(spark, sf_dir).select(
+        F.col("user_id").alias("s_user"), "tier",
+        F.to_date("valid_from").alias("vf"),
+        F.to_date("valid_to").alias("vt"),
+    )
+    joined = daily.join(
+        scd2,
+        (daily.user_id == scd2.s_user)
+        & (daily.d >= scd2.vf)
+        & (scd2.vt.isNull() | (daily.d < scd2.vt)),
+    )
+    return (
+        joined.groupBy(F.col("d").cast("string").alias("d"), "tier")
+        .agg(
+            F.count("*").alias("n_user_days"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )
+
+
+def events_with_tier_asof_oracle_sql() -> str:
+    scd2 = user_tier_scd2_oracle_sql().strip()
+    return f"""
+WITH scd2 AS ({scd2}),
+daily AS (
+    SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, count(*) AS n_events
+    FROM events GROUP BY 1, 2
+)
+SELECT strftime(daily.d, '%Y-%m-%d') AS d, s.tier,
+       count(*) AS n_user_days,
+       CAST(sum(daily.n_events) AS BIGINT) AS n_events
+FROM daily JOIN scd2 s
+  ON daily.user_id = s.user_id
+ AND daily.d >= CAST(s.valid_from AS DATE)
+ AND (s.valid_to IS NULL OR daily.d < CAST(s.valid_to AS DATE))
+GROUP BY 1, 2
+"""

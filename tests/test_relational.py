@@ -174,3 +174,21 @@ def test_user_tier_scd2_validity_ranges(spark, sf_dir):
             assert a["valid_to"] == b["valid_from"]  # chained, no gaps/overlap
             assert a["tier"] != b["tier"]  # runs collapse maximally
         assert sum(r["n_days"] for r in rs) == active[u]
+
+
+def test_events_with_tier_asof_covers_every_user_day(spark, sf_dir):
+    """The point-in-time join is TOTAL (every (user, day) hits exactly
+    one validity range — counts conserve) and never a cartesian."""
+    import pyspark.sql.functions as FF
+
+    from flink_project_userbehavioranalysis_spark.io import load_events
+    from flink_project_userbehavioranalysis_spark.operators import relational as R
+
+    df = R.events_with_tier_asof(spark, sf_dir)
+    rows = df.collect()
+    ev = load_events(spark, sf_dir)
+    n_user_days = ev.select("user_id", FF.to_date("ts")).distinct().count()
+    assert sum(r["n_user_days"] for r in rows) == n_user_days
+    assert sum(r["n_events"] for r in rows) == ev.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
