@@ -12,6 +12,7 @@ import pytest
 
 from flink_project_userbehavioranalysis_spark.io import TABLES, load_table
 from flink_project_userbehavioranalysis_spark.operators import (
+    behavior as BX,
     corpus_quality as CQ,
     custom_joins as CJ,
     embeddings_ops as EMB,
@@ -127,6 +128,20 @@ OPERATORS = [
     TP.tpch_q15ish,
     TP.tpch_q21ish,
     TP.tpch_q22ish,
+    # r7 additions
+    TP.tpch_q9ish,
+    TP.tpch_q2ish,
+    TP.tpch_q11ish,
+    TP.tpch_q16ish,
+    TP.tpch_q20ish,
+    TXT.quality_weighted_sample,
+    R.user_tier_scd2,
+    R.events_with_tier_asof,
+    SIM.cluster_canonical,
+    MT.erase_users_roundtrip,
+    NF.uv_trailing_sketch,
+    BX.user_trailing_features,
+    BX.negative_sample_pairs,
 ]
 
 
