@@ -189,7 +189,12 @@ def erase_users_roundtrip(
     Output: (event_type, n, users, item_sum, n_erased).
     """
     ev = load_events(spark, sf_dir).select("user_id", "item_id", "event_type", "ts")
-    erased = F.col("user_id") % int(modulus) == 0
+    # coalesce makes the predicate TOTAL over a nullable user_id: a
+    # NULL user is not on any erasure list, so it must be KEPT — the
+    # bare `%`-comparison evaluates NULL and would silently drop such
+    # rows from BOTH the kept rewrite and the audit (deleting data
+    # never listed for erasure, invisibly to the hash check)
+    erased = F.coalesce(F.col("user_id") % int(modulus) == 0, F.lit(False))
     path = _scratch_dir(spark, "erase", sf_dir)
     ev.filter(~erased).write.mode("overwrite").parquet(path)
     audit = (
@@ -222,9 +227,11 @@ WITH raw AS (
            TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS item_id
     FROM events
 ), kept AS (
+    -- NULL user_id is not on any erasure list: kept (totality twin of
+    -- the engine-side coalesce)
     SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS users,
            CAST(sum(item_id) AS BIGINT) AS item_sum
-    FROM raw WHERE user_id % {int(modulus)} <> 0 GROUP BY 1
+    FROM raw WHERE user_id IS NULL OR user_id % {int(modulus)} <> 0 GROUP BY 1
 ), er AS (
     SELECT event_type, count(*) AS n_erased
     FROM raw WHERE user_id % {int(modulus)} = 0 GROUP BY 1

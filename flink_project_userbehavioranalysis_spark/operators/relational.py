@@ -829,17 +829,26 @@ def user_tier_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (user_id, tier, valid_from, valid_to, n_days) — dates as
     ISO strings, valid_to NULL on each user's current row.
     """
+    return _scd2_from_daily(_daily_counts(load_events(spark, sf_dir)))
+
+
+def _daily_counts(ev: DataFrame) -> DataFrame:
+    """Per-(user, day) event counts — the single daily rollup BOTH the
+    SCD2 build and the as-of consumer derive from (shared subplan, so
+    one registered query never aggregates the fact table twice; the
+    identical shuffles are also exchange-reuse candidates)."""
+    return ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.count("*").alias("n")
+    )
+
+
+def _scd2_from_daily(daily_counts: DataFrame) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = load_events(spark, sf_dir)
-    daily = (
-        ev.groupBy("user_id", F.to_date("ts").alias("d"))
-        .agg(F.count("*").alias("n"))
-        .select(
-            "user_id",
-            "d",
-            F.when(F.col("n") <= 2, 0).when(F.col("n") <= 5, 1).otherwise(2).alias("tier"),
-        )
+    daily = daily_counts.select(
+        "user_id",
+        "d",
+        F.when(F.col("n") <= 2, 0).when(F.col("n") <= 5, 1).otherwise(2).alias("tier"),
     )
     by_user = Window.partitionBy("user_id").orderBy("d")
     runs = daily.withColumn(
@@ -915,11 +924,10 @@ def events_with_tier_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (d, tier, n_user_days, n_events) — exact integers, date as
     ISO string.
     """
-    ev = load_events(spark, sf_dir)
-    daily = ev.groupBy(
-        "user_id", F.to_date("ts").alias("d")
-    ).agg(F.count("*").alias("n_events"))
-    scd2 = user_tier_scd2(spark, sf_dir).select(
+    daily = _daily_counts(load_events(spark, sf_dir)).withColumnRenamed(
+        "n", "n_events"
+    )
+    scd2 = _scd2_from_daily(_daily_counts(load_events(spark, sf_dir))).select(
         F.col("user_id").alias("s_user"), "tier",
         F.to_date("valid_from").alias("vf"),
         F.to_date("valid_to").alias("vt"),

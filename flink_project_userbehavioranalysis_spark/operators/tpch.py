@@ -828,6 +828,26 @@ PARTSUPP_CTE = """ps AS (
 )"""
 
 
+def _regional_suppliers(
+    spark: SparkSession, sf_dir: str, region: str, cols: tuple[str, ...]
+) -> DataFrame:
+    """Suppliers restricted to one region via the broadcast
+    region→nation dim chain — the shared build side of the three
+    regional partsupp queries (Q2/Q11/Q20). ``cols`` picks the
+    projection each query carries (always includes s_suppkey)."""
+    nation = load_table(spark, sf_dir, "nation")
+    region_df = load_table(spark, sf_dir, "region").filter(F.col("r_name") == region)
+    dims = nation.join(
+        F.broadcast(region_df), nation.n_regionkey == region_df.r_regionkey
+    ).select("n_nationkey", "n_name")
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(dims), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(*cols)
+    )
+
+
+
 # ------------------------------------------------------------------ Q9
 
 
@@ -865,7 +885,11 @@ def tpch_q9ish(spark: SparkSession, sf_dir: str, name_prefix: str = "red") -> Da
         "l_extendedprice", "l_discount",
     )
     rev = money("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - money("l_discount"))
-    cost_cents = F.col("ps_supplycost_cents") * F.col("l_quantity").cast("long")
+    # round() BEFORE the long cast on BOTH engines: a bare Spark
+    # cast('long') truncates toward zero while DuckDB's CAST(AS BIGINT)
+    # rounds — a latent parity break if quantity ever turns fractional
+    # (integer-valued 1..50 today, so round() is the identity)
+    cost_cents = F.col("ps_supplycost_cents") * F.round("l_quantity").cast("long")
     return (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .join(ps, (F.col("l_partkey") == F.col("ps_partkey"))
@@ -894,7 +918,7 @@ SELECT n_name AS nation,
        CAST(year(o_orderdate) AS BIGINT) AS o_year,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                 * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
-       - CAST(sum(ps_supplycost_cents * CAST(l_quantity AS BIGINT)) AS DOUBLE) / 100.0
+       - CAST(sum(ps_supplycost_cents * CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) / 100.0
            AS profit
 FROM lineitem
 JOIN part ON l_partkey = p_partkey AND p_name LIKE '{name_prefix}%'
@@ -940,20 +964,8 @@ def tpch_q2ish(
         .filter((F.col("p_type") == p_type) & (F.col("p_size") <= max_size))
         .select("p_partkey", "p_brand")
     )
-    nation = load_table(spark, sf_dir, "nation")
-    region_df = load_table(spark, sf_dir, "region").filter(F.col("r_name") == region)
-    sup = (
-        load_table(spark, sf_dir, "supplier")
-        .join(
-            F.broadcast(
-                nation.join(
-                    F.broadcast(region_df),
-                    nation.n_regionkey == region_df.r_regionkey,
-                ).select("n_nationkey", "n_name")
-            ),
-            F.col("s_nationkey") == F.col("n_nationkey"),
-        )
-        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    sup = _regional_suppliers(
+        spark, sf_dir, region, ("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     regional = ps.join(F.broadcast(sup), F.col("ps_suppkey") == F.col("s_suppkey"))
     min_cost = regional.groupBy(F.col("ps_partkey").alias("mc_partkey")).agg(
@@ -1027,21 +1039,7 @@ def tpch_q11ish(
     order-insensitive).
     """
     ps = _partsupp(spark, sf_dir)
-    nation = load_table(spark, sf_dir, "nation")
-    region_df = load_table(spark, sf_dir, "region").filter(F.col("r_name") == region)
-    sup = (
-        load_table(spark, sf_dir, "supplier")
-        .join(
-            F.broadcast(
-                nation.join(
-                    F.broadcast(region_df),
-                    nation.n_regionkey == region_df.r_regionkey,
-                ).select("n_nationkey")
-            ),
-            F.col("s_nationkey") == F.col("n_nationkey"),
-        )
-        .select("s_suppkey")
-    )
+    sup = _regional_suppliers(spark, sf_dir, region, ("s_suppkey",))
     value = F.col("ps_supplycost_cents") * F.col("ps_availqty")
     per_part = (
         ps.join(F.broadcast(sup), F.col("ps_suppkey") == F.col("s_suppkey"))
@@ -1207,21 +1205,7 @@ def tpch_q20ish(
         .select("ps_suppkey")
         .distinct()
     )
-    nation = load_table(spark, sf_dir, "nation")
-    region_df = load_table(spark, sf_dir, "region").filter(F.col("r_name") == region)
-    sup = (
-        load_table(spark, sf_dir, "supplier")
-        .join(
-            F.broadcast(
-                nation.join(
-                    F.broadcast(region_df),
-                    nation.n_regionkey == region_df.r_regionkey,
-                ).select("n_nationkey", "n_name")
-            ),
-            F.col("s_nationkey") == F.col("n_nationkey"),
-        )
-        .select("s_suppkey", "s_name", "n_name")
-    )
+    sup = _regional_suppliers(spark, sf_dir, region, ("s_suppkey", "s_name", "n_name"))
     return sup.join(
         excess, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi"
     ).select("s_suppkey", "s_name", "n_name")

@@ -47,7 +47,7 @@ US = 1_000_000
 def _keyed_stream(
     spark: SparkSession,
     sf_dir: str,
-    types: list[str],
+    types: list[str] | None,
     n_chunks: int = 4,
     watermark: str = "10 minutes",
 ) -> DataFrame:
@@ -55,14 +55,17 @@ def _keyed_stream(
 
     The sentinel row must flow through the watermark operator (its
     event time is what flushes pending deadlines), so the type filter
-    keeps it alongside the operator's real event types.
+    keeps it alongside the operator's real event types. ``types=None``
+    means NO type filter — required for processors whose batch twin
+    (and oracle) ranges over every event type: a hardcoded type list
+    there would silently diverge the day the data grows a new type.
     """
     ev = events_stream(
         spark, sf_dir, n_chunks=n_chunks, sentinel=True, watermark=watermark
     )
-    return ev.filter(
-        F.col("event_type").isin(list(types) + [SENTINEL_TYPE])
-    ).select(
+    if types is not None:
+        ev = ev.filter(F.col("event_type").isin(list(types) + [SENTINEL_TYPE]))
+    return ev.select(
         "user_id",
         "event_type",
         "event_id",
@@ -223,9 +226,11 @@ def consecutive_events_func(fail_type: str, gap_s: int):
 
 
 def consec_fail_stream(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> DataFrame:
-    """ST2 streaming-exact — equals the batch lag() formulation."""
-    types = ["view", "click", "purchase", "signup", "error"]
-    inp = _keyed_stream(spark, sf_dir, types, n_chunks=n_chunks)
+    """ST2 streaming-exact — equals the batch lag() formulation.
+
+    No type filter: the batch twin's lag() compares against the
+    previous event of ANY type, so the stream must see them all."""
+    inp = _keyed_stream(spark, sf_dir, None, n_chunks=n_chunks)
     out = inp.groupBy("user_id").applyInPandasWithState(
         consecutive_events_func("error", 7200),
         outputStructType="user_id BIGINT, first_fail_s BIGINT, last_fail_s BIGINT",
@@ -530,19 +535,43 @@ def trailing_features_func(window_days: int = 7):
         batch = _rows(pdfs)
         if batch is None:
             return
+        from collections import deque
+
         ts_buf, purch_buf = state.get if state.exists else ([], [])
-        buf = list(zip(list(ts_buf), list(purch_buf)))
+        buf = deque(zip(list(ts_buf), list(purch_buf)))
+        # running totals + the same-µs tail run make each event O(1)
+        # amortized (deque popleft eviction, no per-event buffer scan —
+        # the O(events) promise the batch RANGE frame makes). The tail
+        # run may span a micro-batch boundary, so it is re-derived from
+        # the carried buffer, bounded by same-µs peers (tiny).
+        n_buf = len(buf)
+        p_buf = sum(p for _, p in buf)
+        cur_us, cur_n, cur_p = None, 0, 0
+        if buf:
+            cur_us = buf[-1][0]
+            for t, p in reversed(buf):
+                if t != cur_us:
+                    break
+                cur_n += 1
+                cur_p += p
         out = []
         for r in batch.itertuples(index=False):
             if r.event_type == SENTINEL_TYPE:
                 continue
             us = int(r.ts_us)
+            if us != cur_us:
+                cur_us, cur_n, cur_p = us, 0, 0
             while buf and buf[0][0] < us - horizon_us:
-                buf.pop(0)
-            n_prev = sum(1 for t, _ in buf if t < us)
-            n_purch = sum(1 for t, p in buf if t < us and p)
-            out.append((int(r.event_id), key[0], us, n_prev, n_purch))
-            buf.append((us, 1 if r.event_type == "purchase" else 0))
+                _, p = buf.popleft()
+                n_buf -= 1
+                p_buf -= p
+            out.append((int(r.event_id), key[0], us, n_buf - cur_n, p_buf - cur_p))
+            p = 1 if r.event_type == "purchase" else 0
+            buf.append((us, p))
+            n_buf += 1
+            p_buf += p
+            cur_n += 1
+            cur_p += p
         state.update(([t for t, _ in buf], [p for _, p in buf]))
         if out:
             yield pd.DataFrame(
@@ -560,9 +589,11 @@ def trailing_features_stream(
     batch ``user_trailing_features`` (online feature computation must
     equal the offline training features, or the model trains on a
     distribution it never sees at serving time — the classic
-    online/offline skew this twin-oracle setup proves absent)."""
-    types = ["view", "click", "purchase", "signup", "error"]
-    inp = _keyed_stream(spark, sf_dir, types, n_chunks=n_chunks)
+    online/offline skew this twin-oracle setup proves absent).
+
+    No type filter: the batch RANGE frame (and its oracle) counts
+    every event type."""
+    inp = _keyed_stream(spark, sf_dir, None, n_chunks=n_chunks)
     out = inp.groupBy("user_id").applyInPandasWithState(
         trailing_features_func(window_days),
         outputStructType=(

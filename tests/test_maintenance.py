@@ -127,3 +127,40 @@ def test_erase_users_roundtrip(spark, sf_dir):
     back = spark.read.parquet(path)
     assert back.filter(F.col("user_id") % 101 == 0).count() == 0
     assert back.count() == n_total - n_blocked
+
+
+def test_erase_users_total_over_null_user(spark, sf_dir, tmp_path):
+    """Totality over a nullable user_id (r7 review finding): a NULL
+    user is on no erasure list, so it must be KEPT by the rewrite and
+    absent from the audit — the bare %-predicate would silently delete
+    it from the store without a trace. Oracle-matched on the crafted
+    nullable corpus."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from flink_project_userbehavioranalysis_spark.io import TABLES
+    from flink_project_userbehavioranalysis_spark.operators import maintenance as M
+    from tests.oracle import assert_matches_oracle
+
+    d = tmp_path / "sf_nulluser"
+    d.mkdir()
+    for t in TABLES:
+        if t != "events":
+            shutil.copy(f"{sf_dir}/{t}.parquet", str(d / f"{t}.parquet"))
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    nulled = ev.limit(3).withColumn("user_id", F.lit(None).cast("long"))
+    # single FILE (not a Spark part-dir): DuckDB's read_parquet in the
+    # oracle harness points at the bare path
+    staging = str(tmp_path / "events_staging")
+    ev.unionByName(nulled).coalesce(1).write.parquet(staging)
+    import glob as _glob
+
+    part = _glob.glob(f"{staging}/part-*.parquet")[0]
+    shutil.copy(part, str(d / "events.parquet"))
+
+    df = M.erase_users_roundtrip(spark, str(d))
+    assert_matches_oracle(df, M.erase_users_oracle_sql(), str(d))
+    back = spark.read.parquet(M._scratch_dir(spark, "erase", str(d)))
+    assert back.filter(F.col("user_id").isNull()).count() == 3  # kept
+    assert back.filter(F.col("user_id") % 101 == 0).count() == 0  # erased

@@ -157,7 +157,7 @@ def test_aqe_skew_join_split(spark):
             conf.set(k, v)
 
 
-def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+def test_runtime_bloom_filter_join_pruning(spark):
     """Runtime bloom-filter semi-join reduction (the 100 TB fact-fact
     join saver): with the optimizer's runtime bloom filter enabled, a
     selective dim-side filter injects a might_contain() pre-filter on
@@ -167,7 +167,8 @@ def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
     engine leaves the default planner state untouched elsewhere."""
     import pyspark.sql.functions as FF
 
-    sf = "/root/testdata/sf0.01"
+    from tests.conftest import SF_DIR_MID as sf
+
     li = spark.read.parquet(f"{sf}/lineitem.parquet")
     orders = spark.read.parquet(f"{sf}/orders.parquet").filter(
         FF.col("o_orderpriority") == "1-URGENT"
