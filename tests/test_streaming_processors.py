@@ -93,3 +93,59 @@ def test_trailing_features_stream_equals_batch_oracle(spark, sf_dir):
         B.user_trailing_features_oracle_sql(),
         sf_dir,
     )
+
+
+def test_trailing_features_func_cross_batch_same_microsecond():
+    """Unit-drive the generator across micro-batch boundaries with
+    same-µs peers straddling the split — the tail-run re-derivation
+    path the real corpus never exercises (no same-user same-µs events
+    in the shipped testdata). Frame contract: count strictly-earlier
+    events within [us - horizon, us - 1]; same-µs peers excluded;
+    t = us - horizon exactly INCLUDED."""
+    import pandas as pd
+
+    from flink_project_userbehavioranalysis_spark.streaming.processors import (
+        trailing_features_func,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self.hasTimedOut = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    fn = trailing_features_func(window_days=7)
+    horizon = 7 * 86_400 * 1_000_000
+    state = FakeState()
+
+    def run(rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts_us", "event_type"]
+        ).assign(user_id=1)
+        out = list(fn((1,), iter([pdf]), state))
+        return list(out[0].itertuples(index=False)) if out else []
+
+    # batch 1: two same-µs events at t=100, one purchase
+    r1 = run([(1, 100, "purchase"), (2, 100, "view")])
+    assert [(r.n_prev, r.n_prev_purchases) for r in r1] == [(0, 0), (0, 0)]
+    # batch 2 REOPENS the same microsecond, then moves on: the third
+    # peer at t=100 must still see 0 (state-carried tail run), and the
+    # t=200 event sees all three
+    r2 = run([(3, 100, "view"), (4, 200, "click")])
+    assert [(r.n_prev, r.n_prev_purchases) for r in r2] == [(0, 0), (3, 1)]
+    # eviction boundary: t exactly us - horizon is IN the frame;
+    # one µs older is OUT
+    r3 = run([(5, 100 + horizon, "view")])
+    assert [(r.n_prev, r.n_prev_purchases) for r in r3] == [(4, 1)]
+    r4 = run([(6, 201 + horizon, "view")])
+    # frame [201, 200+horizon]: 100,100,100 AND 200 all evicted
+    # (200 < 201); only the event at 100+horizon remains
+    assert [(r.n_prev, r.n_prev_purchases) for r in r4] == [(1, 0)]
