@@ -148,3 +148,32 @@ def test_dynamic_partition_pruning_on_joined_dim(spark, sf_dir, tmp_path):
     )
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_schema_evolution_across_partitions(spark, tmp_path):
+    """Day-partitioned stores evolve: a new column appears in newer
+    partitions. mergeSchema reads must union the schemas with NULL
+    backfill for old partitions — the ingest-compatibility property a
+    long-lived 100 TB table depends on (no rewrite of history when a
+    producer adds a field)."""
+    import pyspark.sql.functions as F
+
+    base = str(tmp_path / "evolving")
+    old = spark.range(5).select(
+        F.col("id").alias("user_id"), F.lit("view").alias("event_type")
+    )
+    new = spark.range(5, 8).select(
+        F.col("id").alias("user_id"),
+        F.lit("click").alias("event_type"),
+        F.lit("web").alias("channel"),  # the evolved column
+    )
+    old.write.parquet(f"{base}/dt=2026-01-01")
+    new.write.parquet(f"{base}/dt=2026-01-02")
+    back = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(back.columns) == {"user_id", "event_type", "channel", "dt"}
+    assert back.count() == 8
+    # old-partition rows surface the evolved column as NULL, new ones typed
+    assert back.filter(F.col("dt") == "2026-01-01").filter(F.col("channel").isNull()).count() == 5
+    assert back.filter(F.col("dt") == "2026-01-02").filter(F.col("channel") == "web").count() == 3
+    # predicate on the evolved column still prunes correctly
+    assert back.filter(F.col("channel").isNotNull()).count() == 3
