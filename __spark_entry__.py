@@ -207,6 +207,7 @@ _TIER2 = [
     "negative_sample_pairs",
     "user_tier_scd2",
     "events_with_tier_asof",
+    "churn_labels",
 ]
 # --- tier 3: rows-only by design (sketches / ANN / NB) --------------
 _TIER3 = [
@@ -574,6 +575,11 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
             _bx.negative_sample_pairs,
             _bx.negative_sample_pairs_oracle_sql(),
         ),
+        # behavior pillar (r7): forward-looking churn labels with
+        # explicit censoring — the LABEL half of the training set whose
+        # FEATURE half is user_trailing_features (strictly-backward
+        # features ⋈ strictly-forward labels = leakage-free dataset)
+        "churn_labels": (_bx.churn_labels, _bx.churn_labels_oracle_sql()),
         # NetworkFlow extension: per-item traffic-spike z-score flags
         "pv_anomaly": (_nf.pv_anomaly, _nf.pv_anomaly_oracle_sql()),
         # P5 regex extract/filter family

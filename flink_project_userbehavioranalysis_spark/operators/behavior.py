@@ -727,3 +727,85 @@ SELECT user_id, item_id, CAST(rnk AS BIGINT) AS rnk FROM (
     FROM cand
 ) WHERE rnk <= {int(k)}
 """
+
+
+# ------------------------------------------------------- churn label windows
+
+
+def churn_labels(
+    spark: SparkSession, sf_dir: str, horizon_hours: int = 24
+) -> DataFrame:
+    """Forward-looking churn-label generation — the LABEL half of a
+    training set whose FEATURE half is ``user_trailing_features``: for
+    every (user, active hour), did the user go silent for the next
+    ``horizon_hours``? Labels look strictly FORWARD (features look
+    strictly backward), so joining the two on (user, time) yields a
+    leakage-free supervised dataset. Hour grain matches this stream's
+    activity cadence (a day-grain label is ~all-negative here: users
+    touch the product most days, but ~10% of active hours are followed
+    by a >24 h silence — a learnable target).
+
+    Censoring is explicit: an hour less than ``horizon_hours`` before
+    the corpus end cannot be labeled (the future is unobserved), so
+    those rows are EXCLUDED rather than silently labeled 0 — the
+    mistake that poisons churn models with truncated negatives.
+
+    Scale shape: distinct (user, hour) activity + one user-key window
+    for the next-active-hour lead (both share one shuffle); the corpus
+    end is a 1-row broadcast. All outputs exact integers.
+
+    Output: (user_id, hour_s, next_gap_hours, churned) —
+    next_gap_hours NULL when the user never returns (churned = 1).
+    """
+    ev = load_events(spark, sf_dir)
+    hourly = ev.select(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).distinct()
+    nxt = Window.partitionBy("user_id").orderBy("h")
+    max_h = ev.groupBy().agg(F.date_trunc("hour", F.max("ts")).alias("max_h"))
+    horizon = int(horizon_hours) * 3600
+    return (
+        hourly.withColumn("next_h", F.lead("h").over(nxt))
+        .crossJoin(F.broadcast(max_h))
+        .filter(F.col("h").cast("long") + horizon <= F.col("max_h").cast("long"))
+        .select(
+            "user_id",
+            F.col("h").cast("long").alias("hour_s"),
+            (
+                (F.col("next_h").cast("long") - F.col("h").cast("long"))
+                / F.lit(3600)
+            ).cast("long").alias("next_gap_hours"),
+            F.when(
+                F.col("next_h").isNull()
+                | (F.col("next_h").cast("long") - F.col("h").cast("long") > horizon),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("churned"),
+        )
+    )
+
+
+def churn_labels_oracle_sql(horizon_hours: int = 24) -> str:
+    horizon = int(horizon_hours) * 3600
+    return f"""
+WITH hourly AS (
+    SELECT DISTINCT user_id,
+           CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS hs
+    FROM events
+), mx AS (
+    SELECT CAST(epoch(date_trunc('hour', max(CAST(ts AS TIMESTAMP)))) AS BIGINT) AS max_s
+    FROM events
+), led AS (
+    SELECT user_id, hs,
+           lead(hs) OVER (PARTITION BY user_id ORDER BY hs) AS next_s
+    FROM hourly
+)
+SELECT user_id, hs AS hour_s,
+       CAST((next_s - hs) / 3600 AS BIGINT) AS next_gap_hours,
+       CAST(CASE WHEN next_s IS NULL OR next_s - hs > {horizon}
+                 THEN 1 ELSE 0 END AS BIGINT) AS churned
+FROM led, mx
+WHERE hs + {horizon} <= mx.max_s
+"""

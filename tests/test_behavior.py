@@ -329,3 +329,34 @@ def test_negative_sample_pairs_are_true_negatives(spark, sf_dir):
         assert len(rnks) <= 5
     again = {(r["user_id"], r["item_id"], r["rnk"]) for r in B.negative_sample_pairs(spark, sf_dir).collect()}
     assert again == {(r["user_id"], r["item_id"], r["rnk"]) for r in rows}
+
+
+def test_churn_labels_censoring_and_semantics(spark, sf_dir):
+    """Labels look strictly forward, censored hours are absent, every
+    label equals a brute recount of the user's future activity, and
+    both classes exist (non-vacuous target)."""
+    from collections import defaultdict
+
+    df = B.churn_labels(spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    ev = (
+        load_events(spark, sf_dir)
+        .select("user_id", F.date_trunc("hour", "ts").cast("long").alias("hs"))
+        .distinct()
+    )
+    by_user = defaultdict(set)
+    max_s = 0
+    for r in ev.collect():
+        by_user[r["user_id"]].add(r["hs"])
+        max_s = max(max_s, r["hs"])
+    horizon = 24 * 3600
+    for r in rows[:500]:
+        assert r["hour_s"] + horizon <= max_s  # censored rows excluded
+        future = {x for x in by_user[r["user_id"]] if x > r["hour_s"]}
+        nxt = min(future) if future else None
+        want = 1 if (nxt is None or nxt - r["hour_s"] > horizon) else 0
+        assert r["churned"] == want, r
+        assert r["next_gap_hours"] == ((nxt - r["hour_s"]) // 3600 if nxt else None)
+    labels = {r["churned"] for r in rows}
+    assert labels == {0, 1}
