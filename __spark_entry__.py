@@ -208,6 +208,8 @@ _TIER2 = [
     "user_tier_scd2",
     "events_with_tier_asof",
     "churn_labels",
+    "churn_training_set",
+    "hashed_features",
 ]
 # --- tier 3: rows-only by design (sketches / ANN / NB) --------------
 _TIER3 = [
@@ -359,6 +361,10 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
             _text.quality_weighted_sample,
             _text.quality_weighted_sample_oracle_sql(),
         ),
+        # §2.10 feature hashing (r7): vocabulary-free fixed-width
+        # sparse featurization — md5-mod bucket per token, one
+        # partial-aggregated (doc, idx) shuffle, sparse long output
+        "hashed_features": (_text.hashed_features, _text.hashed_features_oracle_sql()),
         # §2.10 token-entropy quality signal (repetition/boilerplate)
         "doc_entropy": (_text.doc_entropy, _text.DOC_ENTROPY_SQL),
         # §2.10 passage-level dedup scrub (RefinedWeb/C4 line-wise dedup)
@@ -580,6 +586,13 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         # FEATURE half is user_trailing_features (strictly-backward
         # features ⋈ strictly-forward labels = leakage-free dataset)
         "churn_labels": (_bx.churn_labels, _bx.churn_labels_oracle_sql()),
+        # behavior pillar (r7): the end-to-end supervised-dataset
+        # assembly — strictly-backward features ⋈ strictly-forward
+        # labels at (user, hour) aggregate grain, one fact scan
+        "churn_training_set": (
+            _bx.churn_training_set,
+            _bx.churn_training_set_oracle_sql(),
+        ),
         # NetworkFlow extension: per-item traffic-spike z-score flags
         "pv_anomaly": (_nf.pv_anomaly, _nf.pv_anomaly_oracle_sql()),
         # P5 regex extract/filter family

@@ -809,3 +809,87 @@ SELECT user_id, hs AS hour_s,
 FROM led, mx
 WHERE hs + {horizon} <= mx.max_s
 """
+
+
+# ------------------------------------------------------ training-set assembly
+
+
+def churn_training_set(
+    spark: SparkSession,
+    sf_dir: str,
+    horizon_hours: int = 24,
+    feature_days: int = 7,
+) -> DataFrame:
+    """END-TO-END supervised-dataset assembly in one declarative
+    dataflow: for every labeled (user, active hour) from
+    ``churn_labels``, the strictly-backward activity features over the
+    trailing ``feature_days`` — features end BEFORE the hour starts,
+    the label starts AFTER the hour's activity, so the dataset is
+    leakage-free by construction on both sides.
+
+    Scale shape: everything runs at (user, hour) aggregate grain — the
+    hourly rollup is ONE partial-aggregated shuffle of raw events, and
+    the trailing sums are a RANGE window over those hourly aggregates
+    (≈ user-hours rows, not events), sharing the same user-key
+    clustering as the label window and the final join. No second scan
+    of the fact table for features vs labels.
+
+    Output: (user_id, hour_s, n_prev_7d, n_purch_7d, churned) — exact
+    integers, one row per labeled example.
+    """
+    ev = load_events(spark, sf_dir)
+    hourly = (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("np"),
+        )
+        .select("user_id", F.col("h").cast("long").alias("hour_s"), "n", "np")
+    )
+    # strictly-backward frame: hours in [hour_s - feature_days, hour_s)
+    horizon_s = int(feature_days) * 86_400
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_s")
+        .rangeBetween(-horizon_s, -1)
+    )
+    feats = hourly.select(
+        "user_id",
+        "hour_s",
+        F.coalesce(F.sum("n").over(w), F.lit(0)).cast("long").alias("n_prev_7d"),
+        F.coalesce(F.sum("np").over(w), F.lit(0)).cast("long").alias("n_purch_7d"),
+    )
+    labels = churn_labels(spark, sf_dir, horizon_hours=horizon_hours).select(
+        "user_id", "hour_s", "churned"
+    )
+    return feats.join(labels, ["user_id", "hour_s"]).select(
+        "user_id", "hour_s", "n_prev_7d", "n_purch_7d", "churned"
+    )
+
+
+def churn_training_set_oracle_sql(
+    horizon_hours: int = 24, feature_days: int = 7
+) -> str:
+    labels = churn_labels_oracle_sql(horizon_hours).strip()
+    horizon_s = int(feature_days) * 86_400
+    return f"""
+WITH labels AS ({labels}),
+hourly AS (
+    SELECT user_id,
+           CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS hour_s,
+           count(*) AS n,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np
+    FROM events GROUP BY 1, 2
+), feats AS (
+    SELECT user_id, hour_s,
+           CAST(coalesce(sum(n) OVER w, 0) AS BIGINT) AS n_prev_7d,
+           CAST(coalesce(sum(np) OVER w, 0) AS BIGINT) AS n_purch_7d
+    FROM hourly
+    WINDOW w AS (PARTITION BY user_id ORDER BY hour_s
+                 RANGE BETWEEN {horizon_s} PRECEDING AND 1 PRECEDING)
+)
+SELECT f.user_id, f.hour_s, f.n_prev_7d, f.n_purch_7d, l.churned
+FROM feats f JOIN labels l ON f.user_id = l.user_id AND f.hour_s = l.hour_s
+"""

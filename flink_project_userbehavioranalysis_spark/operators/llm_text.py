@@ -1499,3 +1499,57 @@ WITH t AS (
 SELECT doc_id, n_toks, u
 FROM b WHERE u * (n_toks + {int(k)}) < n_toks * {16 ** 8}
 """
+
+
+def hashed_features(
+    spark: SparkSession, sf_dir: str, dims: int = 1024, seed: str = "fh1"
+) -> DataFrame:
+    """Feature hashing (the "hashing trick") — fixed-width sparse
+    feature vectors for linear/GBDT baselines without a vocabulary
+    pass: every token maps to ``md5(seed:token) mod dims``; the doc's
+    feature value is the count of its tokens landing in that bucket.
+    No vocabulary state, no OOV, stable across corpus growth — which
+    is exactly why it is the standard first featurizer at 100 TB (the
+    alternative, a fitted vocabulary index, is itself a corpus-sized
+    table that must version with the data).
+
+    Scale shape: explode → ONE partial-aggregated (doc, idx) shuffle;
+    the hash is a pure row function (no broadcast, no state). Sparse
+    long format (doc_id, feat_idx, cnt) IS the training-ready layout —
+    dense assembly is a consumer concern.
+
+    Output: (doc_id, feat_idx, cnt) — exact integers.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    idx = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}:"), F.col("tok")).cast("binary")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % int(dims)
+    )
+    return (
+        docs.select("doc_id", F.explode(F.split(F.coalesce("text", F.lit("")), " ")).alias("tok"))
+        .select("doc_id", idx.alias("feat_idx"))
+        .groupBy("doc_id", "feat_idx")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def hashed_features_oracle_sql(dims: int = 1024, seed: str = "fh1") -> str:
+    digit = "(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+    val = " + ".join(f"{digit.format(i=i + 1)} * {16 ** (7 - i)}" for i in range(8))
+    return f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS tok
+    FROM documents
+), hashed AS (
+    SELECT doc_id, md5('{seed}:' || tok) AS h FROM toks
+)
+SELECT doc_id, CAST(({val}) % {int(dims)} AS BIGINT) AS feat_idx,
+       count(*) AS cnt
+FROM hashed GROUP BY 1, 2
+"""

@@ -360,3 +360,36 @@ def test_churn_labels_censoring_and_semantics(spark, sf_dir):
         assert r["next_gap_hours"] == ((nxt - r["hour_s"]) // 3600 if nxt else None)
     labels = {r["churned"] for r in rows}
     assert labels == {0, 1}
+
+
+def test_churn_training_set_is_leakage_free(spark, sf_dir):
+    """Features recount only strictly-earlier activity; every row
+    carries a label from churn_labels; one row per labeled example."""
+    from collections import defaultdict
+
+    df = B.churn_training_set(spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    labels = {
+        (r["user_id"], r["hour_s"]): r["churned"]
+        for r in B.churn_labels(spark, sf_dir).collect()
+    }
+    assert len(rows) == len(labels)  # exactly the labeled examples
+    ev = load_events(spark, sf_dir).select(
+        "user_id",
+        F.date_trunc("hour", "ts").cast("long").alias("hs"),
+        "event_type",
+    )
+    by_user = defaultdict(list)
+    for r in ev.collect():
+        by_user[r["user_id"]].append((r["hs"], r["event_type"]))
+    for r in rows[:300]:
+        assert labels[(r["user_id"], r["hour_s"])] == r["churned"]
+        lo = r["hour_s"] - 7 * 86_400
+        prev = [t for t, _ in by_user[r["user_id"]] if lo <= t < r["hour_s"]]
+        purch = [
+            t for t, k in by_user[r["user_id"]]
+            if lo <= t < r["hour_s"] and k == "purchase"
+        ]
+        assert r["n_prev_7d"] == len(prev), r
+        assert r["n_purch_7d"] == len(purch), r

@@ -477,3 +477,26 @@ def test_quality_weighted_sample_properties(spark, sf_dir):
     }
     assert other != again
     assert 0.5 < len(other) / len(again) < 2.0
+
+
+def test_hashed_features_conservation_and_width(spark, sf_dir):
+    """Feature hashing: per-doc counts conserve the doc's token count,
+    indices stay inside [0, dims), and the map is seed-stable."""
+    df = llm_text.hashed_features(spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    assert all(0 <= r["feat_idx"] < 1024 for r in rows)
+    from collections import defaultdict
+
+    per_doc = defaultdict(int)
+    for r in rows:
+        per_doc[r["doc_id"]] += r["cnt"]
+    toks = {
+        r["doc_id"]: r["n"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.size(F.split(F.coalesce("text", F.lit("")), " ")).alias("n"))
+        .collect()
+    }
+    assert per_doc == {d: n for d, n in toks.items()}
+    again = {(r["doc_id"], r["feat_idx"], r["cnt"]) for r in llm_text.hashed_features(spark, sf_dir).collect()}
+    assert again == {(r["doc_id"], r["feat_idx"], r["cnt"]) for r in rows}
