@@ -233,6 +233,7 @@ _TIER4 = [
     "pii_scrub_stream",
     "gopher_quality_stream",
     "chunk_documents_stream",
+    "hashed_features_stream",
     "pv_hourly_stream",
     "uv_hourly_stream",
     "hot_items_stream",
@@ -713,6 +714,14 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "chunk_documents_stream": (
             _stw.chunk_documents_stream,
             _text.chunk_documents_oracle_sql(),
+        ),
+        # stateless streaming feature hashing (r7): ingest-time
+        # featurization — row-local counts via Arrow-batched
+        # mapInPandas replicating the batch md5-mod arithmetic
+        # bit-exactly (batch oracle ≡ streaming oracle)
+        "hashed_features_stream": (
+            _stw.hashed_features_stream,
+            _text.hashed_features_oracle_sql(),
         ),
         "pv_hourly_stream": (_stw.pv_hourly_stream, _nf.PV_HOURLY_SQL),
         "uv_hourly_stream": (_stw.uv_hourly_stream, _nf.UV_HOURLY_SQL),

@@ -824,3 +824,55 @@ def expectations_stream(
         (F.col("n_violations") == 0).alias("passed"),
     )
     return run_update_merge(rows, ["window_end", "check"], spark)
+
+
+def hashed_features_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    dims: int = 1024,
+    seed: str = "fh1",
+    n_chunks: int = 4,
+) -> DataFrame:
+    """Stateless streaming feature hashing — ingest-time featurization
+    of the document feed (append mode, zero state: each document is
+    one atomic row, so its sparse feature counts are row-local and
+    need no cross-row aggregation). Arrow-batched ``mapInPandas``
+    replicating the batch operator's md5-mod arithmetic bit-exactly
+    (same first-8-hex-digits base-16 parse, same modulus), so the
+    batch oracle IS the streaming oracle — the vocabulary-free twin of
+    the ``pii_scrub_stream``/``chunk_documents_stream`` family.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    from flink_project_userbehavioranalysis_spark.streaming.replay import (
+        run_append_memory,
+    )
+
+    d = int(dims)
+
+    def featurize(pdfs):
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            out_doc, out_idx, out_cnt = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                counts: dict[int, int] = {}
+                for tok in (text or "").split(" "):
+                    h = hashlib.md5(f"{seed}:{tok}".encode()).hexdigest()[:8]
+                    idx = int(h, 16) % d
+                    counts[idx] = counts.get(idx, 0) + 1
+                for idx, cnt in counts.items():
+                    out_doc.append(doc_id)
+                    out_idx.append(idx)
+                    out_cnt.append(cnt)
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "feat_idx": out_idx, "cnt": out_cnt}
+            )
+
+    docs = docs_stream(spark, sf_dir, n_chunks=n_chunks).select("doc_id", "text")
+    feats = docs.mapInPandas(
+        featurize, schema="doc_id long, feat_idx long, cnt long"
+    )
+    return run_append_memory(feats, "hashed_features_stream", spark)

@@ -266,3 +266,17 @@ def test_dedup_incremental_stream_matches_batch_fingerprints(spark, sf_dir):
     b = {r["set_md5"] for r in batch.collect()}
     assert s == b
     assert st.count() == len(s)  # one survivor per fingerprint
+
+
+def test_hashed_features_stream_equals_batch_oracle(spark, sf_dir):
+    """Ingest-time featurization ≡ the batch operator's oracle — the
+    Python md5-mod replication must be bit-exact vs the JVM path."""
+    from flink_project_userbehavioranalysis_spark.operators import llm_text
+    from flink_project_userbehavioranalysis_spark.streaming import windowed as W
+    from tests.oracle import assert_matches_oracle
+
+    assert_matches_oracle(
+        W.hashed_features_stream(spark, sf_dir),
+        llm_text.hashed_features_oracle_sql(),
+        sf_dir,
+    )
