@@ -210,6 +210,8 @@ _TIER2 = [
     "churn_labels",
     "churn_training_set",
     "hashed_features",
+    "dup_spans",
+    "dup_span_scrub",
 ]
 # --- tier 3: rows-only by design (sketches / ANN / NB) --------------
 _TIER3 = [
@@ -370,6 +372,14 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "doc_entropy": (_text.doc_entropy, _text.DOC_ENTROPY_SQL),
         # §2.10 passage-level dedup scrub (RefinedWeb/C4 line-wise dedup)
         "passage_scrub": (_text.passage_scrub, _text.passage_scrub_oracle_sql()),
+        # §2.10 exact-substring span dedup (Lee et al. 2022 ExactSubstr
+        # at word-w-gram resolution): stride-1 grams → corpus frequency
+        # → maximal merged duplicated spans (gaps-and-islands) ...
+        "dup_spans": (_text.dup_spans, _text.dup_spans_oracle_sql()),
+        # ... and the removal half: global-first occurrence survives
+        # (min packed (doc_id,p) key on the same frequency shuffle),
+        # later copies scrub out, surviving words reassemble in order
+        "dup_span_scrub": (_text.dup_span_scrub, _text.dup_span_scrub_oracle_sql()),
         # §2.10 unigram-LM surprisal (CCNet/Gopher perplexity filter)
         "unigram_surprisal": (_text.unigram_surprisal, _text.UNIGRAM_SURPRISAL_SQL),
         # bigram LM perplexity filter: map-only bigram extraction,

@@ -1553,3 +1553,262 @@ SELECT doc_id, CAST(({val}) % {int(dims)} AS BIGINT) AS feat_idx,
        count(*) AS cnt
 FROM hashed GROUP BY 1, 2
 """
+
+
+# ------------------------------------- duplicated-substring span dedup
+
+
+def _dup_gram_positions(
+    docs: DataFrame, w: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared front half of the ExactSubstr pair: stage token arrays
+    once per doc, slide a stride-1 ``w``-gram over every position, and
+    return (staged docs, gram occurrences).
+
+    Occurrence keys are (doc_id, p) with p the 0-based word index of
+    the gram start; downstream frequency passes group on md5(gram) —
+    a narrow 16-byte key, never the raw text — and partial-aggregate
+    map-side.
+    """
+    staged = (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") >= w)
+    )
+    grams = staged.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n") - w),
+                lambda i: F.array_join(F.slice(F.col("toks"), i + 1, w), " "),
+            )
+        ).alias("p", "gram"),
+    ).select(
+        "doc_id", F.col("p").cast("long").alias("p"),
+        F.md5(F.col("gram").cast("binary")).alias("g_md5"),
+    )
+    return staged, grams
+
+
+def dup_spans(spark: SparkSession, sf_dir: str, w: int = 4) -> DataFrame:
+    """Cross-document duplicated-substring span detection — the
+    reporting half of exact-substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"),
+    approximated at word-``w``-gram resolution: every position whose
+    sliding ``w``-gram occurs more than once ANYWHERE in the corpus
+    (another doc or elsewhere in the same doc) marks a duplicated
+    interval [p, p+w-1]; overlapping/adjacent intervals per doc merge
+    into maximal spans (classic gaps-and-islands over the running max
+    start). Unlike ``passage_scrub`` (fixed non-overlapping passages),
+    the stride-1 gram catches duplication at ANY alignment, and the
+    island merge reports each contiguous duplicated run exactly once.
+
+    Scale shape: gram generation is map-only off a once-staged token
+    array (output ≈ one row per corpus word — the inherent cost of
+    stride-1 ExactSubstr); frequency is ONE partial-aggregated shuffle
+    on the 16-byte md5; the probe is an equi-join on the same key; the
+    island merge is one doc_id shuffle with a per-doc-bounded running
+    max. No all-pairs or suffix-array stage; at 100 TB the frequency
+    pass can additionally pre-filter singleton grams with a bloom /
+    Count-Min sketch before the join (same pattern as
+    ``item_freq_sketch``).
+
+    Output: (doc_id, span_start, span_end, n_words_dup) — 0-based
+    inclusive word positions, exact integers.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    _, grams = _dup_gram_positions(docs, w)
+    freq = grams.groupBy("g_md5").agg(F.count("*").alias("n_occ"))
+    dup = (
+        grams.join(freq.filter(F.col("n_occ") > 1), "g_md5")
+        .select("doc_id", "p")
+    )
+    order = Window.partitionBy("doc_id").orderBy("p")
+    prev_max = F.max("p").over(order.rowsBetween(Window.unboundedPreceding, -1))
+    new_island = (
+        F.when(prev_max.isNull() | (F.col("p") > prev_max + w), 1).otherwise(0)
+    )
+    island = F.sum("new_island").over(
+        order.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        dup.withColumn("new_island", new_island)
+        .withColumn("island", island)
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("p").alias("span_start"),
+            (F.max("p") + F.lit(w - 1)).cast("long").alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("n_words_dup"),
+        )
+    )
+
+
+def dup_spans_oracle_sql(w: int = 4) -> str:
+    return f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks,
+           len(string_split(text, ' ')) AS n
+    FROM documents WHERE text IS NOT NULL
+), g AS (
+    SELECT doc_id, i AS p,
+           array_to_string(list_slice(toks, i + 1, i + {w}), ' ') AS gram
+    FROM (SELECT doc_id, toks,
+                 unnest(range(0, n - {w} + 1)) AS i
+          FROM t WHERE n >= {w})
+), f AS (
+    SELECT gram FROM g GROUP BY 1 HAVING count(*) > 1
+), d AS (
+    SELECT g.doc_id, g.p FROM g JOIN f USING (gram)
+), isl AS (
+    SELECT doc_id, p,
+           CASE WHEN max(p) OVER pw IS NULL
+                  OR p > max(p) OVER pw + {w}
+                THEN 1 ELSE 0 END AS new_island
+    FROM d
+    WINDOW pw AS (PARTITION BY doc_id ORDER BY p
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), num AS (
+    SELECT doc_id, p,
+           sum(new_island) OVER (PARTITION BY doc_id ORDER BY p
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS island
+    FROM isl
+)
+SELECT doc_id,
+       CAST(min(p) AS BIGINT) AS span_start,
+       CAST(max(p) + {w} - 1 AS BIGINT) AS span_end,
+       CAST(max(p) - min(p) + {w} AS BIGINT) AS n_words_dup
+FROM num GROUP BY doc_id, island
+"""
+
+
+def dup_span_scrub(spark: SparkSession, sf_dir: str, w: int = 4) -> DataFrame:
+    """The removal half of exact-substring dedup (Lee et al. 2022):
+    every duplicated ``w``-gram occurrence EXCEPT the corpus-wide
+    first (min occurrence key — a deterministic associative aggregate,
+    so one copy of every phrase survives for training) marks a scrub
+    interval; intervals merge into maximal spans per doc (same island
+    logic as ``dup_spans``); the surviving words reassemble in
+    original order. Docs with nothing duplicated pass through whole.
+
+    The occurrence key packs (doc_id, p) into ONE BIGINT
+    (doc_id·2³² + p) so "first" is a plain integer min on both
+    engines — no struct-ordering semantics to keep in parity.
+
+    Scale shape: survivor election rides the same partial-aggregated
+    frequency shuffle as dup_spans (count + min in one pass); span
+    containment is evaluated per doc against its own collected span
+    list (merged spans are provably disjoint — island boundaries
+    require a ≥2-word gap — and per-doc-bounded), so reassembly is an
+    expression-level filter-with-index, not a range join.
+
+    Output: (doc_id, clean_text, n_words, n_removed).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    _, grams = _dup_gram_positions(docs, w)
+    key = (F.col("doc_id") * F.lit(2**32) + F.col("p")).alias("occ_key")
+    occ = grams.select("g_md5", "doc_id", "p", key)
+    first = occ.groupBy("g_md5").agg(
+        F.count("*").alias("n_occ"), F.min("occ_key").alias("first_key")
+    )
+    scrub = (
+        occ.join(first.filter(F.col("n_occ") > 1), "g_md5")
+        .filter(F.col("occ_key") != F.col("first_key"))
+        .select("doc_id", "p")
+    )
+    order = Window.partitionBy("doc_id").orderBy("p")
+    prev_max = F.max("p").over(order.rowsBetween(Window.unboundedPreceding, -1))
+    new_island = (
+        F.when(prev_max.isNull() | (F.col("p") > prev_max + w), 1).otherwise(0)
+    )
+    spans = (
+        scrub.withColumn("new_island", new_island)
+        .withColumn(
+            "island",
+            F.sum("new_island").over(order.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("p").alias("s"),
+            (F.max("p") + F.lit(w - 1)).cast("long").alias("e"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("sp"))
+    )
+    toks = (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", F.split("text", " ").alias("toks"))
+    )
+    sp = F.coalesce(F.col("sp"), F.array().cast("array<struct<s:bigint,e:bigint>>"))
+    kept = F.filter(
+        "toks",
+        lambda x, i: ~F.exists(sp, lambda r: (i >= r["s"]) & (i <= r["e"])),
+    )
+    return (
+        toks.join(spans, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.array_join(kept, " ").alias("clean_text"),
+            F.size("toks").cast("long").alias("n_words"),
+            (F.size("toks") - F.size(kept)).cast("long").alias("n_removed"),
+        )
+    )
+
+
+def dup_span_scrub_oracle_sql(w: int = 4) -> str:
+    return f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks,
+           len(string_split(text, ' ')) AS n
+    FROM documents WHERE text IS NOT NULL
+), g AS (
+    SELECT doc_id, i AS p,
+           array_to_string(list_slice(toks, i + 1, i + {w}), ' ') AS gram
+    FROM (SELECT doc_id, toks,
+                 unnest(range(0, n - {w} + 1)) AS i
+          FROM t WHERE n >= {w})
+), f AS (
+    SELECT gram, min(doc_id * 4294967296 + p) AS first_key
+    FROM g GROUP BY 1 HAVING count(*) > 1
+), d AS (
+    SELECT g.doc_id, g.p FROM g JOIN f USING (gram)
+    WHERE g.doc_id * 4294967296 + g.p != f.first_key
+), isl AS (
+    SELECT doc_id, p,
+           CASE WHEN max(p) OVER pw IS NULL
+                  OR p > max(p) OVER pw + {w}
+                THEN 1 ELSE 0 END AS new_island
+    FROM d
+    WINDOW pw AS (PARTITION BY doc_id ORDER BY p
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), num AS (
+    SELECT doc_id, p,
+           sum(new_island) OVER (PARTITION BY doc_id ORDER BY p
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS island
+    FROM isl
+), spans AS (
+    SELECT doc_id, min(p) AS s, max(p) + {w} - 1 AS e
+    FROM num GROUP BY doc_id, island
+), toks AS (
+    SELECT doc_id, unnest(toks) AS tok,
+           generate_subscripts(toks, 1) - 1 AS i
+    FROM t
+), marked AS (
+    SELECT k.doc_id, k.tok, k.i, s.doc_id IS NOT NULL AS covered
+    FROM toks k LEFT JOIN spans s
+      ON k.doc_id = s.doc_id AND k.i BETWEEN s.s AND s.e
+)
+SELECT doc_id,
+       coalesce(string_agg(tok, ' ' ORDER BY i)
+                FILTER (WHERE NOT covered), '') AS clean_text,
+       count(*) AS n_words,
+       count(*) FILTER (WHERE covered) AS n_removed
+FROM marked GROUP BY doc_id
+"""

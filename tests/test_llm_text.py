@@ -500,3 +500,68 @@ def test_hashed_features_conservation_and_width(spark, sf_dir):
     assert per_doc == {d: n for d, n in toks.items()}
     again = {(r["doc_id"], r["feat_idx"], r["cnt"]) for r in llm_text.hashed_features(spark, sf_dir).collect()}
     assert again == {(r["doc_id"], r["feat_idx"], r["cnt"]) for r in rows}
+
+
+def _span_docs(spark, tmp_path):
+    """Crafted corpus for the ExactSubstr pair: doc 5 is an exact copy
+    of doc 1; doc 2 shares the run "c d e f" with doc 1 at a shifted
+    alignment; doc 3 is unique; doc 4 is NULL text."""
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "x c d e f y"),
+            (3, "unique words only here"),
+            (4, None),
+            (5, "a b c d e f"),
+        ],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    return sf
+
+
+def test_dup_spans_crafted_island_merge(spark, tmp_path):
+    """Overlapping stride-1 dup grams must merge into ONE maximal span
+    per contiguous run (not one row per gram), catch duplication at a
+    shifted alignment (doc 2 vs doc 1 — invisible to fixed passage
+    boundaries), and skip NULL-text docs entirely."""
+    sf = _span_docs(spark, tmp_path)
+    got = sorted(tuple(r) for r in llm_text.dup_spans(spark, sf, w=2).collect())
+    assert got == [(1, 0, 5, 6), (2, 1, 4, 4), (5, 0, 5, 6)]
+
+
+def test_dup_span_scrub_global_first_survives(spark, tmp_path):
+    """Survivor election: the corpus-wide FIRST occurrence (min packed
+    (doc_id, p) key) keeps its text — doc 1 passes through whole while
+    its exact copy doc 5 scrubs to empty, and doc 2 loses only the
+    shared run, keeping its unique frame words."""
+    sf = _span_docs(spark, tmp_path)
+    got = sorted(tuple(r) for r in llm_text.dup_span_scrub(spark, sf, w=2).collect())
+    assert got == [
+        (1, "a b c d e f", 6, 0),
+        (2, "x y", 6, 4),
+        (3, "unique words only here", 4, 0),
+        (5, "", 6, 6),
+    ]
+
+
+def test_dup_span_oracles_agree_on_crafted_corpus(spark, tmp_path):
+    """Both DuckDB oracle formulations reproduce the crafted expected
+    values — so the registered parity is semantic, not coincidental on
+    the shipped corpus."""
+    import duckdb
+
+    sf = _span_docs(spark, tmp_path)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    spans = sorted(tuple(r) for r in con.execute(llm_text.dup_spans_oracle_sql(w=2)).fetchall())
+    assert spans == [(1, 0, 5, 6), (2, 1, 4, 4), (5, 0, 5, 6)]
+    scrub = sorted(tuple(r) for r in con.execute(llm_text.dup_span_scrub_oracle_sql(w=2)).fetchall())
+    assert scrub == [
+        (1, "a b c d e f", 6, 0),
+        (2, "x y", 6, 4),
+        (3, "unique words only here", 4, 0),
+        (5, "", 6, 6),
+    ]
