@@ -212,6 +212,7 @@ _TIER2 = [
     "hashed_features",
     "dup_spans",
     "dup_span_scrub",
+    "dup_span_incremental",
 ]
 # --- tier 3: rows-only by design (sketches / ANN / NB) --------------
 _TIER3 = [
@@ -380,6 +381,13 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         # (min packed (doc_id,p) key on the same frequency shuffle),
         # later copies scrub out, surviving words reassemble in order
         "dup_span_scrub": (_text.dup_span_scrub, _text.dup_span_scrub_oracle_sql()),
+        # §2.10 ingestion-time span detection: batch grams probe the
+        # corpus's distinct-gram index (LEFT SEMI — work ∝ batch, not
+        # corpus), same discipline as dedup/near_dup_incremental
+        "dup_span_incremental": (
+            _text.dup_span_incremental,
+            _text.dup_span_incremental_oracle_sql(),
+        ),
         # §2.10 unigram-LM surprisal (CCNet/Gopher perplexity filter)
         "unigram_surprisal": (_text.unigram_surprisal, _text.UNIGRAM_SURPRISAL_SQL),
         # bigram LM perplexity filter: map-only bigram extraction,

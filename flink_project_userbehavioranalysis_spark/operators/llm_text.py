@@ -1591,6 +1591,33 @@ def _dup_gram_positions(
     return staged, grams
 
 
+def _merge_islands(positions: DataFrame, w: int) -> DataFrame:
+    """Gaps-and-islands merge of fixed-length-``w`` intervals: input
+    (doc_id, p) marked positions → (doc_id, span_start, span_end)
+    maximal merged spans. One doc_id shuffle; the running max is
+    per-doc-bounded. A new island starts when the next interval can no
+    longer touch the furthest end seen (p > max_prev_p + w), so merged
+    spans are disjoint with a ≥2-word gap between them."""
+    order = Window.partitionBy("doc_id").orderBy("p")
+    prev_max = F.max("p").over(order.rowsBetween(Window.unboundedPreceding, -1))
+    new_island = (
+        F.when(prev_max.isNull() | (F.col("p") > prev_max + w), 1).otherwise(0)
+    )
+    return (
+        positions.withColumn("new_island", new_island)
+        .withColumn(
+            "island",
+            F.sum("new_island").over(order.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("p").alias("span_start"),
+            (F.max("p") + F.lit(w - 1)).cast("long").alias("span_end"),
+        )
+        .select("doc_id", "span_start", "span_end")
+    )
+
+
 def dup_spans(spark: SparkSession, sf_dir: str, w: int = 4) -> DataFrame:
     """Cross-document duplicated-substring span detection — the
     reporting half of exact-substring dedup (Lee et al. 2022,
@@ -1624,28 +1651,11 @@ def dup_spans(spark: SparkSession, sf_dir: str, w: int = 4) -> DataFrame:
         grams.join(freq.filter(F.col("n_occ") > 1), "g_md5")
         .select("doc_id", "p")
     )
-    order = Window.partitionBy("doc_id").orderBy("p")
-    prev_max = F.max("p").over(order.rowsBetween(Window.unboundedPreceding, -1))
-    new_island = (
-        F.when(prev_max.isNull() | (F.col("p") > prev_max + w), 1).otherwise(0)
-    )
-    island = F.sum("new_island").over(
-        order.rowsBetween(Window.unboundedPreceding, 0)
-    )
-    return (
-        dup.withColumn("new_island", new_island)
-        .withColumn("island", island)
-        .groupBy("doc_id", "island")
-        .agg(
-            F.min("p").alias("span_start"),
-            (F.max("p") + F.lit(w - 1)).cast("long").alias("span_end"),
-        )
-        .select(
-            "doc_id",
-            "span_start",
-            "span_end",
-            (F.col("span_end") - F.col("span_start") + 1).alias("n_words_dup"),
-        )
+    return _merge_islands(dup, w).select(
+        "doc_id",
+        "span_start",
+        "span_end",
+        (F.col("span_end") - F.col("span_start") + 1).alias("n_words_dup"),
     )
 
 
@@ -1722,21 +1732,12 @@ def dup_span_scrub(spark: SparkSession, sf_dir: str, w: int = 4) -> DataFrame:
         .filter(F.col("occ_key") != F.col("first_key"))
         .select("doc_id", "p")
     )
-    order = Window.partitionBy("doc_id").orderBy("p")
-    prev_max = F.max("p").over(order.rowsBetween(Window.unboundedPreceding, -1))
-    new_island = (
-        F.when(prev_max.isNull() | (F.col("p") > prev_max + w), 1).otherwise(0)
-    )
     spans = (
-        scrub.withColumn("new_island", new_island)
-        .withColumn(
-            "island",
-            F.sum("new_island").over(order.rowsBetween(Window.unboundedPreceding, 0)),
-        )
-        .groupBy("doc_id", "island")
-        .agg(
-            F.min("p").alias("s"),
-            (F.max("p") + F.lit(w - 1)).cast("long").alias("e"),
+        _merge_islands(scrub, w)
+        .select(
+            "doc_id",
+            F.col("span_start").alias("s"),
+            F.col("span_end").alias("e"),
         )
         .groupBy("doc_id")
         .agg(F.collect_list(F.struct("s", "e")).alias("sp"))
@@ -1811,4 +1812,84 @@ SELECT doc_id,
        count(*) AS n_words,
        count(*) FILTER (WHERE covered) AS n_removed
 FROM marked GROUP BY doc_id
+"""
+
+
+def dup_span_incremental(
+    spark: SparkSession, sf_dir: str, w: int = 4, split_id: int = 250
+) -> DataFrame:
+    """Ingestion-time exact-substring span detection — the incremental
+    form a live pipeline runs: mark the spans of NEW batch documents
+    (``doc_id >= split_id``) that duplicate text already in the
+    ingested corpus (``doc_id < split_id``), without re-scanning
+    corpus-vs-corpus pairs. The candidate stage probes the corpus's
+    distinct-gram index with the batch's grams, so work is ∝ batch
+    size, not corpus size — the same index-probe discipline as
+    ``dedup_incremental`` (fingerprint index) and
+    ``near_dup_incremental`` (LSH band index).
+
+    At 100 TB the index is a persisted bucketed table of 16-byte gram
+    md5s maintained by appending each ingested batch's grams; the
+    LEFT SEMI probe then co-locates on the bucket hash with no
+    corpus-side shuffle (AQE broadcasts it while small). Intra-batch
+    duplication is ``dup_spans`` run on the batch alone; this operator
+    is the corpus-contamination half.
+
+    Output: (doc_id, span_start, span_end, n_words_dup) for batch
+    docs only — same shape as ``dup_spans``.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    _, batch_grams = _dup_gram_positions(
+        docs.filter(F.col("doc_id") >= split_id), w
+    )
+    _, corpus_grams = _dup_gram_positions(
+        docs.filter(F.col("doc_id") < split_id), w
+    )
+    index = corpus_grams.select("g_md5").distinct()
+    hits = batch_grams.join(index, "g_md5", "left_semi").select("doc_id", "p")
+    return _merge_islands(hits, w).select(
+        "doc_id",
+        "span_start",
+        "span_end",
+        (F.col("span_end") - F.col("span_start") + 1).alias("n_words_dup"),
+    )
+
+
+def dup_span_incremental_oracle_sql(w: int = 4, split_id: int = 250) -> str:
+    return f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks,
+           len(string_split(text, ' ')) AS n
+    FROM documents WHERE text IS NOT NULL
+), g AS (
+    SELECT doc_id, i AS p,
+           array_to_string(list_slice(toks, i + 1, i + {w}), ' ') AS gram
+    FROM (SELECT doc_id, toks,
+                 unnest(range(0, n - {w} + 1)) AS i
+          FROM t WHERE n >= {w})
+), hits AS (
+    SELECT b.doc_id, b.p FROM g b
+    WHERE b.doc_id >= {split_id}
+      AND EXISTS (SELECT 1 FROM g c
+                  WHERE c.doc_id < {split_id} AND c.gram = b.gram)
+), isl AS (
+    SELECT doc_id, p,
+           CASE WHEN max(p) OVER pw IS NULL
+                  OR p > max(p) OVER pw + {w}
+                THEN 1 ELSE 0 END AS new_island
+    FROM hits
+    WINDOW pw AS (PARTITION BY doc_id ORDER BY p
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), num AS (
+    SELECT doc_id, p,
+           sum(new_island) OVER (PARTITION BY doc_id ORDER BY p
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS island
+    FROM isl
+)
+SELECT doc_id,
+       CAST(min(p) AS BIGINT) AS span_start,
+       CAST(max(p) + {w} - 1 AS BIGINT) AS span_end,
+       CAST(max(p) - min(p) + {w} AS BIGINT) AS n_words_dup
+FROM num GROUP BY doc_id, island
 """

@@ -565,3 +565,39 @@ def test_dup_span_oracles_agree_on_crafted_corpus(spark, tmp_path):
         (3, "unique words only here", 4, 0),
         (5, "", 6, 6),
     ]
+
+
+def test_dup_span_incremental_probe_semantics(spark, tmp_path):
+    """Incremental span detection marks only BATCH docs, only where
+    their text exists in the CORPUS — intra-batch duplication (docs 10
+    vs 11 here) is out of scope by design (that's dup_spans on the
+    batch), and corpus docs never appear in the output."""
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [
+            (1, "a b c d e f"),          # corpus
+            (2, "p q r s"),              # corpus
+            (10, "z z a b c d z"),       # batch: [2,5] hits corpus doc 1
+            (11, "z z a b c d z"),       # batch: same — intra-batch dup ignored
+            (12, "totally new words here"),  # batch: no corpus overlap
+        ],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    got = sorted(
+        tuple(r)
+        for r in llm_text.dup_span_incremental(spark, sf, w=2, split_id=10).collect()
+    )
+    assert got == [(10, 2, 5, 4), (11, 2, 5, 4)]
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    oracle = sorted(
+        tuple(r)
+        for r in con.execute(
+            llm_text.dup_span_incremental_oracle_sql(w=2, split_id=10)
+        ).fetchall()
+    )
+    assert got == oracle
