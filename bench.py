@@ -85,6 +85,7 @@ HEADLINE = [
     "tpch_q9ish",             # three-fact join over the derived partsupp
     "user_trailing_features", # per-event RANGE-frame feature generation
     "uv_trailing_sketch",     # hourly-sketch fan-out trailing UV
+    "dup_span_scrub",         # stride-1 gram ExactSubstr scrub + reassembly
     # NOT benched: item_pagerank / kmeans_lloyd / cluster_canonical
     # eagerly materialize (localCheckpoint / iterate) at DataFrame-
     # construction time, so timing their collect() would measure a

@@ -137,6 +137,16 @@ EXHIBITS = [
         "keys beyond that; a bucketed fingerprint index co-locates it.",
     ),
     (
+        "dup_span_scrub",
+        "Exact-substring span dedup (removal half): grams are md5-hashed "
+        "map-side so the ONE frequency exchange carries 16-byte keys + "
+        "a packed BIGINT occurrence key, never gram text; survivor "
+        "election (count + min) partial-aggregates before it; the span "
+        "probe is an equi-join on the same key; island merge and "
+        "reassembly stay under one doc_id partitioning — reassembly is "
+        "an expression-level filter-with-index, no range join.",
+    ),
+    (
         "funnel_conversion",
         "Behavior-analytics funnel: three narrow (user_id, ts) equi-"
         "joins chained under one user-key partitioning — each stage's "
