@@ -82,6 +82,10 @@ QUERIES = [
     "quality_weighted_sample",
     "negative_sample_pairs",
     "uv_trailing_sketch",
+    # r7 additions: exact-substring span dedup family
+    "dup_spans",
+    "dup_span_scrub",
+    "dup_span_incremental",
 ]
 # tpch_q3ish/q6ish are NOT in the smoke: synthesize() scales events/
 # documents/embeddings only, so a lineitem query would report a flat
