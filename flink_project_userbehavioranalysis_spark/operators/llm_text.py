@@ -1558,12 +1558,10 @@ FROM hashed GROUP BY 1, 2
 # ------------------------------------- duplicated-substring span dedup
 
 
-def _dup_gram_positions(
-    docs: DataFrame, w: int
-) -> tuple[DataFrame, DataFrame]:
+def _dup_gram_positions(docs: DataFrame, w: int) -> DataFrame:
     """Shared front half of the ExactSubstr pair: stage token arrays
     once per doc, slide a stride-1 ``w``-gram over every position, and
-    return (staged docs, gram occurrences).
+    return the gram occurrences.
 
     Occurrence keys are (doc_id, p) with p the 0-based word index of
     the gram start; downstream frequency passes group on md5(gram) —
@@ -1576,7 +1574,7 @@ def _dup_gram_positions(
         .withColumn("n", F.size("toks"))
         .filter(F.col("n") >= w)
     )
-    grams = staged.select(
+    return staged.select(
         "doc_id",
         F.posexplode(
             F.transform(
@@ -1588,7 +1586,36 @@ def _dup_gram_positions(
         "doc_id", F.col("p").cast("long").alias("p"),
         F.md5(F.col("gram").cast("binary")).alias("g_md5"),
     )
-    return staged, grams
+
+
+def _prune_singleton_grams(grams: DataFrame, buckets: int) -> DataFrame:
+    """Singleton-gram pre-filter for the ExactSubstr frequency pass — a
+    depth-1 counting sketch (counting Bloom filter) expressed as plain
+    DataFrame ops so Catalyst keeps it whole-stage-codegen'd.
+
+    Pass 1 counts grams per hash bucket: map-side combine bounds each
+    task's shuffle contribution at ``buckets`` partial rows no matter
+    how many grams it emits — at 100 TB this shuffle is ~0.01% of the
+    raw gram volume. Only buckets holding ≥2 occurrences can contain a
+    duplicated gram, so the LEFT SEMI probe (AQE broadcasts the hot-
+    bucket list while it is small) drops the overwhelmingly-singleton
+    tail BEFORE the exact per-gram frequency shuffle. Sound by
+    construction: a true duplicate's bucket always counts ≥2, so no
+    false negatives — only hash-collision false positives, which the
+    exact frequency pass then removes. Same estimate-never-under
+    discipline as ``item_freq_sketch``'s Count-Min probe.
+    """
+    hot = (
+        grams.groupBy(F.pmod(F.xxhash64("g_md5"), F.lit(buckets)).alias("gb"))
+        .agg(F.count("*").alias("bn"))
+        .filter(F.col("bn") > 1)
+        .select("gb")
+    )
+    return (
+        grams.withColumn("gb", F.pmod(F.xxhash64("g_md5"), F.lit(buckets)))
+        .join(hot, "gb", "left_semi")
+        .drop("gb")
+    )
 
 
 def _merge_islands(positions: DataFrame, w: int) -> DataFrame:
@@ -1597,7 +1624,9 @@ def _merge_islands(positions: DataFrame, w: int) -> DataFrame:
     maximal merged spans. One doc_id shuffle; the running max is
     per-doc-bounded. A new island starts when the next interval can no
     longer touch the furthest end seen (p > max_prev_p + w), so merged
-    spans are disjoint with a ≥2-word gap between them."""
+    spans are disjoint with a ≥1-word gap between them (the previous
+    island ends at max_prev_p + w - 1; the next starts at
+    ≥ max_prev_p + w + 1)."""
     order = Window.partitionBy("doc_id").orderBy("p")
     prev_max = F.max("p").over(order.rowsBetween(Window.unboundedPreceding, -1))
     new_island = (
@@ -1618,7 +1647,9 @@ def _merge_islands(positions: DataFrame, w: int) -> DataFrame:
     )
 
 
-def dup_spans(spark: SparkSession, sf_dir: str, w: int = 4) -> DataFrame:
+def dup_spans(
+    spark: SparkSession, sf_dir: str, w: int = 4, prefilter_buckets: int = 1 << 20
+) -> DataFrame:
     """Cross-document duplicated-substring span detection — the
     reporting half of exact-substring dedup (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better"),
@@ -1633,19 +1664,22 @@ def dup_spans(spark: SparkSession, sf_dir: str, w: int = 4) -> DataFrame:
 
     Scale shape: gram generation is map-only off a once-staged token
     array (output ≈ one row per corpus word — the inherent cost of
-    stride-1 ExactSubstr); frequency is ONE partial-aggregated shuffle
-    on the 16-byte md5; the probe is an equi-join on the same key; the
-    island merge is one doc_id shuffle with a per-doc-bounded running
-    max. No all-pairs or suffix-array stage; at 100 TB the frequency
-    pass can additionally pre-filter singleton grams with a bloom /
-    Count-Min sketch before the join (same pattern as
-    ``item_freq_sketch``).
+    stride-1 ExactSubstr); a depth-1 counting-sketch pre-filter
+    (:func:`_prune_singleton_grams` — bucket counts whose shuffle is
+    bounded at ``prefilter_buckets`` partial rows per task) drops the
+    singleton tail before the exact work; frequency is then ONE
+    partial-aggregated shuffle on the 16-byte md5 over the surviving
+    candidates; the probe is an equi-join on the same key; the island
+    merge is one doc_id shuffle with a per-doc-bounded running max.
+    No all-pairs or suffix-array stage.
 
     Output: (doc_id, span_start, span_end, n_words_dup) — 0-based
     inclusive word positions, exact integers.
     """
     docs = load_table(spark, sf_dir, "documents")
-    _, grams = _dup_gram_positions(docs, w)
+    grams = _prune_singleton_grams(
+        _dup_gram_positions(docs, w), prefilter_buckets
+    )
     freq = grams.groupBy("g_md5").agg(F.count("*").alias("n_occ"))
     dup = (
         grams.join(freq.filter(F.col("n_occ") > 1), "g_md5")
@@ -1698,7 +1732,9 @@ FROM num GROUP BY doc_id, island
 """
 
 
-def dup_span_scrub(spark: SparkSession, sf_dir: str, w: int = 4) -> DataFrame:
+def dup_span_scrub(
+    spark: SparkSession, sf_dir: str, w: int = 4, prefilter_buckets: int = 1 << 20
+) -> DataFrame:
     """The removal half of exact-substring dedup (Lee et al. 2022):
     every duplicated ``w``-gram occurrence EXCEPT the corpus-wide
     first (min occurrence key — a deterministic associative aggregate,
@@ -1707,23 +1743,30 @@ def dup_span_scrub(spark: SparkSession, sf_dir: str, w: int = 4) -> DataFrame:
     logic as ``dup_spans``); the surviving words reassemble in
     original order. Docs with nothing duplicated pass through whole.
 
-    The occurrence key packs (doc_id, p) into ONE BIGINT
-    (doc_id·2³² + p) so "first" is a plain integer min on both
-    engines — no struct-ordering semantics to keep in parity.
+    The occurrence key is the STRUCT (doc_id, p), elected with a plain
+    struct-min (lexicographic ordering on both engines) — no packed-
+    integer arithmetic, so arbitrary 64-bit doc_ids and document
+    lengths cannot overflow or collide.
 
-    Scale shape: survivor election rides the same partial-aggregated
-    frequency shuffle as dup_spans (count + min in one pass); span
-    containment is evaluated per doc against its own collected span
-    list (merged spans are provably disjoint — island boundaries
-    require a ≥2-word gap — and per-doc-bounded), so reassembly is an
-    expression-level filter-with-index, not a range join.
+    Scale shape: the depth-1 counting-sketch pre-filter
+    (:func:`_prune_singleton_grams`) drops the singleton tail first;
+    survivor election then rides the same partial-aggregated frequency
+    shuffle as dup_spans (count + min in one pass — sound under the
+    pre-filter because every occurrence of a true duplicate survives
+    it); span containment is evaluated per doc against its own
+    collected span list (merged spans are provably disjoint — island
+    boundaries enforce a ≥1-word gap — and per-doc-bounded), so
+    reassembly is an expression-level filter-with-index, not a range
+    join.
 
     Output: (doc_id, clean_text, n_words, n_removed).
     """
     docs = load_table(spark, sf_dir, "documents")
-    _, grams = _dup_gram_positions(docs, w)
-    key = (F.col("doc_id") * F.lit(2**32) + F.col("p")).alias("occ_key")
-    occ = grams.select("g_md5", "doc_id", "p", key)
+    grams = _prune_singleton_grams(
+        _dup_gram_positions(docs, w), prefilter_buckets
+    )
+    key = F.struct(F.col("doc_id").alias("d"), F.col("p").alias("pp"))
+    occ = grams.select("g_md5", "doc_id", "p", key.alias("occ_key"))
     first = occ.groupBy("g_md5").agg(
         F.count("*").alias("n_occ"), F.min("occ_key").alias("first_key")
     )
@@ -1775,11 +1818,11 @@ WITH t AS (
                  unnest(range(0, n - {w} + 1)) AS i
           FROM t WHERE n >= {w})
 ), f AS (
-    SELECT gram, min(doc_id * 4294967296 + p) AS first_key
+    SELECT gram, min({{'d': doc_id, 'pp': p}}) AS first_key
     FROM g GROUP BY 1 HAVING count(*) > 1
 ), d AS (
     SELECT g.doc_id, g.p FROM g JOIN f USING (gram)
-    WHERE g.doc_id * 4294967296 + g.p != f.first_key
+    WHERE {{'d': g.doc_id, 'pp': g.p}} != f.first_key
 ), isl AS (
     SELECT doc_id, p,
            CASE WHEN max(p) OVER pw IS NULL
@@ -1839,12 +1882,8 @@ def dup_span_incremental(
     docs only — same shape as ``dup_spans``.
     """
     docs = load_table(spark, sf_dir, "documents")
-    _, batch_grams = _dup_gram_positions(
-        docs.filter(F.col("doc_id") >= split_id), w
-    )
-    _, corpus_grams = _dup_gram_positions(
-        docs.filter(F.col("doc_id") < split_id), w
-    )
+    batch_grams = _dup_gram_positions(docs.filter(F.col("doc_id") >= split_id), w)
+    corpus_grams = _dup_gram_positions(docs.filter(F.col("doc_id") < split_id), w)
     index = corpus_grams.select("g_md5").distinct()
     hits = batch_grams.join(index, "g_md5", "left_semi").select("doc_id", "p")
     return _merge_islands(hits, w).select(

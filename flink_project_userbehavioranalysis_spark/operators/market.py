@@ -26,25 +26,39 @@ def count_by_channel_behavior(spark: SparkSession, sf_dir: str) -> DataFrame:
     [U]; its MarketingViewCount row carries windowStart AND windowEnd —
     A2 window-metadata decoration — so both bounds are emitted here).
     One shuffle, map-side partial agg; composite grouping key adds no
-    extra exchange. The channel *label* is built post-aggregation (on
-    ~windows×channels×behaviors rows, not per event) — group on the
-    integer bucket, format after; measured ~30% faster at sf0.1."""
+    extra exchange.
+
+    The registered surface is all-numeric except ``behavior``: the
+    channel is the raw integer bucket, NOT a formatted ``'chN'`` label.
+    The r7 bench profile (BASELINE.md §r7) pinned this query's gap to
+    client-side row decode of the ~11.5k-row result — the engine-side
+    plan was already at the floor — so the presentation string moved to
+    the :func:`count_by_channel_report` twin (the ``hot_items_report``
+    pattern): machine consumers read cheap fixed-width columns, humans
+    read the report."""
     events = load_events(spark, sf_dir)
     return (
         events.filter(F.col("event_type") != "error")  # P3 inequality filter (≈ UNINSTALL exclusion)
         .groupBy(
             F.window("ts", "1 hour").alias("w"),
-            (F.col("user_id") % CHANNELS).alias("chn"),
+            (F.col("user_id") % CHANNELS).alias("channel"),
             F.col("event_type").alias("behavior"),
         )
         .agg(F.count("*").alias("cnt"))
-        .select(
-            win_start_s(),
-            win_end_s(),
-            F.concat(F.lit("ch"), F.col("chn").cast("string")).alias("channel"),
-            "behavior",
-            "cnt",
-        )
+        .select(win_start_s(), win_end_s(), "channel", "behavior", "cnt")
+    )
+
+
+def count_by_channel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 presentation twin of :func:`count_by_channel_behavior`: the
+    human-facing ``'chN'`` channel label, built post-aggregation (on
+    ~windows×channels×behaviors rows, never per event)."""
+    return count_by_channel_behavior(spark, sf_dir).select(
+        "window_start",
+        "window_end",
+        F.concat(F.lit("ch"), F.col("channel").cast("string")).alias("channel"),
+        "behavior",
+        "cnt",
     )
 
 
@@ -116,6 +130,16 @@ def blacklist(spark: SparkSession, sf_dir: str, threshold: int = 2) -> DataFrame
 # ---------------------------------------------------------------- oracle SQL
 
 COUNT_BY_CHANNEL_BEHAVIOR_SQL = f"""
+SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start,
+       CAST(epoch(time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour') AS BIGINT) AS window_end,
+       user_id % {CHANNELS} AS channel,
+       event_type AS behavior,
+       COUNT(*) AS cnt
+FROM events WHERE event_type <> 'error'
+GROUP BY 1, 2, 3, 4
+"""
+
+COUNT_BY_CHANNEL_REPORT_SQL = f"""
 SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start,
        CAST(epoch(time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour') AS BIGINT) AS window_end,
        'ch' || CAST(user_id % {CHANNELS} AS VARCHAR) AS channel,

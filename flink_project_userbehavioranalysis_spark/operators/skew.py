@@ -68,7 +68,7 @@ def salted_count_by_channel(
         .select(
             F.col("w.start").cast("long").alias("window_start"),
             F.col("w.end").cast("long").alias("window_end"),
-            F.concat(F.lit("ch"), F.col("chn").cast("string")).alias("channel"),
+            F.col("chn").alias("channel"),
             "behavior",
             "cnt",
         )

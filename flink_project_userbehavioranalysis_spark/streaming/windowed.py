@@ -152,14 +152,14 @@ def count_by_channel_stream(
         ev.filter(F.col("event_type") != "error")
         .groupBy(
             F.window("ts", "1 hour").alias("w"),
-            (F.col("user_id") % CHANNELS).alias("chn"),
+            (F.col("user_id") % CHANNELS).alias("channel"),
             F.col("event_type").alias("behavior"),
         )
         .agg(F.count("*").alias("cnt"))
         .select(
             F.col("w.start").cast("long").alias("window_start"),
             F.col("w.end").cast("long").alias("window_end"),
-            F.concat(F.lit("ch"), F.col("chn").cast("string")).alias("channel"),
+            "channel",
             "behavior",
             "cnt",
         )

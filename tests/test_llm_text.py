@@ -531,7 +531,7 @@ def test_dup_spans_crafted_island_merge(spark, tmp_path):
 
 
 def test_dup_span_scrub_global_first_survives(spark, tmp_path):
-    """Survivor election: the corpus-wide FIRST occurrence (min packed
+    """Survivor election: the corpus-wide FIRST occurrence (struct-min
     (doc_id, p) key) keeps its text — doc 1 passes through whole while
     its exact copy doc 5 scrubs to empty, and doc 2 loses only the
     shared run, keeping its unique frame words."""
@@ -601,3 +601,49 @@ def test_dup_span_incremental_probe_semantics(spark, tmp_path):
         ).fetchall()
     )
     assert got == oracle
+
+
+def test_dup_span_prefilter_collision_soundness(spark, tmp_path):
+    """The depth-1 counting-sketch pre-filter must be results-invariant
+    at ANY bucket count: with buckets=1 every gram collides into one
+    hot bucket (pure false positives — the exact frequency pass removes
+    them all), and a generous table drops the singleton tail. Both
+    settings must reproduce the crafted expected spans and scrubs."""
+    sf = _span_docs(spark, tmp_path)
+    expected_spans = [(1, 0, 5, 6), (2, 1, 4, 4), (5, 0, 5, 6)]
+    expected_scrub = [
+        (1, "a b c d e f", 6, 0),
+        (2, "x y", 6, 4),
+        (3, "unique words only here", 4, 0),
+        (5, "", 6, 6),
+    ]
+    for buckets in (1, 1 << 20):
+        got = sorted(
+            tuple(r)
+            for r in llm_text.dup_spans(
+                spark, sf, w=2, prefilter_buckets=buckets
+            ).collect()
+        )
+        assert got == expected_spans, buckets
+        got = sorted(
+            tuple(r)
+            for r in llm_text.dup_span_scrub(
+                spark, sf, w=2, prefilter_buckets=buckets
+            ).collect()
+        )
+        assert got == expected_scrub, buckets
+
+
+def test_dup_span_scrub_large_doc_id_no_overflow(spark, tmp_path):
+    """Survivor election must stay correct for doc_ids past 2^31 (and
+    past 2^32): the struct-min key cannot overflow or collide, so the
+    lexicographically-first occurrence survives regardless of id
+    magnitude — the regression the packed-BIGINT key would fail."""
+    sf = str(tmp_path / "sf")
+    big = 1 << 40
+    spark.createDataFrame(
+        [(big + 7, "a b c d"), (big + 9, "a b c d"), (3, "a b c d")],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    got = sorted(tuple(r) for r in llm_text.dup_span_scrub(spark, sf, w=2).collect())
+    assert got == [(3, "a b c d", 4, 0), (big + 7, "", 4, 4), (big + 9, "", 4, 4)]

@@ -254,3 +254,19 @@ def test_tpch_q18_single_lineitem_scan_and_take_ordered(spark, sf_dir):
     # top-100 is a distributed TakeOrdered, never a global Sort
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dup_spans_singleton_prefilter_plan(spark, sf_dir):
+    """ExactSubstr span dedup must prune the singleton-gram tail BEFORE
+    the exact per-gram frequency shuffle: the depth-1 counting-sketch
+    pre-filter shows up as a partial-aggregated bucket count feeding a
+    LEFT SEMI hot-bucket probe — never a cartesian — so the frequency
+    exchange only carries duplicate candidates."""
+    from flink_project_userbehavioranalysis_spark.operators import llm_text as TXT
+
+    df = TXT.dup_spans(spark, sf_dir)
+    df.collect()  # finalize AQE so the physical join choice is visible
+    plan = _plan(df)
+    assert "LeftSemi" in plan
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
