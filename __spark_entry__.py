@@ -81,98 +81,127 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_operators_oracle.py asserts the invariants (every catalog
 # key ordered exactly once; first 50 all oracled; streaming last).
 # --- tier 1: hash-oracled, every module -----------------------------
-# Membership ROTATES a few slots per round (r6 verdict #7) so driver-
-# verified coverage accumulates instead of re-proving the same 50:
-# r7 swaps 12 r6-green rows to tier 2 and pulls in 11 never-driver-
-# verified entries + the new tpch_q9ish, keeping one-per-pillar and
-# the all-oracled invariant. The r6-red fix (embedding_centroids) and
-# its shape siblings (lang_centroids, kmeans_lloyd) sit early so the
-# red→green proof cannot fall off a time-budgeted tail.
+# Membership ROTATES per round (r6 verdict #7, r7 verdict #1) so
+# driver-verified coverage accumulates instead of re-proving the same
+# 50. r8 is the big sweep: every remaining never-driver-verified
+# hash-oracled batch entry is promoted (TPC-H waves 2/3 minus q14ish,
+# the r7 training-set/span-dedup/warehouse ops) alongside this round's
+# new or changed surfaces (integer-channel count_by_channel_behavior +
+# its report twin, the SCD2 MERGE, the now-oracled BMP codec pair) —
+# those sit FIRST so a time-budgeted tail cannot drop them — plus ten
+# already-green keepers, one per pillar, as regression canaries.
 _TIER1 = [
-    "hot_items_topn",
-    "embedding_centroids",
-    "lang_centroids",
-    "kmeans_lloyd",
-    "tpch_q9ish",
-    "pv_hourly",
-    "uv_hourly",
+    # changed/new this round (prove first)
     "count_by_channel_behavior",
+    "count_by_channel_report",
+    "user_tier_scd2_maintain",
+    "decode_meta",
+    "frame_sample",
+    "dup_spans",
+    "dup_span_scrub",
+    "dup_span_incremental",
+    # never-driver-verified promotions (r7-new ops)
+    "user_tier_scd2",
+    "events_with_tier_asof",
+    "user_trailing_features",
+    "churn_labels",
+    "churn_training_set",
+    "negative_sample_pairs",
+    "quality_weighted_sample",
+    "hashed_features",
+    "cluster_canonical",
+    "erase_users_roundtrip",
+    "bigram_lm_score",
+    "bpe_encode",
+    "vocab_coverage",
+    "hot_items_topn_direct",
+    # never-driver-verified promotions (TPC-H waves 2/3)
+    "tpch_q2ish",
+    "tpch_q4ish",
+    "tpch_q5ish",
+    "tpch_q6ish",
+    "tpch_q7ish",
+    "tpch_q8ish",
+    "tpch_q10ish",
+    "tpch_q11ish",
+    "tpch_q12ish",
+    "tpch_q13ish",
+    "tpch_q15ish",
+    "tpch_q16ish",
+    "tpch_q17ish",
+    "tpch_q18ish",
+    "tpch_q19ish",
+    "tpch_q20ish",
+    "tpch_q21ish",
+    "tpch_q22ish",
+    # per-pillar regression keepers (green in r7)
+    "hot_items_topn",
+    "pv_hourly",
+    "consec_fail",
+    "order_timeout",
+    "revenue_by_priority_salted",
+    "item_next_topk",
+    "asof_last_click",
+    "table_expectations",
+    "gopher_quality_filter",
+    "embedding_centroids",
+]
+# --- tier 2: remaining hash-oracled batch ---------------------------
+_TIER2 = [
+    "uv_hourly",
     "marketing_total",
     "ad_clicks_by_geo",
     "blacklist",
-    "consec_fail",
-    "order_timeout",
     "interval_join",
     "tx_reconcile",
     "tpch_q1ish",
+    "tpch_q3ish",
+    "tpch_q9ish",
+    "tpch_q14ish",
     "user_set_ops",
     "user_sessions",
     "funnel_conversion",
     "cohort_retention",
     "pv_rollup",
     "value_percentiles",
-    "revenue_by_priority_salted",
-    "item_next_topk",
-    "asof_last_click",
     "session_paths_topk",
     "ad_attribution",
     "rfm_segments",
     "dwell_gaps",
     "co_purchase_pairs_capped",
+    "co_purchase_pairs",
     "compact_roundtrip",
+    "mv_pv_hourly_maintain",
     "dedup_exact_events",
+    "dedup_exact_docs",
+    "dedup_incremental",
     "token_counts",
     "chunk_documents",
     "clean_corpus",
     "pii_scrub",
     "bpe_train",
+    "bpe_pair_stats",
     "corpus_shuffle_order",
     "behavior_pivot",
     "knn_topk",
-    "table_expectations",
     "ngram_jaccard_pairs",
     "near_dup_incremental",
     "simhash64",
+    "simhash_near_dup",
+    "minhash_near_dup",
     "near_dup_clusters",
+    "cosine_dup_pairs",
     "contamination_check",
-    "gopher_quality_filter",
     "pack_sequences",
     "prep_corpus",
     "binary_features",
-]
-# --- tier 2: remaining hash-oracled batch ---------------------------
-_TIER2 = [
-    "cosine_dup_pairs",
-    "hot_items_topn_direct",
+    "geomean_by_type",
     "hot_pages_topn",
     "pv_anomaly",
     "consec_fail_triple",
     "order_pay_matched",
     "item_pagerank",
-    "tpch_q3ish",
-    "tpch_q6ish",
-    "tpch_q5ish",
-    "tpch_q18ish",
-    "tpch_q13ish",
-    "tpch_q4ish",
-    "tpch_q7ish",
-    "tpch_q8ish",
-    "tpch_q10ish",
-    "tpch_q12ish",
-    "tpch_q14ish",
-    "tpch_q15ish",
-    "tpch_q17ish",
-    "tpch_q19ish",
-    "tpch_q21ish",
-    "tpch_q22ish",
-    "tpch_q2ish",
-    "tpch_q11ish",
-    "tpch_q16ish",
-    "tpch_q20ish",
-    "dedup_exact_docs",
-    "mv_pv_hourly_maintain",
     "range_join_tiers",
-    "co_purchase_pairs",
     "hot_items_report",
     "hot_items_topn_sql",
     "count_by_channel_salted",
@@ -185,34 +214,14 @@ _TIER2 = [
     "doc_entropy",
     "passage_scrub",
     "unigram_surprisal",
-    "bigram_lm_score",
     "normalize_text",
     "source_mix_sample",
-    "dedup_incremental",
-    "simhash_near_dup",
     "regex_extract_props",
     "date_roundtrip",
-    "vocab_coverage",
-    "bpe_pair_stats",
-    "bpe_encode",
-    "minhash_near_dup",
     "repetition_stats",
     "quantize_embeddings",
-    "geomean_by_type",
-    # r7 additions
-    "user_trailing_features",
-    "cluster_canonical",
-    "erase_users_roundtrip",
-    "quality_weighted_sample",
-    "negative_sample_pairs",
-    "user_tier_scd2",
-    "events_with_tier_asof",
-    "churn_labels",
-    "churn_training_set",
-    "hashed_features",
-    "dup_spans",
-    "dup_span_scrub",
-    "dup_span_incremental",
+    "lang_centroids",
+    "kmeans_lloyd",
 ]
 # --- tier 3: rows-only by design (sketches / ANN / NB) --------------
 _TIER3 = [
@@ -227,8 +236,6 @@ _TIER3 = [
     "cosine_dup_pairs_lsh",
     "semantic_dedup",
     "embedding_pca",
-    "decode_meta",
-    "frame_sample",
     "uv_trailing_sketch",
 ]
 # --- tier 4: streaming (finite replay jobs, seconds each) -----------
@@ -304,10 +311,18 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "uv_trailing_sketch": (_nf.uv_trailing_sketch, None),
         # W2 batch core
         "hot_pages_topn": (_nf.hot_pages_topn, _nf.hot_pages_oracle_sql()),
-        # A7 / P3
+        # A7 / P3 — registered surface is all-numeric except behavior
+        # (integer channel bucket; r7 bench profile pinned the old 'chN'
+        # label's cost to client row decode)
         "count_by_channel_behavior": (
             _market.count_by_channel_behavior,
             _market.COUNT_BY_CHANNEL_BEHAVIOR_SQL,
+        ),
+        # P8 presentation twin: the human-facing 'chN' label, built
+        # post-aggregation (the hot_items_report pattern)
+        "count_by_channel_report": (
+            _market.count_by_channel_report,
+            _market.COUNT_BY_CHANNEL_REPORT_SQL,
         ),
         # A8 / T5
         "marketing_total": (_market.marketing_total, _market.MARKETING_TOTAL_SQL),
@@ -709,9 +724,19 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
             _exp.table_expectations,
             _exp.table_expectations_oracle_sql(),
         ),
-        # §2.10 multimodal decode/frame-sample (stubbed codec — rows-only)
-        "decode_meta": (_mm.decode_meta_table, None),
-        "frame_sample": (_mm.frame_sample, None),
+        # warehouse modeling (r8): SCD2 incremental MERGE lifecycle —
+        # build on history, apply the newest day's delta TWICE
+        # (idempotent replay) via user-bucket dynamic partition
+        # overwrite; oracle = the full rebuild (maintained ≡ rebuilt)
+        "user_tier_scd2_maintain": (
+            _mt.user_tier_scd2_maintain,
+            _rel.user_tier_scd2_oracle_sql(),
+        ),
+        # §2.10 multimodal decode/frame-sample — REAL dependency-free
+        # BMP codec since r8 (header fields parsed at fixed offsets,
+        # bottom-up scanline extraction): exact-integer + md5 oracles
+        "decode_meta": (_mm.decode_meta_table, _mm.DECODE_META_SQL),
+        "frame_sample": (_mm.frame_sample, _mm.frame_sample_oracle_sql()),
         # ---- Streaming entries from here down: each runs a full finite
         # streaming job (seconds each) — kept LAST so a time-budgeted
         # driver gets every batch row first.

@@ -821,10 +821,10 @@ def user_tier_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     change detection (lag) → run ids (running sum) → per-run collapse
     → valid_to via lead over the collapsed runs. ONE user-key shuffle;
     the three window passes share its clustering; the collapse is a
-    partial-aggregated groupBy on (user, run). At 100 TB the incoming
-    day's delta merges into the stored SCD2 table with the same
-    dataflow over (current rows ∪ delta) + dynamic partition overwrite
-    — the write mechanics ``mv_pv_hourly_maintain`` already proves.
+    partial-aggregated groupBy on (user, run). The incoming day's
+    delta merges into the STORED SCD2 table without a rebuild via
+    ``maintenance.user_tier_scd2_maintain`` (registered) — a
+    user-bucket-partitioned MERGE whose cost ∝ delta.
 
     Output: (user_id, tier, valid_from, valid_to, n_days) — dates as
     ISO strings, valid_to NULL on each user's current row.
@@ -842,14 +842,15 @@ def _daily_counts(ev: DataFrame) -> DataFrame:
     )
 
 
-def _scd2_from_daily(daily_counts: DataFrame) -> DataFrame:
+def _tier_of(n) -> "F.Column":
+    """The shared day-count → activity-tier rule (exact integers)."""
+    return F.when(n <= 2, 0).when(n <= 5, 1).otherwise(2)
+
+
+def _scd2_from_daily(daily_counts: DataFrame, with_meta: bool = False) -> DataFrame:
     from pyspark.sql import Window
 
-    daily = daily_counts.select(
-        "user_id",
-        "d",
-        F.when(F.col("n") <= 2, 0).when(F.col("n") <= 5, 1).otherwise(2).alias("tier"),
-    )
+    daily = daily_counts.select("user_id", "d", _tier_of(F.col("n")).alias("tier"))
     by_user = Window.partitionBy("user_id").orderBy("d")
     runs = daily.withColumn(
         "new_run",
@@ -862,14 +863,23 @@ def _scd2_from_daily(daily_counts: DataFrame) -> DataFrame:
         F.max("tier").alias("tier"),  # constant within the run
         F.min("d").alias("valid_from_d"),
         F.count("*").alias("n_days"),
+        F.max("d").alias("last_day_d"),
     )
     by_user_runs = Window.partitionBy("user_id").orderBy("valid_from_d")
+    meta = (
+        # merge bookkeeping for the incremental MERGE consumer
+        # (operators/maintenance.py :: user_tier_scd2_maintain): the
+        # run's most recent event-day makes delta application
+        # idempotent — a replayed day is detectable as already counted
+        [F.col("last_day_d").cast("string").alias("last_day")] if with_meta else []
+    )
     return collapsed.select(
         "user_id",
         F.col("tier").cast("long").alias("tier"),
         F.col("valid_from_d").cast("string").alias("valid_from"),
         F.lead("valid_from_d").over(by_user_runs).cast("string").alias("valid_to"),
         "n_days",
+        *meta,
     )
 
 

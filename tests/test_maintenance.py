@@ -164,3 +164,120 @@ def test_erase_users_total_over_null_user(spark, sf_dir, tmp_path):
     back = spark.read.parquet(M._scratch_dir(spark, "erase", str(d)))
     assert back.filter(F.col("user_id").isNull()).count() == 3  # kept
     assert back.filter(F.col("user_id") % 101 == 0).count() == 0  # erased
+
+
+def _scd2_store(spark, tmp_path, rows):
+    """Write a crafted SCD2 store (contract cols + merge meta) and
+    return its path. rows: (user, tier, vfrom, vto, n_days, last_day)."""
+    path = str(tmp_path / "scd2_store")
+    (
+        spark.createDataFrame(
+            rows,
+            "user_id long, tier long, valid_from string, valid_to string,"
+            " n_days long, last_day string",
+        )
+        .withColumn("ub", mt._scd2_bucket(4))
+        .write.mode("overwrite")
+        .partitionBy("ub")
+        .parquet(path)
+    )
+    return path
+
+
+def test_apply_scd2_delta_merge_cases(spark, tmp_path):
+    """One delta exercises every MERGE branch at once: extension (same
+    tier), close+open (tier change), brand-new user insert, untouched
+    user pass-through, and closed-row immutability."""
+    path = _scd2_store(
+        spark,
+        tmp_path,
+        [
+            (1, 0, "2024-01-01", "2024-01-03", 2, "2024-01-02"),  # closed: immutable
+            (1, 1, "2024-01-03", None, 1, "2024-01-03"),  # current: will extend
+            (2, 2, "2024-01-01", None, 3, "2024-01-03"),  # current: tier change
+            (3, 0, "2024-01-02", None, 1, "2024-01-02"),  # untouched by delta
+        ],
+    )
+    delta = spark.createDataFrame(
+        [(1, "2024-01-05", 1), (2, "2024-01-05", 0), (9, "2024-01-05", 2)],
+        "user_id long, d string, new_tier long",
+    )
+    mt.apply_scd2_delta(spark, delta, path, buckets=4)
+    back = sorted(
+        tuple(r)
+        for r in spark.read.schema(mt._SCD2_SCHEMA)
+        .parquet(path)
+        .select(*mt._SCD2_COLS)
+        .collect()
+    )
+    assert back == sorted(
+        [
+            (1, 0, "2024-01-01", "2024-01-03", 2, "2024-01-02"),
+            (1, 1, "2024-01-03", None, 2, "2024-01-05"),  # extended
+            (2, 2, "2024-01-01", "2024-01-05", 3, "2024-01-03"),  # closed
+            (2, 0, "2024-01-05", None, 1, "2024-01-05"),  # opened
+            (3, 0, "2024-01-02", None, 1, "2024-01-02"),  # untouched
+            (9, 2, "2024-01-05", None, 1, "2024-01-05"),  # inserted
+        ]
+    )
+
+
+def test_apply_scd2_delta_idempotent(spark, tmp_path):
+    """Replaying the same day's delta must be a byte-for-byte no-op
+    (the last_day >= d guard): apply x2 == apply x1."""
+    path = _scd2_store(
+        spark, tmp_path, [(1, 1, "2024-01-03", None, 1, "2024-01-03")]
+    )
+    delta = spark.createDataFrame(
+        [(1, "2024-01-05", 1)], "user_id long, d string, new_tier long"
+    )
+    mt.apply_scd2_delta(spark, delta, path, buckets=4)
+    once = sorted(
+        tuple(r)
+        for r in spark.read.schema(mt._SCD2_SCHEMA).parquet(path).collect()
+    )
+    mt.apply_scd2_delta(spark, delta, path, buckets=4)
+    twice = sorted(
+        tuple(r)
+        for r in spark.read.schema(mt._SCD2_SCHEMA).parquet(path).collect()
+    )
+    assert once == twice
+    assert once[0][:6] == (1, 1, "2024-01-03", None, 2, "2024-01-05")
+
+
+def test_apply_scd2_delta_prunes_untouched_buckets(spark, tmp_path):
+    """The MERGE must rewrite ONLY the bucket directories the delta
+    touches — the cost-proportional-to-delta contract: untouched
+    buckets keep their original files byte-for-byte."""
+    path = _scd2_store(
+        spark,
+        tmp_path,
+        [
+            (4, 0, "2024-01-01", None, 1, "2024-01-01"),  # ub 0
+            (5, 1, "2024-01-01", None, 1, "2024-01-01"),  # ub 1
+        ],
+    )
+    sig_before = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{path}/ub=*/part-*.parquet")
+    }
+    delta = spark.createDataFrame(
+        [(4, "2024-01-05", 0)], "user_id long, d string, new_tier long"
+    )
+    mt.apply_scd2_delta(spark, delta, path, buckets=4)
+    ub1 = [f for f in sig_before if "/ub=1/" in f]
+    assert ub1, "expected an ub=1 partition file"
+    for f in ub1:  # untouched bucket: same files, untouched mtimes
+        assert os.path.exists(f) and os.path.getmtime(f) == sig_before[f]
+
+
+def test_user_tier_scd2_maintain_equals_rebuild(spark, sf_dir):
+    """Maintained == rebuilt: the registered MERGE lifecycle must
+    reproduce the batch SCD2 build row-for-row (its driver oracle)."""
+    from flink_project_userbehavioranalysis_spark.operators import relational as R
+
+    got = sorted(
+        tuple(r) for r in mt.user_tier_scd2_maintain(spark, sf_dir).collect()
+    )
+    want = sorted(tuple(r) for r in R.user_tier_scd2(spark, sf_dir).collect())
+    assert got == want

@@ -1,5 +1,6 @@
 """Multimodal/UDF-surface operators: oracle-match for the hash-exact
-ones, shape + determinism for the stubbed decode path."""
+ones (the BMP decode path included — a real header parse), plus codec
+roundtrip properties."""
 
 import pyspark.sql.functions as F
 
@@ -19,32 +20,50 @@ def test_geomean_pandas_udf(spark, sf_dir):
     assert_matches_oracle(df, MM.GEOMEAN_BY_TYPE_SQL, sf_dir)
 
 
-def test_decode_stub_shape_and_determinism(spark, sf_dir):
-    a = MM.decode_meta_table(spark, sf_dir)
+def test_decode_meta_oracle(spark, sf_dir):
+    """The header parse (fixed offsets, real BMP layout) hash-matches
+    the oracle's closed form over octet_length(text)."""
+    df = MM.decode_meta_table(spark, sf_dir)
+    assert_matches_oracle(df, MM.DECODE_META_SQL, sf_dir)
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
-    assert a.count() == n_docs
-    assert a.columns == ["doc_id", "width", "height", "mean_luma"]
-    # fake decode is deterministic: two runs identical
-    b = MM.decode_meta_table(spark, sf_dir)
-    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
-    # dimensions in the fake's documented range
-    bad = a.filter(
-        (F.col("width") < 64) | (F.col("width") > 255)
-        | (F.col("height") < 64) | (F.col("height") > 255)
-    ).count()
-    assert bad == 0
+    assert df.count() == n_docs
+    assert df.columns == ["doc_id", "width", "height", "bpp", "file_size"]
 
 
-def test_frame_sample_fanout(spark, sf_dir):
+def test_frame_sample_oracle_and_fanout(spark, sf_dir):
     df = MM.frame_sample(spark, sf_dir, n_frames=4)
+    assert_matches_oracle(df, MM.frame_sample_oracle_sql(4), sf_dir)
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert df.count() == n_docs * 4
     idx = {r["frame_idx"] for r in df.select("frame_idx").distinct().collect()}
     assert idx == {0, 1, 2, 3}
 
 
-def test_decode_real_is_explicit_stub():
+def test_bmp_codec_roundtrip_properties():
+    """encode→decode is the identity on the header fields, the file is
+    exactly as long as its declared size, bottom-up scanline extraction
+    returns the logical top-down row, and a non-BMP payload is
+    rejected rather than misparsed."""
     import pytest
 
+    for text in (b"", b"x", b"hello world", b"a" * 1000):
+        b = MM.encode_bmp(text)
+        w, h, bpp, fsize = MM.decode_bmp_meta(b)
+        assert (w, h) == MM._bmp_dims(len(text))
+        assert bpp == 24
+        assert fsize == len(b) == 54 + MM._bmp_row_size(w) * h
+        for r in (0, h - 1):
+            line = MM.bmp_scanline(b, r)
+            assert line == bytes([MM._bmp_row_byte(len(text), r)]) * MM._bmp_row_size(w)
+    assert MM.encode_bmp(None) == MM.encode_bmp(b"")
+    with pytest.raises(ValueError):
+        MM.decode_bmp_meta(b"\x89PNG not a bmp")
+
+
+def test_decode_real_boundary():
+    """BMP decodes; absent codecs raise at the explicit boundary."""
+    import pytest
+
+    assert MM.decode_real(MM.encode_bmp(b"abc"), "image/bmp")[2] == 24
     with pytest.raises(NotImplementedError):
         MM.decode_real(b"bytes", "image/jpeg")
