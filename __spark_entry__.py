@@ -267,6 +267,7 @@ _TIER4 = [
     "tx_reconcile_stream_join",
     "dedup_events_stream",
     "dedup_incremental_stream",
+    "dup_span_incremental_stream",
 ]
 _DRIVER_ORDER = _TIER1 + _TIER2 + _TIER3 + _TIER4
 
@@ -844,6 +845,16 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         # fingerprint index (rows-only: arrival-order survivor; the
         # emitted fingerprint SET ≡ batch op is test-asserted)
         "dedup_incremental_stream": (_stw.dedup_incremental_stream, None),
+        # §2.10 streaming ingestion-time SPAN dedup (r8): arriving docs'
+        # grams probe the corpus gram index via stream-static LEFT SEMI
+        # (work ∝ batch); hit positions collect per (window, doc) with
+        # watermark-evicted state; island merge post-sink. Output is
+        # deterministic, so the BATCH oracle applies: streaming ≡
+        # batch ≡ oracle
+        "dup_span_incremental_stream": (
+            _stw.dup_span_incremental_stream,
+            _text.dup_span_incremental_oracle_sql(),
+        ),
     }
 
 

@@ -876,3 +876,74 @@ def hashed_features_stream(
         featurize, schema="doc_id long, feat_idx long, cnt long"
     )
     return run_append_memory(feats, "hashed_features_stream", spark)
+
+
+def dup_span_incremental_stream(
+    spark: SparkSession, sf_dir: str, w: int = 4, split_id: int = 250, n_chunks: int = 4
+) -> DataFrame:
+    """§2.10 streaming twin of ``llm_text.dup_span_incremental`` —
+    ingestion-time exact-substring span detection as a live feed runs
+    it: each arriving document's stride-1 ``w``-grams probe the
+    already-ingested corpus's distinct-gram index via a **stream-static
+    LEFT SEMI join** (a stateless per-micro-batch probe — work ∝ batch,
+    never corpus), the surviving hit positions collect per (window,
+    doc) with watermark-evicted state (each doc arrives whole in one
+    micro-batch, so its aggregate is final the batch it lands), and
+    the gaps-and-islands merge runs on the compacted changelog after
+    the sink boundary (the ``session_paths_stream`` post-sink pattern).
+
+    The output is fully deterministic — hit positions depend only on
+    (doc text, static index) — so this twin shares the BATCH operator's
+    oracle: streaming ≡ batch ≡ oracle, the same online/offline proof
+    ``trailing_features_stream`` gives the feature pillar.
+
+    Output: (doc_id, span_start, span_end, n_words_dup), batch docs only.
+    """
+    from flink_project_userbehavioranalysis_spark.io import load_table
+    from flink_project_userbehavioranalysis_spark.operators.llm_text import (
+        _dup_gram_positions,
+        _merge_islands,
+    )
+
+    index = (
+        _dup_gram_positions(
+            load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < split_id), w
+        )
+        .select("g_md5")
+        .distinct()
+    )
+    st = docs_stream(spark, sf_dir, min_doc_id=split_id, n_chunks=n_chunks)
+    grams = (
+        st.filter(F.col("text").isNotNull())
+        .select("doc_id", "ts", F.split("text", " ").alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") >= w)
+        .select(
+            "doc_id",
+            "ts",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n") - w),
+                    lambda i: F.array_join(F.slice(F.col("toks"), i + 1, w), " "),
+                )
+            ).alias("p", "gram"),
+        )
+        .select(
+            "doc_id",
+            "ts",
+            F.col("p").cast("long").alias("p"),
+            F.md5(F.col("gram").cast("binary")).alias("g_md5"),
+        )
+    )
+    hits = grams.join(index, "g_md5", "left_semi")
+    agg = hits.groupBy(F.window("ts", "1 minute").alias("wd"), "doc_id").agg(
+        F.sort_array(F.collect_list("p")).alias("ps")
+    )
+    log = run_update_merge(agg, ["wd", "doc_id"], spark)
+    pos = log.select("doc_id", F.explode("ps").alias("p"))
+    return _merge_islands(pos, w).select(
+        "doc_id",
+        "span_start",
+        "span_end",
+        (F.col("span_end") - F.col("span_start") + 1).alias("n_words_dup"),
+    )

@@ -280,3 +280,17 @@ def test_hashed_features_stream_equals_batch_oracle(spark, sf_dir):
         llm_text.hashed_features_oracle_sql(),
         sf_dir,
     )
+
+
+def test_dup_span_incremental_stream_equals_batch(spark, sf_dir):
+    """The streaming span-dedup twin must reproduce the batch operator
+    row-for-row: hit positions depend only on (doc text, static gram
+    index), so streaming ≡ batch exactly — which is why it shares the
+    batch oracle in the registry."""
+    from flink_project_userbehavioranalysis_spark.operators import llm_text as T
+
+    got = sorted(
+        tuple(r) for r in W.dup_span_incremental_stream(spark, sf_dir).collect()
+    )
+    want = sorted(tuple(r) for r in T.dup_span_incremental(spark, sf_dir).collect())
+    assert got == want and len(got) > 0
