@@ -95,6 +95,8 @@ _TIER1 = [
     "count_by_channel_behavior",
     "count_by_channel_report",
     "user_tier_scd2_maintain",
+    "cdc_apply",
+    "item_triangles",
     "decode_meta",
     "frame_sample",
     "dup_spans",
@@ -124,13 +126,11 @@ _TIER1 = [
     "tpch_q8ish",
     "tpch_q10ish",
     "tpch_q11ish",
-    "tpch_q12ish",
     "tpch_q13ish",
     "tpch_q15ish",
     "tpch_q16ish",
     "tpch_q17ish",
     "tpch_q18ish",
-    "tpch_q19ish",
     "tpch_q20ish",
     "tpch_q21ish",
     "tpch_q22ish",
@@ -157,7 +157,9 @@ _TIER2 = [
     "tpch_q1ish",
     "tpch_q3ish",
     "tpch_q9ish",
+    "tpch_q12ish",
     "tpch_q14ish",
+    "tpch_q19ish",
     "user_set_ops",
     "user_sessions",
     "funnel_conversion",
@@ -557,6 +559,12 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         # over the compacted copy hash-matches the raw-table oracle,
         # certifying the rewrite is content-preserving
         "compact_roundtrip": (_mt.compact_roundtrip, _mt.COMPACT_ROUNDTRIP_SQL),
+        # warehouse (r8): CDC changelog apply — LWW compaction with
+        # tombstone retention; registered as the incremental lifecycle
+        # (compact hist, compact delta, merge compacted states) whose
+        # oracle is ONE pass over the whole feed — the associativity
+        # proof that per-batch compaction is safe
+        "cdc_apply": (_mt.cdc_apply, _mt.CDC_APPLY_SQL),
         # maintenance (r7): right-to-be-forgotten sweep — scrubbed
         # rewrite + audit; oracle = anti-joined raw table, so a hash
         # match certifies exactly-the-listed-users deletion
@@ -710,6 +718,11 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         # graph pillar: Markov next-item top-k with exact (w, wtot)
         # integer probabilities
         "item_next_topk": (_gr.item_next_topk, _gr.item_next_topk_oracle_sql()),
+        # graph pillar (r8): exact per-item triangle counts on the
+        # co-purchase graph — degree-oriented wedge join (Suri &
+        # Vassilvitskii), the last-reducer bound; oracle enumerates
+        # the same set id-ordered
+        "item_triangles": (_gr.item_triangles, _gr.item_triangles_oracle_sql()),
         # §2.10 distributed PCA projection (partial-Gram mapInPandas →
         # bounded d² driver eigh → map-only codegen projection); float
         # eigenvectors are blas-specific → rows-only, numpy-equivalence

@@ -265,3 +265,128 @@ SELECT src, dst, w, wtot, CAST(rnk AS BIGINT) AS rnk
 FROM ranked WHERE rnk <= {k}
 """
     )
+
+
+# ---------------------------------------------------------- triangle count
+
+
+def item_triangles(
+    spark: SparkSession, sf_dir: str, max_basket: int = 5
+) -> DataFrame:
+    """Exact per-item triangle counts on the co-purchase graph — the
+    third graph shape next to the PageRank fixpoint and the Markov
+    top-k: a self-join cascade whose cost is governed by EDGE
+    ORIENTATION, the standard trick that makes distributed triangle
+    counting feasible (Suri & Vassilvitskii 2011, "Counting Triangles
+    and the Curse of the Last Reducer").
+
+    Graph: vertices are items; an undirected edge joins two items
+    purchased by the same user (baskets wider than ``max_basket``
+    drop whole — the same deterministic quadratic bound as
+    ``co_purchase_pairs_capped``). Every edge is oriented from its
+    lower-(degree, id) endpoint to the higher one; a triangle
+    x≺y≺z in that total order is enumerated EXACTLY once as the wedge
+    (x→y, x→z) closed by the oriented edge y→z. Out-degrees under
+    degree orientation are O(√E), so the wedge join — the quadratic
+    stage — is bounded per node by the orientation, not by the raw
+    degree of hub items: the "last reducer" a popular item would
+    otherwise create does ~√E work instead of deg² work.
+
+    Dataflow: one distinct (user, item) pass → basket cap (semi join)
+    → one equi-join on user for edges → degree attach (two broadcast-
+    or-shuffle joins on the edge relation, EDGE cardinality) → wedge
+    self-join on src → LEFT SEMI close on the oriented edge set →
+    explode the 3 corners → ONE partial-aggregated count shuffle.
+    The oracle counts the same triangles with plain id-ordering —
+    orientation changes the enumeration order, never the set.
+
+    Output: (item_id, n_triangles) for items in ≥1 triangle.
+    """
+    ev = load_events(spark, sf_dir)
+    purch = (
+        ev.filter((F.col("event_type") == "purchase") & F.col("item_id").isNotNull())
+        .select("user_id", "item_id")
+        .distinct()
+    )
+    ok = purch.groupBy("user_id").count().filter(F.col("count") <= max_basket)
+    p = purch.join(ok.select("user_id"), "user_id", "left_semi")
+    a, b = p.alias("a"), p.alias("b")
+    edges = (
+        a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
+               & (F.col("a.item_id") < F.col("b.item_id")))
+        .select(F.col("a.item_id").alias("x"), F.col("b.item_id").alias("y"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("x").alias("v"))
+        .unionAll(edges.select(F.col("y").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    # orientation key k(v) = (deg, id): a total order, so ties are safe
+    e = (
+        edges.join(deg.withColumnRenamed("v", "x").withColumnRenamed("deg", "dx"), "x")
+        .join(deg.withColumnRenamed("v", "y").withColumnRenamed("deg", "dy"), "y")
+        .select(
+            F.when(
+                (F.col("dx") < F.col("dy"))
+                | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))),
+                F.struct(F.col("x").alias("s"), F.col("y").alias("t"),
+                         F.col("dx").alias("ds"), F.col("dy").alias("dt")),
+            )
+            .otherwise(
+                F.struct(F.col("y").alias("s"), F.col("x").alias("t"),
+                         F.col("dy").alias("ds"), F.col("dx").alias("dt"))
+            )
+            .alias("o")
+        )
+        .select("o.s", "o.t", "o.ds", "o.dt")
+    )
+    w1, w2 = e.alias("w1"), e.alias("w2")
+    wedges = w1.join(
+        w2,
+        (F.col("w1.s") == F.col("w2.s"))
+        & (
+            (F.col("w1.dt") < F.col("w2.dt"))
+            | ((F.col("w1.dt") == F.col("w2.dt")) & (F.col("w1.t") < F.col("w2.t")))
+        ),
+    ).select(
+        F.col("w1.s").alias("vx"), F.col("w1.t").alias("vy"), F.col("w2.t").alias("vz")
+    )
+    closing = e.select(F.col("s").alias("vy"), F.col("t").alias("vz"))
+    tri = wedges.join(closing, ["vy", "vz"], "left_semi")
+    return (
+        tri.select(F.explode(F.array("vx", "vy", "vz")).alias("item_id"))
+        .groupBy("item_id")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+
+
+def item_triangles_oracle_sql(max_basket: int = 5) -> str:
+    return f"""
+WITH purch AS (
+    SELECT DISTINCT user_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS item_id
+    FROM events
+    WHERE event_type = 'purchase'
+      AND TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) IS NOT NULL
+), ok AS (
+    SELECT user_id FROM purch GROUP BY 1 HAVING count(*) <= {max_basket}
+), p AS (
+    SELECT purch.user_id, item_id FROM purch JOIN ok USING (user_id)
+), e AS (
+    SELECT DISTINCT a.item_id AS x, b.item_id AS y
+    FROM p a JOIN p b ON a.user_id = b.user_id AND a.item_id < b.item_id
+), tri AS (
+    SELECT t1.x AS vx, t1.y AS vy, t2.y AS vz
+    FROM e t1
+    JOIN e t2 ON t2.x = t1.x AND t2.y > t1.y
+    JOIN e t3 ON t3.x = t1.y AND t3.y = t2.y
+), corners AS (
+    SELECT vx AS item_id FROM tri
+    UNION ALL SELECT vy FROM tri
+    UNION ALL SELECT vz FROM tri
+)
+SELECT item_id, CAST(count(*) AS BIGINT) AS n_triangles
+FROM corners GROUP BY 1
+"""

@@ -381,3 +381,96 @@ def user_tier_scd2_maintain(
     return back.select("user_id", "tier", "valid_from", "valid_to", "n_days").localCheckpoint(
         eager=True
     )
+
+
+# ------------------------------------------------------- CDC changelog apply
+
+
+def _cdc_compact(changes: DataFrame) -> DataFrame:
+    """Last-write-wins compaction of a CDC changelog slice: per key,
+    the record with the max (ts_ns, event_id) ordering key wins — a
+    combiner-friendly struct-max (ONE partial-aggregated shuffle, no
+    window sort), the same argmax shape as ``cluster_canonical``.
+    DELETE tombstones are RETAINED in the compacted state (a deleted
+    key can reappear in a later slice); the final reader filters them.
+    """
+    return changes.groupBy("user_id").agg(
+        F.max(
+            F.struct(
+                F.col("ts_ns").alias("t"),
+                F.col("event_id").alias("e"),
+                F.col("op").alias("op"),
+                F.col("value").alias("v"),
+            )
+        ).alias("last"),
+        F.count("*").alias("n_changes"),
+    )
+
+
+def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog apply — the warehouse op that turns an ordered
+    change feed (upserts + deletes) into a queryable snapshot, and the
+    batch analog of the streaming sink's changelog-MERGE
+    (``replay.run_update_merge``). The events table stands in as the
+    feed: each record is an upsert of the user's profile except
+    ``error`` rows, which model DELETEs; the winner per key is the
+    latest (ts_ns, event_id).
+
+    Registered as the INCREMENTAL lifecycle, mirroring
+    ``user_tier_scd2_maintain``: compact history into a base snapshot,
+    compact the newest day separately, then merge the two compacted
+    states — tombstones retained until the final read so a delete-
+    then-reinsert across the boundary resolves correctly. Oracle = one
+    LWW pass over the whole feed, so the hash match certifies
+    apply(compact(hist), compact(delta)) ≡ compact(full) — the
+    associativity that makes CDC compaction safe to run per ingest
+    batch at 100 TB. Every stage is a partial-aggregated struct-max
+    shuffle on the key; merging two compacted states re-uses the same
+    aggregate (state size ∝ live keys, never feed length).
+
+    Output: (user_id, last_ts_ns, last_value, n_changes) for keys
+    whose final operation is not a DELETE.
+    """
+    ev = load_events(spark, sf_dir)
+    maxd = ev.agg(F.max(F.to_date("ts"))).collect()[0][0]
+    feed = ev.select(
+        "user_id",
+        "ts_ns",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        F.to_date("ts").alias("d"),
+    )
+    base = _cdc_compact(feed.filter(F.col("d") < F.lit(maxd)))
+    delta = _cdc_compact(feed.filter(F.col("d") >= F.lit(maxd)))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("user_id")
+        .agg(F.max("last").alias("last"), F.sum("n_changes").alias("n_changes"))
+    )
+    return merged.filter(F.col("last.op") != "D").select(
+        "user_id",
+        F.col("last.t").alias("last_ts_ns"),
+        F.col("last.v").alias("last_value"),
+        F.col("n_changes").cast("long").alias("n_changes"),
+    )
+
+
+CDC_APPLY_SQL = """
+WITH log AS (
+    SELECT user_id, epoch_ns(ts) AS t, event_id AS e,
+           CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+           value AS v
+    FROM events
+), agg AS (
+    SELECT user_id,
+           max({'t': t, 'e': e, 'op': op, 'v': v}) AS last,
+           count(*) AS n_changes
+    FROM log GROUP BY 1
+)
+SELECT user_id,
+       last.t AS last_ts_ns,
+       last.v AS last_value,
+       CAST(n_changes AS BIGINT) AS n_changes
+FROM agg WHERE last.op <> 'D'
+"""

@@ -55,3 +55,63 @@ def test_pagerank_join_strategies(spark, sf_dir):
     rows_b = sorted((r["item_id"], r["rank_q"]) for r in b.collect())
     rows_s = sorted((r["item_id"], r["rank_q"]) for r in s.collect())
     assert rows_b == rows_s  # strategy never changes values
+
+
+def test_item_triangles_oracle(spark, sf_dir):
+    """Degree-oriented distributed triangle count equals the oracle's
+    plain id-ordered enumeration (orientation changes the order, never
+    the set) — non-vacuously at sf0.01 (sf0.001's purchase graph is
+    triangle-free, which the driver-gate sf is not)."""
+    from tests.conftest import SF_DIR_MID
+    from tests.oracle import assert_matches_oracle
+
+    assert_matches_oracle(
+        G.item_triangles(spark, sf_dir), G.item_triangles_oracle_sql(), sf_dir
+    )
+    mid = G.item_triangles(spark, SF_DIR_MID)
+    assert_matches_oracle(mid, G.item_triangles_oracle_sql(), SF_DIR_MID)
+    assert mid.count() > 0
+
+
+def test_item_triangles_crafted(spark, tmp_path):
+    """K4 minus one edge on a crafted basket set: items {1,2,3,4} with
+    edges 12,13,14,23,24 (no 34) has exactly two triangles (123, 124);
+    corner counts follow. A user with a basket wider than max_basket
+    contributes no edges."""
+    import shutil
+
+    from flink_project_userbehavioranalysis_spark.io import TABLES
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    src = "/root/testdata/sf0.001"
+    for t in TABLES:
+        if t != "events":
+            shutil.copy(f"{src}/{t}.parquet", str(d / f"{t}.parquet"))
+    rows, eid = [], 0
+
+    def basket(user, items):
+        nonlocal eid
+        for it in items:
+            rows.append(
+                (eid, "2024-01-01 01:00:00", user, "purchase", 1.0, '{"k": %d}' % it)
+            )
+            eid += 1
+
+    basket(10, [1, 2, 3])   # edges 12,13,23 -> triangle 123
+    basket(11, [1, 2, 4])   # edges 12,14,24 -> triangle 124
+    basket(12, [1, 2, 3, 4, 5, 6])  # width 6 > max_basket: dropped whole
+    import pyspark.sql.functions as FF
+
+    spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string"
+    ).withColumn("ts", FF.col("ts").cast("timestamp")).coalesce(1).write.parquet(
+        str(tmp_path / "staging")
+    )
+    import glob as _glob
+
+    part = _glob.glob(f"{tmp_path}/staging/part-*.parquet")[0]
+    shutil.copy(part, str(d / "events.parquet"))
+    got = sorted(tuple(r) for r in G.item_triangles(spark, str(d), max_basket=5).collect())
+    assert got == [(1, 2), (2, 2), (3, 1), (4, 1)]

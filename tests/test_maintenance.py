@@ -281,3 +281,53 @@ def test_user_tier_scd2_maintain_equals_rebuild(spark, sf_dir):
     )
     want = sorted(tuple(r) for r in R.user_tier_scd2(spark, sf_dir).collect())
     assert got == want
+
+
+def test_cdc_apply_oracle_and_tombstones(spark, sf_dir):
+    """CDC apply: incremental (base + delta compaction, then merge)
+    must equal one LWW pass over the whole feed (the oracle), and no
+    key whose final op is a DELETE may appear."""
+    from tests.oracle import assert_matches_oracle
+
+    df = mt.cdc_apply(spark, sf_dir)
+    assert_matches_oracle(df, mt.CDC_APPLY_SQL, sf_dir)
+    assert df.count() > 0
+
+
+def test_cdc_apply_delete_reinsert_across_boundary(spark, sf_dir, tmp_path):
+    """Tombstone retention: a key deleted in history must reappear if
+    the delta upserts it, and stay gone if the delta's last op is the
+    delete — crafted feed with the split day in the middle."""
+    import shutil
+
+    from flink_project_userbehavioranalysis_spark.io import TABLES
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    for t in TABLES:
+        if t != "events":
+            shutil.copy(f"{sf_dir}/{t}.parquet", str(d / f"{t}.parquet"))
+    rows = [
+        # user 1: upsert day1, DELETE day1, re-upsert day2 (delta) -> alive
+        (1, "2024-01-01 01:00:00", 1, "view", 1.0, '{"k": 1}'),
+        (2, "2024-01-01 02:00:00", 1, "error", 2.0, '{"k": 1}'),
+        (3, "2024-01-02 01:00:00", 1, "view", 3.0, '{"k": 1}'),
+        # user 2: upsert day1, DELETE day2 (delta) -> gone
+        (4, "2024-01-01 01:00:00", 2, "view", 4.0, '{"k": 2}'),
+        (5, "2024-01-02 01:00:00", 2, "error", 5.0, '{"k": 2}'),
+        # user 3: only history upserts -> alive with history value
+        (6, "2024-01-01 03:00:00", 3, "click", 6.0, '{"k": 3}'),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.parquet(
+        str(tmp_path / "staging")
+    )
+    import glob as _glob
+
+    part = _glob.glob(f"{tmp_path}/staging/part-*.parquet")[0]
+    shutil.copy(part, str(d / "events.parquet"))
+    got = {r["user_id"]: (r["last_value"], r["n_changes"])
+           for r in mt.cdc_apply(spark, str(d)).collect()}
+    assert got == {1: (3.0, 3), 3: (6.0, 1)}
