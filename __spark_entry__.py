@@ -97,6 +97,7 @@ _TIER1 = [
     "user_tier_scd2_maintain",
     "cdc_apply",
     "item_triangles",
+    "eval_holdout_sample",
     "decode_meta",
     "frame_sample",
     "dup_spans",
@@ -127,7 +128,6 @@ _TIER1 = [
     "tpch_q10ish",
     "tpch_q11ish",
     "tpch_q13ish",
-    "tpch_q15ish",
     "tpch_q16ish",
     "tpch_q17ish",
     "tpch_q18ish",
@@ -159,6 +159,7 @@ _TIER2 = [
     "tpch_q9ish",
     "tpch_q12ish",
     "tpch_q14ish",
+    "tpch_q15ish",
     "tpch_q19ish",
     "user_set_ops",
     "user_sessions",
@@ -375,6 +376,14 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "stratified_sample": (
             _text.stratified_sample,
             _text.stratified_sample_oracle_sql(),
+        ),
+        # §2.10 fixed-K-per-stratum holdout (r8): the eval-set builder
+        # — seeded md5 rank, exactly min(K,|stratum|) per lang, pinned
+        # to the seed; rn<=K compiles to WindowGroupLimit (partial
+        # top-K before the shuffle, plan-asserted)
+        "eval_holdout_sample": (
+            _text.eval_holdout_sample,
+            _text.eval_holdout_sample_oracle_sql(),
         ),
         # §2.10 quality-weighted resampling (r7): keep-probability ∝
         # saturating length score, exact BIGINT cross-multiply decision

@@ -86,6 +86,12 @@ HEADLINE = [
     "user_trailing_features", # per-event RANGE-frame feature generation
     "uv_trailing_sketch",     # hourly-sketch fan-out trailing UV
     "dup_span_scrub",         # stride-1 gram ExactSubstr scrub + reassembly
+    # r8 additions
+    "count_by_channel_report",  # presentation twin (the old benched surface)
+    "cdc_apply",                # LWW changelog compaction (struct-max argmax)
+    "item_triangles",           # degree-oriented wedge join triangle count
+    "eval_holdout_sample",      # WindowGroupLimit fixed-K holdout
+    "dup_spans",                # ExactSubstr detect w/ counting-sketch prefilter
     # NOT benched: item_pagerank / kmeans_lloyd / cluster_canonical
     # eagerly materialize (localCheckpoint / iterate) at DataFrame-
     # construction time, so timing their collect() would measure a

@@ -1932,3 +1932,50 @@ SELECT doc_id,
        CAST(max(p) - min(p) + {w} AS BIGINT) AS n_words_dup
 FROM num GROUP BY doc_id, island
 """
+
+
+# -------------------------------------------- fixed-k per-stratum holdout
+
+
+def eval_holdout_sample(
+    spark: SparkSession, sf_dir: str, k: int = 10, seed: str = "holdout-v1"
+) -> DataFrame:
+    """Fixed-K-per-stratum holdout carve-out — the eval-set builder:
+    exactly ``min(K, |stratum|)`` documents per language, chosen by a
+    seeded md5 rank so the holdout is reproducible across runs,
+    engines, and partitionings, and changes ONLY when the seed does
+    (rate-based ``stratified_sample`` grows with the corpus; an eval
+    set must stay pinned at K).
+
+    Scale shape: the rank is ``row_number`` over (lang, seeded-hash
+    order), and the ``rn <= K`` predicate compiles to Spark's
+    WindowGroupLimit (partial per-partition top-K BEFORE the lang
+    shuffle, final top-K after — the flagship hot-items plan shape),
+    so each task forwards at most K rows per stratum, never the
+    stratum. Ties are impossible (doc_id tie-break).
+
+    Output: (doc_id, lang, rn) — integers only.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit(f"{seed}:"), F.col("doc_id").cast("string")).cast("binary"))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "lang")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def eval_holdout_sample_oracle_sql(k: int = 10, seed: str = "holdout-v1") -> str:
+    return f"""
+WITH ranked AS (
+    SELECT doc_id, lang,
+           row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('{seed}:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS rn
+    FROM documents
+)
+SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= {k}
+"""

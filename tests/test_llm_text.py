@@ -647,3 +647,37 @@ def test_dup_span_scrub_large_doc_id_no_overflow(spark, tmp_path):
     ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
     got = sorted(tuple(r) for r in llm_text.dup_span_scrub(spark, sf, w=2).collect())
     assert got == [(3, "a b c d", 4, 0), (big + 7, "", 4, 4), (big + 9, "", 4, 4)]
+
+
+def test_eval_holdout_sample(spark, sf_dir):
+    """Fixed-K holdout: oracle-match; exactly min(K, |stratum|) rows
+    per language; seed-pinned (same seed = same set, different seed =
+    different set); K-nesting (K=5 set ⊂ K=10 set)."""
+    df = llm_text.eval_holdout_sample(spark, sf_dir, k=10)
+    assert_matches_oracle(df, llm_text.eval_holdout_sample_oracle_sql(k=10), sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sizes = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    kept = {r["lang"]: r["count"] for r in df.groupBy("lang").count().collect()}
+    assert kept == {lang: min(10, n) for lang, n in sizes.items()}
+    a = {tuple(r) for r in df.collect()}
+    b = {tuple(r) for r in llm_text.eval_holdout_sample(spark, sf_dir, k=10).collect()}
+    assert a == b
+    other = {tuple(r) for r in llm_text.eval_holdout_sample(
+        spark, sf_dir, k=10, seed="holdout-v2").collect()}
+    assert other != a
+    small = {r["doc_id"] for r in llm_text.eval_holdout_sample(spark, sf_dir, k=5).collect()}
+    big = {r["doc_id"] for r in df.collect()}
+    assert small <= big
+
+
+def test_eval_holdout_sample_plan_window_group_limit(spark, sf_dir):
+    """The rn <= K predicate must compile to WindowGroupLimit (partial
+    per-partition top-K before the lang shuffle) — each task forwards
+    at most K rows per stratum, never the stratum."""
+    plan = (
+        llm_text.eval_holdout_sample(spark, sf_dir, k=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
