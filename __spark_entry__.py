@@ -271,6 +271,7 @@ _TIER4 = [
     "dedup_events_stream",
     "dedup_incremental_stream",
     "dup_span_incremental_stream",
+    "cdc_apply_stream",
 ]
 _DRIVER_ORDER = _TIER1 + _TIER2 + _TIER3 + _TIER4
 
@@ -877,6 +878,12 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
             _stw.dup_span_incremental_stream,
             _text.dup_span_incremental_oracle_sql(),
         ),
+        # warehouse streaming twin (r8): CDC feed consumed live —
+        # update-mode per-key LWW struct-max state (live-key
+        # cardinality, deliberately unwatermarked: a key's latest
+        # record must stay consultable) through the changelog-MERGE
+        # sink; max+count are commutative, so the BATCH oracle applies
+        "cdc_apply_stream": (_stw.cdc_apply_stream, _mt.CDC_APPLY_SQL),
     }
 
 

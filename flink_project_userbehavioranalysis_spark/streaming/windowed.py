@@ -947,3 +947,49 @@ def dup_span_incremental_stream(
         "span_end",
         (F.col("span_end") - F.col("span_start") + 1).alias("n_words_dup"),
     )
+
+
+def cdc_apply_stream(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> DataFrame:
+    """Streaming twin of ``maintenance.cdc_apply`` — the CDC feed
+    consumed LIVE: an update-mode per-key aggregation holds each key's
+    last-write-wins record (the (ts_ns, event_id) struct-max — the
+    same combiner-friendly argmax as the batch op) plus its change
+    count, and every micro-batch upserts the changed keys through the
+    changelog-MERGE sink. Tombstones stay IN the state (a deleted key
+    must keep absorbing later reinserts) and filter out only at the
+    final read — exactly the batch op's retention rule.
+
+    State grows with LIVE KEYS, not feed length — the inherent state
+    requirement of CDC materialization (a key's latest record must be
+    consultable forever), which is why this is the one twin family
+    that aggregates without a watermark: eviction would forget keys
+    that can still change. The final state is order-insensitive
+    (max + count are commutative), so the BATCH oracle applies:
+    streaming ≡ batch ≡ oracle.
+    """
+    ev = events_stream(spark, sf_dir, n_chunks=n_chunks, watermark=None)
+    feed = ev.select(
+        "user_id",
+        "ts_ns",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+    )
+    agg = feed.groupBy("user_id").agg(
+        F.max(
+            F.struct(
+                F.col("ts_ns").alias("t"),
+                F.col("event_id").alias("e"),
+                F.col("op").alias("op"),
+                F.col("value").alias("v"),
+            )
+        ).alias("last"),
+        F.count("*").alias("n_changes"),
+    )
+    state = run_update_merge(agg, ["user_id"], spark)
+    return state.filter(F.col("last.op") != "D").select(
+        "user_id",
+        F.col("last.t").alias("last_ts_ns"),
+        F.col("last.v").alias("last_value"),
+        F.col("n_changes").cast("long").alias("n_changes"),
+    )

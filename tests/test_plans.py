@@ -270,3 +270,18 @@ def test_dup_spans_singleton_prefilter_plan(spark, sf_dir):
     assert "LeftSemi" in plan
     assert "partial_count" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_item_triangles_plan_no_cartesian(spark, sf_dir):
+    """The triangle cascade must stay equi-join end to end: the wedge
+    self-join keys on the shared source, the closing probe is a LEFT
+    SEMI on the oriented edge — no cartesian or nested-loop anywhere,
+    and the corner rollup partial-aggregates."""
+    from flink_project_userbehavioranalysis_spark.operators import graph as GR
+
+    df = GR.item_triangles(spark, sf_dir)
+    df.collect()  # finalize AQE
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan
+    assert "partial_count" in plan

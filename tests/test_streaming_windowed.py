@@ -294,3 +294,14 @@ def test_dup_span_incremental_stream_equals_batch(spark, sf_dir):
     )
     want = sorted(tuple(r) for r in T.dup_span_incremental(spark, sf_dir).collect())
     assert got == want and len(got) > 0
+
+
+def test_cdc_apply_stream_equals_batch(spark, sf_dir):
+    """The live CDC materialization must converge to the batch LWW
+    compaction exactly (max + count are commutative across micro-batch
+    boundaries), tombstone filtering included."""
+    from flink_project_userbehavioranalysis_spark.operators import maintenance as MT
+
+    got = sorted(tuple(r) for r in W.cdc_apply_stream(spark, sf_dir).collect())
+    want = sorted(tuple(r) for r in MT.cdc_apply(spark, sf_dir).collect())
+    assert got == want and len(got) > 0
