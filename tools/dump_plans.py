@@ -139,9 +139,11 @@ EXHIBITS = [
     (
         "dup_span_scrub",
         "Exact-substring span dedup (removal half): grams are md5-hashed "
-        "map-side so the ONE frequency exchange carries 16-byte keys + "
-        "a packed BIGINT occurrence key, never gram text; survivor "
-        "election (count + min) partial-aggregates before it; the span "
+        "map-side; the r8 counting-sketch pre-filter (bucket partial_count "
+        "+ LEFT SEMI hot-bucket probe) drops the singleton tail BEFORE the "
+        "frequency exchange, which then carries 16-byte keys + a (doc_id,p) "
+        "struct occurrence key, never gram text; survivor election "
+        "(count + struct-min) partial-aggregates before it; the span "
         "probe is an equi-join on the same key; island merge and "
         "reassembly stay under one doc_id partitioning — reassembly is "
         "an expression-level filter-with-index, no range join.",
@@ -424,6 +426,38 @@ EXHIBITS = [
         "combine collapses each partition to ≤ labels×dims rows before "
         "the shuffle; no array re-assembly, no collect_list, every "
         "output cell a scalar (driver-canonicalizer-hashable).",
+    ),
+    (
+        "cdc_apply",
+        "CDC changelog apply (r8): three struct-max stages — compact "
+        "history, compact delta, merge the compacted states — every one "
+        "a partial-aggregated hash exchange on the key (partial_max "
+        "before each shuffle); tombstones filter at the end as a plain "
+        "predicate. No window sort anywhere: LWW is an argmax, not a "
+        "rank.",
+    ),
+    (
+        "item_triangles",
+        "Triangle counting (r8): degree-oriented wedge join — the edge "
+        "relation self-joins on its oriented SOURCE (equi key; the "
+        "orientation inequality is a join residual), the closing probe "
+        "is a LEFT SEMI on the oriented edge set, and the corner rollup "
+        "partial-aggregates. No cartesian/nested-loop; orientation "
+        "bounds each node's wedge fan-out at ~sqrt(E).",
+    ),
+    (
+        "eval_holdout_sample",
+        "Fixed-K holdout (r8): rn <= K over (lang, seeded-md5) compiles "
+        "to WindowGroupLimit — partial per-partition top-K BEFORE the "
+        "lang exchange, final top-K after; each task forwards at most K "
+        "rows per stratum regardless of stratum size.",
+    ),
+    (
+        "decode_meta",
+        "Real BMP decode (r8): two Arrow-batched python stages "
+        "(MapInPandas encode, MapInPandas header parse) with a true "
+        "binary column flowing between them — zero Exchange (map-only "
+        "end to end), no row-at-a-time BatchEvalPython.",
     ),
 ]
 
