@@ -142,6 +142,15 @@ OPERATORS = [
     NF.uv_trailing_sketch,
     BX.user_trailing_features,
     BX.negative_sample_pairs,
+    # r8 additions
+    M.count_by_channel_report,
+    MT.user_tier_scd2_maintain,
+    MT.cdc_apply,
+    GR.item_triangles,
+    TXT.eval_holdout_sample,
+    TXT.dup_spans,
+    TXT.dup_span_scrub,
+    TXT.dup_span_incremental,
 ]
 
 

@@ -86,6 +86,12 @@ QUERIES = [
     "dup_spans",
     "dup_span_scrub",
     "dup_span_incremental",
+    # r8 additions: CDC compaction, oriented triangles, fixed-K holdout,
+    # BMP decode
+    "cdc_apply",
+    "item_triangles",
+    "eval_holdout_sample",
+    "decode_meta",
 ]
 # tpch_q3ish/q6ish are NOT in the smoke: synthesize() scales events/
 # documents/embeddings only, so a lineitem query would report a flat
