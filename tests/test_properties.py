@@ -322,3 +322,64 @@ def test_rfm_matches_python_reference(spark, tmp_path_factory, evs):
         for r in B.rfm_segments(spark, d).collect()
     }
     assert got == dict(expected)
+
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(list("abcdef")), min_size=1, max_size=12),
+    min_size=2,
+    max_size=12,
+)
+
+
+def _write_docs(spark, tmp_path, word_lists):
+    rows = [
+        {"doc_id": i, "text": " ".join(ws), "lang": "en", "source": "gen"}
+        for i, ws in enumerate(word_lists)
+    ]
+    spark.createDataFrame(
+        rows, schema="doc_id BIGINT, text STRING, lang STRING, source STRING"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=docs_strategy)
+def test_dup_span_invariants(spark, tmp_path_factory, docs):
+    """ExactSubstr structural invariants on random tiny corpora (w=2):
+    spans are within-doc, well-ordered, pairwise disjoint with a
+    ≥1-word gap (maximality: adjacent/overlapping runs must have
+    merged), each span is ≥w words, and the scrub conserves words
+    exactly: n_removed per doc == total span length per doc, and
+    every doc appears in the scrub output exactly once."""
+    from flink_project_userbehavioranalysis_spark.operators import llm_text
+
+    sf = _write_docs(spark, tmp_path_factory.mktemp("span_prop"), docs)
+    w = 2
+    n_words = {i: len(ws) for i, ws in enumerate(docs)}
+    spans = sorted(
+        tuple(r) for r in llm_text.dup_spans(spark, sf, w=w).collect()
+    )
+    by_doc: dict[int, list[tuple[int, int]]] = {}
+    for doc_id, s, e, n_dup in spans:
+        assert 0 <= s <= e < n_words[doc_id]
+        assert n_dup == e - s + 1 >= w
+        by_doc.setdefault(doc_id, []).append((s, e))
+    for doc_id, ss in by_doc.items():
+        ss.sort()
+        for (s1, e1), (s2, e2) in zip(ss, ss[1:]):
+            assert s2 > e1 + 1  # disjoint with >=1-word gap (maximal merge)
+    scrub = {r["doc_id"]: r for r in llm_text.dup_span_scrub(spark, sf, w=w).collect()}
+    assert set(scrub) == set(n_words)  # every doc exactly once (total)
+    for doc_id, r in scrub.items():
+        assert r["n_words"] == n_words[doc_id]
+        kept = [t for t in r["clean_text"].split(" ") if t != ""]
+        assert len(kept) == r["n_words"] - r["n_removed"]
+    # the corpus-wide FIRST occurrence rule implies at least one doc
+    # keeps any globally-duplicated phrase: total removal can never
+    # delete every copy of the corpus (some doc keeps its first span)
+    if spans:
+        assert any(r["n_removed"] < r["n_words"] for r in scrub.values()) or all(
+            n == 0 for n in n_words.values()
+        )
