@@ -98,6 +98,7 @@ _TIER1 = [
     "cdc_apply",
     "item_triangles",
     "eval_holdout_sample",
+    "jsonl_roundtrip",
     "decode_meta",
     "frame_sample",
     "dup_spans",
@@ -117,7 +118,6 @@ _TIER1 = [
     "bigram_lm_score",
     "bpe_encode",
     "vocab_coverage",
-    "hot_items_topn_direct",
     # never-driver-verified promotions (TPC-H waves 2/3)
     "tpch_q2ish",
     "tpch_q4ish",
@@ -173,6 +173,7 @@ _TIER2 = [
     "dwell_gaps",
     "co_purchase_pairs_capped",
     "co_purchase_pairs",
+    "hot_items_topn_direct",
     "compact_roundtrip",
     "mv_pv_hourly_maintain",
     "dedup_exact_events",
@@ -575,6 +576,10 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         # oracle is ONE pass over the whole feed — the associativity
         # proof that per-batch compaction is safe
         "cdc_apply": (_mt.cdc_apply, _mt.CDC_APPLY_SQL),
+        # io (r8): JSONL interchange hop — egress + schema'd PERMISSIVE
+        # re-ingest; oracle = content checksum over the raw table, so
+        # the hash certifies the convert hop (incl. JSON escaping) exact
+        "jsonl_roundtrip": (_mt.jsonl_roundtrip, _mt.JSONL_ROUNDTRIP_SQL),
         # maintenance (r7): right-to-be-forgotten sweep — scrubbed
         # rewrite + audit; oracle = anti-joined raw table, so a hash
         # match certifies exactly-the-listed-users deletion

@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from flink_project_userbehavioranalysis_spark import layout
 from flink_project_userbehavioranalysis_spark.functions import win_end_s
-from flink_project_userbehavioranalysis_spark.io import load_events
+from flink_project_userbehavioranalysis_spark.io import load_events, load_table
 from flink_project_userbehavioranalysis_spark.operators.network_flow import (
     PV_HOURLY_SQL as MV_PV_HOURLY_SQL,  # the MV's contract IS pv_hourly's:
     # maintained ≡ recomputed, so the oracle is shared, not duplicated —
@@ -473,4 +473,65 @@ SELECT user_id,
        last.v AS last_value,
        CAST(n_changes AS BIGINT) AS n_changes
 FROM agg WHERE last.op <> 'D'
+"""
+
+
+# ------------------------------------------------------- JSONL ingest hop
+
+
+def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered JSONL interchange hop (S2 sibling — see
+    ``sources/jsonl.py``): egress the documents table as JSON-Lines,
+    re-ingest it through the schema'd PERMISSIVE reader, and return a
+    per-language content checksum over the re-ingested copy. Oracle =
+    the same checksum over the raw table, so a hash match certifies
+    the convert hop (the once-per-batch JSONL→parquet step every LLM
+    corpus pipeline runs) lost, duplicated, and mangled nothing —
+    including round-tripping text through JSON string escaping.
+
+    The checksum is content-strong: count + id sum + the sum of each
+    text's leading-8-hex md5 as an integer (a single flipped byte in
+    any document moves it).
+    """
+    from flink_project_userbehavioranalysis_spark.sources.jsonl import (
+        read_docs_jsonl,
+        split_quarantine,
+        write_docs_jsonl,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = _scratch_dir(spark, "jsonl", sf_dir)
+    write_docs_jsonl(docs, path)
+    clean, _bad = split_quarantine(read_docs_jsonl(spark, path))
+    chk = F.conv(
+        F.substring(F.md5(F.col("text").cast("binary")), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        clean.groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("doc_id").alias("id_sum"),
+            F.sum(chk).alias("text_chk"),
+        )
+        # eager: the reused scratch dir is overwritten by the next call
+        .localCheckpoint(eager=True)
+    )
+
+
+def _hex_prefix_int_sql(col: str, n: int) -> str:
+    """DuckDB expression: first-``n``-hex-digit md5 prefix as integer
+    (the strpos polynomial idiom the stratified/simhash oracles use)."""
+    digit = f"(strpos('0123456789abcdef', substr(md5({col}), {{i}}, 1)) - 1)"
+    return " + ".join(
+        f"{digit.format(i=i + 1)} * {16 ** (n - 1 - i)}" for i in range(n)
+    )
+
+
+JSONL_ROUNDTRIP_SQL = f"""
+SELECT lang,
+       count(*) AS n,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       CAST(sum({_hex_prefix_int_sql("text", 8)}) AS BIGINT) AS text_chk
+FROM documents
+GROUP BY 1
 """

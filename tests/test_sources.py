@@ -122,3 +122,36 @@ def test_kafka_roundtrip(spark, sf_dir, tmp_path):
     )
     q.awaitTermination(120)
     assert _event_set(spark.table("kafka_rt")) == _event_set(events)
+
+
+def test_jsonl_roundtrip_oracle(spark, sf_dir):
+    """The JSONL interchange hop preserves content exactly: per-lang
+    md5-checksum aggregate over the re-ingested copy hash-matches the
+    raw-table oracle (JSON string escaping round-trips)."""
+    from flink_project_userbehavioranalysis_spark.operators import maintenance as MT
+    from tests.oracle import assert_matches_oracle
+
+    assert_matches_oracle(
+        MT.jsonl_roundtrip(spark, sf_dir), MT.JSONL_ROUNDTRIP_SQL, sf_dir
+    )
+
+
+def test_jsonl_corrupt_lines_quarantine(spark, tmp_path):
+    """PERMISSIVE ingest: malformed lines land whole in the quarantine
+    fork with the clean rows untouched — per-line blast radius, never
+    a failed batch."""
+    from flink_project_userbehavioranalysis_spark.sources import jsonl as J
+
+    p = tmp_path / "feed"
+    p.mkdir()
+    (p / "part-000.json").write_text(
+        '{"doc_id": 1, "text": "hello world", "lang": "en", "source": "a"}\n'
+        "THIS IS NOT JSON\n"
+        '{"doc_id": 2, "text": "bonjour", "lang": "fr", "source": "a"}\n'
+        '{"doc_id": 3, "text": "unclosed\n'
+    )
+    clean, bad = J.split_quarantine(J.read_docs_jsonl(spark, str(p)))
+    got = sorted(tuple(r) for r in clean.select("doc_id", "lang").collect())
+    assert got == [(1, "en"), (2, "fr")]
+    raw = sorted(r["raw_line"] for r in bad.collect())
+    assert raw == ['THIS IS NOT JSON', '{"doc_id": 3, "text": "unclosed']
