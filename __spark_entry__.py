@@ -99,6 +99,7 @@ _TIER1 = [
     "item_triangles",
     "eval_holdout_sample",
     "jsonl_roundtrip",
+    "active_users_trailing",
     "decode_meta",
     "frame_sample",
     "dup_spans",
@@ -129,7 +130,6 @@ _TIER1 = [
     "tpch_q11ish",
     "tpch_q13ish",
     "tpch_q16ish",
-    "tpch_q17ish",
     "tpch_q18ish",
     "tpch_q20ish",
     "tpch_q21ish",
@@ -160,6 +160,7 @@ _TIER2 = [
     "tpch_q12ish",
     "tpch_q14ish",
     "tpch_q15ish",
+    "tpch_q17ish",
     "tpch_q19ish",
     "user_set_ops",
     "user_sessions",
@@ -310,6 +311,14 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "uv_approx": (_nf.uv_approx_hourly, None),
         # A6-scale (mergeable sketches — rows-only)
         "uv_daily_sketch": (_nf.uv_daily_sketch_rollup, None),
+        # A5-daily exact form (r8): DAU + trailing-7d AU (the WAU
+        # staple) via the coverage explode over the once-staged
+        # distinct (user, day) relation — the exact twin the trailing
+        # sketch is bound-tested against
+        "active_users_trailing": (
+            _nf.active_users_trailing,
+            _nf.active_users_trailing_oracle_sql(),
+        ),
         # A6-scale sliding form (r7): trailing-24h UV by hourly-sketch
         # fan-out + union-merge — raw events scanned once, the trailing
         # merge works on KB sketch rows (rows-only: sketch estimate;

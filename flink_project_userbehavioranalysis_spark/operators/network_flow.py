@@ -332,3 +332,59 @@ def uv_trailing_sketch(
         contrib.groupBy("window_end")
         .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("uv_trailing"))
     )
+
+
+def active_users_trailing(
+    spark: SparkSession, sf_dir: str, window_days: int = 7
+) -> DataFrame:
+    """Exact DAU + trailing-``window_days`` AU (the WAU/MAU staple) per
+    day — the A5/A6 family's daily form. A window frame can't
+    COUNT(DISTINCT), so the exact formulation is the coverage explode:
+    the distinct (user, day) relation is staged ONCE (one shuffle at
+    user×day grain — already aggregate cardinality, not events), each
+    row then covers the ``window_days`` trailing windows it belongs to
+    (map-only explode of a bounded day sequence), and a second distinct
+    collapses users active on several days of one window. Early days
+    report the naturally-truncated trailing window (only days that
+    exist), matching the oracle. At extreme scale the trailing column
+    downgrades gracefully to the mergeable-sketch path
+    (``uv_trailing_sketch``) — this operator is the exact twin the
+    sketch is bound-tested against at day grain.
+
+    Output: (day, dau, au_trailing) — ISO day string + exact BIGINTs.
+    """
+    ev = load_events(spark, sf_dir)
+    ud = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    dau = ud.groupBy("d").agg(F.count("*").alias("dau"))
+    cover = (
+        ud.select(
+            F.explode(
+                F.sequence(F.col("d"), F.date_add(F.col("d"), window_days - 1))
+            ).alias("d_end"),
+            "user_id",
+        )
+        .distinct()
+    )
+    au = cover.groupBy("d_end").agg(F.count("*").alias("au_trailing"))
+    return (
+        dau.join(au, dau.d == au.d_end)
+        .select(F.col("d").cast("string").alias("day"), "dau", "au_trailing")
+    )
+
+
+def active_users_trailing_oracle_sql(window_days: int = 7) -> str:
+    return f"""
+WITH ud AS (
+    SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, user_id
+    FROM events
+), dau AS (
+    SELECT d, count(*) AS dau FROM ud GROUP BY 1
+), cover AS (
+    SELECT DISTINCT d + CAST(i AS INTEGER) AS d_end, user_id
+    FROM ud CROSS JOIN (SELECT unnest(range(0, {window_days})) AS i)
+), au AS (
+    SELECT d_end, count(*) AS au_trailing FROM cover GROUP BY 1
+)
+SELECT CAST(dau.d AS VARCHAR) AS day, dau.dau, au.au_trailing
+FROM dau JOIN au ON dau.d = au.d_end
+"""

@@ -159,3 +159,18 @@ def test_entry_contract():
     qs, os = e.queries(), e.oracle_sql()
     assert set(os) <= set(qs)
     assert "hot_items_topn" in os
+
+
+def test_active_users_trailing(spark, sf_dir):
+    """DAU/WAU: oracle-match; WAU >= DAU everywhere (a day's actives
+    are a subset of its trailing window's); WAU == DAU on the corpus's
+    first day (no earlier days to trail over)."""
+    import pyspark.sql.functions as FF
+
+    from flink_project_userbehavioranalysis_spark.operators import network_flow as NF
+
+    df = NF.active_users_trailing(spark, sf_dir)
+    assert_matches_oracle(df, NF.active_users_trailing_oracle_sql(), sf_dir)
+    assert df.filter(FF.col("au_trailing") < FF.col("dau")).count() == 0
+    first = df.orderBy("day").first()
+    assert first["au_trailing"] == first["dau"]
