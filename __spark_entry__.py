@@ -148,6 +148,7 @@ _TIER1 = [
 ]
 # --- tier 2: remaining hash-oracled batch ---------------------------
 _TIER2 = [
+    "near_dup_clusters_incremental",
     "uv_hourly",
     "marketing_total",
     "ad_clicks_by_geo",
@@ -485,6 +486,15 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         # §2.10 near-dup cluster assignment (iterative connected
         # components; oracle = recursive-CTE transitive closure)
         "near_dup_clusters": (_sim.near_dup_clusters, _sim.near_dup_clusters_oracle_sql()),
+        # §2.10 incremental near-dup CLUSTER maintenance (r8): star
+        # contraction — CC runs only on (batch docs ∪ touched cluster
+        # labels); one join folds merged labels back onto the stored
+        # assignment. Oracle = the FULL clustering (maintained ≡
+        # rebuilt, the SCD2/MV/CDC maintainer contract)
+        "near_dup_clusters_incremental": (
+            _sim.near_dup_clusters_incremental,
+            _sim.near_dup_clusters_oracle_sql(),
+        ),
         # §2.10 canonical-doc election (r7): per-cluster keep-best
         # decision (longest wins, min-id tie-break) as a combiner-
         # friendly struct-max — no window/sort in the election

@@ -998,10 +998,20 @@ def near_dup_clusters(
     pairs = ngram_jaccard_pairs(spark, sf_dir, shingle_len, threshold).select(
         "doc_a", "doc_b"
     )
+    return _min_label_cc(docs, pairs, max_iters)
+
+
+def _min_label_cc(nodes: DataFrame, pairs: DataFrame, max_iters: int) -> DataFrame:
+    """Iterative min-label connected components (the loop body
+    :func:`near_dup_clusters` documents): ``nodes`` is (doc_id),
+    ``pairs`` is one row per undirected edge; returns (doc_id,
+    cluster_id BIGINT) with cluster_id = min node id in the component.
+    Shared by the full clustering and the incremental maintainer's
+    contracted-graph pass."""
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist()
-    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).persist()
+    labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id")).persist()
     labels.count()
     for _ in range(max_iters):
         msgs = (
@@ -1488,3 +1498,90 @@ SELECT cluster_id,
        n_members - 1 AS n_dropped
 FROM ranked WHERE rn = 1
 """
+
+
+def near_dup_clusters_incremental(
+    spark: SparkSession,
+    sf_dir: str,
+    split_id: int = 250,
+    shingle_len: int = 3,
+    threshold: float = 0.4,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Incremental near-dup CLUSTER maintenance — the daily job that
+    keeps dedup clusters current as batches ingest, without re-running
+    connected components over the whole corpus. The update's iterative
+    work touches ONLY the batch and the clusters it collides with,
+    via star contraction:
+
+    1. New edges: intra-batch exact-Jaccard pairs + batch⇄corpus pairs
+       from the LSH index probe (``near_dup_incremental`` — candidate
+       cost ∝ batch).
+    2. Contract every touched corpus cluster to its stored label node
+       (cluster_id = min member id, so the label node's id IS the
+       cluster's min — the min-label invariant survives contraction;
+       untouched members need not enter the graph at all).
+    3. Run min-label CC on the contracted graph: batch docs + touched
+       labels only — the fixpoint iterates over the collision
+       neighborhood, never the corpus.
+    4. Fold back: one join relabels stored rows whose cluster merged
+       (old label → new component min); batch rows take their computed
+       label. At 100 TB the stored assignment is bucketed by
+       cluster_id, so the fold-back join co-locates.
+
+    Oracle = the FULL clustering over all documents
+    (``near_dup_clusters_oracle_sql``): maintained ≡ rebuilt, the same
+    contract as the SCD2/MV/CDC maintainers.
+
+    Output: (doc_id, cluster_id) for every document.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    all_pairs = ngram_jaccard_pairs(spark, sf_dir, shingle_len, threshold).select(
+        "doc_a", "doc_b"
+    ).persist()
+    # stored state: the corpus-only clustering (what yesterday's run
+    # left). Eager localCheckpoint is semantically the point — this IS
+    # a materialized table in production — and practically required:
+    # it cuts the iterative lineage so the update's planning doesn't
+    # carry two stacked CC fixpoints (plan-size blowup otherwise).
+    corpus_pairs = all_pairs.filter(
+        (F.col("doc_a") < split_id) & (F.col("doc_b") < split_id)
+    )
+    corpus_labels = _min_label_cc(
+        docs.filter(F.col("doc_id") < split_id), corpus_pairs, max_iters
+    ).localCheckpoint(eager=True)
+    # the update: batch-internal pairs + LSH-probed batch<->corpus pairs
+    batch_pairs = all_pairs.filter(
+        (F.col("doc_a") >= split_id) & (F.col("doc_b") >= split_id)
+    )
+    cross = near_dup_incremental(
+        spark, sf_dir, split_id, shingle_len, threshold
+    ).select("doc_id", "corpus_doc")
+    # contract: corpus endpoint -> its stored cluster label
+    cross_c = (
+        cross.join(
+            corpus_labels.withColumnRenamed("doc_id", "corpus_doc"), "corpus_doc"
+        )
+        .select(F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("doc_b"))
+    )
+    touched_labels = cross_c.select(F.col("doc_b").alias("doc_id")).distinct()
+    batch_docs = docs.filter(F.col("doc_id") >= split_id)
+    cnodes = batch_docs.unionByName(touched_labels).distinct()
+    cedges = batch_pairs.unionByName(cross_c).localCheckpoint(eager=True)
+    all_pairs.unpersist()
+    contracted = _min_label_cc(cnodes, cedges, max_iters).localCheckpoint(eager=True)
+    # fold back: relabel merged clusters, keep the rest byte-identical
+    relabel = contracted.select(
+        F.col("doc_id").alias("old_cluster"), F.col("cluster_id").alias("new_cluster")
+    ).filter(F.col("old_cluster") < split_id)
+    kept = (
+        corpus_labels.join(
+            relabel, corpus_labels.cluster_id == relabel.old_cluster, "left"
+        )
+        .select(
+            "doc_id",
+            F.coalesce("new_cluster", "cluster_id").cast("long").alias("cluster_id"),
+        )
+    )
+    batch_out = contracted.filter(F.col("doc_id") >= split_id)
+    return kept.unionByName(batch_out).localCheckpoint(eager=True)

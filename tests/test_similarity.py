@@ -330,3 +330,14 @@ def test_cluster_canonical_election(spark, sf_dir):
         assert r["canonical_doc"] == best
         assert r["canonical_toks"] == toks[best]
         assert r["n_dropped"] == len(members) - 1
+
+
+def test_near_dup_clusters_incremental_equals_full(spark, sf_dir):
+    """Star-contraction maintenance must reproduce the full clustering
+    exactly (maintained == rebuilt), and stored labels of clusters the
+    batch never touches must pass through byte-identical."""
+    inc = {r["doc_id"]: r["cluster_id"]
+           for r in S.near_dup_clusters_incremental(spark, sf_dir).collect()}
+    full = {r["doc_id"]: r["cluster_id"]
+            for r in S.near_dup_clusters(spark, sf_dir).collect()}
+    assert inc == full and len(inc) > 0
