@@ -149,6 +149,7 @@ _TIER1 = [
 # --- tier 2: remaining hash-oracled batch ---------------------------
 _TIER2 = [
     "near_dup_clusters_incremental",
+    "corpus_drift",
     "uv_hourly",
     "marketing_total",
     "ad_clicks_by_geo",
@@ -711,6 +712,10 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
             _cq.gopher_quality_filter,
             _cq.gopher_quality_filter_oracle_sql(),
         ),
+        # §2.10 snapshot drift monitor (r8): per-lang exact-integer
+        # volume + novel-token (OOV-growth) comparison of an incoming
+        # batch vs the accepted corpus — the pre-accept health check
+        "corpus_drift": (_cq.corpus_drift, _cq.corpus_drift_oracle_sql()),
         # §2.10 eval-set decontamination (k-gram overlap vs held-out slice)
         "contamination_check": (
             _cq.contamination_check,

@@ -561,3 +561,101 @@ def gopher_quality_projection(
         cond = F.col(name) == 1
         keep = cond if keep is None else keep & cond
     return out.withColumn("keep", keep.cast("int"))
+
+
+# --------------------------------------------------------- snapshot drift
+
+
+def corpus_drift(spark: SparkSession, sf_dir: str, split_id: int = 250) -> DataFrame:
+    """Snapshot drift monitor — the per-ingest health check a corpus
+    pipeline runs before accepting a new crawl batch: per language,
+    compare the incoming slice (doc_id ≥ ``split_id``) against the
+    accepted corpus on exact-integer signals (doc counts, token
+    volumes, total text bytes) plus the count of NOVEL tokens (in the
+    batch's vocabulary but not the corpus's — the OOV-growth signal
+    that catches encoding breakage, language misrouting, and spam
+    floods before they poison a training mix). Ratios stay (num,
+    denom) integer pairs downstream; nothing floats.
+
+    Scale shape: one staged token explode feeds BOTH the volume
+    rollup (partial-aggregated per (half, lang)) and the two distinct
+    vocabularies; the novel-token count is a LEFT ANTI join of batch
+    vocab against corpus vocab per lang (vocab cardinality, not token
+    cardinality — AQE broadcasts the smaller vocab).
+
+    Output: (lang, n_old, n_new, tok_old, tok_new, bytes_old,
+    bytes_new, novel_tokens) — exact BIGINTs.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    half = F.when(F.col("doc_id") >= split_id, "new").otherwise("old")
+    base = docs.select(
+        "lang",
+        half.alias("half"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        F.length(F.col("text").cast("binary")).cast("long").alias("n_bytes"),
+    )
+    vol = (
+        base.groupBy("lang")
+        .agg(
+            F.sum(F.when(F.col("half") == "old", 1).otherwise(0)).alias("n_old"),
+            F.sum(F.when(F.col("half") == "new", 1).otherwise(0)).alias("n_new"),
+            F.sum(F.when(F.col("half") == "old", F.col("n_tok")).otherwise(0)).alias("tok_old"),
+            F.sum(F.when(F.col("half") == "new", F.col("n_tok")).otherwise(0)).alias("tok_new"),
+            F.sum(F.when(F.col("half") == "old", F.col("n_bytes")).otherwise(0)).alias("bytes_old"),
+            F.sum(F.when(F.col("half") == "new", F.col("n_bytes")).otherwise(0)).alias("bytes_new"),
+        )
+    )
+    toks = docs.select(
+        "lang", half.alias("half"), F.explode(F.split("text", " ")).alias("tok")
+    )
+    vocab_old = toks.filter(F.col("half") == "old").select("lang", "tok").distinct()
+    vocab_new = toks.filter(F.col("half") == "new").select("lang", "tok").distinct()
+    novel = (
+        vocab_new.join(vocab_old, ["lang", "tok"], "left_anti")
+        .groupBy("lang")
+        .agg(F.count("*").alias("novel_tokens"))
+    )
+    return (
+        vol.join(novel, "lang", "left")
+        .select(
+            "lang", "n_old", "n_new", "tok_old", "tok_new",
+            "bytes_old", "bytes_new",
+            F.coalesce("novel_tokens", F.lit(0)).alias("novel_tokens"),
+        )
+    )
+
+
+def corpus_drift_oracle_sql(split_id: int = 250) -> str:
+    return f"""
+WITH d AS (
+    SELECT lang,
+           CASE WHEN doc_id >= {split_id} THEN 'new' ELSE 'old' END AS half,
+           text,
+           len(string_split(text, ' ')) AS n_tok,
+           octet_length(CAST(text AS BLOB)) AS n_bytes
+    FROM documents WHERE text IS NOT NULL
+), vol AS (
+    SELECT lang,
+           CAST(sum(CASE WHEN half = 'old' THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+           CAST(sum(CASE WHEN half = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           CAST(sum(CASE WHEN half = 'old' THEN n_tok ELSE 0 END) AS BIGINT) AS tok_old,
+           CAST(sum(CASE WHEN half = 'new' THEN n_tok ELSE 0 END) AS BIGINT) AS tok_new,
+           CAST(sum(CASE WHEN half = 'old' THEN n_bytes ELSE 0 END) AS BIGINT) AS bytes_old,
+           CAST(sum(CASE WHEN half = 'new' THEN n_bytes ELSE 0 END) AS BIGINT) AS bytes_new
+    FROM d GROUP BY 1
+), vo AS (
+    SELECT DISTINCT lang, unnest(string_split(text, ' ')) AS tok
+    FROM d WHERE half = 'old'
+), vn AS (
+    SELECT DISTINCT lang, unnest(string_split(text, ' ')) AS tok
+    FROM d WHERE half = 'new'
+), novel AS (
+    SELECT vn.lang, CAST(count(*) AS BIGINT) AS novel_tokens
+    FROM vn LEFT JOIN vo ON vn.lang = vo.lang AND vn.tok = vo.tok
+    WHERE vo.tok IS NULL
+    GROUP BY 1
+)
+SELECT vol.lang, n_old, n_new, tok_old, tok_new, bytes_old, bytes_new,
+       coalesce(novel.novel_tokens, 0) AS novel_tokens
+FROM vol LEFT JOIN novel ON vol.lang = novel.lang
+"""

@@ -68,3 +68,22 @@ def test_gopher_projection_is_map_only(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_corpus_drift(spark, sf_dir):
+    """Drift monitor: oracle-match; volume columns partition the corpus
+    (old + new doc counts == non-null-text total); novel-token count is
+    bounded by the batch vocabulary size."""
+    import pyspark.sql.functions as FF
+
+    from tests.oracle import assert_matches_oracle
+
+    df = CQ.corpus_drift(spark, sf_dir)
+    assert_matches_oracle(df, CQ.corpus_drift_oracle_sql(), sf_dir)
+    tot = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(FF.col("text").isNotNull())
+        .count()
+    )
+    agg = df.agg(FF.sum(FF.col("n_old") + FF.col("n_new"))).collect()[0][0]
+    assert agg == tot
