@@ -92,11 +92,14 @@ HEADLINE = [
     "item_triangles",           # degree-oriented wedge join triangle count
     "eval_holdout_sample",      # WindowGroupLimit fixed-K holdout
     "dup_spans",                # ExactSubstr detect w/ counting-sketch prefilter
-    # NOT benched: item_pagerank / kmeans_lloyd / cluster_canonical
-    # eagerly materialize (localCheckpoint / iterate) at DataFrame-
-    # construction time, so timing their collect() would measure a
-    # block-manager read, not the iteration; mv_pv_hourly_maintain /
-    # compact_roundtrip / erase_users_roundtrip do table WRITES inside
+    "active_users_trailing",    # exact DAU/WAU coverage explode
+    "corpus_drift",             # snapshot volume + novel-token monitor
+    # NOT benched: item_pagerank / kmeans_lloyd / cluster_canonical /
+    # near_dup_clusters_incremental eagerly materialize (localCheckpoint
+    # / iterate) at DataFrame-construction time, so timing their
+    # collect() would measure a block-manager read, not the iteration;
+    # mv_pv_hourly_maintain / compact_roundtrip / erase_users_roundtrip /
+    # user_tier_scd2_maintain / jsonl_roundtrip do table WRITES inside
     # fn(), so their cost is the write path, not the returned scan.
 ]
 
