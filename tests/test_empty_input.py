@@ -146,11 +146,15 @@ OPERATORS = [
     M.count_by_channel_report,
     MT.user_tier_scd2_maintain,
     MT.cdc_apply,
+    MT.jsonl_roundtrip,
     GR.item_triangles,
     TXT.eval_holdout_sample,
     TXT.dup_spans,
     TXT.dup_span_scrub,
     TXT.dup_span_incremental,
+    NF.active_users_trailing,
+    CQ.corpus_drift,
+    SIM.near_dup_clusters_incremental,
 ]
 
 
