@@ -22,7 +22,9 @@ BASELINE_MS = {
     "pv_hourly": 6.9,
     "uv_hourly": 19.4,
     "uv_approx": 15.8,
-    "count_by_channel_behavior": 11.2,  # count_by_type analog
+    # r8 re-anchor: the registered 11,509-row query measured on its own
+    # oracle (the old 11.2 ms row was a 2,880-row count_by_type analog)
+    "count_by_channel_behavior": 22.3,
     "blacklist": 3.3,
     "consec_fail": 30.7,
     "order_timeout": 28.6,
