@@ -150,6 +150,7 @@ _TIER1 = [
 _TIER2 = [
     "near_dup_clusters_incremental",
     "corpus_drift",
+    "retention_rolling",
     "uv_hourly",
     "marketing_total",
     "ad_clicks_by_geo",
@@ -629,6 +630,10 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         ),
         # §2.7-adjacent behavior analytics: weekly cohort-retention matrix
         "cohort_retention": (_rel.cohort_retention, _rel.COHORT_RETENTION_SQL),
+        # behavior pillar (r8): day-grain D1/D7 rolling retention —
+        # one staged distinct (user, day) relation, one narrow
+        # self-equi-join per horizon, exact integers
+        "retention_rolling": (_bx.retention_rolling, _bx.retention_rolling_oracle_sql()),
         # behavior pillar: top-k session 3-step paths (T9 sessions + rank)
         "session_paths_topk": (_bx.session_paths_topk, _bx.session_paths_topk_oracle_sql()),
         # behavior pillar: first/last/linear-numerator ad attribution

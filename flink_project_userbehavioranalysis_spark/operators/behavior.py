@@ -893,3 +893,76 @@ hourly AS (
 SELECT f.user_id, f.hour_s, f.n_prev_7d, f.n_purch_7d, l.churned
 FROM feats f JOIN labels l ON f.user_id = l.user_id AND f.hour_s = l.hour_s
 """
+
+
+# ------------------------------------------------------- rolling retention
+
+
+def retention_rolling(
+    spark: SparkSession, sf_dir: str, horizons=(1, 7)
+) -> DataFrame:
+    """Day-grain rolling retention — the other canonical retention
+    curve beside the weekly cohort matrix (``cohort_retention``): for
+    every calendar day, how many of that day's active users were
+    active again exactly ``k`` days later, for each horizon (classic
+    D1/D7 retention). Exact integers; rates stay (retained, active)
+    pairs so nothing floats.
+
+    Scale shape: ONE distinct pass stages the (user, day) activity
+    relation (aggregate cardinality); each horizon is then a narrow
+    self-equi-join on (user, day+k) — the join keys are two ints, the
+    event payload never appears — followed by a partial-aggregated
+    per-day count. Horizons are a handful of constants, so the whole
+    curve is |horizons| narrow joins over the SAME staged relation
+    (exchange-reuse candidates on the user+day clustering).
+
+    Output: (day, active, retained_1, retained_7) — ISO day string +
+    exact BIGINTs; trailing days report the naturally-truncated
+    horizon (no future data), matching the oracle.
+    """
+    ev = load_events(spark, sf_dir)
+    ud = ev.select(F.to_date("ts").alias("d"), "user_id").distinct().persist()
+    out = ud.groupBy("d").agg(F.count("*").alias("active"))
+    for k in horizons:
+        later = ud.select(F.date_sub(F.col("d"), k).alias("d"), "user_id")
+        ret = (
+            ud.join(later, ["d", "user_id"], "left_semi")
+            .groupBy("d")
+            .agg(F.count("*").alias(f"retained_{k}"))
+        )
+        out = out.join(ret, "d", "left")
+    result = out.select(
+        F.col("d").cast("string").alias("day"),
+        "active",
+        *[
+            F.coalesce(f"retained_{k}", F.lit(0)).cast("long").alias(f"retained_{k}")
+            for k in horizons
+        ],
+    ).localCheckpoint(eager=True)
+    ud.unpersist()
+    return result
+
+
+def retention_rolling_oracle_sql(horizons=(1, 7)) -> str:
+    rets = []
+    joins = []
+    for k in horizons:
+        rets.append(f"coalesce(r{k}.retained_{k}, 0) AS retained_{k}")
+        joins.append(
+            f"""LEFT JOIN (
+    SELECT a.d, CAST(count(*) AS BIGINT) AS retained_{k}
+    FROM ud a JOIN ud b ON a.user_id = b.user_id
+                      AND b.d = a.d + CAST({k} AS INTEGER)
+    GROUP BY 1
+) r{k} ON act.d = r{k}.d"""
+        )
+    return f"""
+WITH ud AS (
+    SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, user_id
+    FROM events
+), act AS (
+    SELECT d, CAST(count(*) AS BIGINT) AS active FROM ud GROUP BY 1
+)
+SELECT CAST(act.d AS VARCHAR) AS day, act.active, {", ".join(rets)}
+FROM act {" ".join(joins)}
+"""

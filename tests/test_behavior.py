@@ -393,3 +393,21 @@ def test_churn_training_set_is_leakage_free(spark, sf_dir):
         ]
         assert r["n_prev_7d"] == len(prev), r
         assert r["n_purch_7d"] == len(purch), r
+
+
+def test_retention_rolling(spark, sf_dir):
+    """D1/D7 rolling retention: oracle-match; retained_k <= active on
+    every day; last day's horizons are 0 (no future data)."""
+    import pyspark.sql.functions as FF
+
+    from tests.oracle import assert_matches_oracle
+
+    df = B.retention_rolling(spark, sf_dir)
+    assert_matches_oracle(df, B.retention_rolling_oracle_sql(), sf_dir)
+    bad = df.filter(
+        (FF.col("retained_1") > FF.col("active"))
+        | (FF.col("retained_7") > FF.col("active"))
+    ).count()
+    assert bad == 0
+    last = df.orderBy(FF.desc("day")).first()
+    assert last["retained_1"] == 0 and last["retained_7"] == 0
