@@ -151,6 +151,7 @@ _TIER2 = [
     "near_dup_clusters_incremental",
     "corpus_drift",
     "retention_rolling",
+    "term_blocklist",
     "uv_hourly",
     "marketing_total",
     "ad_clicks_by_geo",
@@ -721,6 +722,13 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         # volume + novel-token (OOV-growth) comparison of an incoming
         # batch vs the accepted corpus — the pre-accept health check
         "corpus_drift": (_cq.corpus_drift, _cq.corpus_drift_oracle_sql()),
+        # §2.10 C4-style term-blocklist gate (r8): broadcast wordlist,
+        # map-only match, ONE per-doc partial-agg count — emits counts
+        # + keep so drop-any and threshold policies share one output
+        "term_blocklist": (
+            _cq.term_blocklist_filter,
+            _cq.term_blocklist_oracle_sql(),
+        ),
         # §2.10 eval-set decontamination (k-gram overlap vs held-out slice)
         "contamination_check": (
             _cq.contamination_check,

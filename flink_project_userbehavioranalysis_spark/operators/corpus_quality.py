@@ -659,3 +659,52 @@ SELECT vol.lang, n_old, n_new, tok_old, tok_new, bytes_old, bytes_new,
        coalesce(novel.novel_tokens, 0) AS novel_tokens
 FROM vol LEFT JOIN novel ON vol.lang = novel.lang
 """
+
+
+# --------------------------------------------------------- term blocklist
+
+# Deterministic stand-in blocklist (words present in the synthetic
+# corpus so the gate is non-vacuous). Production swaps in the real
+# list (e.g. the public C4 "badwords" list) — the dataflow is the
+# same broadcast join either way.
+BLOCKLIST_TERMS = ("slow", "fail", "error")
+
+
+def term_blocklist_filter(
+    spark: SparkSession, sf_dir: str, terms: tuple = BLOCKLIST_TERMS
+) -> DataFrame:
+    """Term-blocklist document gate — the C4-style first-pass safety
+    filter every public corpus pipeline runs (C4 dropped any page
+    containing a listed word; refined pipelines keep the doc but
+    record counts for a threshold policy). Emits one row per doc with
+    the exact blocklisted-token count and the keep decision, so both
+    policies (drop-any vs threshold) read off the same output.
+
+    Scale shape: the blocklist is a broadcast in-list by construction
+    (wordlists are KBs); matching is a single map-only pass — tokens
+    explode per doc and hit the broadcast set, then ONE
+    partial-aggregated per-doc count shuffle. No text ever rides the
+    shuffle (only doc_id + int).
+
+    Output: (doc_id, n_blocked, keep) — exact ints/boolean.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    hits = (
+        tok.withColumn("hit", F.when(F.col("tok").isin(*terms), 1).otherwise(0))
+        .groupBy("doc_id")
+        .agg(F.sum("hit").cast("long").alias("n_blocked"))
+    )
+    return hits.select("doc_id", "n_blocked", (F.col("n_blocked") == 0).alias("keep"))
+
+
+def term_blocklist_oracle_sql(terms: tuple = BLOCKLIST_TERMS) -> str:
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+SELECT doc_id,
+       CAST(count(*) FILTER (WHERE tok IN ({inlist})) AS BIGINT) AS n_blocked,
+       count(*) FILTER (WHERE tok IN ({inlist})) = 0 AS keep
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE text IS NOT NULL)
+GROUP BY 1
+"""

@@ -87,3 +87,20 @@ def test_corpus_drift(spark, sf_dir):
     )
     agg = df.agg(FF.sum(FF.col("n_old") + FF.col("n_new"))).collect()[0][0]
     assert agg == tot
+
+
+def test_term_blocklist_filter(spark, sf_dir):
+    """Blocklist gate: oracle-match; keep <=> n_blocked == 0; both
+    policies non-vacuous (some kept, some flagged); an empty blocklist
+    keeps everything."""
+    import pyspark.sql.functions as FF
+
+    from tests.oracle import assert_matches_oracle
+
+    df = CQ.term_blocklist_filter(spark, sf_dir)
+    assert_matches_oracle(df, CQ.term_blocklist_oracle_sql(), sf_dir)
+    assert df.filter(FF.col("keep") != (FF.col("n_blocked") == 0)).count() == 0
+    kept = df.filter("keep").count()
+    assert 0 < kept < df.count()
+    all_kept = CQ.term_blocklist_filter(spark, sf_dir, terms=("zzz-not-a-word",))
+    assert all_kept.filter("NOT keep").count() == 0
