@@ -152,6 +152,7 @@ _TIER2 = [
     "corpus_drift",
     "retention_rolling",
     "term_blocklist",
+    "orc_roundtrip",
     "uv_hourly",
     "marketing_total",
     "ad_clicks_by_geo",
@@ -602,6 +603,10 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         # re-ingest; oracle = content checksum over the raw table, so
         # the hash certifies the convert hop (incl. JSON escaping) exact
         "jsonl_roundtrip": (_mt.jsonl_roundtrip, _mt.JSONL_ROUNDTRIP_SQL),
+        # io (r8): ORC interchange hop — the other warehouse columnar
+        # format (Hive/Trino estates), built into Spark; shares the
+        # JSONL hop's checksum oracle
+        "orc_roundtrip": (_mt.orc_roundtrip, _mt.JSONL_ROUNDTRIP_SQL),
         # maintenance (r7): right-to-be-forgotten sweep — scrubbed
         # rewrite + audit; oracle = anti-joined raw table, so a hash
         # match certifies exactly-the-listed-users deletion

@@ -535,3 +535,32 @@ SELECT lang,
 FROM documents
 GROUP BY 1
 """
+
+
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC interchange hop — same contract as :func:`jsonl_roundtrip`
+    for the other columnar format warehouses exchange (Hive/Trino
+    estates are ORC-native; Spark's reader/writer are built in):
+    egress the documents table as ORC, re-ingest the schema'd scan,
+    return the per-language content checksum. Shares the JSONL hop's
+    oracle — one checksum definition certifies every interchange
+    format the engine claims."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = _scratch_dir(spark, "orc", sf_dir)
+    docs.write.mode("overwrite").orc(path)
+    back = spark.read.schema(
+        "doc_id BIGINT, text STRING, lang STRING, source STRING"
+    ).orc(path)
+    chk = F.conv(
+        F.substring(F.md5(F.col("text").cast("binary")), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("doc_id").alias("id_sum"),
+            F.sum(chk).alias("text_chk"),
+        )
+        # eager: the reused scratch dir is overwritten by the next call
+        .localCheckpoint(eager=True)
+    )

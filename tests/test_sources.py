@@ -155,3 +155,14 @@ def test_jsonl_corrupt_lines_quarantine(spark, tmp_path):
     assert got == [(1, "en"), (2, "fr")]
     raw = sorted(r["raw_line"] for r in bad.collect())
     assert raw == ['THIS IS NOT JSON', '{"doc_id": 3, "text": "unclosed']
+
+
+def test_orc_roundtrip_oracle(spark, sf_dir):
+    """ORC egress + schema'd re-ingest preserves content exactly (same
+    checksum contract as the JSONL hop)."""
+    from flink_project_userbehavioranalysis_spark.operators import maintenance as MT
+    from tests.oracle import assert_matches_oracle
+
+    assert_matches_oracle(
+        MT.orc_roundtrip(spark, sf_dir), MT.JSONL_ROUNDTRIP_SQL, sf_dir
+    )
