@@ -279,6 +279,7 @@ _TIER4 = [
     "dedup_incremental_stream",
     "dup_span_incremental_stream",
     "cdc_apply_stream",
+    "term_blocklist_stream",
 ]
 _DRIVER_ORDER = _TIER1 + _TIER2 + _TIER3 + _TIER4
 
@@ -931,6 +932,13 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         # record must stay consultable) through the changelog-MERGE
         # sink; max+count are commutative, so the BATCH oracle applies
         "cdc_apply_stream": (_stw.cdc_apply_stream, _mt.CDC_APPLY_SQL),
+        # §2.10 stateless streaming blocklist gate (r8): the wordlist
+        # filter at ingest — map-only array expression per arriving
+        # doc, append mode (batch oracle ≡ streaming oracle)
+        "term_blocklist_stream": (
+            _stw.term_blocklist_stream,
+            _cq.term_blocklist_oracle_sql(),
+        ),
     }
 
 

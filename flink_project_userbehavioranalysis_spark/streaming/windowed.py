@@ -993,3 +993,32 @@ def cdc_apply_stream(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> Dat
         F.col("last.v").alias("last_value"),
         F.col("n_changes").cast("long").alias("n_changes"),
     )
+
+
+def term_blocklist_stream(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> DataFrame:
+    """Stateless streaming blocklist gate — where the C4-style wordlist
+    filter actually runs in production: at INGEST over the document
+    feed. Each doc arrives whole, so the count is a map-only array
+    expression per row (no explode→groupBy state) and the gate runs at
+    scan rate in append mode (the ``pii_scrub_stream`` family). Output
+    is value-identical to the batch operator, so the batch oracle is
+    the streaming oracle.
+    """
+    from flink_project_userbehavioranalysis_spark.operators.corpus_quality import (
+        BLOCKLIST_TERMS,
+    )
+    from flink_project_userbehavioranalysis_spark.streaming.replay import (
+        run_append_memory,
+    )
+
+    docs = docs_stream(spark, sf_dir, n_chunks=n_chunks)
+    terms = F.array(*[F.lit(t) for t in BLOCKLIST_TERMS])
+    n_blocked = F.size(
+        F.filter(F.split("text", " "), lambda t: F.array_contains(terms, t))
+    ).cast("long")
+    out = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        n_blocked.alias("n_blocked"),
+        (n_blocked == 0).alias("keep"),
+    )
+    return run_append_memory(out, "term_blocklist_stream", spark)

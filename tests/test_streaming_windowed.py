@@ -305,3 +305,13 @@ def test_cdc_apply_stream_equals_batch(spark, sf_dir):
     got = sorted(tuple(r) for r in W.cdc_apply_stream(spark, sf_dir).collect())
     want = sorted(tuple(r) for r in MT.cdc_apply(spark, sf_dir).collect())
     assert got == want and len(got) > 0
+
+
+def test_term_blocklist_stream_equals_batch(spark, sf_dir):
+    """The ingest-time blocklist gate equals the batch operator
+    value-for-value (stateless map gate; batch oracle applies)."""
+    from flink_project_userbehavioranalysis_spark.operators import corpus_quality as CQ
+
+    got = sorted(tuple(r) for r in W.term_blocklist_stream(spark, sf_dir).collect())
+    want = sorted(tuple(r) for r in CQ.term_blocklist_filter(spark, sf_dir).collect())
+    assert got == want and len(got) > 0
