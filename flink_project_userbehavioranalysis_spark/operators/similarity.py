@@ -1002,27 +1002,57 @@ def near_dup_clusters(
 
 
 def _min_label_cc(nodes: DataFrame, pairs: DataFrame, max_iters: int) -> DataFrame:
-    """Iterative min-label connected components (the loop body
-    :func:`near_dup_clusters` documents): ``nodes`` is (doc_id),
-    ``pairs`` is one row per undirected edge; returns (doc_id,
-    cluster_id BIGINT) with cluster_id = min node id in the component.
-    Shared by the full clustering and the incremental maintainer's
-    contracted-graph pass."""
+    """Iterative min-label connected components with POINTER JUMPING
+    (the loop body :func:`near_dup_clusters` documents): ``nodes`` is
+    (doc_id), ``pairs`` is one row per undirected edge; returns
+    (doc_id, cluster_id BIGINT) with cluster_id = min node id in the
+    component. Shared by the full clustering and the incremental
+    maintainer's contracted-graph pass.
+
+    Each round gathers the min label over the neighborhood, then
+    FOLLOWS THE LABEL'S LABEL (one self-equi-join on the node-
+    cardinality label relation — labels are node ids, so L(L(v)) is
+    defined): the classic pointer-jumping step that doubles
+    propagation distance per round, so convergence is O(log diameter)
+    instead of O(diameter) — a path corpus (chained near-dups) no
+    longer needs diameter rounds. Non-convergence within ``max_iters``
+    RAISES instead of silently returning partial labels (r8 fix: the
+    old plain-propagation loop could exhaust its budget on a
+    high-diameter graph and hand back wrong clusters without a word).
+    """
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist()
-    labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id")).persist()
-    labels.count()
+    # eager per-round materialization (localCheckpoint) is required,
+    # not a nicety: the jump self-join references the round's frame
+    # TWICE, so an unbroken lineage doubles the plan tree every round
+    # — the standard iterative-graph checkpoint discipline (GraphX
+    # does the same). The materialized frame is node cardinality.
+    labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint(
+        eager=True
+    )
+    converged = False
     for _ in range(max_iters):
         msgs = (
             edges.join(labels, edges.doc_a == labels.doc_id)
             .select(F.col("doc_b").alias("doc_id"), "cluster_id")
         )
-        new_labels = (
+        gathered = (
             labels.unionByName(msgs)
             .groupBy("doc_id")
             .agg(F.min("cluster_id").alias("cluster_id"))
-            .persist()
+        )
+        new_labels = (
+            gathered.alias("g")
+            .join(
+                gathered.select(
+                    F.col("doc_id").alias("cluster_id"),
+                    F.col("cluster_id").alias("jumped"),
+                ),
+                "cluster_id",
+            )
+            .select("doc_id", F.least("cluster_id", "jumped").alias("cluster_id"))
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -1030,11 +1060,15 @@ def _min_label_cc(nodes: DataFrame, pairs: DataFrame, max_iters: int) -> DataFra
             .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected components did not converge within {max_iters} rounds"
+        )
     return labels.select("doc_id", F.col("cluster_id").cast("long").alias("cluster_id"))
 
 

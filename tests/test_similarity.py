@@ -341,3 +341,22 @@ def test_near_dup_clusters_incremental_equals_full(spark, sf_dir):
     full = {r["doc_id"]: r["cluster_id"]
             for r in S.near_dup_clusters(spark, sf_dir).collect()}
     assert inc == full and len(inc) > 0
+
+
+def test_min_label_cc_pointer_jumping_on_chain(spark):
+    """A 64-node path graph has diameter 63 — plain min-label
+    propagation would need 63 rounds (and the old loop would have
+    returned WRONG labels silently after its budget). Pointer jumping
+    must converge within 20 rounds to the single component, and
+    non-convergence must raise rather than return partial labels."""
+    import pytest
+
+    n = 64
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    out = S._min_label_cc(nodes, pairs, max_iters=20).collect()
+    assert len(out) == n and all(r["cluster_id"] == 0 for r in out)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        S._min_label_cc(nodes, pairs, max_iters=1).collect()
