@@ -978,17 +978,19 @@ def near_dup_clusters(
     min-id doc per cluster") needs the transitive closure, not pairs
     (A~B, B~C ⇒ A,C dedup together even when A≁C directly).
 
-    Connected components by iterative min-label propagation over the
-    exact Jaccard near-dup edges: every doc starts labeled with its own
-    id; each round every node takes the min label among itself and its
-    neighbors; converged when no label changes (≤ graph diameter
-    rounds, checked each round). Each round is one equi-join + one
-    partial-aggregated groupBy — the simple member of the
-    large-star/small-star family, which is the drop-in upgrade if
-    cluster diameters ever grow beyond a handful of hops. Labels are
-    persisted per round and the loop is a *driver-side control flow*
-    over distributed rounds (only the single `changed` counter ever
-    reaches the driver).
+    Connected components by iterative min-label propagation WITH
+    POINTER JUMPING over the exact Jaccard near-dup edges (r8,
+    :func:`_min_label_cc`): every doc starts labeled with its own id;
+    each round every node takes the min label among itself and its
+    neighbors, then follows its label's label — doubling propagation
+    distance per round, so convergence is O(log diameter) (the same
+    complexity class as large-star/small-star) and chained clusters
+    no longer cost diameter rounds. Each round is one edge equi-join
+    + one partial-aggregated groupBy + one node-cardinality label
+    self-join, materialized per round; the loop is *driver-side
+    control flow* over distributed rounds (only the single `changed`
+    counter ever reaches the driver), and a non-converged budget
+    RAISES rather than returning partial labels.
 
     Output: (doc_id, cluster_id) for every document; singletons are
     their own cluster. Oracle: DuckDB recursive-CTE transitive closure
