@@ -247,6 +247,7 @@ _TIER3 = [
     "semantic_dedup",
     "embedding_pca",
     "uv_trailing_sketch",
+    "retention_sketch",
 ]
 # --- tier 4: streaming (finite replay jobs, seconds each) -----------
 _TIER4 = [
@@ -330,6 +331,11 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         # merge works on KB sketch rows (rows-only: sketch estimate;
         # 5% bound vs exact trailing UV asserted in test_sketches.py)
         "uv_trailing_sketch": (_nf.uv_trailing_sketch, None),
+        # A6-scale retention (r8): per-day HLL sketches + inclusion-
+        # exclusion overlap — the sketch-algebra path for
+        # retention_rolling's D-1 column (rows-only: sketch estimate;
+        # bound vs the exact twin asserted in test_sketches.py)
+        "retention_sketch": (_nf.retention_sketch, None),
         # W2 batch core
         "hot_pages_topn": (_nf.hot_pages_topn, _nf.hot_pages_oracle_sql()),
         # A7 / P3 — registered surface is all-numeric except behavior

@@ -388,3 +388,38 @@ WITH ud AS (
 SELECT CAST(dau.d AS VARCHAR) AS day, dau.dau, au.au_trailing
 FROM dau JOIN au ON dau.d = au.d_end
 """
+
+
+def retention_sketch(spark: SparkSession, sf_dir: str, k: int = 1) -> DataFrame:
+    """Sketch-algebra retention — the 100 TB path for
+    :func:`behavior.retention_rolling`'s D-``k`` column: per-day HLL
+    sketches of active users, with retained-overlap estimated by
+    INCLUSION-EXCLUSION over the union sketch
+    (|A∩B| = |A| + |B| − |A∪B| — HLL unions are exact sketch algebra,
+    intersections are not, so the overlap inherits both sketches'
+    error). Raw events are scanned ONCE into day sketches (KB each);
+    every downstream estimate works on sketch rows — the same
+    mergeability story as ``uv_daily_sketch`` / ``uv_trailing_sketch``.
+
+    Rows-only registry entry (sketch estimates are engine-specific);
+    tests bound the estimate against the exact
+    ``retention_rolling`` twin.
+
+    Output: (day, active_est, retained_est) — BIGINT estimates.
+    """
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    nxt = daily.select(F.date_sub(F.col("d"), k).alias("d"), F.col("sk").alias("sk_next"))
+    est = F.hll_sketch_estimate
+    return (
+        daily.join(nxt, "d")
+        .select(
+            F.col("d").cast("string").alias("day"),
+            est("sk").alias("active_est"),
+            (est("sk") + est("sk_next") - est(F.hll_union("sk", "sk_next"))).alias(
+                "retained_est"
+            ),
+        )
+    )

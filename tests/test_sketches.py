@@ -73,3 +73,19 @@ def test_uv_trailing_sketch_bound(spark, sf_dir):
     assert got.keys() == exact.keys()
     for k, s in exact.items():
         assert abs(got[k] - len(s)) <= max(2, 0.05 * len(s))
+
+
+def test_retention_sketch_bounds(spark, sf_dir):
+    """Inclusion-exclusion retention estimate stays within 10% of the
+    exact D1 retention (relative to that day's actives — intersection
+    error compounds both sketches'), on every day."""
+    from flink_project_userbehavioranalysis_spark.operators import behavior as BX
+    from flink_project_userbehavioranalysis_spark.operators import network_flow as NF
+
+    sk = {r["day"]: r for r in NF.retention_sketch(spark, sf_dir).collect()}
+    ex = {r["day"]: r for r in BX.retention_rolling(spark, sf_dir).collect()}
+    assert sk and set(sk) <= set(ex)
+    for day, s in sk.items():
+        e = ex[day]
+        assert abs(s["active_est"] - e["active"]) <= 0.05 * e["active"] + 1
+        assert abs(s["retained_est"] - e["retained_1"]) <= 0.10 * e["active"] + 1
