@@ -383,3 +383,55 @@ def test_dup_span_invariants(spark, tmp_path_factory, docs):
         assert any(r["n_removed"] < r["n_words"] for r in scrub.values()) or all(
             n == 0 for n in n_words.values()
         )
+
+
+cdc_feed_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 5_000),  # offset seconds
+        st.integers(1, 6),  # user (key)
+        st.sampled_from(["view", "click", "error"]),  # error = DELETE
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(feed=cdc_feed_strategy, split=st.integers(0, 40))
+def test_cdc_compact_is_associative(spark, tmp_path_factory, feed, split):
+    """The algebraic heart of per-batch CDC compaction: for ANY split
+    of the feed (not just day boundaries), merging the two halves'
+    compacted states equals one LWW pass over the whole feed —
+    tombstones included. This is what makes running the compactor per
+    ingest batch safe at 100 TB."""
+    import pyspark.sql.functions as FF
+
+    from flink_project_userbehavioranalysis_spark.operators.maintenance import (
+        _cdc_compact,
+    )
+
+    rows = [
+        {
+            "user_id": uid,
+            "ts_ns": BASE_NS + off * 1_000_000_000,
+            "event_id": i,
+            "value": float(i),
+            "op": "D" if typ == "error" else "U",
+        }
+        for i, (off, uid, typ) in enumerate(feed)
+    ]
+    schema = "user_id BIGINT, ts_ns BIGINT, event_id BIGINT, value DOUBLE, op STRING"
+    full = spark.createDataFrame(rows, schema)
+    k = min(split, len(rows))
+    a = spark.createDataFrame(rows[:k] or [], schema)
+    b = spark.createDataFrame(rows[k:] or [], schema)
+    one_pass = _cdc_compact(full)
+    merged = (
+        _cdc_compact(a)
+        .unionByName(_cdc_compact(b))
+        .groupBy("user_id")
+        .agg(FF.max("last").alias("last"), FF.sum("n_changes").alias("n_changes"))
+    )
+    got = sorted(tuple(r) for r in merged.collect())
+    want = sorted(tuple(r) for r in one_pass.collect())
+    assert got == want
