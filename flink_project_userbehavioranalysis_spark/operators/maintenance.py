@@ -489,9 +489,14 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus pipeline runs) lost, duplicated, and mangled nothing —
     including round-tripping text through JSON string escaping.
 
-    The checksum is content-strong: count + id sum + the sum of each
-    text's leading-8-hex md5 as an integer (a single flipped byte in
-    any document moves it).
+    The checksum is content-strong across the WHOLE row: count + id
+    sum + the sum of each row's leading-8-hex md5 over
+    (doc_id | text | source) as an integer — so a flipped byte in any
+    column, a source-column mangle, or a value swap BETWEEN rows
+    (doc_id is folded into each row's digest) all move it. lang is
+    the group key, so a lang swap moves rows across groups. (r8
+    advisory: the old text-only digest certified less than the
+    docstring claimed.)
     """
     from flink_project_userbehavioranalysis_spark.sources.jsonl import (
         read_docs_jsonl,
@@ -503,15 +508,21 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _scratch_dir(spark, "jsonl", sf_dir)
     write_docs_jsonl(docs, path)
     clean, _bad = split_quarantine(read_docs_jsonl(spark, path))
-    chk = F.conv(
-        F.substring(F.md5(F.col("text").cast("binary")), 1, 8), 16, 10
-    ).cast("long")
+    row_repr = F.concat_ws(
+        "|",
+        F.col("doc_id").cast("string"),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.coalesce(F.col("source"), F.lit("")),
+    )
+    chk = F.conv(F.substring(F.md5(row_repr.cast("binary")), 1, 8), 16, 10).cast(
+        "long"
+    )
     return (
         clean.groupBy("lang")
         .agg(
             F.count("*").alias("n"),
             F.sum("doc_id").alias("id_sum"),
-            F.sum(chk).alias("text_chk"),
+            F.sum(chk).alias("row_chk"),
         )
         # eager: the reused scratch dir is overwritten by the next call
         .localCheckpoint(eager=True)
@@ -527,11 +538,16 @@ def _hex_prefix_int_sql(col: str, n: int) -> str:
     )
 
 
+_ROW_REPR_SQL = (
+    "(CAST(doc_id AS VARCHAR) || '|' || coalesce(text, '')"
+    " || '|' || coalesce(source, ''))"
+)
+
 JSONL_ROUNDTRIP_SQL = f"""
 SELECT lang,
        count(*) AS n,
        CAST(sum(doc_id) AS BIGINT) AS id_sum,
-       CAST(sum({_hex_prefix_int_sql("text", 8)}) AS BIGINT) AS text_chk
+       CAST(sum({_hex_prefix_int_sql(_ROW_REPR_SQL, 8)}) AS BIGINT) AS row_chk
 FROM documents
 GROUP BY 1
 """
@@ -551,15 +567,21 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.schema(
         "doc_id BIGINT, text STRING, lang STRING, source STRING"
     ).orc(path)
-    chk = F.conv(
-        F.substring(F.md5(F.col("text").cast("binary")), 1, 8), 16, 10
-    ).cast("long")
+    row_repr = F.concat_ws(
+        "|",
+        F.col("doc_id").cast("string"),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.coalesce(F.col("source"), F.lit("")),
+    )
+    chk = F.conv(F.substring(F.md5(row_repr.cast("binary")), 1, 8), 16, 10).cast(
+        "long"
+    )
     return (
         back.groupBy("lang")
         .agg(
             F.count("*").alias("n"),
             F.sum("doc_id").alias("id_sum"),
-            F.sum(chk).alias("text_chk"),
+            F.sum(chk).alias("row_chk"),
         )
         # eager: the reused scratch dir is overwritten by the next call
         .localCheckpoint(eager=True)

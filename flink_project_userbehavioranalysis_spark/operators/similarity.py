@@ -1003,6 +1003,22 @@ def near_dup_clusters(
     return _min_label_cc(docs, pairs, max_iters)
 
 
+def _release_local_ckpt(df: DataFrame) -> None:
+    """Free the block-manager blocks behind a localCheckpointed frame.
+
+    ``DataFrame.unpersist()`` only clears cache-manager entries — a
+    localCheckpoint's blocks belong to the underlying checkpointed RDD
+    (surfaced as a bare ``LogicalRDD`` plan), so an iterative loop that
+    re-checkpoints every round would otherwise pin O(rounds × nodes)
+    blocks until the session ends (r8 advisory). Best effort: a frame
+    whose analyzed plan is not a bare LogicalRDD is left alone.
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def _min_label_cc(nodes: DataFrame, pairs: DataFrame, max_iters: int) -> DataFrame:
     """Iterative min-label connected components with POINTER JUMPING
     (the loop body :func:`near_dup_clusters` documents): ``nodes`` is
@@ -1062,7 +1078,13 @@ def _min_label_cc(nodes: DataFrame, pairs: DataFrame, max_iters: int) -> DataFra
             .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
             .count()
         )
+        # the superseded round's blocks are dead once `changed` has
+        # consumed both frames — release them instead of pinning
+        # O(rounds × nodes) blocks per invocation (the final frame
+        # stays live for the caller)
+        prev = labels
         labels = new_labels
+        _release_local_ckpt(prev)
         if changed == 0:
             converged = True
             break
@@ -1569,6 +1591,23 @@ def near_dup_clusters_incremental(
     (``near_dup_clusters_oracle_sql``): maintained ≡ rebuilt, the same
     contract as the SCD2/MV/CDC maintainers.
 
+    CORRECTNESS PRECONDITION (maintainer's contract, r8 advisory): the
+    batch⇄corpus edges come from the MinHash-LSH probe
+    (``near_dup_incremental``), whose recall is probabilistic — a
+    missed candidate pair yields a STABLE-BUT-WRONG clustering with no
+    loud failure analogous to the CC non-convergence RuntimeError.
+    maintained ≡ rebuilt therefore holds only where the band params
+    give recall 1 on the corpus (asserted for this corpus in
+    tests/test_similarity.py::test_minhash_equals_exact and
+    ::test_near_dup_incremental, and re-checked at sf0.1 by the
+    check_all drive;
+    16 bands × 2 rows has its S-curve threshold at J ≈ 0.5^(1/2) per
+    band, comfortably below the 0.4 gate for 32-hash signatures). A
+    production deployment on a new corpus must either re-verify recall
+    at its band params or schedule the periodic FULL reclustering
+    audit (``near_dup_clusters``) whose diff against the maintained
+    state surfaces any silent divergence.
+
     Output: (doc_id, cluster_id) for every document.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
@@ -1620,4 +1659,10 @@ def near_dup_clusters_incremental(
         )
     )
     batch_out = contracted.filter(F.col("doc_id") >= split_id)
-    return kept.unionByName(batch_out).localCheckpoint(eager=True)
+    out = kept.unionByName(batch_out).localCheckpoint(eager=True)
+    # the staged frames are dead once the assignment is materialized —
+    # release their block-manager copies (r8 advisory: checkpoint
+    # discipline must free superseded frames, not just create them)
+    for staged in (corpus_labels, cedges, contracted):
+        _release_local_ckpt(staged)
+    return out
