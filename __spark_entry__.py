@@ -23,6 +23,7 @@ from flink_project_userbehavioranalysis_spark.operators import embeddings_ops as
 from flink_project_userbehavioranalysis_spark.operators import expectations as _exp
 from flink_project_userbehavioranalysis_spark.operators import graph as _gr
 from flink_project_userbehavioranalysis_spark.operators import hot_items as _hot
+from flink_project_userbehavioranalysis_spark.operators import ingest as _ing
 from flink_project_userbehavioranalysis_spark.operators import llm_text as _text
 from flink_project_userbehavioranalysis_spark.operators import login as _login
 from flink_project_userbehavioranalysis_spark.operators import maintenance as _mt
@@ -148,6 +149,8 @@ _TIER1 = [
 ]
 # --- tier 2: remaining hash-oracled batch ---------------------------
 _TIER2 = [
+    "ingest_accept_batch",
+    "ingest_audit",
     "near_dup_clusters_incremental",
     "corpus_drift",
     "retention_rolling",
@@ -741,6 +744,17 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
             _cq.term_blocklist_filter,
             _cq.term_blocklist_oracle_sql(),
         ),
+        # §2.10 composed ingest ADMISSION pipeline (r9): drift gate →
+        # blocklist → Gopher → exact/near/span incremental dedup
+        # probes, one declarative dataflow with progressive
+        # short-circuit; oracle = full DuckDB recompute of the cascade
+        "ingest_accept_batch": (
+            _ing.ingest_accept_batch,
+            _ing.ingest_accept_oracle_sql(),
+        ),
+        # the operator-facing audit: per-stage quarantine counts +
+        # token volumes over the same manifest
+        "ingest_audit": (_ing.ingest_audit, _ing.ingest_audit_oracle_sql()),
         # §2.10 eval-set decontamination (k-gram overlap vs held-out slice)
         "contamination_check": (
             _cq.contamination_check,

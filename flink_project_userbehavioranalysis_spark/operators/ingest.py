@@ -1,0 +1,563 @@
+"""End-to-end ingest admission pipeline (§2.10 composition): the job a
+100 TB corpus pipeline runs PER INGEST BATCH, chaining every
+incremental admission gate this engine ships as ONE declarative
+dataflow:
+
+    new batch
+      → corpus-drift health gate        (lang-level, pre-accept)
+      → term-blocklist gate             (C4-style wordlist)
+      → Gopher quality gates            (Rae et al. 2021 heuristics)
+      → exact dedup vs corpus + batch   (fingerprint-index probe)
+      → near-dup vs corpus              (MinHash-LSH band-index probe)
+      → span dedup vs corpus            (ExactSubstr gram-index probe)
+      → per-doc accept/quarantine manifest + per-stage audit counts
+
+Every stage exists (and is individually oracle-verified) as a
+standalone operator — ``corpus_quality.corpus_drift`` /
+``term_blocklist_filter`` / ``gopher_quality_filter``,
+``llm_text.dedup_incremental`` / ``dup_span_incremental``,
+``similarity.near_dup_incremental``. Composition is where bugs hide
+(stage ordering, survivor-set plumbing, double-counting), so the
+composed manifest is registered with its own oracle: one DuckDB CTE
+chain that recomputes the whole cascade from the raw table.
+
+Semantics — progressive short-circuit, exactly like production:
+- a document is judged by the FIRST stage it fails (its ``verdict``);
+- the expensive staged relations (fingerprints, shingle/LSH bands,
+  w-grams) are built ONLY over the survivors of the preceding stages,
+  so quarantined docs consume no downstream compute;
+- the cheap per-doc token signals (blocklist hits + all five Gopher
+  stats) come from ONE staged (doc, token) tf relation — a single
+  explode and a single per-doc rollup feed BOTH gates, and the same
+  staged tf also feeds the drift gate's batch vocabulary (persisted,
+  so the plan reads the staging pass once; asserted in
+  tests/test_ingest.py).
+
+Stage thresholds are deployment config (``INGEST_DEFAULTS``); the
+defaults are tuned so every stage is non-vacuous on the synthetic
+corpus at sf0.01 (57 blocklist / 26 gopher / 28 exact / 8 near /
+1 span quarantined of a 250-doc batch, 130 accepted) — the relaxed
+Gopher bounds relative to ``gopher_quality_filter``'s defaults
+reflect that an admission pipeline gates on obviously-broken docs and
+leaves fine-grained mix decisions to curation downstream.
+
+100 TB posture: identical to the component operators' — the corpus
+side of every probe is a persisted index (fingerprint set, LSH band
+table, distinct-gram md5s, per-lang vocabulary) bucketed on its probe
+key, so each ingest batch's cost scales with the batch; here the
+indexes are derived in-query from the corpus half of the documents
+table (doc_id < split_id), exactly as the standalone incremental
+operators do. The drift gate is the one whole-batch aggregate — it
+compares lang-level batch volume/vocabulary against the corpus, which
+is inherently a batch-grain decision (and is why the STREAMING twin
+``ingest_accept_stream`` covers the per-doc prefix only).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_project_userbehavioranalysis_spark.io import load_table
+from flink_project_userbehavioranalysis_spark.operators.corpus_quality import (
+    BLOCKLIST_TERMS,
+    GOPHER_STOPWORDS,
+)
+from flink_project_userbehavioranalysis_spark.operators.llm_text import (
+    _dup_gram_positions,
+    _merge_islands,
+)
+from flink_project_userbehavioranalysis_spark.operators.similarity import (
+    _banded,
+    _shingles,
+)
+
+# Deployment config for the composed admission pipeline. The Gopher
+# bounds are deliberately looser than gopher_quality_filter's
+# standalone defaults (admission gates reject broken docs; curation
+# tunes the mix), and the blocklist is the threshold policy (rate >
+# block_max_pct %), not C4's drop-any.
+INGEST_DEFAULTS = {
+    "split_id": 250,
+    # drift (lang-level)
+    "max_novel_pct": 30,  # novel-token rate of the batch vocab, per lang
+    "max_growth_x": 5,  # batch may be at most 5x the corpus doc count
+    # blocklist (threshold policy)
+    "block_max_pct": 5,
+    # gopher
+    "min_tokens": 20,
+    "max_tokens": 100_000,
+    "min_mwl_x10": 40,
+    "max_mwl_x10": 100,
+    "rep_max_pct": 20,
+    "min_distinct_pct": 25,
+    "min_stopwords": 1,
+    # near-dup
+    "shingle_len": 3,
+    "jaccard_threshold": 0.4,
+    "n_hashes": 32,
+    "n_bands": 16,
+    # span dedup
+    "span_w": 4,
+    "span_max_pct": 25,
+}
+
+_STAGES = (
+    "malformed",
+    "drift",
+    "blocklist",
+    "gopher",
+    "exact_dup",
+    "near_dup",
+    "span_dup",
+    "accept",
+)
+
+
+def _doc_fingerprint() -> F.Column:
+    """Canonical-form fingerprint (md5 of the sorted distinct token
+    set) — the same key as ``llm_text.dedup_incremental``."""
+    return F.md5(
+        F.array_join(F.sort_array(F.array_distinct(F.split("text", " "))), " ").cast(
+            "binary"
+        )
+    )
+
+
+def ingest_accept_batch(
+    spark: SparkSession, sf_dir: str, **overrides
+) -> DataFrame:
+    """The composed admission manifest: one row per batch document
+    (doc_id ≥ split_id) with its token signals and final verdict.
+
+    Output: (doc_id, lang, n_tokens, n_blocked, n_words_dup, verdict,
+    accept) — n_tokens/n_blocked are NULL only for malformed (NULL
+    text) docs; n_words_dup is the total corpus-duplicated word count
+    and is defined (0 if clean) exactly for the docs that REACHED the
+    span stage, NULL for docs quarantined earlier (their spans were
+    never computed — the manifest records what the pipeline actually
+    evaluated, not a backfill).
+    """
+    frame, staged = _manifest_frame(spark, sf_dir, **overrides)
+    # the manifest is batch-cardinality: materialize it eagerly so the
+    # corpus-scale staged relations can be released immediately
+    out = frame.localCheckpoint(eager=True)
+    for df in staged:
+        df.unpersist()
+    return out
+
+
+def _manifest_frame(
+    spark: SparkSession, sf_dir: str, **overrides
+) -> tuple[DataFrame, list]:
+    """Builds the (lazy) manifest frame; returns it plus the persisted
+    staged relations so the caller controls release (the registered
+    entry checkpoints-then-unpersists; tests inspect the live plan)."""
+    p = {**INGEST_DEFAULTS, **overrides}
+    split_id = p["split_id"]
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    batch = docs.filter(F.col("doc_id") >= split_id)
+    corpus = docs.filter(
+        (F.col("doc_id") < split_id) & F.col("text").isNotNull()
+    )
+
+    # ---- staged token relation: ONE explode + per-(doc, token) tf,
+    # persisted so the per-doc stats rollup AND the drift gate's batch
+    # vocabulary read the same staging pass (plan-asserted in tests)
+    tf = (
+        batch.filter(F.col("text").isNotNull())
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+        .persist()
+    )
+    stats = tf.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.sum(F.col("tf") * F.length("token")).alias("sum_word_chars"),
+        F.count("*").alias("n_distinct_tokens"),
+        F.max("tf").alias("top_token_cnt"),
+        F.sum(
+            F.when(F.col("token").isin(*GOPHER_STOPWORDS), F.lit(1)).otherwise(0)
+        ).alias("n_stopwords_present"),
+        F.sum(
+            F.when(F.col("token").isin(*BLOCKLIST_TERMS), F.col("tf")).otherwise(0)
+        ).alias("n_blocked"),
+    )
+
+    # ---- drift gate (lang grain): novel-vocab rate + volume growth.
+    # batch vocab comes from the staged tf; the corpus vocab is, at
+    # 100 TB, the maintained per-lang vocabulary index (here derived).
+    lang_of = batch.filter(F.col("text").isNotNull()).select("doc_id", "lang")
+    vocab_new = tf.join(lang_of, "doc_id").select("lang", "token").distinct()
+    vocab_old = corpus.select(
+        "lang", F.explode(F.split("text", " ")).alias("token")
+    ).distinct()
+    novel = (
+        vocab_new.join(vocab_old, ["lang", "token"], "left_anti")
+        .groupBy("lang")
+        .agg(F.count("*").alias("novel_tokens"))
+    )
+    vol = (
+        stats.join(lang_of, "doc_id")
+        .groupBy("lang")
+        .agg(F.sum("n_tokens").alias("tok_new"), F.count("*").alias("n_new"))
+    )
+    n_old = corpus.groupBy("lang").agg(F.count("*").alias("n_old"))
+    health = (
+        vol.join(novel, "lang", "left")
+        .join(n_old, "lang", "left")
+        .select(
+            "lang",
+            (
+                (
+                    F.coalesce("novel_tokens", F.lit(0)) * 100
+                    <= F.col("tok_new") * p["max_novel_pct"]
+                )
+                & (F.col("n_new") <= F.coalesce("n_old", F.lit(0)) * p["max_growth_x"])
+            ).alias("healthy"),
+        )
+    )
+
+    # ---- verdict prefix (stages 0-3): evaluated for every batch doc
+    # from the shared signals — no extra pass over the text
+    n, swc = F.col("n_tokens"), F.col("sum_word_chars")
+    gopher_ok = (
+        (n >= p["min_tokens"])
+        & (n <= p["max_tokens"])
+        & (swc * 10 >= n * p["min_mwl_x10"])
+        & (swc * 10 <= n * p["max_mwl_x10"])
+        & (F.col("top_token_cnt") * 100 <= n * p["rep_max_pct"])
+        & (F.col("n_distinct_tokens") * 100 >= n * p["min_distinct_pct"])
+        & (F.col("n_stopwords_present") >= p["min_stopwords"])
+    )
+    pre_verdict = (
+        F.when(F.col("text").isNull(), "malformed")
+        .when(~F.coalesce("healthy", F.lit(False)), "drift")
+        .when(
+            F.col("n_blocked") * 100 > n * p["block_max_pct"], "blocklist"
+        )
+        .when(~gopher_ok, "gopher")
+    )
+    pre = (
+        batch.join(stats, "doc_id", "left")
+        .join(health, "lang", "left")
+        .select(
+            "doc_id", "lang", "text", "n_tokens", "n_blocked",
+            pre_verdict.alias("v0"),
+        )
+        .persist()
+    )
+
+    # ---- exact dedup (stage 4), survivors only: fingerprint-index
+    # probe vs the corpus + min-id survivor election within the batch
+    surv3 = pre.filter(F.col("v0").isNull()).select(
+        "doc_id", "text", _doc_fingerprint().alias("fp")
+    )
+    corpus_fp = corpus.select(_doc_fingerprint().alias("fp")).distinct()
+    keeper = surv3.groupBy("fp").agg(F.min("doc_id").alias("keeper_id"))
+    exact_ids = (
+        surv3.join(corpus_fp, "fp", "left_semi")
+        .select("doc_id")
+        .unionByName(
+            surv3.join(keeper, "fp")
+            .filter(F.col("doc_id") > F.col("keeper_id"))
+            .select("doc_id")
+        )
+        .distinct()
+        .persist()
+    )
+    surv4 = surv3.join(exact_ids, "doc_id", "left_anti").select("doc_id", "text")
+
+    # ---- near-dup vs corpus (stage 5), survivors only: LSH band-index
+    # probe + exact shingle-Jaccard verify (recall-1 band params — the
+    # near_dup_incremental contract)
+    sh_b = _shingles(surv4, p["shingle_len"]).persist()
+    sh_c = _shingles(corpus, p["shingle_len"]).persist()
+    cand = (
+        _banded(sh_b, p["n_hashes"], p["n_bands"])
+        .alias("x")
+        .join(
+            _banded(sh_c, p["n_hashes"], p["n_bands"]).alias("y"),
+            ["band_id", "band_key"],
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_id"), F.col("y.doc_id").alias("corpus_doc")
+        )
+        .distinct()
+    )
+    common = (
+        sh_b.join(
+            sh_c.select(F.col("doc_id").alias("corpus_doc"), "shingle"), "shingle"
+        )
+        .groupBy("doc_id", "corpus_doc")
+        .agg(F.count("*").alias("n_common"))
+        .join(cand, ["doc_id", "corpus_doc"])
+    )
+    sizes_b = sh_b.groupBy("doc_id").agg(F.count("*").alias("sa"))
+    sizes_c = sh_c.groupBy("doc_id").agg(F.count("*").alias("sb")).withColumnRenamed(
+        "doc_id", "corpus_doc"
+    )
+    near_ids = (
+        common.join(F.broadcast(sizes_b), "doc_id")
+        .join(F.broadcast(sizes_c), "corpus_doc")
+        .filter(
+            F.col("n_common")
+            / (F.col("sa") + F.col("sb") - F.col("n_common"))
+            >= p["jaccard_threshold"]
+        )
+        .select("doc_id")
+        .distinct()
+        .persist()
+    )
+    surv5 = surv4.join(near_ids, "doc_id", "left_anti")
+
+    # ---- span dedup vs corpus (stage 6), survivors only: gram-index
+    # LEFT SEMI probe + gaps-and-islands merge, summed per doc
+    gidx = _dup_gram_positions(corpus, p["span_w"]).select("g_md5").distinct()
+    hits = (
+        _dup_gram_positions(surv5, p["span_w"])
+        .join(gidx, "g_md5", "left_semi")
+        .select("doc_id", "p")
+    )
+    nd_per_doc = (
+        _merge_islands(hits, p["span_w"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("span_end") - F.col("span_start") + 1).alias("nd")
+        )
+    )
+
+    # ---- assemble the manifest
+    flags = (
+        pre.join(exact_ids.withColumn("is_exact", F.lit(1)), "doc_id", "left")
+        .join(near_ids.withColumn("is_near", F.lit(1)), "doc_id", "left")
+        .join(nd_per_doc, "doc_id", "left")
+    )
+    reached_span = (
+        F.col("v0").isNull() & F.col("is_exact").isNull() & F.col("is_near").isNull()
+    )
+    span_fails = F.coalesce("nd", F.lit(0)) * 100 > n * p["span_max_pct"]
+    verdict = (
+        F.when(F.col("v0").isNotNull(), F.col("v0"))
+        .when(F.col("is_exact") == 1, "exact_dup")
+        .when(F.col("is_near") == 1, "near_dup")
+        .when(span_fails, "span_dup")
+        .otherwise("accept")
+    )
+    out = flags.select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_blocked").cast("long").alias("n_blocked"),
+        F.when(reached_span, F.coalesce("nd", F.lit(0)))
+        .cast("long")
+        .alias("n_words_dup"),
+        verdict.alias("verdict"),
+        (verdict == "accept").cast("int").alias("accept"),
+    )
+    return out, [tf, pre, exact_ids, sh_b, sh_c, near_ids]
+
+
+def ingest_audit(spark: SparkSession, sf_dir: str, **overrides) -> DataFrame:
+    """Per-stage audit counts over the admission manifest — the
+    one-screen summary an ingest operator actually watches: how many
+    docs each stage quarantined, their token volume, and the accepted
+    remainder. Conservation (counts sum to the batch size) is
+    test-asserted."""
+    m = ingest_accept_batch(spark, sf_dir, **overrides)
+    return m.groupBy("verdict").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.coalesce("n_tokens", F.lit(0))).alias("n_tokens_total"),
+    )
+
+
+def _ingest_cascade_cte(p: dict, fast_near: bool) -> str:
+    """Shared DuckDB CTE chain recomputing the cascade; ends with a
+    relation ``manifest`` (doc_id, lang, n_tokens, n_blocked,
+    n_words_dup, verdict)."""
+    stop = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    terms = ", ".join(f"'{t}'" for t in BLOCKLIST_TERMS)
+    split_id = p["split_id"]
+    n = p["shingle_len"]
+    w = p["span_w"]
+    if fast_near:
+        # inverted-index form (exact, affordable at sf0.1 — same
+        # trade as ngram_jaccard_fast_oracle_sql)
+        near_cte = f"""
+shx AS (
+    SELECT doc_id, unnest(list_distinct([array_to_string(wrd[i:i + {n - 1}], ' ')
+                   FOR i IN range(1, greatest(len(wrd) - {n - 2}, 2))])) AS s
+    FROM t
+), szs AS (
+    SELECT doc_id, count(*) AS nsh FROM shx GROUP BY 1
+), ncommon AS (
+    SELECT b.doc_id AS doc_id, c.doc_id AS corpus_doc, count(*) AS nc
+    FROM shx b JOIN shx c ON b.s = c.s
+    JOIN s4pre ON b.doc_id = s4pre.doc_id AND s4pre.v IS NULL
+    WHERE c.doc_id < {split_id}
+    GROUP BY 1, 2
+), near_ids AS (
+    SELECT DISTINCT ncommon.doc_id
+    FROM ncommon
+    JOIN szs sa ON sa.doc_id = ncommon.doc_id
+    JOIN szs sb ON sb.doc_id = ncommon.corpus_doc
+    WHERE CAST(nc AS DOUBLE) / (sa.nsh + sb.nsh - nc)
+          >= {p["jaccard_threshold"]}
+)"""
+    else:
+        near_cte = f"""
+shx AS (
+    SELECT doc_id, list_distinct([array_to_string(wrd[i:i + {n - 1}], ' ')
+                   FOR i IN range(1, greatest(len(wrd) - {n - 2}, 2))]) AS sgl
+    FROM t
+), near_ids AS (
+    SELECT DISTINCT b.doc_id
+    FROM shx b
+    JOIN s4pre ON b.doc_id = s4pre.doc_id AND s4pre.v IS NULL
+    JOIN shx c ON c.doc_id < {split_id}
+    WHERE len(list_intersect(b.sgl, c.sgl))::DOUBLE
+          / (len(b.sgl) + len(c.sgl) - len(list_intersect(b.sgl, c.sgl)))
+          >= {p["jaccard_threshold"]}
+)"""
+    return f"""
+tf AS (
+    SELECT doc_id, token, count(*) AS tf
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents WHERE doc_id >= {split_id} AND text IS NOT NULL)
+    GROUP BY 1, 2
+), stats AS (
+    SELECT doc_id, sum(tf) AS n_tokens, sum(tf * len(token)) AS swc,
+           count(*) AS ndis, max(tf) AS tt,
+           sum(CASE WHEN token IN ({stop}) THEN 1 ELSE 0 END) AS ns,
+           sum(CASE WHEN token IN ({terms}) THEN tf ELSE 0 END) AS nb
+    FROM tf GROUP BY 1
+), vn AS (
+    SELECT DISTINCT d.lang, tf.token
+    FROM tf JOIN documents d USING (doc_id)
+), vo AS (
+    SELECT DISTINCT lang, unnest(string_split(text, ' ')) AS token
+    FROM documents WHERE doc_id < {split_id} AND text IS NOT NULL
+), novel AS (
+    SELECT vn.lang, count(*) AS novel_tokens
+    FROM vn LEFT JOIN vo ON vn.lang = vo.lang AND vn.token = vo.token
+    WHERE vo.token IS NULL GROUP BY 1
+), vol AS (
+    SELECT d.lang, sum(s.n_tokens) AS tok_new, count(*) AS n_new
+    FROM stats s JOIN documents d USING (doc_id) GROUP BY 1
+), nold AS (
+    SELECT lang, count(*) AS n_old
+    FROM documents WHERE doc_id < {split_id} AND text IS NOT NULL GROUP BY 1
+), health AS (
+    SELECT vol.lang,
+           (coalesce(novel.novel_tokens, 0) * 100
+              <= vol.tok_new * {p["max_novel_pct"]})
+           AND (vol.n_new <= coalesce(nold.n_old, 0) * {p["max_growth_x"]})
+               AS healthy
+    FROM vol LEFT JOIN novel ON vol.lang = novel.lang
+             LEFT JOIN nold ON vol.lang = nold.lang
+), pre AS (
+    SELECT d.doc_id, d.lang, d.text, s.n_tokens, s.nb,
+           CASE WHEN d.text IS NULL THEN 'malformed'
+                WHEN NOT coalesce(h.healthy, FALSE) THEN 'drift'
+                WHEN s.nb * 100 > s.n_tokens * {p["block_max_pct"]}
+                    THEN 'blocklist'
+                WHEN NOT (s.n_tokens >= {p["min_tokens"]}
+                          AND s.n_tokens <= {p["max_tokens"]}
+                          AND s.swc * 10 >= s.n_tokens * {p["min_mwl_x10"]}
+                          AND s.swc * 10 <= s.n_tokens * {p["max_mwl_x10"]}
+                          AND s.tt * 100 <= s.n_tokens * {p["rep_max_pct"]}
+                          AND s.ndis * 100 >= s.n_tokens * {p["min_distinct_pct"]}
+                          AND s.ns >= {p["min_stopwords"]})
+                    THEN 'gopher'
+                ELSE NULL END AS v
+    FROM documents d
+    LEFT JOIN stats s USING (doc_id)
+    LEFT JOIN health h ON d.lang = h.lang
+    WHERE d.doc_id >= {split_id}
+), fp AS (
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))),
+                               ' ')) AS f
+    FROM documents
+), s4pre AS (
+    SELECT pre.doc_id, pre.lang, pre.n_tokens, pre.nb,
+           CASE WHEN pre.v IS NOT NULL THEN pre.v
+                WHEN EXISTS (SELECT 1 FROM fp c
+                             WHERE c.doc_id < {split_id} AND c.f = b.f)
+                    THEN 'exact_dup'
+                WHEN EXISTS (SELECT 1 FROM fp c JOIN pre p2 USING (doc_id)
+                             WHERE p2.v IS NULL AND c.doc_id < b.doc_id
+                               AND c.doc_id >= {split_id} AND c.f = b.f)
+                    THEN 'exact_dup'
+                ELSE NULL END AS v
+    FROM pre JOIN fp b USING (doc_id)
+), t AS (
+    SELECT doc_id, string_split(text, ' ') AS wrd
+    FROM documents WHERE text IS NOT NULL
+), {near_cte.strip()}, s5pre AS (
+    SELECT s4pre.doc_id, lang, n_tokens, nb,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN near_ids.doc_id IS NOT NULL THEN 'near_dup'
+                ELSE NULL END AS v
+    FROM s4pre LEFT JOIN near_ids USING (doc_id)
+), g AS (
+    SELECT doc_id, i AS pos,
+           array_to_string(list_slice(wrd, i + 1, i + {w}), ' ') AS gram
+    FROM (SELECT doc_id, wrd, unnest(range(0, len(wrd) - {w} + 1)) AS i
+          FROM t WHERE len(wrd) >= {w})
+), hits AS (
+    SELECT b.doc_id, b.pos FROM g b
+    JOIN s5pre ON b.doc_id = s5pre.doc_id AND s5pre.v IS NULL
+    WHERE EXISTS (SELECT 1 FROM g c
+                  WHERE c.doc_id < {split_id} AND c.gram = b.gram)
+), isl AS (
+    SELECT doc_id, pos,
+           CASE WHEN max(pos) OVER pw IS NULL
+                  OR pos > max(pos) OVER pw + {w}
+                THEN 1 ELSE 0 END AS ni
+    FROM hits
+    WINDOW pw AS (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), num AS (
+    SELECT doc_id, pos,
+           sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+    FROM isl
+), spans AS (
+    SELECT doc_id, max(pos) - min(pos) + {w} AS ndup
+    FROM num GROUP BY doc_id, island
+), per_doc AS (
+    SELECT doc_id, sum(ndup) AS nd FROM spans GROUP BY 1
+), manifest AS (
+    SELECT s5pre.doc_id, lang,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(nb AS BIGINT) AS n_blocked,
+           CASE WHEN v IS NULL THEN CAST(coalesce(per_doc.nd, 0) AS BIGINT)
+                ELSE NULL END AS n_words_dup,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN coalesce(per_doc.nd, 0) * 100
+                     > n_tokens * {p["span_max_pct"]} THEN 'span_dup'
+                ELSE 'accept' END AS verdict
+    FROM s5pre LEFT JOIN per_doc USING (doc_id)
+)"""
+
+
+def ingest_accept_oracle_sql(fast_near: bool = False, **overrides) -> str:
+    p = {**INGEST_DEFAULTS, **overrides}
+    return f"""
+WITH {_ingest_cascade_cte(p, fast_near).strip()}
+SELECT doc_id, lang, n_tokens, n_blocked, n_words_dup, verdict,
+       CAST(verdict = 'accept' AS INT) AS accept
+FROM manifest
+"""
+
+
+def ingest_audit_oracle_sql(fast_near: bool = False, **overrides) -> str:
+    p = {**INGEST_DEFAULTS, **overrides}
+    return f"""
+WITH {_ingest_cascade_cte(p, fast_near).strip()}
+SELECT verdict, count(*) AS n_docs,
+       CAST(sum(coalesce(n_tokens, 0)) AS BIGINT) AS n_tokens_total
+FROM manifest GROUP BY 1
+"""

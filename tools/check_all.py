@@ -28,10 +28,19 @@ def _fast_oracle_overrides(sf_dir: str) -> dict[str, str]:
     oracles are untouched — it runs at sf0.01 where quadratic is fine."""
     if "sf0.1" not in sf_dir and "sf1" not in sf_dir:
         return {}
+    from flink_project_userbehavioranalysis_spark.operators import ingest as I
     from flink_project_userbehavioranalysis_spark.operators import similarity as S
 
     fast = S.ngram_jaccard_fast_oracle_sql()
-    return {"ngram_jaccard_pairs": fast, "minhash_near_dup": fast}
+    return {
+        "ngram_jaccard_pairs": fast,
+        "minhash_near_dup": fast,
+        # the composed admission cascade embeds the same quadratic
+        # near stage; the inverted-index form is equivalence-tested in
+        # tests/test_ingest.py
+        "ingest_accept_batch": I.ingest_accept_oracle_sql(fast_near=True),
+        "ingest_audit": I.ingest_audit_oracle_sql(fast_near=True),
+    }
 
 
 def main() -> int:
