@@ -284,6 +284,7 @@ _TIER4 = [
     "dup_span_incremental_stream",
     "cdc_apply_stream",
     "term_blocklist_stream",
+    "ingest_accept_stream",
 ]
 _DRIVER_ORDER = _TIER1 + _TIER2 + _TIER3 + _TIER4
 
@@ -952,6 +953,14 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         # record must stay consultable) through the changelog-MERGE
         # sink; max+count are commutative, so the BATCH oracle applies
         "cdc_apply_stream": (_stw.cdc_apply_stream, _mt.CDC_APPLY_SQL),
+        # §2.10 streaming ADMISSION-pipeline prefix (r9): malformed →
+        # blocklist → gopher → corpus-fingerprint probe as one
+        # readStream dataflow (row-local signals + stream-static
+        # join); per-doc deterministic ⇒ hash-oracled
+        "ingest_accept_stream": (
+            _stw.ingest_accept_stream,
+            _ing.ingest_prefix_oracle_sql(),
+        ),
         # §2.10 stateless streaming blocklist gate (r8): the wordlist
         # filter at ingest — map-only array expression per arriving
         # doc, append mode (batch oracle ≡ streaming oracle)

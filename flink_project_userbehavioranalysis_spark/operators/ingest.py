@@ -553,6 +553,158 @@ FROM manifest
 """
 
 
+def ingest_prefix_projection(
+    docs: DataFrame, corpus_fp: DataFrame, **overrides
+) -> DataFrame:
+    """MAP-ONLY formulation of the admission pipeline's per-doc PREFIX
+    (malformed → blocklist → gopher → exact-dup-vs-corpus): every
+    token signal comes from array higher-order functions over the
+    row's own tokens (the ``gopher_quality_projection`` discipline),
+    and the only non-row-local input is the corpus fingerprint index
+    joined in as a static build side — so the whole prefix runs
+    STATELESS at ingest feed speed. This is the form
+    ``streaming.windowed.ingest_accept_stream`` runs; excluded by
+    construction (and documented there): the drift gate (a
+    batch-grain aggregate) and the intra-batch survivor election
+    (arrival-order semantics in a feed — the micro-batch boundary's
+    dedup job downstream).
+
+    ``corpus_fp``: one-column (fp) relation of corpus fingerprints.
+    Output: (doc_id, lang, n_tokens, n_blocked, verdict) — verdict in
+    {malformed, blocklist, gopher, exact_dup, accept}; bit-identical
+    to the batch cascade's prefix stages (same integer arithmetic).
+    """
+    p = {**INGEST_DEFAULTS, **overrides}
+    toks = F.col("toks")
+    run_state = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def run_step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    terms = F.array(*[F.lit(t) for t in BLOCKLIST_TERMS])
+    stops = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    staged = docs.select(
+        "doc_id", "lang", "text", F.split("text", " ").alias("toks")
+    )
+    stats = staged.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.aggregate(
+            F.transform(toks, F.length), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("swc"),
+        F.size(F.array_distinct(toks)).cast("long").alias("ndis"),
+        # sorted-run top-token count (row-local twin of max(tf))
+        F.aggregate(F.array_sort(toks), run_state, run_step, lambda a: a["best"])
+        .cast("long")
+        .alias("tt"),
+        F.size(F.array_intersect(F.array_distinct(toks), stops))
+        .cast("long")
+        .alias("ns"),
+        F.size(F.filter(toks, lambda t: F.array_contains(terms, t)))
+        .cast("long")
+        .alias("n_blocked"),
+        _doc_fingerprint().alias("fp"),
+    )
+    n = F.col("n_tokens")
+    gopher_ok = (
+        (n >= p["min_tokens"])
+        & (n <= p["max_tokens"])
+        & (F.col("swc") * 10 >= n * p["min_mwl_x10"])
+        & (F.col("swc") * 10 <= n * p["max_mwl_x10"])
+        & (F.col("tt") * 100 <= n * p["rep_max_pct"])
+        & (F.col("ndis") * 100 >= n * p["min_distinct_pct"])
+        & (F.col("ns") >= p["min_stopwords"])
+    )
+    joined = stats.join(
+        corpus_fp.withColumn("in_corpus", F.lit(1)), "fp", "left"
+    )
+    verdict = (
+        F.when(F.col("text").isNull(), "malformed")
+        .when(F.col("n_blocked") * 100 > n * p["block_max_pct"], "blocklist")
+        .when(~gopher_ok, "gopher")
+        .when(F.col("in_corpus") == 1, "exact_dup")
+        .otherwise("accept")
+    )
+    null_if_malformed = F.when(F.col("text").isNotNull(), F.col("n_tokens"))
+    return joined.select(
+        "doc_id",
+        "lang",
+        null_if_malformed.cast("long").alias("n_tokens"),
+        F.when(F.col("text").isNotNull(), F.col("n_blocked"))
+        .cast("long")
+        .alias("n_blocked"),
+        verdict.alias("verdict"),
+    )
+
+
+def corpus_fingerprints(
+    spark: SparkSession, sf_dir: str, split_id: int | None = None
+) -> DataFrame:
+    """The corpus fingerprint index (one distinct fp per ingested doc)
+    — the static build side of the prefix projection's exact stage."""
+    split_id = INGEST_DEFAULTS["split_id"] if split_id is None else split_id
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < split_id) & F.col("text").isNotNull())
+        .select(_doc_fingerprint().alias("fp"))
+        .distinct()
+    )
+
+
+def ingest_prefix_oracle_sql(**overrides) -> str:
+    """Standalone oracle for the per-doc prefix (the streaming twin's
+    contract): same integer arithmetic as the full cascade's stages
+    0/2/3 plus the corpus-probe half of stage 4."""
+    p = {**INGEST_DEFAULTS, **overrides}
+    stop = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    terms = ", ".join(f"'{t}'" for t in BLOCKLIST_TERMS)
+    split_id = p["split_id"]
+    return f"""
+WITH tf AS (
+    SELECT doc_id, token, count(*) AS tf
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents WHERE doc_id >= {split_id} AND text IS NOT NULL)
+    GROUP BY 1, 2
+), stats AS (
+    SELECT doc_id, sum(tf) AS n_tokens, sum(tf * len(token)) AS swc,
+           count(*) AS ndis, max(tf) AS tt,
+           sum(CASE WHEN token IN ({stop}) THEN 1 ELSE 0 END) AS ns,
+           sum(CASE WHEN token IN ({terms}) THEN tf ELSE 0 END) AS nb
+    FROM tf GROUP BY 1
+), fpx AS (
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))),
+                               ' ')) AS f
+    FROM documents
+)
+SELECT d.doc_id, d.lang,
+       CAST(s.n_tokens AS BIGINT) AS n_tokens,
+       CAST(s.nb AS BIGINT) AS n_blocked,
+       CASE WHEN d.text IS NULL THEN 'malformed'
+            WHEN s.nb * 100 > s.n_tokens * {p["block_max_pct"]} THEN 'blocklist'
+            WHEN NOT (s.n_tokens >= {p["min_tokens"]}
+                      AND s.n_tokens <= {p["max_tokens"]}
+                      AND s.swc * 10 >= s.n_tokens * {p["min_mwl_x10"]}
+                      AND s.swc * 10 <= s.n_tokens * {p["max_mwl_x10"]}
+                      AND s.tt * 100 <= s.n_tokens * {p["rep_max_pct"]}
+                      AND s.ndis * 100 >= s.n_tokens * {p["min_distinct_pct"]}
+                      AND s.ns >= {p["min_stopwords"]}) THEN 'gopher'
+            WHEN EXISTS (SELECT 1 FROM fpx c, fpx b
+                         WHERE b.doc_id = d.doc_id AND c.doc_id < {split_id}
+                           AND c.f = b.f) THEN 'exact_dup'
+            ELSE 'accept' END AS verdict
+FROM documents d LEFT JOIN stats s USING (doc_id)
+WHERE d.doc_id >= {split_id}
+"""
+
+
 def ingest_audit_oracle_sql(fast_near: bool = False, **overrides) -> str:
     p = {**INGEST_DEFAULTS, **overrides}
     return f"""

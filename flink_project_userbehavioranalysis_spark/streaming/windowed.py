@@ -1022,3 +1022,42 @@ def term_blocklist_stream(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -
         (n_blocked == 0).alias("keep"),
     )
     return run_append_memory(out, "term_blocklist_stream", spark)
+
+
+def ingest_accept_stream(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> DataFrame:
+    """Streaming twin of the composed admission pipeline's per-doc
+    PREFIX (``operators.ingest``): malformed → blocklist → gopher →
+    exact-dup-vs-corpus, run at INGEST over the document feed as one
+    readStream dataflow — row-local array-HOF token signals (zero
+    state, append mode, feed speed) plus ONE stream-static left join
+    against the corpus fingerprint index (the ``dedup_incremental_
+    stream`` probe discipline, here as a verdict column instead of a
+    filter).
+
+    Deliberately excluded, and why (the batch cascade's docstring is
+    the contract): the drift gate is a batch-grain aggregate — its
+    streaming analog would gate per-micro-batch, a different
+    semantics — and the intra-batch exact survivor election plus the
+    near/span stages need cross-row or corpus-gram state; they run as
+    the micro-batch admission job downstream (``dedup_incremental_
+    stream`` / ``dup_span_incremental_stream`` are those pieces).
+    Output is per-doc deterministic, so the prefix ORACLE applies
+    directly: streaming ≡ batch prefix ≡ oracle. Consistency with the
+    full batch cascade's verdicts is test-asserted (prefix verdicts
+    identical; stream 'accept' ⟺ the batch pipeline judged the doc at
+    a downstream stage or accepted it).
+    """
+    from flink_project_userbehavioranalysis_spark.operators.ingest import (
+        INGEST_DEFAULTS,
+        corpus_fingerprints,
+        ingest_prefix_projection,
+    )
+    from flink_project_userbehavioranalysis_spark.streaming.replay import (
+        run_append_memory,
+    )
+
+    split_id = INGEST_DEFAULTS["split_id"]
+    corpus_fp = corpus_fingerprints(spark, sf_dir, split_id)
+    st = docs_stream(spark, sf_dir, min_doc_id=split_id, n_chunks=n_chunks)
+    out = ingest_prefix_projection(st, corpus_fp)
+    return run_append_memory(out, "ingest_accept_stream", spark)

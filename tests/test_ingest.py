@@ -213,3 +213,31 @@ def test_poisoned_fixture_matches_oracle(spark, poisoned_dir):
     )
     want = sorted(map(str, con.execute(I.ingest_accept_oracle_sql()).fetchall()))
     assert got == want
+
+
+def test_stream_prefix_oracle_and_batch_consistency(spark, sf_dir):
+    """The streaming prefix twin matches its oracle, and its verdicts
+    are consistent with the full batch cascade: prefix-stage verdicts
+    identical; a stream 'exact_dup' (corpus probe) is a batch
+    'exact_dup'; a stream 'accept' means the batch pipeline judged the
+    doc at a downstream stage (intra-batch exact, near, span) or
+    accepted it."""
+    from flink_project_userbehavioranalysis_spark.operators import ingest as I
+    from flink_project_userbehavioranalysis_spark.streaming import windowed as W
+
+    sdf = W.ingest_accept_stream(spark, sf_dir)
+    assert_matches_oracle(sdf, I.ingest_prefix_oracle_sql(), sf_dir)
+    sm = {r["doc_id"]: r["verdict"] for r in sdf.collect()}
+    bm = {
+        r["doc_id"]: r["verdict"]
+        for r in I.ingest_accept_batch(spark, sf_dir).collect()
+    }
+    assert set(sm) == set(bm)
+    for d, bv in bm.items():
+        if bv in ("malformed", "blocklist", "gopher"):
+            assert sm[d] == bv
+        elif sm[d] == "exact_dup":
+            assert bv == "exact_dup"
+        else:
+            assert sm[d] == "accept"
+            assert bv in ("exact_dup", "near_dup", "span_dup", "accept")
