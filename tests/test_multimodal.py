@@ -1,6 +1,7 @@
 """Multimodal/UDF-surface operators: oracle-match for the hash-exact
-ones (the BMP decode path included — a real header parse), plus codec
-roundtrip properties."""
+ones (the mixed BMP/PNG decode path included — real header parses, a
+CRC-verified chunk walk, and per-row PNG unfiltering), plus codec
+roundtrip properties for both formats."""
 
 import pyspark.sql.functions as F
 
@@ -21,13 +22,18 @@ def test_geomean_pandas_udf(spark, sf_dir):
 
 
 def test_decode_meta_oracle(spark, sf_dir):
-    """The header parse (fixed offsets, real BMP layout) hash-matches
-    the oracle's closed form over octet_length(text)."""
+    """The mixed-format header parses (BMP fixed offsets on even ids,
+    PNG CRC-verified IHDR on odd) hash-match the oracle's closed form
+    over octet_length(text)."""
     df = MM.decode_meta_table(spark, sf_dir)
     assert_matches_oracle(df, MM.DECODE_META_SQL, sf_dir)
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert df.count() == n_docs
-    assert df.columns == ["doc_id", "width", "height", "bpp", "file_size"]
+    assert df.columns == ["doc_id", "mime", "width", "height", "bpp", "data_size"]
+    assert {r["mime"] for r in df.select("mime").distinct().collect()} == {
+        "image/bmp",
+        "image/png",
+    }
 
 
 def test_frame_sample_oracle_and_fanout(spark, sf_dir):
@@ -65,5 +71,50 @@ def test_decode_real_boundary():
     import pytest
 
     assert MM.decode_real(MM.encode_bmp(b"abc"), "image/bmp")[2] == 24
+    assert MM.decode_real(MM.encode_png(b"abc"), "image/png")[2] == 24
     with pytest.raises(NotImplementedError):
         MM.decode_real(b"bytes", "image/jpeg")
+
+
+def test_png_codec_roundtrip_properties():
+    """encode→decode identity on header fields and every scanline, for
+    payload sizes that sweep image heights 1..17 (so every filter type
+    0-4 both encodes and decodes); signature/CRC tampering is rejected
+    rather than misparsed."""
+    import pytest
+
+    for text in (b"", b"x", b"hello world", b"a" * 57, b"b" * 1000):
+        b = MM.encode_png(text)
+        w, h, depth, ctype = MM.decode_png_meta(b)
+        assert (w, h) == MM._bmp_dims(len(text))
+        assert (depth, ctype) == (8, 2)
+        rows = MM.png_scanlines(b)
+        assert len(rows) == h
+        for r, row in enumerate(rows):
+            assert row == bytes([MM._bmp_row_byte(len(text), r)]) * (3 * w)
+    assert MM.encode_png(None) == MM.encode_png(b"")
+    with pytest.raises(ValueError):
+        MM.decode_png_meta(b"BM not a png")
+    good = MM.encode_png(b"hello world")
+    tampered = bytearray(good)
+    tampered[20] ^= 0x01  # flip a bit inside IHDR data → CRC mismatch
+    with pytest.raises(ValueError):
+        MM.decode_png_meta(bytes(tampered))
+
+
+def test_png_filter_unfilter_random_content():
+    """Filter/unfilter are inverse bijections on ARBITRARY pixel
+    content (not just the constant synthetic rows), for every filter
+    type — the decoder's Sub/Up/Average/Paeth arithmetic is real, not
+    tuned to the fixture."""
+    import random
+
+    rng = random.Random(7)
+    stride = 3 * 11
+    prev = bytes(stride)
+    for ft in (0, 1, 2, 3, 4):
+        for _ in range(5):
+            raw = bytes(rng.randrange(256) for _ in range(stride))
+            filt = MM._png_filter_line(ft, raw, prev, 3)
+            assert MM._png_unfilter_line(ft, filt, prev, 3) == raw
+            prev = raw
