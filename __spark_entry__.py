@@ -84,43 +84,83 @@ def entry(spark: SparkSession) -> DataFrame:
 # --- tier 1: hash-oracled, every module -----------------------------
 # Membership ROTATES per round (r6 verdict #7, r7 verdict #1) so
 # driver-verified coverage accumulates instead of re-proving the same
-# 50. r8 is the big sweep: every remaining never-driver-verified
-# hash-oracled batch entry is promoted (TPC-H waves 2/3 minus q14ish,
-# the r7 training-set/span-dedup/warehouse ops) alongside this round's
-# new or changed surfaces (integer-channel count_by_channel_behavior +
-# its report twin, the SCD2 MERGE, the now-oracled BMP codec pair) —
-# those sit FIRST so a time-budgeted tail cannot drop them — plus ten
-# already-green keepers, one per pillar, as regression canaries.
+# 50. r9 completes the rotation: the six new-or-changed surfaces (the
+# composed ingest admission pipeline + audit, the mixed BMP/PNG codec
+# pair, the row-strong interchange checksums) sit FIRST so a
+# time-budgeted tail cannot drop them, followed by the LAST 10
+# never-driver-verified hash-oracled batch entries — after r9 every
+# hash-oracled batch entry has a driver row at least once — and 34
+# per-pillar keepers as regression canaries.
 _TIER1 = [
-    # changed/new this round (prove first)
-    "count_by_channel_behavior",
-    "count_by_channel_report",
-    "user_tier_scd2_maintain",
-    "cdc_apply",
-    "item_triangles",
-    "eval_holdout_sample",
-    "jsonl_roundtrip",
-    "active_users_trailing",
+    # changed/new this round (prove first): the composed admission
+    # pipeline + audit, the mixed BMP/PNG codec surfaces, and the two
+    # interchange hops whose checksum got row-strong in r9
+    "ingest_accept_batch",
+    "ingest_audit",
     "decode_meta",
     "frame_sample",
+    "jsonl_roundtrip",
+    "orc_roundtrip",
+    # the LAST never-driver-verified hash-oracled batch entries (r8
+    # verdict #2) — after this round every hash-oracled batch entry
+    # has had a driver row at least once
+    "near_dup_clusters_incremental",
+    "corpus_drift",
+    "retention_rolling",
+    "term_blocklist",
+    "hot_items_topn_direct",
+    "tpch_q12ish",
+    "tpch_q14ish",
+    "tpch_q15ish",
+    "tpch_q17ish",
+    "tpch_q19ish",
+    # per-pillar regression keepers (driver-green in earlier rounds)
+    "hot_items_topn",
+    "pv_hourly",
+    "uv_hourly",
+    "active_users_trailing",
+    "count_by_channel_behavior",
+    "blacklist",
+    "consec_fail",
+    "order_timeout",
+    "interval_join",
+    "tx_reconcile",
+    "dedup_incremental",
     "dup_spans",
-    "dup_span_scrub",
     "dup_span_incremental",
-    # never-driver-verified promotions (r7-new ops)
+    "bpe_encode",
+    "clean_corpus",
+    "eval_holdout_sample",
+    "minhash_near_dup",
+    "cluster_canonical",
+    "knn_topk",
     "user_tier_scd2",
-    "events_with_tier_asof",
+    "tpch_q1ish",
+    "tpch_q9ish",
+    "cdc_apply",
+    "user_tier_scd2_maintain",
+    "erase_users_roundtrip",
+    "revenue_by_priority_salted",
+    "item_triangles",
+    "item_next_topk",
+    "asof_last_click",
+    "table_expectations",
+    "gopher_quality_filter",
+    "embedding_centroids",
     "user_trailing_features",
-    "churn_labels",
     "churn_training_set",
+]
+# --- tier 2: remaining hash-oracled batch ---------------------------
+_TIER2 = [
+    "count_by_channel_report",
+    "dup_span_scrub",
+    "events_with_tier_asof",
+    "churn_labels",
     "negative_sample_pairs",
     "quality_weighted_sample",
     "hashed_features",
-    "cluster_canonical",
-    "erase_users_roundtrip",
     "bigram_lm_score",
-    "bpe_encode",
     "vocab_coverage",
-    # never-driver-verified promotions (TPC-H waves 2/3)
     "tpch_q2ish",
     "tpch_q4ish",
     "tpch_q5ish",
@@ -135,41 +175,9 @@ _TIER1 = [
     "tpch_q20ish",
     "tpch_q21ish",
     "tpch_q22ish",
-    # per-pillar regression keepers (green in r7)
-    "hot_items_topn",
-    "pv_hourly",
-    "consec_fail",
-    "order_timeout",
-    "revenue_by_priority_salted",
-    "item_next_topk",
-    "asof_last_click",
-    "table_expectations",
-    "gopher_quality_filter",
-    "embedding_centroids",
-]
-# --- tier 2: remaining hash-oracled batch ---------------------------
-_TIER2 = [
-    "ingest_accept_batch",
-    "ingest_audit",
-    "near_dup_clusters_incremental",
-    "corpus_drift",
-    "retention_rolling",
-    "term_blocklist",
-    "orc_roundtrip",
-    "uv_hourly",
     "marketing_total",
     "ad_clicks_by_geo",
-    "blacklist",
-    "interval_join",
-    "tx_reconcile",
-    "tpch_q1ish",
     "tpch_q3ish",
-    "tpch_q9ish",
-    "tpch_q12ish",
-    "tpch_q14ish",
-    "tpch_q15ish",
-    "tpch_q17ish",
-    "tpch_q19ish",
     "user_set_ops",
     "user_sessions",
     "funnel_conversion",
@@ -182,26 +190,21 @@ _TIER2 = [
     "dwell_gaps",
     "co_purchase_pairs_capped",
     "co_purchase_pairs",
-    "hot_items_topn_direct",
     "compact_roundtrip",
     "mv_pv_hourly_maintain",
     "dedup_exact_events",
     "dedup_exact_docs",
-    "dedup_incremental",
     "token_counts",
     "chunk_documents",
-    "clean_corpus",
     "pii_scrub",
     "bpe_train",
     "bpe_pair_stats",
     "corpus_shuffle_order",
     "behavior_pivot",
-    "knn_topk",
     "ngram_jaccard_pairs",
     "near_dup_incremental",
     "simhash64",
     "simhash_near_dup",
-    "minhash_near_dup",
     "near_dup_clusters",
     "cosine_dup_pairs",
     "contamination_check",

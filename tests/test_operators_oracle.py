@@ -174,3 +174,24 @@ def test_active_users_trailing(spark, sf_dir):
     assert df.filter(FF.col("au_trailing") < FF.col("dau")).count() == 0
     first = df.orderBy("day").first()
     assert first["au_trailing"] == first["dau"]
+
+
+def test_coverage_header_counts_match_registry():
+    """COVERAGE.md's headline registry counts cannot drift from the
+    live catalog (r8 verdict: the header went stale twice; now it is
+    asserted): registered / oracled / rows-only all parsed from the
+    header and compared against _catalog()."""
+    import re
+
+    head = "\n".join(open("COVERAGE.md").read().splitlines()[:12])
+    flat = re.sub(r"\s+", " ", head)
+    m = re.search(
+        r"\((\d+) registered; (\d+) with exact value-hash oracles, (\d+) rows-only",
+        flat,
+    )
+    assert m, "COVERAGE.md header count sentence not found"
+    cat = entry_mod._catalog()
+    oracled = sum(1 for _, sql in cat.values() if sql is not None)
+    assert int(m.group(1)) == len(cat)
+    assert int(m.group(2)) == oracled
+    assert int(m.group(3)) == len(cat) - oracled
