@@ -94,13 +94,31 @@ HEADLINE = [
     "dup_spans",                # ExactSubstr detect w/ counting-sketch prefilter
     "active_users_trailing",    # exact DAU/WAU coverage explode
     "corpus_drift",             # snapshot volume + novel-token monitor
-    # NOT benched: item_pagerank / kmeans_lloyd / cluster_canonical /
-    # near_dup_clusters_incremental eagerly materialize (localCheckpoint
-    # / iterate) at DataFrame-construction time, so timing their
-    # collect() would measure a block-manager read, not the iteration;
+    # r9 additions
+    "term_blocklist",           # broadcast wordlist gate (lazy map+agg)
+    # NOT benched here: item_pagerank / kmeans_lloyd / cluster_canonical
+    # eagerly materialize (localCheckpoint / iterate) at
+    # DataFrame-construction time, so timing their collect() would
+    # measure a block-manager read, not the iteration;
     # mv_pv_hourly_maintain / compact_roundtrip / erase_users_roundtrip /
-    # user_tier_scd2_maintain / jsonl_roundtrip do table WRITES inside
-    # fn(), so their cost is the write path, not the returned scan.
+    # user_tier_scd2_maintain do table WRITES inside fn(), so their
+    # cost is the write path, not the returned scan. The PIPELINES set
+    # below times that class honestly: full fn() invocations.
+]
+
+# End-to-end pipeline/maintainer ops (r9): these construct eagerly
+# (iteration, localCheckpoint, or table writes inside fn()), so the
+# HEADLINE collect()-of-a-prebuilt-frame method would measure a
+# block-manager read. They are timed as FULL invocations instead —
+# construction + execution + materialization per run. Not comparable
+# to the scan-shaped HEADLINE rows or any DuckDB baseline row, but a
+# real round-over-round anchor for the maintainer-job class.
+PIPELINES = [
+    "retention_rolling",
+    "near_dup_clusters_incremental",
+    "jsonl_roundtrip",
+    "orc_roundtrip",
+    "ingest_accept_batch",
 ]
 
 
@@ -187,6 +205,13 @@ def main() -> None:
     per_query: dict[str, float] = {}
     per_query_arrow: dict[str, float] = {}
     rows: dict[str, int] = {}
+    all_queries = entry_mod.queries()
+    for name in PIPELINES:
+        fn = all_queries[name]
+        per_query[name] = round(
+            _median_time(lambda f=fn: f(spark, SF_DIR).collect(), runs=3), 4
+        )
+        rows[name] = fn(spark, SF_DIR).count()
     for name, df in warmed.items():
         per_query[name] = round(_median_time(lambda d=df: d.collect()), 4)
         # the Arrow client path (toPandas): same engine work, efficient
@@ -285,6 +310,7 @@ FROM events WHERE event_type = 'view' GROUP BY 1
             ),
         }
     detail["queries_arrow"] = per_query_arrow
+    detail["pipeline_queries"] = PIPELINES  # full-invocation method, see above
 
     prev = _prev_bench()
     if prev is not None:

@@ -241,3 +241,19 @@ def test_stream_prefix_oracle_and_batch_consistency(spark, sf_dir):
         else:
             assert sm[d] == "accept"
             assert bv in ("exact_dup", "near_dup", "span_dup", "accept")
+
+
+def test_ingest_plan_is_equijoin_only(spark, sf_dir):
+    """The whole cascade plans as scans + equi-joins + partial aggs: no
+    cartesian/nested-loop pair generation anywhere (the LSH probe and
+    gram index probes are equi-joins by construction), and no
+    row-at-a-time Python in the hot path."""
+    frame, staged = I._manifest_frame(spark, sf_dir)
+    try:
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BatchEvalPython" not in plan
+    finally:
+        for df in staged:
+            df.unpersist()

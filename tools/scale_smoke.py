@@ -92,10 +92,21 @@ QUERIES = [
     "item_triangles",
     "eval_holdout_sample",
     "decode_meta",
+    # r9 additions: blocklist gate, exact retention, mixed BMP/PNG codec
+    "term_blocklist",
+    "retention_rolling",
+    "frame_sample",
 ]
 # tpch_q3ish/q6ish are NOT in the smoke: synthesize() scales events/
 # documents/embeddings only, so a lineitem query would report a flat
 # ratio that reads as scaling evidence without being one.
+# ingest_accept_batch / near_dup_clusters_incremental are NOT in the
+# smoke for the same reason as minhash_near_dup/ngram_jaccard_pairs
+# (module docstring): both embed the shingle near-dup stage, and the
+# synthetic 31-word vocabulary turns every 3-shingle into a hub at
+# 50k+ docs — a corpus artifact, not a plan property. Their component
+# probes (dedup/dup_span_incremental, banded LSH) are smoked
+# individually; the composition adds only already-smoked stages.
 
 
 def synthesize(spark, factor: int) -> str:
