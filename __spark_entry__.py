@@ -101,6 +101,7 @@ _TIER1 = [
     "frame_sample",
     "jsonl_roundtrip",
     "orc_roundtrip",
+    "audio_features",
     # the LAST never-driver-verified hash-oracled batch entries (r8
     # verdict #2) — after this round every hash-oracled batch entry
     # has had a driver row at least once
@@ -117,7 +118,6 @@ _TIER1 = [
     # per-pillar regression keepers (driver-green in earlier rounds)
     "hot_items_topn",
     "pv_hourly",
-    "uv_hourly",
     "active_users_trailing",
     "count_by_channel_behavior",
     "blacklist",
@@ -152,6 +152,7 @@ _TIER1 = [
 ]
 # --- tier 2: remaining hash-oracled batch ---------------------------
 _TIER2 = [
+    "uv_hourly",
     "count_by_channel_report",
     "dup_span_scrub",
     "events_with_tier_asof",
@@ -833,6 +834,10 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         # bottom-up scanline extraction): exact-integer + md5 oracles
         "decode_meta": (_mm.decode_meta_table, _mm.DECODE_META_SQL),
         "frame_sample": (_mm.frame_sample, _mm.frame_sample_oracle_sql()),
+        # §2.10 multimodal AUDIO (r9): real RIFF/WAVE PCM codec
+        # (chunk-walk decode) + windowed exact-integer energy/peak
+        # features — the VAD/loudness framing pass, Arrow-batched
+        "audio_features": (_mm.audio_features, _mm.audio_features_oracle_sql()),
         # ---- Streaming entries from here down: each runs a full finite
         # streaming job (seconds each) — kept LAST so a time-budgeted
         # driver gets every batch row first.

@@ -522,6 +522,161 @@ FROM dims CROSS JOIN (SELECT unnest(range(0, {n_frames})) AS i)
 """
 
 
+# ------------------------------------------- real WAV codec (audio modality)
+#
+# The AUDIO modality (r9), same discipline as the image codecs: a REAL
+# dependency-free decoder for canonical RIFF/WAVE PCM — chunk walk
+# ("fmt " parsed for channels/rate/bits, "data" located by tag, not
+# offset guessing), int16 little-endian sample decode via numpy — over
+# synthesized-but-valid WAV payloads whose samples are closed-form
+# integers, so windowed audio features (energy, peak) are
+# exact-integer oracle-checkable end to end.
+
+_WAV_RATE = 8000
+_WAV_WIN = 256  # samples per feature window
+
+
+def _wav_n_samples(n_bytes: int) -> int:
+    """Deterministic synthetic sample count: 1..50 whole windows."""
+    return (n_bytes % 50 + 1) * _WAV_WIN
+
+
+def _wav_sample(n_bytes: int, i: int) -> int:
+    """Closed-form sample i (int16-safe, SQL-reproducible)."""
+    return (n_bytes + i * 7) % 251 - 125
+
+
+def encode_wav(text_bytes: bytes | None) -> bytes:
+    """Build a complete, valid 16-bit mono PCM WAV for a doc payload."""
+    import numpy as np
+
+    n = len(text_bytes) if text_bytes is not None else 0
+    ns = _wav_n_samples(n)
+    samples = ((n + np.arange(ns, dtype=np.int64) * 7) % 251 - 125).astype("<i2")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, _WAV_RATE, _WAV_RATE * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_meta(b: bytes) -> tuple[int, int, int, int]:
+    """Parse (n_channels, sample_rate, bits, n_samples) by walking the
+    RIFF chunk stream — fmt/data located by TAG (the spec allows other
+    chunks between them), sizes cross-checked."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    (riff_size,) = struct.unpack_from("<I", b, 4)
+    if riff_size != len(b) - 8:
+        raise ValueError("RIFF size mismatch")
+    pos, fmt, data_len = 12, None, None
+    while pos + 8 <= len(b):
+        tag = b[pos : pos + 4]
+        (ln,) = struct.unpack_from("<I", b, pos + 4)
+        if tag == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", b, pos + 8)
+        elif tag == b"data":
+            data_len = ln
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if fmt is None or data_len is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, rate, _byte_rate, block_align, bits = fmt
+    if audio_format != 1:
+        raise NotImplementedError("only PCM WAV is supported")
+    return channels, rate, bits, data_len // block_align
+
+
+def wav_samples(b: bytes):
+    """Decode the int16 LE sample array (mono PCM only)."""
+    import numpy as np
+
+    channels, _rate, bits, n_samples = decode_wav_meta(b)
+    if (channels, bits) != (1, 16):
+        raise NotImplementedError("only 16-bit mono PCM is supported")
+    pos = 12
+    while pos + 8 <= len(b):
+        tag = b[pos : pos + 4]
+        (ln,) = struct.unpack_from("<I", b, pos + 4)
+        if tag == b"data":
+            return np.frombuffer(b, dtype="<i2", count=n_samples, offset=pos + 8)
+        pos += 8 + ln + (ln & 1)
+    raise ValueError("missing data chunk")
+
+
+def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio feature extraction over the decoded WAV payload:
+    per 256-sample window, exact-integer energy (Σ s²) and peak
+    (max |s|) — the framing/energy pass every audio-pretraining
+    pipeline runs (VAD gating, silence trimming, loudness bucketing)
+    in its integer-exact skeleton. Encode and decode are separate
+    Arrow-batched passes with a true binary column between them (the
+    image-codec plumbing contract); the window fan-out happens inside
+    the Arrow batch as one numpy reshape — no explode shuffle, no
+    per-sample Python.
+
+    Output: (doc_id, win_idx, energy, peak) — exact BIGINTs,
+    hash-oracled against the closed-form sample recurrence.
+    """
+    import numpy as np
+
+    src = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("tb")
+    )
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["tb"].map(
+                        lambda t: encode_wav(None if t is None else bytes(t))
+                    ),
+                }
+            )
+
+    payloads = src.mapInPandas(enc, "doc_id BIGINT, payload BINARY")
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, wins, energies, peaks = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                s = wav_samples(bytes(payload)).astype(np.int64)
+                w = s.reshape(-1, _WAV_WIN)
+                k = w.shape[0]
+                ids.extend([doc_id] * k)
+                wins.extend(range(k))
+                energies.extend((w * w).sum(axis=1).tolist())
+                peaks.extend(np.abs(w).max(axis=1).tolist())
+            yield pd.DataFrame(
+                {"doc_id": ids, "win_idx": wins, "energy": energies, "peak": peaks}
+            )
+
+    return payloads.mapInPandas(
+        feats, "doc_id BIGINT, win_idx BIGINT, energy BIGINT, peak BIGINT"
+    )
+
+
+def audio_features_oracle_sql() -> str:
+    w = _WAV_WIN
+    return f"""
+WITH dims AS (
+    SELECT doc_id, coalesce(octet_length(CAST(text AS BLOB)), 0) AS n
+    FROM documents
+), sm AS (
+    SELECT doc_id, i, ((n + i * 7) % 251) - 125 AS s
+    FROM dims, unnest(range(0, (n % 50 + 1) * {w})) AS t(i)
+)
+SELECT doc_id,
+       CAST(i // {w} AS BIGINT) AS win_idx,
+       CAST(sum(s * s) AS BIGINT) AS energy,
+       CAST(max(abs(s)) AS BIGINT) AS peak
+FROM sm GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------- §2.9 grouped-agg pandas_udf
 
 

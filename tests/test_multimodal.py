@@ -118,3 +118,41 @@ def test_png_filter_unfilter_random_content():
             filt = MM._png_filter_line(ft, raw, prev, 3)
             assert MM._png_unfilter_line(ft, filt, prev, 3) == raw
             prev = raw
+
+
+def test_wav_codec_roundtrip_properties():
+    """encode→decode identity on fmt fields and every sample; RIFF
+    size / signature tampering is rejected rather than misparsed."""
+    import numpy as np
+    import pytest
+
+    for text in (b"", b"x", b"hello world", b"q" * 321):
+        b = MM.encode_wav(text)
+        ch, rate, bits, ns = MM.decode_wav_meta(b)
+        assert (ch, rate, bits) == (1, MM._WAV_RATE, 16)
+        assert ns == MM._wav_n_samples(len(text))
+        s = MM.wav_samples(b)
+        assert len(s) == ns
+        want = np.array([MM._wav_sample(len(text), i) for i in range(ns)])
+        assert (np.asarray(s) == want).all()
+    assert MM.encode_wav(None) == MM.encode_wav(b"")
+    with pytest.raises(ValueError):
+        MM.decode_wav_meta(b"RIFX not a wav")
+    good = bytearray(MM.encode_wav(b"abc"))
+    good[4] ^= 0x01  # corrupt the RIFF size field
+    with pytest.raises(ValueError):
+        MM.decode_wav_meta(bytes(good))
+
+
+def test_audio_features_oracle(spark, sf_dir):
+    """Windowed energy/peak hash-match the closed-form oracle, and the
+    window fan-out is exactly n_samples/256 rows per doc."""
+    df = MM.audio_features(spark, sf_dir)
+    assert_matches_oracle(df, MM.audio_features_oracle_sql(), sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    want = sum(
+        MM._wav_n_samples(len(r["text"].encode()) if r["text"] is not None else 0)
+        // MM._WAV_WIN
+        for r in docs
+    )
+    assert df.count() == want
