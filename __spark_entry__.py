@@ -102,6 +102,7 @@ _TIER1 = [
     "jsonl_roundtrip",
     "orc_roundtrip",
     "audio_features",
+    "thumbnail",
     # the LAST never-driver-verified hash-oracled batch entries (r8
     # verdict #2) — after this round every hash-oracled batch entry
     # has had a driver row at least once
@@ -124,7 +125,6 @@ _TIER1 = [
     "consec_fail",
     "order_timeout",
     "interval_join",
-    "tx_reconcile",
     "dedup_incremental",
     "dup_spans",
     "dup_span_incremental",
@@ -153,6 +153,7 @@ _TIER1 = [
 # --- tier 2: remaining hash-oracled batch ---------------------------
 _TIER2 = [
     "uv_hourly",
+    "tx_reconcile",
     "count_by_channel_report",
     "dup_span_scrub",
     "events_with_tier_asof",
@@ -838,6 +839,10 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         # (chunk-walk decode) + windowed exact-integer energy/peak
         # features — the VAD/loudness framing pass, Arrow-batched
         "audio_features": (_mm.audio_features, _mm.audio_features_oracle_sql()),
+        # §2.10 multimodal resize (r9): nearest-neighbor 8×8 RGB
+        # thumbnail over the real per-format decodes — the vision
+        # normalization step; md5 + exact byte sum hash-oracled
+        "thumbnail": (_mm.thumbnail, _mm.thumbnail_oracle_sql()),
         # ---- Streaming entries from here down: each runs a full finite
         # streaming job (seconds each) — kept LAST so a time-budgeted
         # driver gets every batch row first.

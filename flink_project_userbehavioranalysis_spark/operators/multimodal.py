@@ -522,6 +522,87 @@ FROM dims CROSS JOIN (SELECT unnest(range(0, {n_frames})) AS i)
 """
 
 
+# ---------------------------------------------- image resize (thumbnailing)
+
+
+def nn_thumbnail(row_of, w: int, h: int, side: int) -> bytes:
+    """2D nearest-neighbor resample to ``side``×``side`` RGB:
+    src_row = j·h//side, src_col = i·w//side, 3 bytes per pixel.
+    ``row_of(r)`` returns decoded scanline r (≥ 3·w bytes; BMP rows
+    carry tail padding, never sampled since i·w//side < w)."""
+    out = bytearray()
+    for j in range(side):
+        src = row_of(j * h // side)
+        for i in range(side):
+            c = 3 * (i * w // side)
+            out += src[c : c + 3]
+    return bytes(out)
+
+
+def thumbnail(spark: SparkSession, sf_dir: str, side: int = 8) -> DataFrame:
+    """Nearest-neighbor RESIZE of every decoded image to a
+    ``side``×``side`` RGB thumbnail — the embedding-prep normalization
+    step every vision pipeline runs before feature extraction. The
+    sampling is the real 2D nearest-neighbor map (src_row = j·h//side,
+    src_col = i·w//side, 3 bytes per sampled pixel) over each format's
+    REAL decode (BMP offset math / PNG inflate+unfilter), executed
+    inside the Arrow batch; output is the thumbnail's md5 plus its
+    exact byte sum, so the resize arithmetic is hash-oracled against
+    the closed form (synthetic scanlines are constant per row, which
+    is what makes the oracle expressible — the CODE samples columns
+    generally).
+
+    Output: (doc_id, mime, thumb_md5, byte_sum).
+    """
+    payloads = attach_image_payload(load_table(spark, sf_dir, "documents"))
+
+    def tn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for doc_id, mime, payload in zip(
+                pdf["doc_id"], pdf["mime"], pdf["payload"]
+            ):
+                b = bytes(payload)
+                if mime == "image/bmp":
+                    w, h, _, _ = decode_bmp_meta(b)
+                    row_of = lambda r: bmp_scanline(b, r)  # noqa: E731
+                else:
+                    scan = png_scanlines(b)
+                    h, w = len(scan), len(scan[0]) // 3
+                    row_of = scan.__getitem__
+                out = nn_thumbnail(row_of, w, h, side)
+                recs.append(
+                    (doc_id, mime, hashlib.md5(out).hexdigest(), sum(out))
+                )
+            yield pd.DataFrame(
+                recs, columns=["doc_id", "mime", "thumb_md5", "byte_sum"]
+            )
+
+    return payloads.mapInPandas(
+        tn, "doc_id BIGINT, mime STRING, thumb_md5 STRING, byte_sum BIGINT"
+    )
+
+
+def thumbnail_oracle_sql(side: int = 8) -> str:
+    return f"""
+WITH dims AS (
+    SELECT doc_id,
+           coalesce(octet_length(CAST(text AS BLOB)), 0) AS n,
+           coalesce(octet_length(CAST(text AS BLOB)), 0) % 17 + 1 AS height
+    FROM documents
+), rows_ AS (
+    SELECT doc_id, j, 32 + (n + (j * height) // {side}) % 95 AS b
+    FROM dims CROSS JOIN (SELECT unnest(range(0, {side})) AS j)
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'image/png' END AS mime,
+       md5(string_agg(repeat(chr(CAST(b AS INTEGER)), {side} * 3), ''
+                      ORDER BY j)) AS thumb_md5,
+       CAST(sum(b * {side} * 3) AS BIGINT) AS byte_sum
+FROM rows_ GROUP BY 1 ORDER BY 1
+"""
+
+
 # ------------------------------------------- real WAV codec (audio modality)
 #
 # The AUDIO modality (r9), same discipline as the image codecs: a REAL

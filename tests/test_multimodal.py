@@ -156,3 +156,26 @@ def test_audio_features_oracle(spark, sf_dir):
         for r in docs
     )
     assert df.count() == want
+
+
+def test_thumbnail_oracle(spark, sf_dir):
+    df = MM.thumbnail(spark, sf_dir)
+    assert_matches_oracle(df, MM.thumbnail_oracle_sql(), sf_dir)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert df.count() == n_docs
+
+
+def test_nn_thumbnail_samples_real_columns():
+    """The resize map is a genuine 2D nearest-neighbor sample, not a
+    row-constant shortcut: on a gradient image (pixel value = 10·row +
+    col) every thumbnail byte equals the value at (j·h//side,
+    i·w//side) — asserted cell by cell."""
+    w, h, side = 20, 12, 8
+    rows = [bytes((10 * r + c // 3) % 256 for c in range(3 * w)) for r in range(h)]
+    out = MM.nn_thumbnail(lambda r: rows[r], w, h, side)
+    assert len(out) == side * side * 3
+    for j in range(side):
+        for i in range(side):
+            src_r, src_c = j * h // side, i * w // side
+            px = out[3 * (j * side + i) : 3 * (j * side + i) + 3]
+            assert px == rows[src_r][3 * src_c : 3 * src_c + 3], (j, i)
