@@ -97,6 +97,7 @@ _TIER1 = [
     # interchange hops whose checksum got row-strong in r9
     "ingest_accept_batch",
     "ingest_audit",
+    "ingest_two_batch",
     "decode_meta",
     "frame_sample",
     "jsonl_roundtrip",
@@ -124,7 +125,6 @@ _TIER1 = [
     "blacklist",
     "consec_fail",
     "order_timeout",
-    "interval_join",
     "dedup_incremental",
     "dup_spans",
     "dup_span_incremental",
@@ -154,6 +154,7 @@ _TIER1 = [
 _TIER2 = [
     "uv_hourly",
     "tx_reconcile",
+    "interval_join",
     "count_by_channel_report",
     "dup_span_scrub",
     "events_with_tier_asof",
@@ -761,6 +762,14 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         # the operator-facing audit: per-stage quarantine counts +
         # token volumes over the same manifest
         "ingest_audit": (_ing.ingest_audit, _ing.ingest_audit_oracle_sql()),
+        # the SEQUENTIAL lifecycle (r9): batch 2 admitted against the
+        # corpus updated with batch 1's accepted docs — maintained
+        # probe-index ≡ rebuilt, both leak directions test-asserted;
+        # oracle nests both cascade recomputes in one WITH chain
+        "ingest_two_batch": (
+            _ing.ingest_two_batch,
+            _ing.ingest_two_batch_oracle_sql(),
+        ),
         # §2.10 eval-set decontamination (k-gram overlap vs held-out slice)
         "contamination_check": (
             _cq.contamination_check,

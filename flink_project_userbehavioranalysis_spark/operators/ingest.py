@@ -160,6 +160,16 @@ def _manifest_frame(
     corpus = docs.filter(
         (F.col("doc_id") < split_id) & F.col("text").isNotNull()
     )
+    return _cascade_frame(batch, corpus, p)
+
+
+def _cascade_frame(
+    batch: DataFrame, corpus: DataFrame, p: dict
+) -> tuple[DataFrame, list]:
+    """The cascade over EXPLICIT batch/corpus relations (both
+    (doc_id, lang, text); corpus pre-filtered to non-null text) — the
+    reusable core, so the two-batch lifecycle can feed run 2 a corpus
+    extended with run 1's accepted docs."""
 
     # ---- staged token relation: ONE explode + per-(doc, token) tf,
     # persisted so the per-doc stats rollup AND the drift gate's batch
@@ -371,91 +381,112 @@ def ingest_audit(spark: SparkSession, sf_dir: str, **overrides) -> DataFrame:
     )
 
 
-def _ingest_cascade_cte(p: dict, fast_near: bool) -> str:
+def _ingest_cascade_cte(
+    p: dict,
+    fast_near: bool,
+    sfx: str = "",
+    batch_pred: str | None = None,
+    corpus_pred: str | None = None,
+) -> str:
     """Shared DuckDB CTE chain recomputing the cascade; ends with a
-    relation ``manifest`` (doc_id, lang, n_tokens, n_blocked,
-    n_words_dup, verdict)."""
+    relation ``manifest{sfx}`` (doc_id, lang, n_tokens, n_blocked,
+    n_words_dup, verdict).
+
+    ``batch_pred``/``corpus_pred`` are boolean SQL templates over a
+    documents-row alias (``{a}.doc_id``-style, formatted with
+    ``.format(a=alias)``); defaults are the split_id halves. ``sfx``
+    suffixes every CTE name so two cascades can nest in one WITH chain
+    (the two-batch lifecycle oracle: run 2's corpus_pred references
+    run 1's manifest CTE)."""
     stop = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
     terms = ", ".join(f"'{t}'" for t in BLOCKLIST_TERMS)
     split_id = p["split_id"]
+    if batch_pred is None:
+        batch_pred = f"({{a}}.doc_id >= {split_id})"
+    if corpus_pred is None:
+        corpus_pred = f"({{a}}.doc_id < {split_id})"
+    bp = batch_pred.format
+    cp = corpus_pred.format
     n = p["shingle_len"]
     w = p["span_w"]
+    x = sfx
     if fast_near:
         # inverted-index form (exact, affordable at sf0.1 — same
         # trade as ngram_jaccard_fast_oracle_sql)
         near_cte = f"""
-shx AS (
+shx{x} AS (
     SELECT doc_id, unnest(list_distinct([array_to_string(wrd[i:i + {n - 1}], ' ')
                    FOR i IN range(1, greatest(len(wrd) - {n - 2}, 2))])) AS s
-    FROM t
-), szs AS (
-    SELECT doc_id, count(*) AS nsh FROM shx GROUP BY 1
-), ncommon AS (
+    FROM t{x}
+), szs{x} AS (
+    SELECT doc_id, count(*) AS nsh FROM shx{x} GROUP BY 1
+), ncommon{x} AS (
     SELECT b.doc_id AS doc_id, c.doc_id AS corpus_doc, count(*) AS nc
-    FROM shx b JOIN shx c ON b.s = c.s
-    JOIN s4pre ON b.doc_id = s4pre.doc_id AND s4pre.v IS NULL
-    WHERE c.doc_id < {split_id}
+    FROM shx{x} b JOIN shx{x} c ON b.s = c.s
+    JOIN s4pre{x} ON b.doc_id = s4pre{x}.doc_id AND s4pre{x}.v IS NULL
+    WHERE {cp(a="c")}
     GROUP BY 1, 2
-), near_ids AS (
-    SELECT DISTINCT ncommon.doc_id
-    FROM ncommon
-    JOIN szs sa ON sa.doc_id = ncommon.doc_id
-    JOIN szs sb ON sb.doc_id = ncommon.corpus_doc
+), near_ids{x} AS (
+    SELECT DISTINCT ncommon{x}.doc_id
+    FROM ncommon{x}
+    JOIN szs{x} sa ON sa.doc_id = ncommon{x}.doc_id
+    JOIN szs{x} sb ON sb.doc_id = ncommon{x}.corpus_doc
     WHERE CAST(nc AS DOUBLE) / (sa.nsh + sb.nsh - nc)
           >= {p["jaccard_threshold"]}
 )"""
     else:
         near_cte = f"""
-shx AS (
+shx{x} AS (
     SELECT doc_id, list_distinct([array_to_string(wrd[i:i + {n - 1}], ' ')
                    FOR i IN range(1, greatest(len(wrd) - {n - 2}, 2))]) AS sgl
-    FROM t
-), near_ids AS (
+    FROM t{x}
+), near_ids{x} AS (
     SELECT DISTINCT b.doc_id
-    FROM shx b
-    JOIN s4pre ON b.doc_id = s4pre.doc_id AND s4pre.v IS NULL
-    JOIN shx c ON c.doc_id < {split_id}
+    FROM shx{x} b
+    JOIN s4pre{x} ON b.doc_id = s4pre{x}.doc_id AND s4pre{x}.v IS NULL
+    JOIN shx{x} c ON {cp(a="c")}
     WHERE len(list_intersect(b.sgl, c.sgl))::DOUBLE
           / (len(b.sgl) + len(c.sgl) - len(list_intersect(b.sgl, c.sgl)))
           >= {p["jaccard_threshold"]}
 )"""
     return f"""
-tf AS (
+tf{x} AS (
     SELECT doc_id, token, count(*) AS tf
-    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
-          FROM documents WHERE doc_id >= {split_id} AND text IS NOT NULL)
+    FROM (SELECT d0.doc_id, unnest(string_split(d0.text, ' ')) AS token
+          FROM documents d0 WHERE {bp(a="d0")} AND d0.text IS NOT NULL)
     GROUP BY 1, 2
-), stats AS (
+), stats{x} AS (
     SELECT doc_id, sum(tf) AS n_tokens, sum(tf * len(token)) AS swc,
            count(*) AS ndis, max(tf) AS tt,
            sum(CASE WHEN token IN ({stop}) THEN 1 ELSE 0 END) AS ns,
            sum(CASE WHEN token IN ({terms}) THEN tf ELSE 0 END) AS nb
-    FROM tf GROUP BY 1
-), vn AS (
-    SELECT DISTINCT d.lang, tf.token
-    FROM tf JOIN documents d USING (doc_id)
-), vo AS (
-    SELECT DISTINCT lang, unnest(string_split(text, ' ')) AS token
-    FROM documents WHERE doc_id < {split_id} AND text IS NOT NULL
-), novel AS (
-    SELECT vn.lang, count(*) AS novel_tokens
-    FROM vn LEFT JOIN vo ON vn.lang = vo.lang AND vn.token = vo.token
-    WHERE vo.token IS NULL GROUP BY 1
-), vol AS (
+    FROM tf{x} GROUP BY 1
+), vn{x} AS (
+    SELECT DISTINCT d.lang, tf{x}.token
+    FROM tf{x} JOIN documents d USING (doc_id)
+), vo{x} AS (
+    SELECT DISTINCT d0.lang, unnest(string_split(d0.text, ' ')) AS token
+    FROM documents d0 WHERE {cp(a="d0")} AND d0.text IS NOT NULL
+), novel{x} AS (
+    SELECT vn{x}.lang, count(*) AS novel_tokens
+    FROM vn{x} LEFT JOIN vo{x} ON vn{x}.lang = vo{x}.lang
+                              AND vn{x}.token = vo{x}.token
+    WHERE vo{x}.token IS NULL GROUP BY 1
+), vol{x} AS (
     SELECT d.lang, sum(s.n_tokens) AS tok_new, count(*) AS n_new
-    FROM stats s JOIN documents d USING (doc_id) GROUP BY 1
-), nold AS (
-    SELECT lang, count(*) AS n_old
-    FROM documents WHERE doc_id < {split_id} AND text IS NOT NULL GROUP BY 1
-), health AS (
-    SELECT vol.lang,
-           (coalesce(novel.novel_tokens, 0) * 100
-              <= vol.tok_new * {p["max_novel_pct"]})
-           AND (vol.n_new <= coalesce(nold.n_old, 0) * {p["max_growth_x"]})
+    FROM stats{x} s JOIN documents d USING (doc_id) GROUP BY 1
+), nold{x} AS (
+    SELECT d0.lang, count(*) AS n_old
+    FROM documents d0 WHERE {cp(a="d0")} AND d0.text IS NOT NULL GROUP BY 1
+), health{x} AS (
+    SELECT vol{x}.lang,
+           (coalesce(novel{x}.novel_tokens, 0) * 100
+              <= vol{x}.tok_new * {p["max_novel_pct"]})
+           AND (vol{x}.n_new <= coalesce(nold{x}.n_old, 0) * {p["max_growth_x"]})
                AS healthy
-    FROM vol LEFT JOIN novel ON vol.lang = novel.lang
-             LEFT JOIN nold ON vol.lang = nold.lang
-), pre AS (
+    FROM vol{x} LEFT JOIN novel{x} ON vol{x}.lang = novel{x}.lang
+             LEFT JOIN nold{x} ON vol{x}.lang = nold{x}.lang
+), pre{x} AS (
     SELECT d.doc_id, d.lang, d.text, s.n_tokens, s.nb,
            CASE WHEN d.text IS NULL THEN 'malformed'
                 WHEN NOT coalesce(h.healthy, FALSE) THEN 'drift'
@@ -471,75 +502,75 @@ tf AS (
                     THEN 'gopher'
                 ELSE NULL END AS v
     FROM documents d
-    LEFT JOIN stats s USING (doc_id)
-    LEFT JOIN health h ON d.lang = h.lang
-    WHERE d.doc_id >= {split_id}
-), fp AS (
+    LEFT JOIN stats{x} s USING (doc_id)
+    LEFT JOIN health{x} h ON d.lang = h.lang
+    WHERE {bp(a="d")}
+), fp{x} AS (
     SELECT doc_id,
            md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))),
                                ' ')) AS f
     FROM documents
-), s4pre AS (
-    SELECT pre.doc_id, pre.lang, pre.n_tokens, pre.nb,
-           CASE WHEN pre.v IS NOT NULL THEN pre.v
-                WHEN EXISTS (SELECT 1 FROM fp c
-                             WHERE c.doc_id < {split_id} AND c.f = b.f)
+), s4pre{x} AS (
+    SELECT pre{x}.doc_id, pre{x}.lang, pre{x}.n_tokens, pre{x}.nb,
+           CASE WHEN pre{x}.v IS NOT NULL THEN pre{x}.v
+                WHEN EXISTS (SELECT 1 FROM fp{x} c
+                             WHERE {cp(a="c")} AND c.f = b.f)
                     THEN 'exact_dup'
-                WHEN EXISTS (SELECT 1 FROM fp c JOIN pre p2 USING (doc_id)
+                WHEN EXISTS (SELECT 1 FROM fp{x} c JOIN pre{x} p2 USING (doc_id)
                              WHERE p2.v IS NULL AND c.doc_id < b.doc_id
-                               AND c.doc_id >= {split_id} AND c.f = b.f)
+                               AND {bp(a="c")} AND c.f = b.f)
                     THEN 'exact_dup'
                 ELSE NULL END AS v
-    FROM pre JOIN fp b USING (doc_id)
-), t AS (
+    FROM pre{x} JOIN fp{x} b USING (doc_id)
+), t{x} AS (
     SELECT doc_id, string_split(text, ' ') AS wrd
     FROM documents WHERE text IS NOT NULL
-), {near_cte.strip()}, s5pre AS (
-    SELECT s4pre.doc_id, lang, n_tokens, nb,
+), {near_cte.strip()}, s5pre{x} AS (
+    SELECT s4pre{x}.doc_id, lang, n_tokens, nb,
            CASE WHEN v IS NOT NULL THEN v
-                WHEN near_ids.doc_id IS NOT NULL THEN 'near_dup'
+                WHEN near_ids{x}.doc_id IS NOT NULL THEN 'near_dup'
                 ELSE NULL END AS v
-    FROM s4pre LEFT JOIN near_ids USING (doc_id)
-), g AS (
+    FROM s4pre{x} LEFT JOIN near_ids{x} USING (doc_id)
+), g{x} AS (
     SELECT doc_id, i AS pos,
            array_to_string(list_slice(wrd, i + 1, i + {w}), ' ') AS gram
     FROM (SELECT doc_id, wrd, unnest(range(0, len(wrd) - {w} + 1)) AS i
-          FROM t WHERE len(wrd) >= {w})
-), hits AS (
-    SELECT b.doc_id, b.pos FROM g b
-    JOIN s5pre ON b.doc_id = s5pre.doc_id AND s5pre.v IS NULL
-    WHERE EXISTS (SELECT 1 FROM g c
-                  WHERE c.doc_id < {split_id} AND c.gram = b.gram)
-), isl AS (
+          FROM t{x} WHERE len(wrd) >= {w})
+), hits{x} AS (
+    SELECT b.doc_id, b.pos FROM g{x} b
+    JOIN s5pre{x} ON b.doc_id = s5pre{x}.doc_id AND s5pre{x}.v IS NULL
+    WHERE EXISTS (SELECT 1 FROM g{x} c
+                  WHERE {cp(a="c")} AND c.gram = b.gram)
+), isl{x} AS (
     SELECT doc_id, pos,
            CASE WHEN max(pos) OVER pw IS NULL
                   OR pos > max(pos) OVER pw + {w}
                 THEN 1 ELSE 0 END AS ni
-    FROM hits
+    FROM hits{x}
     WINDOW pw AS (PARTITION BY doc_id ORDER BY pos
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-), num AS (
+), num{x} AS (
     SELECT doc_id, pos,
            sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS island
-    FROM isl
-), spans AS (
+    FROM isl{x}
+), spans{x} AS (
     SELECT doc_id, max(pos) - min(pos) + {w} AS ndup
-    FROM num GROUP BY doc_id, island
-), per_doc AS (
-    SELECT doc_id, sum(ndup) AS nd FROM spans GROUP BY 1
-), manifest AS (
-    SELECT s5pre.doc_id, lang,
+    FROM num{x} GROUP BY doc_id, island
+), per_doc{x} AS (
+    SELECT doc_id, sum(ndup) AS nd FROM spans{x} GROUP BY 1
+), manifest{x} AS (
+    SELECT s5pre{x}.doc_id, lang,
            CAST(n_tokens AS BIGINT) AS n_tokens,
            CAST(nb AS BIGINT) AS n_blocked,
-           CASE WHEN v IS NULL THEN CAST(coalesce(per_doc.nd, 0) AS BIGINT)
+           CASE WHEN v IS NULL THEN CAST(coalesce(per_doc{x}.nd, 0) AS BIGINT)
                 ELSE NULL END AS n_words_dup,
            CASE WHEN v IS NOT NULL THEN v
-                WHEN coalesce(per_doc.nd, 0) * 100
+                WHEN coalesce(per_doc{x}.nd, 0) * 100
                      > n_tokens * {p["span_max_pct"]} THEN 'span_dup'
                 ELSE 'accept' END AS verdict
-    FROM s5pre LEFT JOIN per_doc USING (doc_id)
+    FROM s5pre{x} LEFT JOIN per_doc{x} USING (doc_id)
 )"""
 
 
@@ -550,6 +581,89 @@ WITH {_ingest_cascade_cte(p, fast_near).strip()}
 SELECT doc_id, lang, n_tokens, n_blocked, n_words_dup, verdict,
        CAST(verdict = 'accept' AS INT) AS accept
 FROM manifest
+"""
+
+
+def ingest_two_batch(
+    spark: SparkSession,
+    sf_dir: str,
+    split1: int | None = None,
+    split2: int = 375,
+    **overrides,
+) -> DataFrame:
+    """The SEQUENTIAL admission lifecycle — two consecutive ingest
+    batches, where batch 2 is admitted against the corpus AS UPDATED
+    by batch 1: run the cascade on batch 1 (doc_id in [split1,
+    split2)) vs the base corpus, fold batch 1's ACCEPTED docs into the
+    corpus (in production: append their fingerprints/band rows/grams
+    to the persisted probe indexes), then run the cascade on batch 2
+    (doc_id ≥ split2) against the extended corpus and return batch 2's
+    manifest.
+
+    This is the composition bug-class the single-batch query cannot
+    catch: an index-maintenance mistake (accepted docs not committed,
+    or quarantined docs leaking into the index) yields a manifest that
+    still LOOKS plausible — so the oracle recomputes BOTH cascades,
+    with run 2's corpus predicate defined by run 1's accepted set
+    (maintained index ≡ rebuilt index, the SCD2/MV/CDC/cluster
+    maintainer contract applied to the admission indexes). Batch-2
+    docs duplicating batch-1 ACCEPTED docs must quarantine; docs
+    duplicating batch-1 QUARANTINED docs must not (their copies never
+    entered the corpus) — both directions are test-asserted.
+
+    Output: batch 2's manifest (same shape as ingest_accept_batch).
+    """
+    from flink_project_userbehavioranalysis_spark.operators.similarity import (
+        _release_local_ckpt,
+    )
+
+    p = {**INGEST_DEFAULTS, **overrides}
+    split1 = p["split_id"] if split1 is None else split1
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    corpus0 = docs.filter((F.col("doc_id") < split1) & F.col("text").isNotNull())
+    batch1 = docs.filter((F.col("doc_id") >= split1) & (F.col("doc_id") < split2))
+    batch2 = docs.filter(F.col("doc_id") >= split2)
+    m1_frame, staged1 = _cascade_frame(batch1, corpus0, p)
+    m1 = m1_frame.localCheckpoint(eager=True)
+    for df in staged1:
+        df.unpersist()
+    # the commit: accepted batch-1 docs join the corpus (accept ⇒ not
+    # malformed, so text is non-null by construction)
+    accepted1 = batch1.join(
+        m1.filter(F.col("accept") == 1).select("doc_id"), "doc_id", "left_semi"
+    )
+    corpus1 = corpus0.unionByName(accepted1)
+    m2_frame, staged2 = _cascade_frame(batch2, corpus1, p)
+    out = m2_frame.localCheckpoint(eager=True)
+    for df in staged2:
+        df.unpersist()
+    _release_local_ckpt(m1)
+    return out
+
+
+def ingest_two_batch_oracle_sql(
+    fast_near: bool = False,
+    split1: int | None = None,
+    split2: int = 375,
+    **overrides,
+) -> str:
+    p = {**INGEST_DEFAULTS, **overrides}
+    s1 = p["split_id"] if split1 is None else split1
+    b1 = f"({{a}}.doc_id >= {s1} AND {{a}}.doc_id < {split2})"
+    c1 = f"({{a}}.doc_id < {s1})"
+    b2 = f"({{a}}.doc_id >= {split2})"
+    c2 = (
+        f"({{a}}.doc_id < {s1} OR ({{a}}.doc_id >= {s1}"
+        f" AND {{a}}.doc_id < {split2} AND {{a}}.doc_id IN"
+        f" (SELECT doc_id FROM manifest_b1 WHERE verdict = 'accept')))"
+    )
+    cte1 = _ingest_cascade_cte(p, fast_near, sfx="_b1", batch_pred=b1, corpus_pred=c1)
+    cte2 = _ingest_cascade_cte(p, fast_near, sfx="_b2", batch_pred=b2, corpus_pred=c2)
+    return f"""
+WITH {cte1.strip()}, {cte2.strip()}
+SELECT doc_id, lang, n_tokens, n_blocked, n_words_dup, verdict,
+       CAST(verdict = 'accept' AS INT) AS accept
+FROM manifest_b2
 """
 
 

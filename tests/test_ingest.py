@@ -257,3 +257,50 @@ def test_ingest_plan_is_equijoin_only(spark, sf_dir):
     finally:
         for df in staged:
             df.unpersist()
+
+
+def test_two_batch_lifecycle_oracle_and_commit_materiality(spark, sf_dir):
+    """The sequential lifecycle matches its nested-cascade oracle, and
+    the batch-1 commit MATTERS in both leak directions: (a) at least
+    one batch-2 doc is quarantined only because a batch-1 doc was
+    accepted into the corpus (vs a corpus0-only run it would accept);
+    (b) at least one batch-2 doc is accepted only because its batch-1
+    duplicate was QUARANTINED and so never entered the corpus (vs a
+    naive everything-before-me corpus it would be flagged)."""
+    two_df = I.ingest_two_batch(spark, sf_dir)
+    assert_matches_oracle(two_df, I.ingest_two_batch_oracle_sql(), sf_dir)
+    two = {r["doc_id"]: r["verdict"] for r in two_df.collect()}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    # (a) run 2 against corpus0 only — no batch-1 commit at all
+    cte = I._ingest_cascade_cte(
+        I.INGEST_DEFAULTS,
+        False,
+        batch_pred="({a}.doc_id >= 375)",
+        corpus_pred="({a}.doc_id < 250)",
+    )
+    only0 = dict(
+        con.execute(
+            f"WITH {cte.strip()} SELECT doc_id, verdict FROM manifest"
+        ).fetchall()
+    )
+    assert only0.keys() == two.keys()
+    assert any(
+        only0[d] == "accept" and two[d] in ("exact_dup", "near_dup", "span_dup")
+        for d in two
+    )
+    # (b) naive everything-before-me corpus (quarantined docs leak in)
+    naive = dict(
+        con.execute(
+            "WITH "
+            + I._ingest_cascade_cte(dict(I.INGEST_DEFAULTS, split_id=375), False).strip()
+            + " SELECT doc_id, verdict FROM manifest"
+        ).fetchall()
+    )
+    assert any(
+        naive[d] in ("exact_dup", "near_dup", "span_dup") and two[d] == "accept"
+        for d in two
+    )
