@@ -40,6 +40,7 @@ def _fast_oracle_overrides(sf_dir: str) -> dict[str, str]:
         # tests/test_ingest.py
         "ingest_accept_batch": I.ingest_accept_oracle_sql(fast_near=True),
         "ingest_audit": I.ingest_audit_oracle_sql(fast_near=True),
+        "ingest_two_batch": I.ingest_two_batch_oracle_sql(fast_near=True),
     }
 
 
