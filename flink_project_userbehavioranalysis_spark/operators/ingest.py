@@ -102,6 +102,8 @@ INGEST_DEFAULTS = {
     "span_max_pct": 25,
 }
 
+_MANIFEST_CACHE: dict[tuple, DataFrame] = {}
+
 _STAGES = (
     "malformed",
     "drift",
@@ -138,12 +140,24 @@ def ingest_accept_batch(
     never computed — the manifest records what the pipeline actually
     evaluated, not a backfill).
     """
+    key = (
+        spark.sparkContext.applicationId,
+        __import__("os").path.abspath(sf_dir),
+        tuple(sorted({**INGEST_DEFAULTS, **overrides}.items())),
+    )
+    cached = _MANIFEST_CACHE.get(key)
+    if cached is not None:
+        return cached
     frame, staged = _manifest_frame(spark, sf_dir, **overrides)
     # the manifest is batch-cardinality: materialize it eagerly so the
     # corpus-scale staged relations can be released immediately
     out = frame.localCheckpoint(eager=True)
     for df in staged:
         df.unpersist()
+    # session-keyed memo (the io.cache_events discipline): the audit
+    # rollup and repeated drives reuse ONE cascade execution; the
+    # pinned blocks are batch-cardinality rows, not corpus-scale
+    _MANIFEST_CACHE[key] = out
     return out
 
 
