@@ -119,6 +119,7 @@ PIPELINES = [
     "jsonl_roundtrip",
     "orc_roundtrip",
     "ingest_accept_batch",
+    "ingest_two_batch",
 ]
 
 
@@ -205,12 +206,22 @@ def main() -> None:
     per_query: dict[str, float] = {}
     per_query_arrow: dict[str, float] = {}
     rows: dict[str, int] = {}
+    from flink_project_userbehavioranalysis_spark.operators.ingest import (
+        _MANIFEST_CACHE,
+    )
+
     all_queries = entry_mod.queries()
     for name in PIPELINES:
         fn = all_queries[name]
-        per_query[name] = round(
-            _median_time(lambda f=fn: f(spark, SF_DIR).collect(), runs=3), 4
-        )
+
+        def run_full(f=fn):
+            # the admission manifest memoizes per session (so the audit
+            # twin reuses one cascade) — clear it so each timed run is
+            # a FULL invocation, which is this section's contract
+            _MANIFEST_CACHE.clear()
+            f(spark, SF_DIR).collect()
+
+        per_query[name] = round(_median_time(run_full, runs=3), 4)
         rows[name] = fn(spark, SF_DIR).count()
     for name, df in warmed.items():
         per_query[name] = round(_median_time(lambda d=df: d.collect()), 4)
