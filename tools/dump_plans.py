@@ -454,10 +454,31 @@ EXHIBITS = [
     ),
     (
         "decode_meta",
-        "Real BMP decode (r8): two Arrow-batched python stages "
-        "(MapInPandas encode, MapInPandas header parse) with a true "
-        "binary column flowing between them — zero Exchange (map-only "
-        "end to end), no row-at-a-time BatchEvalPython.",
+        "Real mixed BMP/PNG decode (r8/r9): two Arrow-batched python "
+        "stages (MapInPandas encode, MapInPandas per-format header "
+        "parse via the decode_real dispatch) with a true binary column "
+        "flowing between them — zero Exchange (map-only end to end), "
+        "no row-at-a-time BatchEvalPython.",
+    ),
+    (
+        "ingest_accept_batch",
+        "Composed admission cascade (r9): the plan is scans + "
+        "equi-joins + partial aggs only — the staged (doc, token) tf "
+        "relation appears as InMemoryTableScan reads (one explode "
+        "shared by the blocklist/Gopher stats rollup AND the drift "
+        "vocabulary), the fingerprint/LSH-band/gram probes are "
+        "LEFT SEMI / equi joins (never a cartesian), and every dedup "
+        "stage's staged relation is built over the SURVIVORS of the "
+        "prior gates (progressive short-circuit). At 100 TB the "
+        "corpus sides are persisted bucketed indexes; here they "
+        "derive in-query from the corpus half.",
+    ),
+    (
+        "audio_features",
+        "Audio modality (r9): WAV encode + windowed energy/peak decode "
+        "as two Arrow-batched MapInPandas stages; the per-window "
+        "fan-out is a numpy reshape INSIDE the batch — zero Exchange, "
+        "no explode shuffle, no BatchEvalPython.",
     ),
 ]
 
@@ -476,12 +497,37 @@ def main() -> None:
         "",
     ]
     for name, why in EXHIBITS:
-        df = qs[name](spark, SF)
+        staged = []
+        if name == "ingest_accept_batch":
+            # the registered entry returns a memoized localCheckpoint
+            # (plan = a bare RDD scan); exhibit the live cascade frame
+            from flink_project_userbehavioranalysis_spark.operators.ingest import (
+                _manifest_frame,
+            )
+
+            df, staged = _manifest_frame(spark, SF)
+        else:
+            df = qs[name](spark, SF)
         df.collect()  # finalize AQE
         plan = df._jdf.queryExecution().executedPlan().toString()
+        for sdf in staged:
+            sdf.unpersist()
         # trim noisy absolute paths and plan ids for a stable-ish doc
         plan = re.sub(r"\[plan_id=\d+\]", "", plan)
         plan = plan.replace("file:" + SF, "<sf>")
+        lines = plan.splitlines()
+        if len(lines) > 200:
+            joins = sum(
+                1 for ln in lines if "Join" in ln and "BroadcastNestedLoop" not in ln
+            )
+            plan = "\n".join(lines[:150]) + (
+                f"\n... [exhibit truncated: {len(lines)} printed plan lines "
+                f"({joins} join-operator prints — toString re-expands shared "
+                "subtrees per reference; the runtime plan reuses the "
+                "persisted InMemoryRelations). All joins are hash/sort-merge "
+                "equi or semi/anti: CartesianProduct and "
+                "BroadcastNestedLoopJoin absence is test-asserted]"
+            )
         out += [f"## {name}", "", why, "", "```", plan.rstrip(), "```", ""]
     with open("PLANS.md", "w") as f:
         f.write("\n".join(out))
