@@ -104,6 +104,7 @@ _TIER1 = [
     "orc_roundtrip",
     "audio_features",
     "thumbnail",
+    "video_frames",
     # the LAST never-driver-verified hash-oracled batch entries (r8
     # verdict #2) — after this round every hash-oracled batch entry
     # has had a driver row at least once
@@ -128,7 +129,6 @@ _TIER1 = [
     "dedup_incremental",
     "dup_spans",
     "dup_span_incremental",
-    "bpe_encode",
     "clean_corpus",
     "eval_holdout_sample",
     "minhash_near_dup",
@@ -155,6 +155,7 @@ _TIER2 = [
     "uv_hourly",
     "tx_reconcile",
     "interval_join",
+    "bpe_encode",
     "count_by_channel_report",
     "dup_span_scrub",
     "events_with_tier_asof",
@@ -852,6 +853,10 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         # thumbnail over the real per-format decodes — the vision
         # normalization step; md5 + exact byte sum hash-oracled
         "thumbnail": (_mm.thumbnail, _mm.thumbnail_oracle_sql()),
+        # §2.10 multimodal VIDEO (r9): real RIFF/AVI container decode
+        # (header-tree walk, avih/strf cross-check, uncompressed-DIB
+        # frame chunks) + even frame sampling — hash-oracled
+        "video_frames": (_mm.video_frames, _mm.video_frames_oracle_sql()),
         # ---- Streaming entries from here down: each runs a full finite
         # streaming job (seconds each) — kept LAST so a time-budgeted
         # driver gets every batch row first.

@@ -758,6 +758,190 @@ FROM sm GROUP BY 1, 2
 """
 
 
+# ----------------------------------------- real AVI codec (video modality)
+#
+# The VIDEO modality (r9): canonical RIFF/AVI with UNCOMPRESSED
+# bottom-up DIB frames ('DIB ' fourcc — the no-codec baseline every
+# AVI tool accepts), dependency-free like the other codecs. The
+# encoder builds the full header tree (avih MainAVIHeader, strl LIST
+# with a 'vids' AVIStreamHeader + BITMAPINFOHEADER strf) and a movi
+# LIST of '00db' frame chunks; the decoder WALKS the nested LIST
+# structure (never offset-guessing), cross-checks avih dimensions
+# against strf, and extracts frames by chunk index. Frame pixels
+# follow a closed-form per-frame constant, so frame sampling is
+# exact-md5 oracle-checkable while the container parse is fully real.
+
+_AVI_USEC_PER_FRAME = 100_000  # 10 fps
+
+
+def _avi_n_frames(n_bytes: int) -> int:
+    return n_bytes % 12 + 2
+
+
+def _avi_frame_byte(n_bytes: int, k: int) -> int:
+    return 32 + (n_bytes + 5 * k) % 95
+
+
+def _riff_chunks(b: bytes, pos: int, end: int):
+    """Yield (fourcc, list_type_or_None, data_start, data_len) walking
+    one RIFF chunk level; LIST chunks report their list type."""
+    while pos + 8 <= end:
+        tag = b[pos : pos + 4]
+        (ln,) = struct.unpack_from("<I", b, pos + 4)
+        if tag in (b"RIFF", b"LIST"):
+            yield tag, b[pos + 8 : pos + 12], pos + 12, ln - 4
+        else:
+            yield tag, None, pos + 8, ln
+        pos += 8 + ln + (ln & 1)
+
+
+def encode_avi(text_bytes: bytes | None) -> bytes:
+    """Build a complete, valid uncompressed-DIB AVI for a doc payload."""
+    n = len(text_bytes) if text_bytes is not None else 0
+    w, h = _bmp_dims(n)
+    rs = _bmp_row_size(w)
+    nf = _avi_n_frames(n)
+    frames = [bytes([_avi_frame_byte(n, k)]) * (rs * h) for k in range(nf)]
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return tag + struct.pack("<I", len(data)) + data + (b"\x00" * (len(data) & 1))
+
+    def lst(list_type: bytes, data: bytes) -> bytes:
+        return b"LIST" + struct.pack("<I", 4 + len(data)) + list_type + data
+
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, rs * h, 0, 0, 0, 0)
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4H",
+        b"vids", b"DIB ", 0, 0, 0, 0,
+        1, 1_000_000 // _AVI_USEC_PER_FRAME,  # scale, rate (10 fps)
+        0, nf, rs * h, 0, 0,
+        0, 0, w, h,  # rcFrame
+    )
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        _AVI_USEC_PER_FRAME, rs * h * 10, 0, 0, nf, 0, 1, rs * h, w, h,
+        0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00db", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_meta(b: bytes) -> tuple[int, int, int, int]:
+    """(width, height, n_frames, usec_per_frame) from the header tree —
+    the avih MainAVIHeader located by walking hdrl, dimensions
+    cross-checked against the stream's BITMAPINFOHEADER strf."""
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    avih = strf = None
+    for tag, ltype, start, ln in _riff_chunks(b, 12, len(b)):
+        if tag == b"LIST" and ltype == b"hdrl":
+            for t2, l2, s2, n2 in _riff_chunks(b, start, start + ln):
+                if t2 == b"avih":
+                    avih = struct.unpack_from("<IIIIIIIIII", b, s2)
+                elif t2 == b"LIST" and l2 == b"strl":
+                    for t3, _l3, s3, _n3 in _riff_chunks(b, s2, s2 + n2):
+                        if t3 == b"strf":
+                            strf = struct.unpack_from("<Iii", b, s3)
+    if avih is None or strf is None:
+        raise ValueError("missing avih/strf header")
+    usec, _mbps, _pad, _flags, nf, _init, _streams, _bufsz, w, h = avih
+    if (strf[1], strf[2]) != (w, h):
+        raise ValueError("avih/strf dimension mismatch")
+    return w, h, nf, usec
+
+
+def avi_frame(b: bytes, k: int) -> bytes:
+    """Extract raw frame ``k``'s DIB pixel data by walking the movi
+    LIST's '00db' chunks (chunk index = frame index for a single
+    video stream with no interleaved audio)."""
+    idx = 0
+    for tag, ltype, start, ln in _riff_chunks(b, 12, len(b)):
+        if tag == b"LIST" and ltype == b"movi":
+            for t2, _l2, s2, n2 in _riff_chunks(b, start, start + ln):
+                if t2 == b"00db":
+                    if idx == k:
+                        return b[s2 : s2 + n2]
+                    idx += 1
+    raise IndexError(f"frame {k} not found")
+
+
+def video_frames(spark: SparkSession, sf_dir: str, n_sample: int = 4) -> DataFrame:
+    """Video frame sampling over a REAL container decode: encode each
+    doc as an uncompressed-DIB AVI, then sample ``n_sample`` frames
+    evenly across the stream — header-tree walk, avih/strf
+    cross-check, per-chunk frame extraction — emitting exact frame
+    metadata and the frame md5 (hash-oracled: frame pixels follow a
+    closed-form per-frame constant). Two Arrow-batched passes with a
+    true binary column between them, fan-out inside the batch.
+
+    Output: (doc_id, frame_idx, src_frame, n_frames, frame_md5).
+    """
+    src = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("tb")
+    )
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["tb"].map(
+                        lambda t: encode_avi(None if t is None else bytes(t))
+                    ),
+                }
+            )
+
+    payloads = src.mapInPandas(enc, "doc_id BIGINT, payload BINARY")
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                _w, _h, nf, _usec = decode_avi_meta(b)
+                for i in range(n_sample):
+                    k = i * nf // n_sample
+                    rows.append(
+                        (doc_id, i, k, nf, hashlib.md5(avi_frame(b, k)).hexdigest())
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "src_frame", "n_frames", "frame_md5"],
+            )
+
+    return payloads.mapInPandas(
+        sample,
+        "doc_id BIGINT, frame_idx INT, src_frame INT, n_frames INT,"
+        " frame_md5 STRING",
+    )
+
+
+def video_frames_oracle_sql(n_sample: int = 4) -> str:
+    return f"""
+WITH dims AS (
+    SELECT doc_id,
+           coalesce(octet_length(CAST(text AS BLOB)), 0) AS n,
+           coalesce(octet_length(CAST(text AS BLOB)), 0) % 31 + 1 AS width,
+           coalesce(octet_length(CAST(text AS BLOB)), 0) % 17 + 1 AS height,
+           coalesce(octet_length(CAST(text AS BLOB)), 0) % 12 + 2 AS nf
+    FROM documents
+)
+SELECT doc_id,
+       CAST(i AS INTEGER) AS frame_idx,
+       CAST((i * nf) // {n_sample} AS INTEGER) AS src_frame,
+       CAST(nf AS INTEGER) AS n_frames,
+       md5(repeat(chr(CAST(32 + (n + 5 * ((i * nf) // {n_sample})) % 95
+                           AS INTEGER)),
+                  ((3 * width + 3) // 4) * 4 * height)) AS frame_md5
+FROM dims CROSS JOIN (SELECT unnest(range(0, {n_sample})) AS i)
+"""
+
+
 # --------------------------------------------- §2.9 grouped-agg pandas_udf
 
 

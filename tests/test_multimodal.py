@@ -179,3 +179,40 @@ def test_nn_thumbnail_samples_real_columns():
             src_r, src_c = j * h // side, i * w // side
             px = out[3 * (j * side + i) : 3 * (j * side + i) + 3]
             assert px == rows[src_r][3 * src_c : 3 * src_c + 3], (j, i)
+
+
+def test_avi_codec_roundtrip_properties():
+    """encode→decode identity on the header tree (avih, strf
+    cross-check) and every frame; malformed/mismatched containers are
+    rejected rather than misparsed."""
+    import pytest
+
+    for text in (b"", b"x", b"hello world", b"v" * 123):
+        b = MM.encode_avi(text)
+        w, h, nf, usec = MM.decode_avi_meta(b)
+        assert (w, h) == MM._bmp_dims(len(text))
+        assert nf == MM._avi_n_frames(len(text))
+        assert usec == MM._AVI_USEC_PER_FRAME
+        rs = MM._bmp_row_size(w)
+        for k in range(nf):
+            assert MM.avi_frame(b, k) == bytes(
+                [MM._avi_frame_byte(len(text), k)]
+            ) * (rs * h)
+        with pytest.raises(IndexError):
+            MM.avi_frame(b, nf)
+    assert MM.encode_avi(None) == MM.encode_avi(b"")
+    with pytest.raises(ValueError):
+        MM.decode_avi_meta(b"RIFF\x00\x00\x00\x00WAVE")
+    # corrupt strf width → dimension cross-check must fire
+    good = bytearray(MM.encode_avi(b"abc"))
+    idx = good.index(b"strf") + 8 + 4  # strf data: biSize then biWidth
+    good[idx] ^= 0x01
+    with pytest.raises(ValueError):
+        MM.decode_avi_meta(bytes(good))
+
+
+def test_video_frames_oracle(spark, sf_dir):
+    df = MM.video_frames(spark, sf_dir)
+    assert_matches_oracle(df, MM.video_frames_oracle_sql(), sf_dir)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert df.count() == n_docs * 4
