@@ -96,6 +96,9 @@ HEADLINE = [
     "corpus_drift",             # snapshot volume + novel-token monitor
     # r9 additions
     "term_blocklist",           # broadcast wordlist gate (lazy map+agg)
+    "audio_features",           # WAV decode + numpy windowed energy/peak
+    "thumbnail",                # nearest-neighbor resize over real decodes
+    "video_frames",             # AVI container walk + frame sampling
     # NOT benched here: item_pagerank / kmeans_lloyd / cluster_canonical
     # eagerly materialize (localCheckpoint / iterate) at
     # DataFrame-construction time, so timing their collect() would
