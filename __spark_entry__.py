@@ -105,6 +105,8 @@ _TIER1 = [
     "audio_features",
     "thumbnail",
     "video_frames",
+    "jpeg_meta",
+    "jpeg_roundtrip",
     # the LAST never-driver-verified hash-oracled batch entries (r8
     # verdict #2) — after this round every hash-oracled batch entry
     # has had a driver row at least once
@@ -857,6 +859,14 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         # (header-tree walk, avih/strf cross-check, uncompressed-DIB
         # frame chunks) + even frame sampling — hash-oracled
         "video_frames": (_mm.video_frames, _mm.video_frames_oracle_sql()),
+        # §2.10 multimodal JPEG (r9): real baseline T.81 codec
+        # (standard Huffman/quant tables, zigzag, numpy DCT). Lossy,
+        # so the contract splits: SOF0 header + full-decode sample
+        # count are exact (jpeg_meta), the pixel path certifies a
+        # deterministic error bound (jpeg_roundtrip); the entropy
+        # layer is proven bit-exact in tests/test_jpeg_codec.py
+        "jpeg_meta": (_mm.jpeg_meta, _mm.JPEG_META_SQL),
+        "jpeg_roundtrip": (_mm.jpeg_roundtrip, _mm.JPEG_ROUNDTRIP_SQL),
         # ---- Streaming entries from here down: each runs a full finite
         # streaming job (seconds each) — kept LAST so a time-budgeted
         # driver gets every batch row first.

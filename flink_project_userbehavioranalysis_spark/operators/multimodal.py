@@ -3,16 +3,19 @@ typed metadata, decode / feature-extract / frame-sample as Arrow-batched
 Pandas UDFs over ``mapInPandas`` — plus the grouped-agg Pandas UDF that
 rounds out the §2.9 UDF surface.
 
-No reference analog (the Flink project is scalar-only). The jpeg/mp4
-codec libraries are NOT in this container; instead of a fake, the
-decode path implements REAL dependency-free decoders for two public
+No reference analog (the Flink project is scalar-only). The codec
+libraries are NOT in this container; instead of a fake, the decode
+path implements REAL dependency-free decoders for three public image
 formats — Windows BMP (header fields at fixed offsets, bottom-up
-padded scanlines) and PNG (chunk walk with CRC verification, stdlib
+padded scanlines), PNG (chunk walk with CRC verification, stdlib
 zlib IDAT inflate, per-row unfilter across all five spec filter
-types) — over synthesized-but-valid payloads, so the decoded integers
-and scanline hashes are exact-oracle-checkable. Unimplemented formats
-raise at the explicit ``decode_real`` boundary; swapping in
-PIL/ffmpeg for them is a function-body change only.
+types), and baseline JPEG (standard Huffman/quant tables, zigzag,
+numpy DCT — see ``jpeg_codec.py``) — over synthesized-but-valid
+payloads, so the decoded integers and scanline hashes are
+exact-oracle-checkable (JPEG, being lossy, certifies an exact entropy
+layer plus a pixel error BOUND instead of scanline hashes).
+Unimplemented formats raise at the explicit ``decode_real`` boundary;
+swapping in PIL/ffmpeg for them is a function-body change only.
 
 Scale notes: binary payloads ride the scan as parquet BYTE_ARRAY;
 mapInPandas streams Arrow batches (never materializes a partition);
@@ -424,9 +427,9 @@ FROM (
 
 def decode_real(payload: bytes, mime: str) -> tuple[int, int, int, int]:
     """Format dispatch for the REAL decoders this module implements
-    (BMP and 8-bit RGB PNG, both dependency-free); formats whose codec
-    libraries are absent in this container (jpeg, mp4) raise here —
-    the boundary is explicit so the implemented-format line is visible
+    (BMP, 8-bit RGB PNG, and baseline grayscale JPEG — all
+    dependency-free); formats without a codec here (e.g. mp4) raise at
+    this explicit boundary so the implemented-format line is visible
     to reviewers. Returns (width, height, bpp, data_size)."""
     import zlib
 
@@ -450,6 +453,15 @@ def decode_real(payload: bytes, mime: str) -> tuple[int, int, int, int]:
             if tag == b"IEND":
                 break
         return w, h, 3 * bit_depth, len(zlib.decompress(bytes(idat)))
+    if mime == "image/jpeg":
+        # data_size measured from the ACTUAL full decode (entropy +
+        # IDCT), not the header — a corrupt scan is a decode error
+        from flink_project_userbehavioranalysis_spark.operators import jpeg_codec
+
+        w, h, precision, ncomp = jpeg_codec.decode_jpeg_meta(payload)
+        if (precision, ncomp) != (8, 1):
+            raise NotImplementedError("only 8-bit grayscale JPEG is supported")
+        return w, h, precision, int(jpeg_codec.decode_jpeg(payload).size)
     raise NotImplementedError(f"codec for {mime} not available in this environment")
 
 
@@ -967,4 +979,158 @@ GEOMEAN_BY_TYPE_SQL = """
 SELECT event_type, round(exp(avg(ln(1 + abs(value)))), 6) AS geomean_abs1p
 FROM events
 GROUP BY 1
+"""
+
+# ------------------------------------------- baseline JPEG (lossy codec)
+#
+# The third real image codec (see ``jpeg_codec.py``): baseline
+# sequential grayscale JPEG built from the public T.81 spec alone.
+# JPEG is LOSSY, so its correctness contract differs from BMP/PNG:
+#   * header decode (SOF0 dims/precision) is exact -> hash oracle;
+#   * the entropy layer (Huffman + zigzag + RLE + DC prediction) is
+#     lossless -> bit-exact coefficient roundtrip in pytest;
+#   * the pixel path certifies a BOUND: decoded-vs-source max abs
+#     error <= 4 at quality 90 (measured max on this corpus: 2) —
+#     a deterministic boolean column the oracle states as TRUE, so a
+#     broken DCT/quantizer hash-mismatches the scoreboard.
+
+
+def attach_jpeg_payload(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, mime, payload) with a REAL baseline JPEG
+    per document: grayscale, same deterministic dims as the BMP path
+    (w = n%31+1, h = n%17+1), row r filled with 32 + (n+r) % 95.
+    Arrow-batched encode pass; NULL text encodes the 0-byte (1x1)
+    image."""
+    import numpy as np
+
+    from flink_project_userbehavioranalysis_spark.operators.jpeg_codec import (
+        encode_jpeg,
+    )
+
+    src = docs.select("doc_id", F.col("text").cast("binary").alias("tb"))
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for doc_id, tb in zip(pdf["doc_id"], pdf["tb"]):
+                n = 0 if tb is None else len(bytes(tb))
+                w, h = _bmp_dims(n)
+                img = np.array(
+                    [[_bmp_row_byte(n, r)] * w for r in range(h)], dtype=np.uint8
+                )
+                recs.append((doc_id, "image/jpeg", encode_jpeg(img, quality=90)))
+            yield pd.DataFrame(recs, columns=["doc_id", "mime", "payload"])
+
+    return src.mapInPandas(enc, "doc_id BIGINT, mime STRING, payload BINARY")
+
+
+def jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id + REAL JPEG-decoded (width, height, bpp, data_size) via
+    the ``decode_real`` dispatch: dims/precision parsed from the SOF0
+    frame header, data_size measured as the sample count of the ACTUAL
+    full decode (entropy + IDCT) — so a scan-layer bug fails this
+    query even though the oracle's closed form only needs the
+    synthetic dimension rules."""
+    payloads = attach_jpeg_payload(load_table(spark, sf_dir, "documents"))
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for doc_id, mime, payload in zip(
+                pdf["doc_id"], pdf["mime"], pdf["payload"]
+            ):
+                w, h, bpp, data_size = decode_real(bytes(payload), mime)
+                recs.append((doc_id, mime, w, h, bpp, data_size))
+            yield pd.DataFrame(
+                recs,
+                columns=["doc_id", "mime", "width", "height", "bpp", "data_size"],
+            )
+
+    return payloads.mapInPandas(
+        dec,
+        "doc_id BIGINT, mime STRING, width INT, height INT, bpp INT,"
+        " data_size BIGINT",
+    )
+
+
+JPEG_META_SQL = """
+SELECT doc_id,
+       'image/jpeg' AS mime,
+       CAST(width AS INTEGER) AS width,
+       CAST(height AS INTEGER) AS height,
+       8 AS bpp,
+       CAST(width * height AS BIGINT) AS data_size
+FROM (
+    SELECT doc_id,
+           coalesce(octet_length(CAST(text AS BLOB)), 0) % 31 + 1 AS width,
+           coalesce(octet_length(CAST(text AS BLOB)), 0) % 17 + 1 AS height
+    FROM documents
+)
+"""
+
+
+def jpeg_roundtrip(spark: SparkSession, sf_dir: str, bound: int = 4) -> DataFrame:
+    """Encode→decode each document's synthetic image through the FULL
+    lossy pipeline and certify the reconstruction: (doc_id, width,
+    height, n_samples, max_err_le_4). The error bound is the
+    oracle-able face of a lossy codec — the decode is deterministic
+    integer/float math, the source is rebuilt in the UDF from the same
+    closed form the oracle uses, and at quality 90 the measured max
+    abs error on this corpus is 2 (bound 4 leaves margin, and pytest
+    pins the exact max). A broken quantizer, zigzag, Huffman table, or
+    IDCT flips the boolean and hash-mismatches."""
+    import numpy as np
+
+    from flink_project_userbehavioranalysis_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    # One map-only Arrow pass (no join/shuffle): encode the synthetic
+    # source, decode the produced BYTES through the full scan parser,
+    # and compare — the payload round-trips through real serialized
+    # form even though both halves run in the same task.
+    src_docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("tb")
+    )
+
+    def rt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for doc_id, tb in zip(pdf["doc_id"], pdf["tb"]):
+                n = 0 if tb is None else len(bytes(tb))
+                w, h = _bmp_dims(n)
+                src = np.array(
+                    [[_bmp_row_byte(n, r)] * w for r in range(h)], dtype=np.uint8
+                )
+                out = decode_jpeg(encode_jpeg(src, quality=90))
+                assert out.shape == (h, w)
+                max_err = int(
+                    np.abs(out.astype(np.int64) - src.astype(np.int64)).max()
+                )
+                recs.append((doc_id, w, h, out.size, max_err <= bound))
+            yield pd.DataFrame(
+                recs,
+                columns=["doc_id", "width", "height", "n_samples", "max_err_le_4"],
+            )
+
+    return src_docs.mapInPandas(
+        rt,
+        "doc_id BIGINT, width INT, height INT, n_samples BIGINT,"
+        " max_err_le_4 BOOLEAN",
+    )
+
+
+JPEG_ROUNDTRIP_SQL = """
+SELECT doc_id,
+       CAST(width AS INTEGER) AS width,
+       CAST(height AS INTEGER) AS height,
+       CAST(width * height AS BIGINT) AS n_samples,
+       TRUE AS max_err_le_4
+FROM (
+    SELECT doc_id,
+           coalesce(octet_length(CAST(text AS BLOB)), 0) % 31 + 1 AS width,
+           coalesce(octet_length(CAST(text AS BLOB)), 0) % 17 + 1 AS height
+    FROM documents
+)
 """

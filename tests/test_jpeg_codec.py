@@ -1,0 +1,249 @@
+"""Baseline JPEG codec (jpeg_codec.py) — the lossy-format contract.
+
+BMP/PNG certify exact scanlines; JPEG cannot (it is lossy by
+design), so its correctness is pinned from four independent angles:
+
+1. the ENTROPY LAYER is lossless — the decoder's quantized
+   coefficients must equal the encoder's bit for bit;
+2. the DCT pair matches an independently-written naive cosine-sum
+   implementation of the T.81 formulas;
+3. pixel round-trip error is BOUNDED, with the synthetic-corpus max
+   pinned exactly (2 at quality 90) so the registered bound (4) has
+   known margin;
+4. everything unsupported raises loudly (progressive, restart
+   markers, multi-component, 16-bit tables, truncation).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from flink_project_userbehavioranalysis_spark.operators import jpeg_codec as J
+from flink_project_userbehavioranalysis_spark.operators import multimodal as MM
+from tests.oracle import assert_matches_oracle
+
+
+def _synth(n: int) -> np.ndarray:
+    """The documents-table synthetic image: same closed form the
+    DuckDB oracles use (w = n%31+1, h = n%17+1, row r = 32+(n+r)%95)."""
+    w, h = n % 31 + 1, n % 17 + 1
+    return np.array([[32 + (n + r) % 95] * w for r in range(h)], dtype=np.uint8)
+
+
+# ------------------------------------------------------------- tables
+
+
+def test_standard_tables_shape():
+    assert sum(J.DC_LUMA_BITS) == len(J.DC_LUMA_VALS) == 12
+    assert sum(J.AC_LUMA_BITS) == len(J.AC_LUMA_VALS) == 162
+    assert len(J.ZIGZAG) == 64 and len(set(J.ZIGZAG)) == 64
+    # spec zigzag prefix and terminal corner
+    assert J.ZIGZAG[:6] == [(0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2)]
+    assert J.ZIGZAG[-1] == (7, 7)
+
+
+def test_canonical_huffman_known_codes_and_prefix_freedom():
+    dc = J._huff_codes(J.DC_LUMA_BITS, J.DC_LUMA_VALS)
+    ac = J._huff_codes(J.AC_LUMA_BITS, J.AC_LUMA_VALS)
+    # Annex K: DC category 0 is '00' (2 bits); AC EOB is '1010',
+    # ZRL (0xF0) is the 11-bit '11111111001'
+    assert dc[0] == (0b00, 2)
+    assert ac[0x00] == (0b1010, 4)
+    assert ac[0xF0] == (0b11111111001, 11)
+    for codes in (dc, ac):
+        as_bits = {
+            format(c, f"0{ln}b") for c, ln in codes.values()
+        }
+        assert len(as_bits) == len(codes)
+        for a in as_bits:
+            for b in as_bits:
+                assert a == b or not b.startswith(a) or len(a) == len(b)
+
+
+def test_quality_scaling_endpoints():
+    assert (J.quality_scaled_qt(50) == J.BASE_LUMA_QT).all()
+    assert (J.quality_scaled_qt(100) == 1).all()  # lossless-quant limit
+    q10 = J.quality_scaled_qt(10)
+    assert q10.max() <= 255 and q10.min() >= 1
+    with pytest.raises(ValueError):
+        J.quality_scaled_qt(0)
+
+
+# ----------------------------------------------------- DCT vs naive
+
+
+def _naive_dct(block: np.ndarray) -> np.ndarray:
+    """T.81 A.3.3 FDCT, written as the literal double sum (no matrix
+    tricks) so it is an independent oracle for the matrix form."""
+    out = np.zeros((8, 8))
+    for u in range(8):
+        for v in range(8):
+            cu = 1 / math.sqrt(2) if u == 0 else 1.0
+            cv = 1 / math.sqrt(2) if v == 0 else 1.0
+            s = 0.0
+            for x in range(8):
+                for y in range(8):
+                    s += (
+                        block[x, y]
+                        * math.cos((2 * x + 1) * u * math.pi / 16)
+                        * math.cos((2 * y + 1) * v * math.pi / 16)
+                    )
+            out[u, v] = 0.25 * cu * cv * s
+    return out
+
+
+def test_dct_matrix_matches_naive_formula():
+    rng = np.random.default_rng(11)
+    block = rng.integers(0, 256, (8, 8)).astype(np.float64) - 128.0
+    matrix_form = J._C @ block @ J._C.T
+    assert np.allclose(matrix_form, _naive_dct(block), atol=1e-9)
+    # inverse really inverts (orthonormality)
+    assert np.allclose(J._C.T @ matrix_form @ J._C, block, atol=1e-9)
+
+
+# ------------------------------------------------- bit I/O + stuffing
+
+
+def test_bit_io_roundtrip_with_ff_stuffing():
+    bw = J._BitWriter()
+    values = [(0xFF, 8), (0xFF, 8), (0b101, 3), (0x3FFF, 14), (1, 1)]
+    for v, ln in values:
+        bw.write(v, ln)
+    bw.flush()
+    raw = bytes(bw.buf)
+    # the two 0xFF bytes must be stuffed
+    assert raw[:4] == b"\xff\x00\xff\x00"
+    r = J._BitReader(raw, 0)
+    for v, ln in values:
+        assert r.read_bits(ln) == v
+
+
+def test_bit_reader_raises_on_marker_and_truncation():
+    r = J._BitReader(b"\xff\xd9", 0)
+    with pytest.raises(ValueError, match="marker"):
+        r.read_bits(8)
+    r = J._BitReader(b"\xab", 0)
+    r.read_bits(8)
+    with pytest.raises(ValueError, match="truncated"):
+        r.read_bit()
+
+
+# ------------------------------------- entropy layer: exact round-trip
+
+
+@pytest.mark.parametrize("shape", [(8, 8), (16, 24), (23, 37), (1, 1), (17, 31)])
+@pytest.mark.parametrize("quality", [35, 75, 90])
+def test_entropy_layer_bit_exact(shape, quality):
+    """decode_jpeg_coeffs(encode_jpeg(img)) == forward_blocks(img):
+    Huffman + zigzag + RLE + DC prediction are exactly invertible."""
+    rng = np.random.default_rng(shape[0] * 100 + shape[1] + quality)
+    img = rng.integers(0, 256, shape).astype(np.uint8)
+    payload = J.encode_jpeg(img, quality)
+    w, h, qt, blocks = J.decode_jpeg_coeffs(payload)
+    assert (w, h) == (shape[1], shape[0])
+    assert (qt == J.quality_scaled_qt(quality)).all()
+    padded = np.pad(
+        img, ((0, (-shape[0]) % 8), (0, (-shape[1]) % 8)), mode="edge"
+    )
+    expected = J.forward_blocks(padded, J.quality_scaled_qt(quality))
+    assert len(blocks) == len(expected)
+    for a, b in zip(expected, blocks):
+        assert (a == b).all()
+
+
+def test_flat_images_near_exact():
+    """A flat block is DC-only: mid-gray is exact, any value is
+    within 1 count at quality 90 (DC quant step 3 over an 8x gain)."""
+    assert (
+        J.decode_jpeg(J.encode_jpeg(np.full((16, 16), 128, np.uint8), 90)) == 128
+    ).all()
+    for v in (0, 31, 97, 200, 255):
+        img = np.full((8, 8), v, np.uint8)
+        out = J.decode_jpeg(J.encode_jpeg(img, 90))
+        assert np.abs(out.astype(int) - int(v)).max() <= 1
+
+
+def test_synthetic_corpus_error_bound_pinned():
+    """Every document image (n covers the full observed octet-length
+    range) round-trips within max-abs-error 2 at quality 90 — the
+    registered jpeg_roundtrip bound of 4 has 2x margin."""
+    mx = 0
+    for n in range(0, 600):
+        img = _synth(n)
+        out = J.decode_jpeg(J.encode_jpeg(img, 90))
+        assert out.shape == img.shape
+        mx = max(mx, int(np.abs(out.astype(int) - img.astype(int)).max()))
+    assert mx <= 2
+
+
+def test_decode_meta_without_full_decode():
+    img = _synth(123)
+    w, h, precision, ncomp = J.decode_jpeg_meta(J.encode_jpeg(img, 90))
+    assert (w, h) == (img.shape[1], img.shape[0])
+    assert (precision, ncomp) == (8, 1)
+
+
+# ------------------------------------------------ loud failure modes
+
+
+def test_unsupported_flavors_raise():
+    payload = bytearray(J.encode_jpeg(_synth(42), 90))
+    # progressive: SOF0 (FFC0) -> SOF2 (FFC2)
+    i = bytes(payload).find(b"\xff\xc0")
+    prog = payload.copy()
+    prog[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="baseline"):
+        J.decode_jpeg_meta(bytes(prog))
+    # restart interval: splice a DRI segment before SOS
+    j = bytes(payload).find(b"\xff\xda")
+    dri = bytes(payload[:j]) + b"\xff\xdd\x00\x04\x00\x08" + bytes(payload[j:])
+    with pytest.raises(NotImplementedError, match="restart"):
+        J.decode_jpeg_coeffs(dri)
+    # multi-component: patch SOF0 Nf
+    multi = payload.copy()
+    multi[i + 9] = 3
+    with pytest.raises(NotImplementedError, match="single-component"):
+        J.decode_jpeg_coeffs(bytes(multi))
+    # 16-bit quant table: patch DQT Pq nibble
+    k = bytes(payload).find(b"\xff\xdb")
+    q16 = payload.copy()
+    q16[k + 4] = 0x10
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        J.decode_jpeg_coeffs(bytes(q16))
+    # truncation inside the entropy stream
+    with pytest.raises(ValueError):
+        J.decode_jpeg(bytes(payload[: j + 20]))
+    # not a JPEG at all
+    with pytest.raises(ValueError, match="SOI"):
+        J.decode_jpeg_meta(b"BM123456")
+
+
+def test_decode_real_dispatches_jpeg():
+    img = _synth(7)
+    payload = J.encode_jpeg(img, 90)
+    w, h, bpp, data_size = MM.decode_real(payload, "image/jpeg")
+    assert (w, h, bpp) == (img.shape[1], img.shape[0], 8)
+    assert data_size == img.size
+    with pytest.raises(NotImplementedError, match="not available"):
+        MM.decode_real(b"\x00" * 16, "video/mp4")
+
+
+# ------------------------------------------------ registered queries
+
+
+def test_jpeg_meta_oracle(spark, sf_dir):
+    assert_matches_oracle(MM.jpeg_meta(spark, sf_dir), MM.JPEG_META_SQL, sf_dir)
+
+
+def test_jpeg_roundtrip_oracle_and_bound_honesty(spark, sf_dir):
+    df = MM.jpeg_roundtrip(spark, sf_dir)
+    assert_matches_oracle(df, MM.JPEG_ROUNDTRIP_SQL, sf_dir)
+    # the boolean is a real measurement: every row must be computed
+    # True, not defaulted — flipping the bound to 0 must flip rows
+    # (the corpus contains non-flat images with nonzero loss)
+    strict = MM.jpeg_roundtrip(spark, sf_dir, bound=0)
+    n_false = strict.filter(~strict.max_err_le_4).count()
+    assert n_false > 0

@@ -67,13 +67,26 @@ def test_bmp_codec_roundtrip_properties():
 
 
 def test_decode_real_boundary():
-    """BMP decodes; absent codecs raise at the explicit boundary."""
+    """All three image codecs decode for real; absent codecs raise at
+    the explicit boundary, and a corrupt payload for a REAL codec is a
+    decode error (ValueError), not a stub raise."""
     import pytest
 
     assert MM.decode_real(MM.encode_bmp(b"abc"), "image/bmp")[2] == 24
     assert MM.decode_real(MM.encode_png(b"abc"), "image/png")[2] == 24
-    with pytest.raises(NotImplementedError):
+    from flink_project_userbehavioranalysis_spark.operators.jpeg_codec import (
+        encode_jpeg,
+    )
+    import numpy as np
+
+    jw, jh, jbpp, jsize = MM.decode_real(
+        encode_jpeg(np.full((5, 9), 70, np.uint8), 90), "image/jpeg"
+    )
+    assert (jw, jh, jbpp, jsize) == (9, 5, 8, 45)
+    with pytest.raises(ValueError):
         MM.decode_real(b"bytes", "image/jpeg")
+    with pytest.raises(NotImplementedError):
+        MM.decode_real(b"bytes", "video/mp4")
 
 
 def test_png_codec_roundtrip_properties():
