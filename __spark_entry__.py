@@ -84,13 +84,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # --- tier 1: hash-oracled, every module -----------------------------
 # Membership ROTATES per round (r6 verdict #7, r7 verdict #1) so
 # driver-verified coverage accumulates instead of re-proving the same
-# 50. r9 completes the rotation: the six new-or-changed surfaces (the
-# composed ingest admission pipeline + audit, the mixed BMP/PNG codec
-# pair, the row-strong interchange checksums) sit FIRST so a
-# time-budgeted tail cannot drop them, followed by the LAST 10
-# never-driver-verified hash-oracled batch entries — after r9 every
-# hash-oracled batch entry has a driver row at least once — and 34
-# per-pillar keepers as regression canaries.
+# 50. r9 completes the rotation: the 14 new-or-changed surfaces (the
+# composed ingest admission pipeline + audit, the five-codec
+# multimodal surfaces incl. the new JPEG pair, the row-strong
+# interchange checksums, and the mergeable quantile-histogram pair)
+# sit FIRST so a time-budgeted tail cannot drop them, followed by the
+# LAST 10 never-driver-verified hash-oracled batch entries — after r9
+# every hash-oracled batch entry has a driver row at least once — and
+# 26 per-pillar keepers as regression canaries (the four keepers
+# displaced by the r9 additions moved to the head of tier 2; all four
+# are multi-round driver-green).
 _TIER1 = [
     # changed/new this round (prove first): the composed admission
     # pipeline + audit, the mixed BMP/PNG codec surfaces, and the two
@@ -107,6 +110,8 @@ _TIER1 = [
     "video_frames",
     "jpeg_meta",
     "jpeg_roundtrip",
+    "value_hist_daily",
+    "value_percentiles_hist",
     # the LAST never-driver-verified hash-oracled batch entries (r8
     # verdict #2) — after this round every hash-oracled batch entry
     # has had a driver row at least once
@@ -130,15 +135,11 @@ _TIER1 = [
     "order_timeout",
     "dedup_incremental",
     "dup_spans",
-    "dup_span_incremental",
-    "clean_corpus",
     "eval_holdout_sample",
     "minhash_near_dup",
-    "cluster_canonical",
     "knn_topk",
     "user_tier_scd2",
     "tpch_q1ish",
-    "tpch_q9ish",
     "cdc_apply",
     "user_tier_scd2_maintain",
     "erase_users_roundtrip",
@@ -154,6 +155,10 @@ _TIER1 = [
 ]
 # --- tier 2: remaining hash-oracled batch ---------------------------
 _TIER2 = [
+    "dup_span_incremental",
+    "tpch_q9ish",
+    "cluster_canonical",
+    "clean_corpus",
     "uv_hourly",
     "tx_reconcile",
     "interval_join",
@@ -349,6 +354,20 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         # retention_rolling's D-1 column (rows-only: sketch estimate;
         # bound vs the exact twin asserted in test_sketches.py)
         "retention_sketch": (_nf.retention_sketch, None),
+        # Third mergeable-summary family (r9): fixed-grid value
+        # histograms (the DDSketch/HdrHistogram pattern). Unlike the
+        # HLL/CMS estimates these are deterministic integer/IEEE
+        # arithmetic, so BOTH the daily summary and the merged
+        # quantile query are fully hash-oracled; half-bucket accuracy
+        # vs the exact percentile twin asserted in test_sketches.py
+        "value_hist_daily": (
+            _nf.value_hist_daily,
+            _nf.value_hist_daily_oracle_sql(),
+        ),
+        "value_percentiles_hist": (
+            _nf.value_percentiles_hist,
+            _nf.value_percentiles_hist_oracle_sql(),
+        ),
         # W2 batch core
         "hot_pages_topn": (_nf.hot_pages_topn, _nf.hot_pages_oracle_sql()),
         # A7 / P3 — registered surface is all-numeric except behavior

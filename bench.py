@@ -99,6 +99,8 @@ HEADLINE = [
     "audio_features",           # WAV decode + numpy windowed energy/peak
     "thumbnail",                # nearest-neighbor resize over real decodes
     "video_frames",             # AVI container walk + frame sampling
+    "jpeg_roundtrip",           # baseline T.81 encode+decode, bounded error
+    "value_percentiles_hist",   # merged daily histogram -> quantile pick
     # NOT benched here: item_pagerank / kmeans_lloyd / cluster_canonical
     # eagerly materialize (localCheckpoint / iterate) at
     # DataFrame-construction time, so timing their collect() would

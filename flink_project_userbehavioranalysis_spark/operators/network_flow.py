@@ -423,3 +423,115 @@ def retention_sketch(spark: SparkSession, sf_dir: str, k: int = 1) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------------------------------- mergeable quantile summary
+#
+# Third mergeable-summary family after HLL (distinct counts) and
+# Count-Min (frequencies): value-DISTRIBUTION summaries for quantile
+# queries, the DDSketch/HdrHistogram pattern (public: Masson et al.,
+# VLDB 2019). The summary is a fixed-grid histogram: deterministic
+# value -> bucket mapping, per-day (day, event_type, bucket, cnt)
+# rows; merging across any day range is an integer SUM by bucket —
+# exactly associative, so unlike HLL/CMS estimates this family is
+# fully HASH-ORACLED, not rows-only. The grid here is equal-width
+# (floor(value * 4): IEEE multiply+floor is bit-identical across
+# engines, which is what makes the oracle exact); DDSketch's
+# log-gamma bucketization plugs into the same summary/merge/query
+# shape when relative accuracy matters, at the cost of engines'
+# libm ln() agreeing — documented, not silently swapped.
+
+
+def value_hist_daily(
+    spark: SparkSession, sf_dir: str, bin_inv: int = 4
+) -> DataFrame:
+    """Per-day mergeable value-distribution summary: (day, event_type,
+    bucket, cnt) with bucket = floor(value * bin_inv) (width 1/bin_inv
+    = 0.25 by default). ONE partial-agg shuffle at summary grain; the
+    output is the PERSISTED artifact at 100 TB — days x types x
+    O(range/width) rows (KBs/day here), against which any later
+    quantile query runs without rescanning raw events."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.filter(F.col("value").isNotNull())
+        .select(
+            F.to_date("ts").cast("string").alias("day"),
+            "event_type",
+            F.floor(F.col("value") * bin_inv).alias("bucket"),
+        )
+        .groupBy("day", "event_type", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def value_hist_daily_oracle_sql(bin_inv: int = 4) -> str:
+    return f"""
+SELECT CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) AS VARCHAR) AS day,
+       event_type,
+       CAST(floor(value * {bin_inv}) AS BIGINT) AS bucket,
+       count(*) AS cnt
+FROM events
+WHERE value IS NOT NULL
+GROUP BY 1, 2, 3
+"""
+
+
+def value_percentiles_hist(
+    spark: SparkSession, sf_dir: str, bin_inv: int = 4
+) -> DataFrame:
+    """Quantiles (p50/p90/p99 per event_type) answered from the MERGED
+    daily summaries, never the raw rows: sum counts by bucket across
+    all days (the associative merge), cumulative-rank along the grid,
+    pick the first bucket covering ceil(q * total), report the bucket
+    midpoint. Deterministic integer/IEEE arithmetic end to end ->
+    hash-oracled; the estimate is within half a bucket width (0.125)
+    of the rank-q value by construction, bound-asserted against the
+    exact ``value_percentiles`` twin in tests."""
+    merged = (
+        value_hist_daily(spark, sf_dir, bin_inv)
+        .groupBy("event_type", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    cum_w = Window.partitionBy("event_type").orderBy("bucket")
+    tot_w = Window.partitionBy("event_type")
+    cum = merged.select(
+        "event_type",
+        "bucket",
+        F.sum("cnt").over(cum_w).alias("cum"),
+        F.sum("cnt").over(tot_w).alias("total"),
+    )
+
+    def pick(q: float):
+        b = F.min(
+            F.when(F.col("cum") >= F.ceil(F.col("total") * q), F.col("bucket"))
+        )
+        return F.round((b + 0.5) / bin_inv, 6)
+
+    return cum.groupBy("event_type").agg(
+        pick(0.5).alias("p50_est"),
+        pick(0.9).alias("p90_est"),
+        pick(0.99).alias("p99_est"),
+    )
+
+
+def value_percentiles_hist_oracle_sql(bin_inv: int = 4) -> str:
+    return f"""
+WITH hist AS (
+    SELECT event_type, CAST(floor(value * {bin_inv}) AS BIGINT) AS bucket,
+           count(*) AS cnt
+    FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), cum AS (
+    SELECT event_type, bucket,
+           sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+           sum(cnt) OVER (PARTITION BY event_type) AS total
+    FROM hist
+)
+SELECT event_type,
+       round((min(CASE WHEN cum >= ceil(total * 0.5) THEN bucket END) + 0.5)
+             / {bin_inv}, 6) AS p50_est,
+       round((min(CASE WHEN cum >= ceil(total * 0.9) THEN bucket END) + 0.5)
+             / {bin_inv}, 6) AS p90_est,
+       round((min(CASE WHEN cum >= ceil(total * 0.99) THEN bucket END) + 0.5)
+             / {bin_inv}, 6) AS p99_est
+FROM cum GROUP BY 1
+"""

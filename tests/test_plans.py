@@ -285,3 +285,19 @@ def test_item_triangles_plan_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "LeftSemi" in plan
     assert "partial_count" in plan
+
+
+def test_jpeg_roundtrip_is_map_only(spark, sf_dir):
+    """The lossy-codec certification is one Arrow-batched map pass:
+    no Exchange (no join back to the source — the UDF rebuilds the
+    closed-form row vector), no row-at-a-time Python, and only the
+    two needed columns reach the parquet scan."""
+    from flink_project_userbehavioranalysis_spark.operators import multimodal as MM
+
+    plan = _plan(MM.jpeg_roundtrip(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "lang" not in read_schema and "source" not in read_schema

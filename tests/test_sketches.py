@@ -89,3 +89,99 @@ def test_retention_sketch_bounds(spark, sf_dir):
         e = ex[day]
         assert abs(s["active_est"] - e["active"]) <= 0.05 * e["active"] + 1
         assert abs(s["retained_est"] - e["retained_1"]) <= 0.10 * e["active"] + 1
+
+
+def test_value_hist_percentiles_within_half_bucket(spark, sf_dir):
+    """The construction guarantee: the value at rank ceil(q*n) lies in
+    the picked bucket, so the midpoint estimate is within HALF a
+    bucket width (0.125 at bin_inv=4) of the exact discrete-rank
+    value — for every q, every event_type. (The interpolated
+    ``value_percentiles`` twin can sit further away at tiny n because
+    interpolation crosses bucket boundaries between sparse order
+    statistics; the discrete rank is what the histogram answers.)"""
+    import math
+    from collections import defaultdict
+
+    ev = load_events(spark, sf_dir)
+    by_type = defaultdict(list)
+    for r in ev.filter(F.col("value").isNotNull()).select(
+        "event_type", "value"
+    ).collect():
+        by_type[r["event_type"]].append(r["value"])
+    hist = {
+        r["event_type"]: r
+        for r in NF.value_percentiles_hist(spark, sf_dir).collect()
+    }
+    assert set(hist) == set(by_type)
+    for et, h in hist.items():
+        vals = sorted(by_type[et])
+        for q, col in [(0.5, "p50_est"), (0.9, "p90_est"), (0.99, "p99_est")]:
+            v_rank = vals[math.ceil(q * len(vals)) - 1]
+            assert abs(h[col] - v_rank) <= 0.125 + 1e-9, (et, q, h[col], v_rank)
+
+
+def test_value_hist_merge_is_exact(spark, sf_dir):
+    """Summary mergeability is EXACT, not approximate: summing the
+    per-day summaries by bucket must equal the histogram computed
+    directly over the raw range — and any split of days into parts
+    merges to the same thing (sum associativity, demonstrated on an
+    odd/even-day split)."""
+    daily = NF.value_hist_daily(spark, sf_dir).cache()
+    try:
+        merged = sorted(
+            daily.groupBy("event_type", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+            .collect()
+        )
+        ev = load_events(spark, sf_dir)
+        direct = sorted(
+            ev.filter(F.col("value").isNotNull())
+            .groupBy(
+                "event_type", F.floor(F.col("value") * 4).alias("bucket")
+            )
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        )
+        assert [tuple(r) for r in merged] == [tuple(r) for r in direct]
+        # associativity: merge(merge(odd days), merge(even days))
+        part = daily.withColumn(
+            "half", F.dayofmonth(F.to_date("day")) % 2
+        )
+        partials = part.groupBy("half", "event_type", "bucket").agg(
+            F.sum("cnt").alias("cnt")
+        )
+        remerged = sorted(
+            partials.groupBy("event_type", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+            .collect()
+        )
+        assert [tuple(r) for r in remerged] == [tuple(r) for r in merged]
+    finally:
+        daily.unpersist()
+
+
+def test_value_hist_summary_is_compact(spark, sf_dir):
+    """The persisted artifact must be summary-sized: bounded by
+    days x event_types x (value_range/width), orders of magnitude
+    under the raw row count."""
+    daily = NF.value_hist_daily(spark, sf_dir)
+    n_summary = daily.count()
+    ev = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    # capacity bound: days x types x (value_range/width + 1) — the
+    # artifact size is INDEPENDENT of the raw row count, which is the
+    # whole 100 TB point (raw/summary compression only shows once raw
+    # rows exceed the grid capacity, so it is asserted at sf >= 0.1)
+    stats = ev.agg(
+        F.countDistinct(F.to_date("ts")).alias("days"),
+        F.countDistinct("event_type").alias("types"),
+        F.max("value").alias("vmax"),
+        F.count("*").alias("raw"),
+    ).collect()[0]
+    capacity = stats["days"] * stats["types"] * (int(stats["vmax"] * 4) + 1)
+    assert n_summary <= capacity
+    if stats["raw"] >= 50_000:
+        assert n_summary < stats["raw"] / 10
+    # one row per (day, type, bucket) triple — already aggregated
+    assert daily.groupBy("day", "event_type", "bucket").count().filter(
+        "count > 1"
+    ).count() == 0

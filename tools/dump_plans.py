@@ -480,6 +480,15 @@ EXHIBITS = [
         "fan-out is a numpy reshape INSIDE the batch — zero Exchange, "
         "no explode shuffle, no BatchEvalPython.",
     ),
+    (
+        "jpeg_roundtrip",
+        "Lossy JPEG certification (r9): the full baseline T.81 "
+        "encode+decode+compare runs in ONE Arrow-batched MapInPandas "
+        "over the documents scan — zero Exchange (deliberately no "
+        "join back to the source: the UDF rebuilds the closed-form "
+        "source row vector), no BatchEvalPython; at 100 TB this is "
+        "embarrassingly parallel per input split.",
+    ),
 ]
 
 

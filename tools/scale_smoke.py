@@ -96,6 +96,8 @@ QUERIES = [
     "term_blocklist",
     "retention_rolling",
     "frame_sample",
+    # r9 addition: lossy JPEG encode+decode roundtrip (map-only)
+    "jpeg_roundtrip",
 ]
 # tpch_q3ish/q6ish are NOT in the smoke: synthesize() scales events/
 # documents/embeddings only, so a lineitem query would report a flat
