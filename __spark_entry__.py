@@ -299,6 +299,7 @@ _TIER4 = [
     "cdc_apply_stream",
     "term_blocklist_stream",
     "ingest_accept_stream",
+    "value_hist_daily_stream",
 ]
 _DRIVER_ORDER = _TIER1 + _TIER2 + _TIER3 + _TIER4
 
@@ -916,6 +917,14 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
             _text.hashed_features_oracle_sql(),
         ),
         "pv_hourly_stream": (_stw.pv_hourly_stream, _nf.PV_HOURLY_SQL),
+        # streaming maintenance of the r9 mergeable quantile summary:
+        # watermarked daily-grid agg in update mode + changelog-MERGE
+        # fold; deterministic integers ⇒ hash-oracled vs the batch
+        # oracle (streaming ≡ batch ≡ oracle)
+        "value_hist_daily_stream": (
+            _stw.value_hist_daily_stream,
+            _nf.value_hist_daily_oracle_sql(),
+        ),
         "uv_hourly_stream": (_stw.uv_hourly_stream, _nf.UV_HOURLY_SQL),
         "hot_items_stream": (_stw.hot_items_stream, _hot.hot_items_oracle_sql()),
         # W2 streaming (late-update overwrite Top-N, short sliding window)

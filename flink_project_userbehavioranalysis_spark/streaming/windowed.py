@@ -1061,3 +1061,37 @@ def ingest_accept_stream(spark: SparkSession, sf_dir: str, n_chunks: int = 4) ->
     st = docs_stream(spark, sf_dir, min_doc_id=split_id, n_chunks=n_chunks)
     out = ingest_prefix_projection(st, corpus_fp)
     return run_append_memory(out, "ingest_accept_stream", spark)
+
+
+def value_hist_daily_stream(
+    spark: SparkSession, sf_dir: str, bin_inv: int = 4, n_chunks: int = 4
+) -> DataFrame:
+    """Streaming maintenance of the mergeable quantile summary
+    (:func:`operators.network_flow.value_hist_daily`): the daily
+    histogram grid is exactly the shape a streaming agg keeps
+    incrementally — watermarked 1-day event-time windows keyed by
+    (window, event_type, bucket), update-mode re-emits corrected grid
+    cells as late rows land, and the changelog-MERGE sink folds them
+    to the final grid. Deterministic integer arithmetic end to end, so
+    the finite replay is hash-oracled against the BATCH oracle
+    (streaming ≡ batch ≡ oracle). State is the grid itself (bounded by
+    days-in-horizon × types × buckets, watermark-evicted), never raw
+    rows — the at-ingest form of the summary's 100 TB story: raw
+    events are seen once, only grid cells persist."""
+    ev = events_stream(spark, sf_dir, n_chunks=n_chunks)
+    grid = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(
+            F.window("ts", "1 day").alias("w"),
+            "event_type",
+            F.floor(F.col("value") * bin_inv).alias("bucket"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("w.start").cast("date").cast("string").alias("day"),
+            "event_type",
+            "bucket",
+            "cnt",
+        )
+    )
+    return run_update_merge(grid, ["day", "event_type", "bucket"], spark)

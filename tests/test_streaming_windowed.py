@@ -315,3 +315,14 @@ def test_term_blocklist_stream_equals_batch(spark, sf_dir):
     got = sorted(tuple(r) for r in W.term_blocklist_stream(spark, sf_dir).collect())
     want = sorted(tuple(r) for r in CQ.term_blocklist_filter(spark, sf_dir).collect())
     assert got == want and len(got) > 0
+
+
+def test_value_hist_daily_stream_equals_batch_and_oracle(spark, sf_dir):
+    """The streaming-maintained quantile-summary grid equals the batch
+    summary cell-for-cell (deterministic integer counts; update-mode
+    re-emissions folded by the changelog MERGE)."""
+    stream = W.value_hist_daily_stream(spark, sf_dir)
+    assert_matches_oracle(stream, NF.value_hist_daily_oracle_sql(), sf_dir)
+    batch = {tuple(r) for r in NF.value_hist_daily(spark, sf_dir).collect()}
+    got = {tuple(r) for r in stream.collect()}
+    assert got == batch and len(got) > 0

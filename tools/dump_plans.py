@@ -481,6 +481,16 @@ EXHIBITS = [
         "no explode shuffle, no BatchEvalPython.",
     ),
     (
+        "value_percentiles_hist",
+        "Mergeable quantile summary (r9): raw events collapse to the "
+        "daily histogram grid in ONE partial-agg Exchange (map-side "
+        "combine at (day,type,bucket) grain), the cross-day merge is "
+        "a second partial agg over SUMMARY rows (KBs, not events), "
+        "and the quantile pick is a per-type cumulative window over "
+        "the merged grid — at 100 TB the first exchange happens once "
+        "per ingest day and persists; queries touch only the grid.",
+    ),
+    (
         "jpeg_roundtrip",
         "Lossy JPEG certification (r9): the full baseline T.81 "
         "encode+decode+compare runs in ONE Arrow-batched MapInPandas "
