@@ -463,6 +463,13 @@ def decode_jpeg_coeffs(
             zz[k] = _extend(r.read_bits(s), s)
             k += 1
         blocks.append(zz)
+    # the scan must terminate at EOI right after the final block — an
+    # over-long entropy stream (extra blocks, trailing garbage) is a
+    # decode error, not a silent success. At most one byte may sit
+    # between the reader position and the marker: the tail of a
+    # partially-consumed padded byte's 0xFF-stuffing zero.
+    if b"\xff\xd9" not in b[r.pos : r.pos + 3]:
+        raise ValueError("entropy stream does not end at EOI")
     return w, h, qt, blocks
 
 

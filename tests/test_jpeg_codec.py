@@ -247,3 +247,16 @@ def test_jpeg_roundtrip_oracle_and_bound_honesty(spark, sf_dir):
     strict = MM.jpeg_roundtrip(spark, sf_dir, bound=0)
     n_false = strict.filter(~strict.max_err_le_4).count()
     assert n_false > 0
+
+
+def test_overlong_entropy_stream_raises():
+    """Trailing garbage between the scan and EOI must fail loudly —
+    an over-long stream means the decoder's block count and the
+    encoder's disagree."""
+    payload = bytearray(J.encode_jpeg(_synth(9), 90))
+    # splice two junk bytes just before EOI (0x55 cannot be mistaken
+    # for a marker or stuffing)
+    assert payload[-2:] == b"\xff\xd9"
+    overlong = bytes(payload[:-2]) + b"\x55\x55" + b"\xff\xd9"
+    with pytest.raises(ValueError, match="EOI"):
+        J.decode_jpeg_coeffs(overlong)
