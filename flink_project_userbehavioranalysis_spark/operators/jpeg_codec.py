@@ -136,13 +136,6 @@ def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
     return codes
 
 
-def _huff_decode_table(
-    bits: list[int], vals: list[int]
-) -> dict[tuple[int, int], int]:
-    """Inverse of ``_huff_codes``: (length, code) -> value."""
-    return {(ln, code): v for v, (code, ln) in _huff_codes(bits, vals).items()}
-
-
 #: Memoized standard-table encoder codes (rebuilt tables measured on
 #: the profile when encoding thousands of tiny corpus images).
 _STD_DC_CODES = _huff_codes(DC_LUMA_BITS, DC_LUMA_VALS)
@@ -181,46 +174,111 @@ class _BitWriter:
 
 class _BitReader:
     """MSB-first bit reader that un-stuffs 0xFF 0x00 and raises on a
-    real marker inside the entropy stream (no restart support)."""
+    real marker inside the entropy stream (no restart support).
+
+    Windowed for speed: ``peek(16)`` feeds the Huffman LUT in one
+    lookup instead of a per-bit tree walk. Peeking past the end of
+    real data pads with virtual 1-bits (so the final code of a scan
+    can be looked up), but CONSUMING virtual bits raises — a code
+    that needs padding bits means the stream is truncated or a marker
+    interrupted it."""
 
     def __init__(self, data: bytes, pos: int) -> None:
         self.data = data
         self.pos = pos
-        self._acc = 0
-        self._n = 0
+        self._win = 0
+        self._n = 0  # total bits in window (real + virtual pad)
+        self._real = 0  # real bits (always the window head)
+        self._end_reason: str | None = None
+        self._end_marker: int | None = None  # marker that ended the scan
 
-    def read_bit(self) -> int:
-        if self._n == 0:
-            if self.pos >= len(self.data):
-                raise ValueError("truncated entropy-coded stream")
-            b = self.data[self.pos]
-            self.pos += 1
-            if b == 0xFF:
-                nxt = self.data[self.pos] if self.pos < len(self.data) else None
-                if nxt == 0x00:
-                    self.pos += 1
+    def _fill(self, need: int) -> None:
+        while self._n < need:
+            byte = None
+            if self._end_reason is None and self.pos < len(self.data):
+                c = self.data[self.pos]
+                if c == 0xFF:
+                    nxt = (
+                        self.data[self.pos + 1]
+                        if self.pos + 1 < len(self.data)
+                        else None
+                    )
+                    if nxt == 0x00:
+                        byte = 0xFF
+                        self.pos += 2
+                    else:
+                        self._end_reason = "marker inside entropy-coded stream"
+                        if nxt is not None:
+                            self._end_marker = 0xFF00 | nxt
                 else:
-                    raise ValueError("marker inside entropy-coded stream")
-            self._acc = b
-            self._n = 8
-        self._n -= 1
-        return (self._acc >> self._n) & 1
+                    byte = c
+                    self.pos += 1
+            elif self._end_reason is None:
+                self._end_reason = "truncated entropy-coded stream"
+            if byte is None:
+                self._win = (self._win << 8) | 0xFF  # virtual pad
+                self._n += 8
+            else:
+                self._win = (self._win << 8) | byte
+                self._n += 8
+                self._real += 8
+
+    def peek(self, k: int) -> int:
+        self._fill(k)
+        return (self._win >> (self._n - k)) & ((1 << k) - 1)
+
+    def consume(self, k: int) -> None:
+        if k > self._real:
+            raise ValueError(self._end_reason or "truncated entropy-coded stream")
+        self._n -= k
+        self._real -= k
+        self._win &= (1 << self._n) - 1
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        v = self.peek(n) if n else 0
+        if n:
+            self.consume(n)
         return v
 
+    def read_bit(self) -> int:
+        return self.read_bits(1)
 
-def _read_huff(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code = 0
+
+def _huff_lut(bits: list[int], vals: list[int]) -> list[tuple[int, int]]:
+    """16-bit-prefix lookup table: lut[peek16] = (value, code_length),
+    (0, 0) where no code matches. One array index replaces the
+    per-bit canonical-tree walk."""
+    lut = [(0, 0)] * 65536
+    code, k = 0, 0
     for length in range(1, 17):
-        code = (code << 1) | r.read_bit()
-        v = table.get((length, code))
-        if v is not None:
-            return v
-    raise ValueError("invalid Huffman code")
+        for _ in range(bits[length - 1]):
+            prefix = code << (16 - length)
+            span = 1 << (16 - length)
+            entry = (vals[k], length)
+            lut[prefix : prefix + span] = [entry] * span
+            code += 1
+            k += 1
+        code <<= 1
+    return lut
+
+
+_LUT_CACHE: dict[tuple[tuple[int, ...], tuple[int, ...]], list[tuple[int, int]]] = {}
+
+
+def _huff_lut_cached(bits: list[int], vals: list[int]) -> list[tuple[int, int]]:
+    key = (tuple(bits), tuple(vals))
+    lut = _LUT_CACHE.get(key)
+    if lut is None:
+        lut = _LUT_CACHE[key] = _huff_lut(bits, vals)
+    return lut
+
+
+def _read_huff(r: _BitReader, lut: list[tuple[int, int]]) -> int:
+    v, ln = lut[r.peek(16)]
+    if ln == 0:
+        raise ValueError("invalid Huffman code")
+    r.consume(ln)
+    return v
 
 
 # ------------------------------------------- coefficient coding (F.1)
@@ -244,29 +302,38 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+_ZZ_R = np.array([rc[0] for rc in ZIGZAG])
+_ZZ_C = np.array([rc[1] for rc in ZIGZAG])
+
+
+def _split_blocks(img: np.ndarray) -> np.ndarray:
+    """(h, w) -> (n_blocks, 8, 8) in row-major block order (one
+    reshape/transpose, no Python loop)."""
+    h, w = img.shape
+    return (
+        img.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+
+
 def forward_blocks(img: np.ndarray, qt: np.ndarray) -> list[np.ndarray]:
     """Level-shift, 8x8 block DCT, quantize, zigzag. ``img`` must be
     (h, w) uint8 with h, w multiples of 8 (caller pads). Returns one
-    int32[64] zigzag vector per block, row-major block order."""
-    h, w = img.shape
-    zz_r = np.array([rc[0] for rc in ZIGZAG])
-    zz_c = np.array([rc[1] for rc in ZIGZAG])
-    out: list[np.ndarray] = []
-    shifted = img.astype(np.float64) - 128.0
-    for by in range(0, h, 8):
-        for bx in range(0, w, 8):
-            f = _C @ shifted[by : by + 8, bx : bx + 8] @ _C.T
-            q = np.rint(f / qt).astype(np.int32)
-            out.append(q[zz_r, zz_c])
-    return out
+    int32[64] zigzag vector per block, row-major block order. The DCT
+    runs BATCHED over all blocks (one einsum), not per-block."""
+    x = _split_blocks(img).astype(np.float64) - 128.0
+    f = _C @ x @ _C.T  # (8,8) broadcasts over the (n,8,8) block stack
+    q = np.rint(f / qt).astype(np.int32)
+    zz = q[:, _ZZ_R, _ZZ_C]
+    return list(zz)
 
 
-def _inverse_block(zz: np.ndarray, qt: np.ndarray) -> np.ndarray:
-    """Dequantize a zigzag vector, IDCT, level-shift back, clip."""
-    f = np.zeros((8, 8), dtype=np.float64)
-    for k, (r, c) in enumerate(ZIGZAG):
-        f[r, c] = float(zz[k]) * float(qt[r, c])
-    x = _C.T @ f @ _C + 128.0
+def _inverse_blocks(zz_blocks: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """Dequantize (n, 64) zigzag vectors, batched IDCT, level-shift
+    back, clip: returns (n, 8, 8) uint8."""
+    n = zz_blocks.shape[0]
+    f = np.zeros((n, 8, 8), dtype=np.float64)
+    f[:, _ZZ_R, _ZZ_C] = zz_blocks.astype(np.float64) * qt[_ZZ_R, _ZZ_C]
+    x = _C.T @ f @ _C + 128.0  # batched inverse over (n,8,8)
     return np.clip(np.rint(x), 0, 255).astype(np.uint8)
 
 
@@ -393,8 +460,8 @@ def decode_jpeg_coeffs(
     seam the tests compare bit-for-bit against ``forward_blocks``."""
     qt: np.ndarray | None = None
     dims: tuple[int, int] | None = None
-    dc_tbl: dict[tuple[int, int], int] | None = None
-    ac_tbl: dict[tuple[int, int], int] | None = None
+    dc_tbl: list[tuple[int, int]] | None = None
+    ac_tbl: list[tuple[int, int]] | None = None
     scan_start = None
     for marker, start, ln in _walk_segments(b):
         if marker == 0xFFDB:
@@ -431,9 +498,9 @@ def decode_jpeg_coeffs(
                 nvals = sum(bits)
                 vals = list(b[p + 17 : p + 17 + nvals])
                 if tc_th == 0x00:
-                    dc_tbl = _huff_decode_table(bits, vals)
+                    dc_tbl = _huff_lut_cached(bits, vals)
                 elif tc_th == 0x10:
-                    ac_tbl = _huff_decode_table(bits, vals)
+                    ac_tbl = _huff_lut_cached(bits, vals)
                 p += 17 + nvals
         elif marker == 0xFFDD:
             raise NotImplementedError("restart intervals unsupported")
@@ -473,10 +540,13 @@ def decode_jpeg_coeffs(
         blocks.append(zz)
     # the scan must terminate at EOI right after the final block — an
     # over-long entropy stream (extra blocks, trailing garbage) is a
-    # decode error, not a silent success. At most one byte may sit
-    # between the reader position and the marker: the tail of a
-    # partially-consumed padded byte's 0xFF-stuffing zero.
-    if b"\xff\xd9" not in b[r.pos : r.pos + 3]:
+    # decode error, not a silent success. Pull the reader forward to
+    # the terminating marker: only the final byte's padding bits
+    # (< 8 real bits) may remain unconsumed, and the marker must be
+    # EOI.
+    while r._end_reason is None and r._real < 24:
+        r._fill(r._n + 8)
+    if r._real > 7 or r._end_marker != 0xFFD9:
         raise ValueError("entropy stream does not end at EOI")
     return w, h, qt, blocks
 
@@ -487,8 +557,6 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     w, h, qt, blocks = decode_jpeg_coeffs(b)
     bw = (w + 7) // 8
     bh = (h + 7) // 8
-    img = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
-    for i, zz in enumerate(blocks):
-        by, bx = divmod(i, bw)
-        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = _inverse_block(zz, qt)
+    px = _inverse_blocks(np.stack(blocks), qt)  # batched IDCT
+    img = px.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
     return img[:h, :w]

@@ -96,8 +96,11 @@ QUERIES = [
     "term_blocklist",
     "retention_rolling",
     "frame_sample",
-    # r9 addition: lossy JPEG encode+decode roundtrip (map-only)
+    # r9 additions: lossy JPEG encode+decode roundtrip (map-only);
+    # mergeable quantile grid (events absorbed map-side into the
+    # bounded histogram — the summary-vs-raw scaling story)
     "jpeg_roundtrip",
+    "value_percentiles_hist",
 ]
 # tpch_q3ish/q6ish are NOT in the smoke: synthesize() scales events/
 # documents/embeddings only, so a lineitem query would report a flat
