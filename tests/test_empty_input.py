@@ -155,6 +155,15 @@ OPERATORS = [
     NF.active_users_trailing,
     CQ.corpus_drift,
     SIM.near_dup_clusters_incremental,
+    # r9: audio/video/resize multimodal surfaces
+    MM.audio_features,
+    MM.video_frames,
+    MM.thumbnail,
+    # r9: JPEG codec surfaces + mergeable quantile summaries
+    MM.jpeg_meta,
+    MM.jpeg_roundtrip,
+    NF.value_hist_daily,
+    NF.value_percentiles_hist,
 ]
 
 
