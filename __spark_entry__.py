@@ -84,15 +84,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # --- tier 1: hash-oracled, every module -----------------------------
 # Membership ROTATES per round (r6 verdict #7, r7 verdict #1) so
 # driver-verified coverage accumulates instead of re-proving the same
-# 50. r9 completes the rotation: the 14 new-or-changed surfaces (the
+# 50. r9 completes the rotation: the 15 new-or-changed surfaces (the
 # composed ingest admission pipeline + audit, the five-codec
 # multimodal surfaces incl. the new JPEG pair, the row-strong
 # interchange checksums, and the mergeable quantile-histogram pair)
 # sit FIRST so a time-budgeted tail cannot drop them, followed by the
 # LAST 10 never-driver-verified hash-oracled batch entries — after r9
 # every hash-oracled batch entry has a driver row at least once — and
-# 26 per-pillar keepers as regression canaries (the four keepers
-# displaced by the r9 additions moved to the head of tier 2; all four
+# 25 per-pillar keepers as regression canaries (the five keepers
+# displaced by the r9 additions moved to the head of tier 2; all five
 # are multi-round driver-green).
 _TIER1 = [
     # changed/new this round (prove first): the composed admission
@@ -112,6 +112,7 @@ _TIER1 = [
     "jpeg_roundtrip",
     "value_hist_daily",
     "value_percentiles_hist",
+    "decode_meta_mixed3",
     # the LAST never-driver-verified hash-oracled batch entries (r8
     # verdict #2) — after this round every hash-oracled batch entry
     # has had a driver row at least once
@@ -151,10 +152,10 @@ _TIER1 = [
     "gopher_quality_filter",
     "embedding_centroids",
     "user_trailing_features",
-    "churn_training_set",
 ]
 # --- tier 2: remaining hash-oracled batch ---------------------------
 _TIER2 = [
+    "churn_training_set",
     "dup_span_incremental",
     "tpch_q9ish",
     "cluster_canonical",
@@ -887,6 +888,12 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         # layer is proven bit-exact in tests/test_jpeg_codec.py
         "jpeg_meta": (_mm.jpeg_meta, _mm.JPEG_META_SQL),
         "jpeg_roundtrip": (_mm.jpeg_roundtrip, _mm.JPEG_ROUNDTRIP_SQL),
+        # the full three-codec dispatch over ONE mixed payload column
+        # (BMP/PNG/JPEG by doc_id mod 3) — no per-format pre-split
+        "decode_meta_mixed3": (
+            _mm.decode_meta_mixed3,
+            _mm.DECODE_META_MIXED3_SQL,
+        ),
         # ---- Streaming entries from here down: each runs a full finite
         # streaming job (seconds each) — kept LAST so a time-budgeted
         # driver gets every batch row first.

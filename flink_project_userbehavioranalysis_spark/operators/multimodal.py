@@ -1134,3 +1134,89 @@ FROM (
     FROM documents
 )
 """
+
+
+def attach_image3_payload(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, mime, payload) mixing all THREE real image
+    codecs in one binary column (doc_id mod 3: BMP / PNG / JPEG) — the
+    shape a production multimodal table actually has, where mime
+    varies row to row inside one file/batch. Arrow-batched encode."""
+    import numpy as np
+
+    from flink_project_userbehavioranalysis_spark.operators.jpeg_codec import (
+        encode_jpeg,
+    )
+
+    src = docs.select("doc_id", F.col("text").cast("binary").alias("tb"))
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for doc_id, tb in zip(pdf["doc_id"], pdf["tb"]):
+                t = None if tb is None else bytes(tb)
+                m = doc_id % 3
+                if m == 0:
+                    recs.append((doc_id, "image/bmp", encode_bmp(t)))
+                elif m == 1:
+                    recs.append((doc_id, "image/png", encode_png(t)))
+                else:
+                    n = 0 if t is None else len(t)
+                    w, h = _bmp_dims(n)
+                    img = np.array(
+                        [[_bmp_row_byte(n, r)] * w for r in range(h)],
+                        dtype=np.uint8,
+                    )
+                    recs.append((doc_id, "image/jpeg", encode_jpeg(img, quality=90)))
+            yield pd.DataFrame(recs, columns=["doc_id", "mime", "payload"])
+
+    return src.mapInPandas(enc, "doc_id BIGINT, mime STRING, payload BINARY")
+
+
+def decode_meta_mixed3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full three-codec dispatch over ONE mixed payload column:
+    every row decoded by its own REAL parser (BMP fixed-offset header /
+    PNG CRC-verified chunk walk / JPEG SOF0 + full entropy decode) via
+    ``decode_real``; the hash oracle states each format's closed-form
+    meta exactly. This is the surface a user points at a directory of
+    mixed images — no per-format pre-split."""
+    payloads = attach_image3_payload(load_table(spark, sf_dir, "documents"))
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for doc_id, mime, payload in zip(
+                pdf["doc_id"], pdf["mime"], pdf["payload"]
+            ):
+                w, h, bpp, data_size = decode_real(bytes(payload), mime)
+                recs.append((doc_id, mime, w, h, bpp, data_size))
+            yield pd.DataFrame(
+                recs,
+                columns=["doc_id", "mime", "width", "height", "bpp", "data_size"],
+            )
+
+    return payloads.mapInPandas(
+        dec,
+        "doc_id BIGINT, mime STRING, width INT, height INT, bpp INT,"
+        " data_size BIGINT",
+    )
+
+
+DECODE_META_MIXED3_SQL = """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image/bmp'
+                       WHEN 1 THEN 'image/png'
+                       ELSE 'image/jpeg' END AS mime,
+       CAST(width AS INTEGER) AS width,
+       CAST(height AS INTEGER) AS height,
+       CASE WHEN doc_id % 3 = 2 THEN 8 ELSE 24 END AS bpp,
+       CAST(CASE doc_id % 3
+                 WHEN 0 THEN ((3 * width + 3) // 4) * 4 * height
+                 WHEN 1 THEN (3 * width + 1) * height
+                 ELSE width * height END AS BIGINT) AS data_size
+FROM (
+    SELECT doc_id,
+           coalesce(octet_length(CAST(text AS BLOB)), 0) % 31 + 1 AS width,
+           coalesce(octet_length(CAST(text AS BLOB)), 0) % 17 + 1 AS height
+    FROM documents
+)
+"""

@@ -229,3 +229,12 @@ def test_video_frames_oracle(spark, sf_dir):
     assert_matches_oracle(df, MM.video_frames_oracle_sql(), sf_dir)
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert df.count() == n_docs * 4
+
+
+def test_decode_meta_mixed3_oracle_and_dispatch(spark, sf_dir):
+    """All three real image codecs decode one mixed payload column;
+    every mime actually appears and routes through decode_real."""
+    df = MM.decode_meta_mixed3(spark, sf_dir)
+    assert_matches_oracle(df, MM.DECODE_META_MIXED3_SQL, sf_dir)
+    mimes = {r["mime"] for r in df.select("mime").distinct().collect()}
+    assert mimes == {"image/bmp", "image/png", "image/jpeg"}
