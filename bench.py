@@ -101,6 +101,7 @@ HEADLINE = [
     "video_frames",             # AVI container walk + frame sampling
     "jpeg_roundtrip",           # baseline T.81 encode+decode, bounded error
     "value_percentiles_hist",   # merged daily histogram -> quantile pick
+    "decode_meta_mixed3",       # three-codec dispatch over one column
     # NOT benched here: item_pagerank / kmeans_lloyd / cluster_canonical
     # eagerly materialize (localCheckpoint / iterate) at
     # DataFrame-construction time, so timing their collect() would
