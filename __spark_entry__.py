@@ -266,6 +266,7 @@ _TIER3 = [
     "embedding_pca",
     "uv_trailing_sketch",
     "retention_sketch",
+    "value_percentiles_ddsketch",
 ]
 # --- tier 4: streaming (finite replay jobs, seconds each) -----------
 _TIER4 = [
@@ -356,6 +357,13 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         # retention_rolling's D-1 column (rows-only: sketch estimate;
         # bound vs the exact twin asserted in test_sketches.py)
         "retention_sketch": (_nf.retention_sketch, None),
+        # DDSketch log-gamma quantiles (r9): the RELATIVE-accuracy
+        # companion to the hash-oracled fixed-grid twin. Rows-only BY
+        # DESIGN: libm ln() is not correctly-rounded cross-engine, so
+        # boundary values could land one bucket apart between Spark
+        # and DuckDB; the 1% relative-error guarantee is asserted
+        # against exact rank values in test_sketches.py instead
+        "value_percentiles_ddsketch": (_nf.value_percentiles_ddsketch, None),
         # Third mergeable-summary family (r9): fixed-grid value
         # histograms (the DDSketch/HdrHistogram pattern). Unlike the
         # HLL/CMS estimates these are deterministic integer/IEEE

@@ -535,3 +535,64 @@ SELECT event_type,
              / {bin_inv}, 6) AS p99_est
 FROM cum GROUP BY 1
 """
+
+
+def value_percentiles_ddsketch(
+    spark: SparkSession, sf_dir: str, alpha: float = 0.01
+) -> DataFrame:
+    """RELATIVE-accuracy companion to :func:`value_percentiles_hist`:
+    DDSketch bucketization (Masson et al., VLDB 2019) — bucket i =
+    ceil(log_gamma(value)) with gamma = (1+alpha)/(1-alpha), zero/
+    non-positive values in a dedicated zero-bucket, quantile = first
+    bucket covering ceil(q*total), estimate = 2*gamma^i/(gamma+1).
+    By construction every estimate is within alpha (1%) RELATIVE error
+    of the exact rank value — asserted in tests — where the fixed-grid
+    twin gives absolute half-bucket accuracy.
+
+    Registered rows-only BY DESIGN: the bucket boundary log_gamma(v)
+    is libm ln(), which IEEE does not require to be correctly rounded,
+    so a DuckDB twin could disagree on values epsilon-close to a
+    boundary — the equal-width twin exists precisely because its
+    multiply+floor grid IS bit-identical across engines. Same summary
+    / merge / rank-pick dataflow: one partial-agg shuffle to the
+    (type, bucket) grid, window rank over grid rows."""
+    import math
+
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    ln_gamma = math.log(gamma)
+    zero_key = -(10**9)  # sorts before every real bucket
+    ev = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    bucketed = ev.select(
+        "event_type",
+        F.when(F.col("value") <= 0, F.lit(zero_key))
+        .otherwise(F.ceil(F.log(F.col("value")) / ln_gamma))
+        .alias("bucket"),
+    )
+    merged = bucketed.groupBy("event_type", "bucket").agg(
+        F.count("*").alias("cnt")
+    )
+    cum_w = Window.partitionBy("event_type").orderBy("bucket")
+    tot_w = Window.partitionBy("event_type")
+    cum = merged.select(
+        "event_type",
+        "bucket",
+        F.sum("cnt").over(cum_w).alias("cum"),
+        F.sum("cnt").over(tot_w).alias("total"),
+    )
+
+    def pick(q: float):
+        b = F.min(
+            F.when(F.col("cum") >= F.ceil(F.col("total") * q), F.col("bucket"))
+        )
+        return F.round(
+            F.when(b == zero_key, F.lit(0.0)).otherwise(
+                2.0 * F.pow(F.lit(gamma), b) / (gamma + 1.0)
+            ),
+            6,
+        )
+
+    return cum.groupBy("event_type").agg(
+        pick(0.5).alias("p50_est"),
+        pick(0.9).alias("p90_est"),
+        pick(0.99).alias("p99_est"),
+    )

@@ -185,3 +185,32 @@ def test_value_hist_summary_is_compact(spark, sf_dir):
     assert daily.groupBy("day", "event_type", "bucket").count().filter(
         "count > 1"
     ).count() == 0
+
+
+def test_value_ddsketch_relative_error_guarantee(spark, sf_dir):
+    """DDSketch's construction guarantee: every estimate is within
+    alpha (1%) RELATIVE error of the exact discrete-rank value (exact
+    zero for the zero-bucket) — the relative-accuracy complement to
+    the fixed grid's absolute half-bucket bound."""
+    import math
+    from collections import defaultdict
+
+    ev = load_events(spark, sf_dir)
+    by_type = defaultdict(list)
+    for r in ev.filter(F.col("value").isNotNull()).select(
+        "event_type", "value"
+    ).collect():
+        by_type[r["event_type"]].append(r["value"])
+    est = {
+        r["event_type"]: r
+        for r in NF.value_percentiles_ddsketch(spark, sf_dir).collect()
+    }
+    assert set(est) == set(by_type)
+    for et, row in est.items():
+        vals = sorted(by_type[et])
+        for q, col in [(0.5, "p50_est"), (0.9, "p90_est"), (0.99, "p99_est")]:
+            v = vals[math.ceil(q * len(vals)) - 1]
+            if v <= 0:
+                assert row[col] == 0.0
+            else:
+                assert abs(row[col] - v) / v <= 0.01 + 1e-6, (et, q, row[col], v)
