@@ -164,6 +164,8 @@ OPERATORS = [
     MM.jpeg_roundtrip,
     NF.value_hist_daily,
     NF.value_percentiles_hist,
+    NF.value_percentiles_ddsketch,
+    MM.decode_meta_mixed3,
 ]
 
 
