@@ -99,6 +99,7 @@ _TIER1 = [
     # pipeline + audit, the mixed BMP/PNG codec surfaces, and the two
     # interchange hops whose checksum got row-strong in r9
     "ingest_accept_batch",
+    "ingest_accept_batch_indexed",
     "ingest_audit",
     "ingest_two_batch",
     "decode_meta",
@@ -789,6 +790,15 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         # short-circuit; oracle = full DuckDB recompute of the cascade
         "ingest_accept_batch": (
             _ing.ingest_accept_batch,
+            _ing.ingest_accept_oracle_sql(),
+        ),
+        # the PRODUCTION cost shape (r10): the same cascade probing
+        # PERSISTED nightly indexes (build_ingest_indexes) instead of
+        # deriving them in-query — identical output by construction
+        # (one shared index definition), same oracle; admission cost
+        # ∝ batch, corpus-scale work lives in the scheduled build
+        "ingest_accept_batch_indexed": (
+            _ing.ingest_accept_batch_indexed,
             _ing.ingest_accept_oracle_sql(),
         ),
         # the operator-facing audit: per-stage quarantine counts +

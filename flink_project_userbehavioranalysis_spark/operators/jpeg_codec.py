@@ -531,6 +531,12 @@ def decode_jpeg_coeffs(
                 if run != 15:
                     raise ValueError("invalid AC symbol")
                 k += 16
+                # a ZRL landing exactly on 64 fills the block with
+                # zeros (decodable, if wasteful vs EOB); past 64 the
+                # run overflows the block — malformed, raise loudly
+                # like the coefficient path below does.
+                if k > 64:
+                    raise ValueError("ZRL run overflows block")
                 continue
             k += run
             if k > 63:

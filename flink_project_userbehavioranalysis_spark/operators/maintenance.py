@@ -490,13 +490,14 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     including round-tripping text through JSON string escaping.
 
     The checksum is content-strong across the WHOLE row: count + id
-    sum + the sum of each row's leading-8-hex md5 over
-    (doc_id | text | source) as an integer — so a flipped byte in any
-    column, a source-column mangle, or a value swap BETWEEN rows
-    (doc_id is folded into each row's digest) all move it. lang is
-    the group key, so a lang swap moves rows across groups. (r8
-    advisory: the old text-only digest certified less than the
-    docstring claimed.)
+    sum + the sum of each row's leading-8-hex md5 over the LENGTH-
+    PREFIXED row form (doc_id | len(text) | text | len(source) |
+    source) as an integer — so a flipped byte in any column, a
+    source-column mangle, a value swap BETWEEN rows (doc_id is folded
+    into each row's digest), or a coordinated cross-column boundary
+    shift (text 'a|b' + source '' vs text 'a' + source 'b|' — the r9
+    advisory on the unprefixed form) all move it. lang is the group
+    key, so a lang swap moves rows across groups.
     """
     from flink_project_userbehavioranalysis_spark.sources.jsonl import (
         read_docs_jsonl,
@@ -508,15 +509,7 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _scratch_dir(spark, "jsonl", sf_dir)
     write_docs_jsonl(docs, path)
     clean, _bad = split_quarantine(read_docs_jsonl(spark, path))
-    row_repr = F.concat_ws(
-        "|",
-        F.col("doc_id").cast("string"),
-        F.coalesce(F.col("text"), F.lit("")),
-        F.coalesce(F.col("source"), F.lit("")),
-    )
-    chk = F.conv(F.substring(F.md5(row_repr.cast("binary")), 1, 8), 16, 10).cast(
-        "long"
-    )
+    chk = _row_chk()
     return (
         clean.groupBy("lang")
         .agg(
@@ -529,6 +522,29 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _row_chk() -> F.Column:
+    """Row-strong interchange digest: leading-8-hex md5 (as a long) of
+    the length-prefixed row form ``doc_id | len(text) | text |
+    len(source) | source``. The length prefixes make the field
+    boundaries part of the digest, so shifting bytes between text and
+    source cannot cancel out (r9 advisory); byte-identical to
+    :data:`_ROW_REPR_SQL` — both sides count characters, and the text
+    is valid UTF-8 in both engines."""
+    text = F.coalesce(F.col("text"), F.lit(""))
+    source = F.coalesce(F.col("source"), F.lit(""))
+    row_repr = F.concat_ws(
+        "|",
+        F.col("doc_id").cast("string"),
+        F.length(text).cast("string"),
+        text,
+        F.length(source).cast("string"),
+        source,
+    )
+    return F.conv(
+        F.substring(F.md5(row_repr.cast("binary")), 1, 8), 16, 10
+    ).cast("long")
+
+
 def _hex_prefix_int_sql(col: str, n: int) -> str:
     """DuckDB expression: first-``n``-hex-digit md5 prefix as integer
     (the strpos polynomial idiom the stratified/simhash oracles use)."""
@@ -539,7 +555,10 @@ def _hex_prefix_int_sql(col: str, n: int) -> str:
 
 
 _ROW_REPR_SQL = (
-    "(CAST(doc_id AS VARCHAR) || '|' || coalesce(text, '')"
+    "(CAST(doc_id AS VARCHAR)"
+    " || '|' || CAST(length(coalesce(text, '')) AS VARCHAR)"
+    " || '|' || coalesce(text, '')"
+    " || '|' || CAST(length(coalesce(source, '')) AS VARCHAR)"
     " || '|' || coalesce(source, ''))"
 )
 
@@ -567,15 +586,7 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.schema(
         "doc_id BIGINT, text STRING, lang STRING, source STRING"
     ).orc(path)
-    row_repr = F.concat_ws(
-        "|",
-        F.col("doc_id").cast("string"),
-        F.coalesce(F.col("text"), F.lit("")),
-        F.coalesce(F.col("source"), F.lit("")),
-    )
-    chk = F.conv(F.substring(F.md5(row_repr.cast("binary")), 1, 8), 16, 10).cast(
-        "long"
-    )
+    chk = _row_chk()
     return (
         back.groupBy("lang")
         .agg(

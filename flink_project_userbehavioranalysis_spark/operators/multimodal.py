@@ -193,7 +193,9 @@ def attach_bmp_payload(docs: DataFrame) -> DataFrame:
 # synthetic pixels are the same closed-form constant rows as the BMP
 # path, the DuckDB oracle still states the expected decoded scanline
 # EXACTLY while the filter arithmetic gets a genuine round-trip.
-# (jpeg remains the honest NotImplementedError at `decode_real`.)
+# (JPEG is real too since r9 — baseline T.81 grayscale in
+# `jpeg_codec.py`, extended to 3-component YCbCr 4:2:0 color in r10;
+# only progressive/arithmetic JPEG still raises at `decode_real`.)
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 

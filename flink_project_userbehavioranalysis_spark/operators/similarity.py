@@ -1011,12 +1011,23 @@ def _release_local_ckpt(df: DataFrame) -> None:
     (surfaced as a bare ``LogicalRDD`` plan), so an iterative loop that
     re-checkpoints every round would otherwise pin O(rounds × nodes)
     blocks until the session ends (r8 advisory). Best effort: a frame
-    whose analyzed plan is not a bare LogicalRDD is left alone.
+    whose analyzed plan is not a bare LogicalRDD is left alone — but
+    NOT silently: every skip increments ``RELEASE_SKIPPED`` (r9
+    advisory), so a Spark upgrade that changes the analyzed-plan shape
+    and quietly reintroduces O(rounds × nodes) block pinning is
+    observable (tests assert the counter stays 0 across a CC run).
     """
     try:
         df._jdf.queryExecution().analyzed().rdd().unpersist(False)
     except Exception:
-        pass
+        global RELEASE_SKIPPED
+        RELEASE_SKIPPED += 1
+
+
+# Count of _release_local_ckpt calls that could NOT free the blocks
+# (unexpected plan shape / py4j surface change). Monotonic per
+# process; tests snapshot-and-compare around iterative loops.
+RELEASE_SKIPPED = 0
 
 
 def _min_label_cc(nodes: DataFrame, pairs: DataFrame, max_iters: int) -> DataFrame:

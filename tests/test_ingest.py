@@ -304,3 +304,89 @@ def test_two_batch_lifecycle_oracle_and_commit_materiality(spark, sf_dir):
         naive[d] in ("exact_dup", "near_dup", "span_dup") and two[d] == "accept"
         for d in two
     )
+
+
+def test_near_stage_lsh_candidate_recall_is_one(spark, sf_dir):
+    """GATE for the registered oracle's recall-1 precondition (r9
+    advisory): the cascade's MinHash-LSH candidate generation is
+    probabilistic while the DuckDB oracle computes exact Jaccard, so
+    the hash-match gate is only sound if the bands surface EVERY
+    over-threshold (batch x corpus) pair on THIS corpus at THESE
+    params. Asserted here — in the cascade's own test module, over the
+    full batch x corpus superset (a superset of any survivor subset
+    the cascade actually probes) — so a corpus or param change that
+    breaks recall fails loudly here instead of surfacing as a
+    mysterious oracle mismatch."""
+    from flink_project_userbehavioranalysis_spark.operators.similarity import (
+        _banded,
+        _shingles,
+    )
+
+    p = I.INGEST_DEFAULTS
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
+    )
+    sh_b = _shingles(docs.filter(F.col("doc_id") >= SPLIT), p["shingle_len"]).persist()
+    sh_c = _shingles(docs.filter(F.col("doc_id") < SPLIT), p["shingle_len"]).persist()
+    sizes_b = sh_b.groupBy("doc_id").agg(F.count("*").alias("sa"))
+    sizes_c = (
+        sh_c.groupBy("doc_id")
+        .agg(F.count("*").alias("sb"))
+        .withColumnRenamed("doc_id", "corpus_doc")
+    )
+    exact = (
+        sh_b.join(
+            sh_c.select(F.col("doc_id").alias("corpus_doc"), "shingle"), "shingle"
+        )
+        .groupBy("doc_id", "corpus_doc")
+        .agg(F.count("*").alias("n_common"))
+        .join(F.broadcast(sizes_b), "doc_id")
+        .join(F.broadcast(sizes_c), "corpus_doc")
+        .filter(
+            F.col("n_common") / (F.col("sa") + F.col("sb") - F.col("n_common"))
+            >= p["jaccard_threshold"]
+        )
+        .select("doc_id", "corpus_doc")
+    )
+    cand = (
+        _banded(sh_b, p["n_hashes"], p["n_bands"])
+        .alias("x")
+        .join(
+            _banded(sh_c, p["n_hashes"], p["n_bands"]).alias("y"),
+            ["band_id", "band_key"],
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_id"), F.col("y.doc_id").alias("corpus_doc")
+        )
+        .distinct()
+    )
+    n_exact = exact.count()
+    missed = exact.join(cand, ["doc_id", "corpus_doc"], "left_anti").count()
+    sh_b.unpersist()
+    sh_c.unpersist()
+    assert n_exact > 0, "vacuous recall gate: no over-threshold pairs"
+    assert missed == 0, f"LSH missed {missed}/{n_exact} exact pairs"
+
+
+def test_manifest_cache_is_lru_bounded(spark, poisoned_dir):
+    """Param-swept admission calls must not pin one checkpointed
+    manifest per parameter set forever (r9 advisory): the memo is an
+    LRU of _MANIFEST_CACHE_MAX entries, evicted frames release their
+    checkpoint blocks (release-path skips are counted, and must not
+    occur here), and a re-hit returns the SAME cached frame."""
+    from flink_project_userbehavioranalysis_spark.operators import similarity as S
+
+    I._MANIFEST_CACHE.clear()
+    skipped0 = S.RELEASE_SKIPPED
+    frames = {}
+    for i in range(I._MANIFEST_CACHE_MAX + 2):
+        frames[i] = I.ingest_accept_batch(spark, poisoned_dir, min_tokens=5 + i)
+    assert len(I._MANIFEST_CACHE) == I._MANIFEST_CACHE_MAX
+    assert S.RELEASE_SKIPPED == skipped0, "checkpoint release path skipped"
+    # most-recent params re-hit the memo (same object, no recompute)
+    last = I._MANIFEST_CACHE_MAX + 1
+    assert I.ingest_accept_batch(
+        spark, poisoned_dir, min_tokens=5 + last
+    ) is frames[last]
