@@ -111,6 +111,8 @@ _TIER1 = [
     "video_frames",
     "jpeg_meta",
     "jpeg_roundtrip",
+    "jpeg_color_roundtrip",
+    "decode_meta_mixed4",
     "value_hist_daily",
     "value_percentiles_hist",
     "decode_meta_mixed3",
@@ -911,6 +913,23 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "decode_meta_mixed3": (
             _mm.decode_meta_mixed3,
             _mm.DECODE_META_MIXED3_SQL,
+        ),
+        # §2.10 multimodal COLOR JPEG (r10): 3-component YCbCr 4:2:0
+        # (SOF0 multi-component, per-component quant/Huffman selection,
+        # MCU interleave, subsample/upsample) — the format real corpora
+        # contain. Same split contract as grayscale: full-RGB-roundtrip
+        # error bound hash-oracled; entropy layer bit-exact per
+        # component in tests/test_jpeg_codec.py
+        "jpeg_color_roundtrip": (
+            _mm.jpeg_color_roundtrip,
+            _mm.JPEG_COLOR_ROUNDTRIP_SQL,
+        ),
+        # the four-encoding dispatch (BMP/PNG/gray-JPEG/color-JPEG by
+        # doc_id mod 4): the two JPEG flavors share a mime and are told
+        # apart only by the parsed SOF0 component count
+        "decode_meta_mixed4": (
+            _mm.decode_meta_mixed4,
+            _mm.DECODE_META_MIXED4_SQL,
         ),
         # ---- Streaming entries from here down: each runs a full finite
         # streaming job (seconds each) — kept LAST so a time-budgeted

@@ -3,25 +3,32 @@
 Closes the last honest codec stub in the multimodal pillar: r8 made
 BMP real, r9 made PNG/WAV/AVI real, and ``decode_real`` still raised
 ``NotImplementedError`` for ``image/jpeg``. This module implements
-baseline sequential DCT JPEG for 8-bit GRAYSCALE (one component, no
-subsampling, no restart intervals) from the public spec alone:
+baseline sequential DCT JPEG — 8-bit GRAYSCALE (one component) and,
+since r10, 3-component YCbCr COLOR with 4:2:0 chroma subsampling (the
+format real-world corpora overwhelmingly contain) — from the public
+spec alone:
 
 * forward/inverse 8x8 DCT via the orthonormal DCT-II matrix (numpy),
-* the Annex K.1 luminance quantization table with IJG quality
-  scaling,
-* the Annex K.3 standard DC/AC luminance Huffman tables (canonical
-  code construction per Annex C),
-* zigzag coefficient ordering, differential DC, run-length AC with
-  ZRL/EOB, MSB-first bit packing with 0xFF byte stuffing,
-* a full marker writer/parser (SOI/APP0/DQT/SOF0/DHT/SOS/EOI).
+* the Annex K.1 luminance and K.2 chrominance quantization tables
+  with IJG quality scaling,
+* the Annex K.3 standard DC/AC luminance AND chrominance Huffman
+  tables (canonical code construction per Annex C),
+* zigzag coefficient ordering, differential DC per component,
+  run-length AC with ZRL/EOB, MSB-first bit packing with 0xFF byte
+  stuffing,
+* JFIF RGB<->YCbCr color conversion, 2x2-mean chroma subsampling,
+  and generic MCU interleave (per-component Hi x Vi blocks per MCU,
+  spec A.2.3),
+* a full marker writer/parser (SOI/APP0/DQT/SOF0/DHT/SOS/EOI) with
+  per-id quant/Huffman table selection.
 
 JPEG is lossy, so unlike the BMP/PNG scanline oracles the pixel
 round-trip is certified by a BOUND (see ``multimodal.jpeg_roundtrip``)
 plus an EXACT losslessness check of the entropy layer: the decoder's
-quantized coefficients must equal the encoder's bit for bit
-(``tests/test_jpeg_codec.py``). Anything the codec does not support
-(progressive SOF2, multi-component, restart markers, 12-bit) raises
-loudly instead of guessing.
+quantized coefficients must equal the encoder's bit for bit, per
+component (``tests/test_jpeg_codec.py``). Anything the codec does not
+support (progressive SOF2, restart markers, 12-bit, arithmetic
+coding) raises loudly instead of guessing.
 
 No reference analog (the Flink project is scalar-only); this follows
 the builder brief's multimodal pillar. Scale shape: the codec runs
@@ -53,9 +60,54 @@ BASE_LUMA_QT = np.array(
     dtype=np.int64,
 )
 
+#: Annex K.2 chrominance quantization table (row-major 8x8).
+BASE_CHROMA_QT = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.int64,
+)
+
 #: Annex K.3.1 — standard DC luminance Huffman spec (BITS, HUFFVAL).
 DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
 DC_LUMA_VALS = list(range(12))
+
+#: Annex K.3.3 — standard DC chrominance Huffman spec.
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+
+#: Annex K.3.4 — standard AC chrominance Huffman spec.
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
 
 #: Annex K.3.2 — standard AC luminance Huffman spec.
 AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
@@ -109,14 +161,17 @@ _C = np.array(
 )
 
 
-def quality_scaled_qt(quality: int) -> np.ndarray:
-    """IJG quality scaling of the Annex K.1 table: scale = 5000/Q for
-    Q < 50 else 200 - 2Q; each entry floor((base*scale + 50)/100),
-    clamped to [1, 255]."""
+def quality_scaled_qt(quality: int, base: np.ndarray | None = None) -> np.ndarray:
+    """IJG quality scaling of an Annex K table (K.1 luma by default,
+    pass ``BASE_CHROMA_QT`` for K.2): scale = 5000/Q for Q < 50 else
+    200 - 2Q; each entry floor((base*scale + 50)/100), clamped to
+    [1, 255]."""
     if not 1 <= quality <= 100:
         raise ValueError("quality must be in [1, 100]")
+    if base is None:
+        base = BASE_LUMA_QT
     scale = 5000 // quality if quality < 50 else 200 - 2 * quality
-    qt = (BASE_LUMA_QT * scale + 50) // 100
+    qt = (base * scale + 50) // 100
     return np.clip(qt, 1, 255).astype(np.int64)
 
 
@@ -140,6 +195,8 @@ def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
 #: the profile when encoding thousands of tiny corpus images).
 _STD_DC_CODES = _huff_codes(DC_LUMA_BITS, DC_LUMA_VALS)
 _STD_AC_CODES = _huff_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+_STD_DC_CHROMA_CODES = _huff_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+_STD_AC_CHROMA_CODES = _huff_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
 
 
 # ----------------------------------------------------- bit I/O layers
@@ -337,7 +394,96 @@ def _inverse_blocks(zz_blocks: np.ndarray, qt: np.ndarray) -> np.ndarray:
     return np.clip(np.rint(x), 0, 255).astype(np.uint8)
 
 
+# ------------------------------------------------------ color space
+
+# JFIF (ITU-R BT.601 full-range) RGB <-> YCbCr coefficients.
+_YCC_FWD = np.array(
+    [
+        [0.299, 0.587, 0.114],
+        [-0.168735892, -0.331264108, 0.5],
+        [0.5, -0.418687589, -0.081312411],
+    ]
+)
+
+
+def rgb_to_ycbcr(img: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(h, w, 3) uint8 RGB -> three (h, w) uint8 planes (Y, Cb, Cr),
+    JFIF full-range BT.601, rounded to the nearest integer (the
+    precision every baseline encoder quantizes the planes to)."""
+    f = img.astype(np.float64)
+    ycc = f @ _YCC_FWD.T
+    ycc[..., 1:] += 128.0
+    ycc = np.clip(np.rint(ycc), 0, 255).astype(np.uint8)
+    return ycc[..., 0], ycc[..., 1], ycc[..., 2]
+
+
+def ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    """Three (h, w) planes -> (h, w, 3) uint8 RGB (JFIF inverse)."""
+    yf = y.astype(np.float64)
+    cbf = cb.astype(np.float64) - 128.0
+    crf = cr.astype(np.float64) - 128.0
+    r = yf + 1.402 * crf
+    g = yf - 0.344136286 * cbf - 0.714136286 * crf
+    b = yf + 1.772 * cbf
+    return np.clip(np.rint(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
 # ---------------------------------------------------------- encoder
+
+
+def _emit_block(
+    bw: _BitWriter,
+    zz: np.ndarray,
+    prev_dc: int,
+    dc_codes: dict[int, tuple[int, int]],
+    ac_codes: dict[int, tuple[int, int]],
+) -> int:
+    """Entropy-encode one zigzag block (differential DC + RLE AC with
+    ZRL/EOB, spec F.1.2); returns the new DC predictor. Shared by the
+    grayscale scan and each component of the interleaved color scan."""
+    diff = int(zz[0]) - prev_dc
+    s = _bitsize(diff)
+    code, length = dc_codes[s]
+    bw.write(code, length)
+    if s:
+        bw.write(_enc_magnitude(diff, s), s)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL: sixteen zeros
+            bw.write(code, length)
+            run -= 16
+        s = _bitsize(v)
+        code, length = ac_codes[(run << 4) | s]
+        bw.write(code, length)
+        bw.write(_enc_magnitude(v, s), s)
+        run = 0
+    if run:
+        code, length = ac_codes[0x00]  # EOB
+        bw.write(code, length)
+    return int(zz[0])
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+
+def _dht(table_class: int, table_id: int, bits: list[int], vals: list[int]) -> bytes:
+    return _seg(
+        0xFFC4, bytes([(table_class << 4) | table_id]) + bytes(bits) + bytes(vals)
+    )
+
+
+def _dqt(table_id: int, qt: np.ndarray) -> bytes:
+    # DQT payload is stored in ZIGZAG order (spec B.2.4.1).
+    return _seg(0xFFDB, bytes([table_id]) + bytes(int(qt[r, c]) for r, c in ZIGZAG))
+
+
+_JFIF_APP0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
 
 
 def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
@@ -354,58 +500,92 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
     pad_h, pad_w = (-h) % 8, (-w) % 8
     padded = np.pad(img, ((0, pad_h), (0, pad_w)), mode="edge")
 
-    dc_codes = _STD_DC_CODES
-    ac_codes = _STD_AC_CODES
     bw = _BitWriter()
     prev_dc = 0
     for zz in forward_blocks(padded, qt):
-        diff = int(zz[0]) - prev_dc
-        prev_dc = int(zz[0])
-        s = _bitsize(diff)
-        code, length = dc_codes[s]
-        bw.write(code, length)
-        if s:
-            bw.write(_enc_magnitude(diff, s), s)
-        run = 0
-        for k in range(1, 64):
-            v = int(zz[k])
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                code, length = ac_codes[0xF0]  # ZRL: sixteen zeros
-                bw.write(code, length)
-                run -= 16
-            s = _bitsize(v)
-            code, length = ac_codes[(run << 4) | s]
-            bw.write(code, length)
-            bw.write(_enc_magnitude(v, s), s)
-            run = 0
-        if run:
-            code, length = ac_codes[0x00]  # EOB
-            bw.write(code, length)
+        prev_dc = _emit_block(bw, zz, prev_dc, _STD_DC_CODES, _STD_AC_CODES)
     bw.flush()
-
-    # DQT payload is stored in ZIGZAG order (spec B.2.4.1).
-    qt_zz = bytes(int(qt[r, c]) for r, c in ZIGZAG)
-
-    def seg(marker: int, payload: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(payload) + 2) + payload
-
-    def dht(table_class: int, bits: list[int], vals: list[int]) -> bytes:
-        return seg(
-            0xFFC4, bytes([table_class << 4]) + bytes(bits) + bytes(vals)
-        )
 
     return b"".join(
         [
             b"\xff\xd8",  # SOI
-            seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"),
-            seg(0xFFDB, b"\x00" + qt_zz),
-            seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00"),
-            dht(0, DC_LUMA_BITS, DC_LUMA_VALS),
-            dht(1, AC_LUMA_BITS, AC_LUMA_VALS),
-            seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00"),
+            _seg(0xFFE0, _JFIF_APP0),
+            _dqt(0, qt),
+            _seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00"),
+            _dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS),
+            _dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS),
+            _seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00"),
+            bytes(bw.buf),
+            b"\xff\xd9",  # EOI
+        ]
+    )
+
+
+def encode_jpeg_color(img: np.ndarray, quality: int = 90) -> bytes:
+    """Encode a (h, w, 3) uint8 RGB array as a baseline sequential
+    JFIF JPEG with YCbCr 4:2:0 subsampling — the layout real corpora
+    contain: SOF0 components Y(id 1, sampling 2x2, luma tables) and
+    Cb/Cr (ids 2/3, 1x1, chroma tables), MCU-interleaved scan (four Y
+    blocks then one Cb and one Cr per 16x16 MCU, spec A.2.3), per-
+    component differential-DC predictors. Dimensions are edge-padded
+    to the MCU grid; the decoder crops back via SOF0. Chroma planes
+    are 2x2-MEAN subsampled (deterministic; the decoder upsamples by
+    replication — both halves of the bound-certified lossy contract)."""
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError("expected a (h, w, 3) uint8 RGB array")
+    h, w = img.shape[:2]
+    if h == 0 or w == 0 or h > 65535 or w > 65535:
+        raise ValueError("dimensions out of JPEG range")
+    qt_y = quality_scaled_qt(quality)
+    qt_c = quality_scaled_qt(quality, BASE_CHROMA_QT)
+    pad_h, pad_w = (-h) % 16, (-w) % 16
+    padded = np.pad(img, ((0, pad_h), (0, pad_w), (0, 0)), mode="edge")
+    y, cb, cr = rgb_to_ycbcr(padded)
+    ph, pw = y.shape
+
+    def sub(plane: np.ndarray) -> np.ndarray:
+        m = plane.astype(np.float64).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        return np.clip(np.rint(m), 0, 255).astype(np.uint8)
+
+    yb = np.stack(forward_blocks(y, qt_y))  # row-major (ph/8, pw/8) grid
+    cbb = np.stack(forward_blocks(sub(cb), qt_c))  # (ph/16, pw/16) grid
+    crb = np.stack(forward_blocks(sub(cr), qt_c))
+    mcux, mcuy = pw // 16, ph // 16
+    ybw = pw // 8  # Y block-grid width
+
+    bw = _BitWriter()
+    prev = [0, 0, 0]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for v in (0, 1):  # 4 Y blocks per MCU, raster order
+                for hh in (0, 1):
+                    zz = yb[(2 * my + v) * ybw + (2 * mx + hh)]
+                    prev[0] = _emit_block(bw, zz, prev[0], _STD_DC_CODES, _STD_AC_CODES)
+            ci = my * mcux + mx
+            prev[1] = _emit_block(
+                bw, cbb[ci], prev[1], _STD_DC_CHROMA_CODES, _STD_AC_CHROMA_CODES
+            )
+            prev[2] = _emit_block(
+                bw, crb[ci], prev[2], _STD_DC_CHROMA_CODES, _STD_AC_CHROMA_CODES
+            )
+    bw.flush()
+
+    sof = struct.pack(">BHHB", 8, h, w, 3) + bytes(
+        [1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    return b"".join(
+        [
+            b"\xff\xd8",  # SOI
+            _seg(0xFFE0, _JFIF_APP0),
+            _dqt(0, qt_y),
+            _dqt(1, qt_c),
+            _seg(0xFFC0, sof),
+            _dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS),
+            _dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS),
+            _dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS),
+            _dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS),
+            _seg(0xFFDA, sos),
             bytes(bw.buf),
             b"\xff\xd9",  # EOI
         ]
@@ -451,17 +631,62 @@ def decode_jpeg_meta(b: bytes) -> tuple[int, int, int, int]:
     raise ValueError("no SOF0 frame header")
 
 
-def decode_jpeg_coeffs(
+def _decode_block(
+    r: _BitReader,
+    dc_tbl: list[tuple[int, int]],
+    ac_tbl: list[tuple[int, int]],
+    prev_dc: int,
+) -> tuple[np.ndarray, int]:
+    """Entropy-decode one block (the inverse of ``_emit_block``);
+    returns (zigzag int32[64], new DC predictor)."""
+    zz = np.zeros(64, dtype=np.int32)
+    s = _read_huff(r, dc_tbl)
+    diff = _extend(r.read_bits(s), s) if s else 0
+    prev_dc += diff
+    zz[0] = prev_dc
+    k = 1
+    while k < 64:
+        sym = _read_huff(r, ac_tbl)
+        if sym == 0x00:  # EOB
+            break
+        run, s = sym >> 4, sym & 0x0F
+        if s == 0:
+            if run != 15:
+                raise ValueError("invalid AC symbol")
+            k += 16
+            # a ZRL landing exactly on 64 fills the block with
+            # zeros (decodable, if wasteful vs EOB); past 64 the
+            # run overflows the block — malformed, raise loudly
+            # like the coefficient path below does.
+            if k > 64:
+                raise ValueError("ZRL run overflows block")
+            continue
+        k += run
+        if k > 63:
+            raise ValueError("AC run overflows block")
+        zz[k] = _extend(r.read_bits(s), s)
+        k += 1
+    return zz, prev_dc
+
+
+def decode_jpeg_components(
     b: bytes,
-) -> tuple[int, int, np.ndarray, list[np.ndarray]]:
-    """Entropy-decode the scan WITHOUT the inverse DCT: returns
-    (width, height, quant_table_8x8, zigzag coefficient vectors, one
-    per block in row-major block order). This is the exact-losslessness
-    seam the tests compare bit-for-bit against ``forward_blocks``."""
-    qt: np.ndarray | None = None
+) -> tuple[int, int, list[dict]]:
+    """Parse the full baseline frame and entropy-decode the scan
+    WITHOUT the inverse DCT. Returns (width, height, components) where
+    each component is a dict with ``cid``, sampling factors ``hi`` /
+    ``vi``, its quant table ``qt`` (8x8), its block grid ``blocks``
+    (np (n, 64) int32, row-major over ``bh x bw`` blocks), and the
+    grid dims ``bw`` / ``bh``. Single-component scans decode
+    non-interleaved; multi-component scans decode MCU-interleaved
+    (per-component Hi x Vi blocks per MCU, spec A.2.3) with
+    per-component DC predictors. This is the exact-losslessness seam
+    the tests compare bit-for-bit against ``forward_blocks``."""
+    qts: dict[int, np.ndarray] = {}
     dims: tuple[int, int] | None = None
-    dc_tbl: list[tuple[int, int]] | None = None
-    ac_tbl: list[tuple[int, int]] | None = None
+    frame_comps: list[tuple[int, int, int, int]] | None = None  # cid,hi,vi,tq
+    dhts: dict[tuple[int, int], list[tuple[int, int]]] = {}
+    scan_comps: list[tuple[int, int, int]] | None = None  # cid, td, ta
     scan_start = None
     for marker, start, ln in _walk_segments(b):
         if marker == 0xFFDB:
@@ -474,16 +699,22 @@ def decode_jpeg_coeffs(
                 tbl = np.zeros((8, 8), dtype=np.int64)
                 for k, (r, c) in enumerate(ZIGZAG):
                     tbl[r, c] = b[p + 1 + k]
-                if pq_tq & 0x0F == 0:
-                    qt = tbl
+                qts[pq_tq & 0x0F] = tbl
                 p += 65
         elif marker == 0xFFC0:
             precision, h, w, ncomp = struct.unpack_from(">BHHB", b, start)
             if precision != 8:
                 raise NotImplementedError("only 8-bit precision supported")
-            if ncomp != 1:
-                raise NotImplementedError("only single-component (grayscale)")
+            if ln < 6 + 3 * ncomp:
+                raise ValueError("truncated SOF0 component list")
             dims = (w, h)
+            frame_comps = []
+            for i in range(ncomp):
+                cid, hv, tq = struct.unpack_from(">BBB", b, start + 6 + 3 * i)
+                hi, vi = hv >> 4, hv & 0x0F
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError("invalid sampling factors")
+                frame_comps.append((cid, hi, vi, tq))
         elif 0xFFC1 <= marker <= 0xFFCF and marker not in (
             0xFFC4,
             0xFFC8,
@@ -497,53 +728,80 @@ def decode_jpeg_coeffs(
                 bits = list(b[p + 1 : p + 17])
                 nvals = sum(bits)
                 vals = list(b[p + 17 : p + 17 + nvals])
-                if tc_th == 0x00:
-                    dc_tbl = _huff_lut_cached(bits, vals)
-                elif tc_th == 0x10:
-                    ac_tbl = _huff_lut_cached(bits, vals)
+                dhts[(tc_th >> 4, tc_th & 0x0F)] = _huff_lut_cached(bits, vals)
                 p += 17 + nvals
         elif marker == 0xFFDD:
             raise NotImplementedError("restart intervals unsupported")
         elif marker == 0xFFDA:
+            ns = b[start]
+            scan_comps = []
+            for i in range(ns):
+                cid = b[start + 1 + 2 * i]
+                tdta = b[start + 2 + 2 * i]
+                scan_comps.append((cid, tdta >> 4, tdta & 0x0F))
             scan_start = start + ln
-    if qt is None or dims is None or dc_tbl is None or ac_tbl is None:
+    if not qts or dims is None or frame_comps is None or not dhts:
         raise ValueError("missing DQT/SOF0/DHT before SOS")
-    if scan_start is None:
+    if scan_start is None or scan_comps is None:
         raise ValueError("no scan data")
     w, h = dims
-    n_blocks = ((h + 7) // 8) * ((w + 7) // 8)
+    if [c[0] for c in scan_comps] != [c[0] for c in frame_comps]:
+        raise NotImplementedError(
+            "scan component order must match the frame (single full scan)"
+        )
+    by_cid = {cid: (hi, vi, tq) for cid, hi, vi, tq in frame_comps}
+    hmax = max(hi for _, hi, _, _ in frame_comps)
+    vmax = max(vi for _, _, vi, _ in frame_comps)
+
+    comps: list[dict] = []
+    for cid, td, ta in scan_comps:
+        hi, vi, tq = by_cid[cid]
+        if tq not in qts:
+            raise ValueError(f"missing quant table {tq}")
+        if (0, td) not in dhts or (1, ta) not in dhts:
+            raise ValueError("missing Huffman table referenced by scan")
+        if len(scan_comps) == 1:
+            # non-interleaved: the block grid covers the component's
+            # own dimensions (== frame dims for single-component)
+            bw_c = (w * hi + 8 * hmax - 1) // (8 * hmax)
+            bh_c = (h * vi + 8 * vmax - 1) // (8 * vmax)
+        else:
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            bw_c, bh_c = mcux * hi, mcuy * vi
+        comps.append(
+            {
+                "cid": cid,
+                "hi": hi,
+                "vi": vi,
+                "qt": qts[tq],
+                "dc": dhts[(0, td)],
+                "ac": dhts[(1, ta)],
+                "bw": bw_c,
+                "bh": bh_c,
+                "blocks": np.zeros((bh_c * bw_c, 64), dtype=np.int32),
+                "prev": 0,
+            }
+        )
+
     r = _BitReader(b, scan_start)
-    blocks: list[np.ndarray] = []
-    prev_dc = 0
-    for _ in range(n_blocks):
-        zz = np.zeros(64, dtype=np.int32)
-        s = _read_huff(r, dc_tbl)
-        diff = _extend(r.read_bits(s), s) if s else 0
-        prev_dc += diff
-        zz[0] = prev_dc
-        k = 1
-        while k < 64:
-            sym = _read_huff(r, ac_tbl)
-            if sym == 0x00:  # EOB
-                break
-            run, s = sym >> 4, sym & 0x0F
-            if s == 0:
-                if run != 15:
-                    raise ValueError("invalid AC symbol")
-                k += 16
-                # a ZRL landing exactly on 64 fills the block with
-                # zeros (decodable, if wasteful vs EOB); past 64 the
-                # run overflows the block — malformed, raise loudly
-                # like the coefficient path below does.
-                if k > 64:
-                    raise ValueError("ZRL run overflows block")
-                continue
-            k += run
-            if k > 63:
-                raise ValueError("AC run overflows block")
-            zz[k] = _extend(r.read_bits(s), s)
-            k += 1
-        blocks.append(zz)
+    if len(comps) == 1:
+        c = comps[0]
+        for i in range(c["bh"] * c["bw"]):
+            zz, c["prev"] = _decode_block(r, c["dc"], c["ac"], c["prev"])
+            c["blocks"][i] = zz
+    else:
+        mcux = (w + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            for c in comps:
+                for v in range(c["vi"]):
+                    for hh in range(c["hi"]):
+                        zz, c["prev"] = _decode_block(r, c["dc"], c["ac"], c["prev"])
+                        row = my * c["vi"] + v
+                        col = mx * c["hi"] + hh
+                        c["blocks"][row * c["bw"] + col] = zz
     # the scan must terminate at EOI right after the final block — an
     # over-long entropy stream (extra blocks, trailing garbage) is a
     # decode error, not a silent success. Pull the reader forward to
@@ -554,15 +812,61 @@ def decode_jpeg_coeffs(
         r._fill(r._n + 8)
     if r._real > 7 or r._end_marker != 0xFFD9:
         raise ValueError("entropy stream does not end at EOI")
-    return w, h, qt, blocks
+    for c in comps:
+        del c["dc"], c["ac"], c["prev"]
+    return w, h, comps
+
+
+def decode_jpeg_coeffs(
+    b: bytes,
+) -> tuple[int, int, np.ndarray, list[np.ndarray]]:
+    """Single-component (grayscale) view of
+    :func:`decode_jpeg_components`: returns (width, height,
+    quant_table_8x8, zigzag coefficient vectors in row-major block
+    order). Raises for multi-component payloads — color callers use
+    the component API."""
+    w, h, comps = decode_jpeg_components(b)
+    if len(comps) != 1:
+        raise NotImplementedError(
+            "multi-component payload: use decode_jpeg_components"
+        )
+    c = comps[0]
+    return w, h, c["qt"], list(c["blocks"])
+
+
+def _comp_plane(c: dict) -> np.ndarray:
+    """Dequantize + IDCT one component's block grid into its full
+    (bh*8, bw*8) pixel plane."""
+    px = _inverse_blocks(c["blocks"], c["qt"])
+    return (
+        px.reshape(c["bh"], c["bw"], 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(c["bh"] * 8, c["bw"] * 8)
+    )
 
 
 def decode_jpeg(b: bytes) -> np.ndarray:
-    """Full decode: entropy layer + dequantize + IDCT + crop to the
-    SOF0 dimensions. Returns (h, w) uint8."""
-    w, h, qt, blocks = decode_jpeg_coeffs(b)
-    bw = (w + 7) // 8
-    bh = (h + 7) // 8
-    px = _inverse_blocks(np.stack(blocks), qt)  # batched IDCT
-    img = px.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
-    return img[:h, :w]
+    """Full decode: entropy layer + dequantize + IDCT + (for color)
+    chroma upsampling and YCbCr->RGB, cropped to the SOF0 dimensions.
+    Returns (h, w) uint8 for grayscale, (h, w, 3) uint8 RGB for
+    3-component YCbCr."""
+    w, h, comps = decode_jpeg_components(b)
+    if len(comps) == 1:
+        return _comp_plane(comps[0])[:h, :w]
+    if len(comps) != 3:
+        raise NotImplementedError(f"unsupported component count {len(comps)}")
+    hmax = max(c["hi"] for c in comps)
+    vmax = max(c["vi"] for c in comps)
+    planes = []
+    for c in comps:
+        plane = _comp_plane(c)
+        # upsample by replication to the full-resolution grid, then
+        # crop to the frame dims (nearest-neighbor — deterministic,
+        # inside the bound-certified lossy contract)
+        fy, fx = vmax // c["vi"], hmax // c["hi"]
+        if fy > 1:
+            plane = np.repeat(plane, fy, axis=0)
+        if fx > 1:
+            plane = np.repeat(plane, fx, axis=1)
+        planes.append(plane[:h, :w])
+    return ycbcr_to_rgb(*planes)

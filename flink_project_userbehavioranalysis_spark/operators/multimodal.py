@@ -429,10 +429,11 @@ FROM (
 
 def decode_real(payload: bytes, mime: str) -> tuple[int, int, int, int]:
     """Format dispatch for the REAL decoders this module implements
-    (BMP, 8-bit RGB PNG, and baseline grayscale JPEG — all
-    dependency-free); formats without a codec here (e.g. mp4) raise at
-    this explicit boundary so the implemented-format line is visible
-    to reviewers. Returns (width, height, bpp, data_size)."""
+    (BMP, 8-bit RGB PNG, and baseline JPEG — grayscale AND 3-component
+    YCbCr 4:2:0 color since r10 — all dependency-free); formats without
+    a codec here (e.g. mp4) raise at this explicit boundary so the
+    implemented-format line is visible to reviewers. Returns (width,
+    height, bpp, data_size)."""
     import zlib
 
     if mime == "image/bmp":
@@ -461,9 +462,13 @@ def decode_real(payload: bytes, mime: str) -> tuple[int, int, int, int]:
         from flink_project_userbehavioranalysis_spark.operators import jpeg_codec
 
         w, h, precision, ncomp = jpeg_codec.decode_jpeg_meta(payload)
-        if (precision, ncomp) != (8, 1):
-            raise NotImplementedError("only 8-bit grayscale JPEG is supported")
-        return w, h, precision, int(jpeg_codec.decode_jpeg(payload).size)
+        if precision != 8 or ncomp not in (1, 3):
+            raise NotImplementedError(
+                "only 8-bit baseline JPEG (grayscale or YCbCr) is supported"
+            )
+        # bpp = 8 per interleaved sample channel; data_size counts the
+        # decoded samples (h*w for gray, h*w*3 for color)
+        return w, h, 8 * ncomp, int(jpeg_codec.decode_jpeg(payload).size)
     raise NotImplementedError(f"codec for {mime} not available in this environment")
 
 
@@ -1215,6 +1220,202 @@ SELECT doc_id,
                  WHEN 0 THEN ((3 * width + 3) // 4) * 4 * height
                  WHEN 1 THEN (3 * width + 1) * height
                  ELSE width * height END AS BIGINT) AS data_size
+FROM (
+    SELECT doc_id,
+           coalesce(octet_length(CAST(text AS BLOB)), 0) % 31 + 1 AS width,
+           coalesce(octet_length(CAST(text AS BLOB)), 0) % 17 + 1 AS height
+    FROM documents
+)
+"""
+
+
+# ------------------------------------------- color JPEG (YCbCr 4:2:0)
+#
+# r10: the format real corpora actually contain. The codec is the
+# jpeg_codec.py extension (3-component SOF0, per-component quant /
+# Huffman selection, MCU interleave, 2x2-mean subsample / replicate
+# upsample); the correctness contract mirrors the grayscale one:
+#   * header decode (dims / ncomp=3) is exact -> hash oracle;
+#   * the entropy layer is bit-exact PER COMPONENT in pytest;
+#   * the pixel path certifies a bound over the full RGB round-trip
+#     (color convert + subsample + DCT + quantize and all inverses):
+#     an EXHAUSTIVE scan of all 99,076 (n mod 188, w, h) fixture
+#     classes measured max abs error 12 at quality 90; the registered
+#     bound 16 leaves margin, pytest pins the [0, 600) max exactly.
+
+
+def _tri95(x):
+    """Triangle wave with range [0, 94] and |step| = 1 — the smooth
+    (wrap-free) substitute for ``% 95`` the color fixtures use, so
+    2x2 chroma averaging never straddles a 94-point modulo cliff and
+    the lossy bound stays tight and meaningful."""
+    return abs(x % 188 - 94)
+
+
+def _color_image(n: int, w: int, h: int):
+    """Deterministic smooth RGB fixture: channel k at (r, c) is
+    32 + tri95(n + c + 2r + 31k) — column AND row gradients (both
+    chroma-averaging axes exercised), per-channel phase shift (all
+    three YCbCr planes carry signal)."""
+    import numpy as np
+
+    r, c = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [32 + _tri95(n + c + 2 * r + 31 * k) for k in range(3)], axis=-1
+    ).astype(np.uint8)
+
+
+def jpeg_color_roundtrip(
+    spark: SparkSession, sf_dir: str, bound: int = 16
+) -> DataFrame:
+    """Encode→decode each document's synthetic COLOR image through the
+    full 4:2:0 lossy pipeline and certify the reconstruction:
+    (doc_id, width, height, n_samples, max_err_le_16). Same one-pass
+    Arrow shape as the grayscale ``jpeg_roundtrip``; n_samples counts
+    RGB samples (w*h*3), so a broken color conversion, subsampler,
+    chroma table, or MCU interleave flips the boolean (or the decode
+    raises) and hash-mismatches the scoreboard."""
+    import numpy as np
+
+    from flink_project_userbehavioranalysis_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg_color,
+    )
+
+    src_docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("tb")
+    )
+
+    def rt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for doc_id, tb in zip(pdf["doc_id"], pdf["tb"]):
+                n = 0 if tb is None else len(bytes(tb))
+                w, h = _bmp_dims(n)
+                src = _color_image(n, w, h)
+                out = decode_jpeg(encode_jpeg_color(src, quality=90))
+                assert out.shape == (h, w, 3)
+                max_err = int(
+                    np.abs(out.astype(np.int64) - src.astype(np.int64)).max()
+                )
+                recs.append((doc_id, w, h, out.size, max_err <= bound))
+            yield pd.DataFrame(
+                recs,
+                columns=["doc_id", "width", "height", "n_samples", "max_err_le_16"],
+            )
+
+    return src_docs.mapInPandas(
+        rt,
+        "doc_id BIGINT, width INT, height INT, n_samples BIGINT,"
+        " max_err_le_16 BOOLEAN",
+    )
+
+
+JPEG_COLOR_ROUNDTRIP_SQL = """
+SELECT doc_id,
+       CAST(width AS INTEGER) AS width,
+       CAST(height AS INTEGER) AS height,
+       CAST(width * height * 3 AS BIGINT) AS n_samples,
+       TRUE AS max_err_le_16
+FROM (
+    SELECT doc_id,
+           coalesce(octet_length(CAST(text AS BLOB)), 0) % 31 + 1 AS width,
+           coalesce(octet_length(CAST(text AS BLOB)), 0) % 17 + 1 AS height
+    FROM documents
+)
+"""
+
+
+def attach_image4_payload(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, mime, payload) mixing all FOUR real image
+    encodings in one binary column (doc_id mod 4: BMP / PNG /
+    grayscale JPEG / color 4:2:0 JPEG — the last two share a mime and
+    are told apart only by their SOF0 component count, exactly like a
+    real crawl directory). Arrow-batched encode."""
+    import numpy as np
+
+    from flink_project_userbehavioranalysis_spark.operators.jpeg_codec import (
+        encode_jpeg,
+        encode_jpeg_color,
+    )
+
+    src = docs.select("doc_id", F.col("text").cast("binary").alias("tb"))
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for doc_id, tb in zip(pdf["doc_id"], pdf["tb"]):
+                t = None if tb is None else bytes(tb)
+                n = 0 if t is None else len(t)
+                m = doc_id % 4
+                if m == 0:
+                    recs.append((doc_id, "image/bmp", encode_bmp(t)))
+                elif m == 1:
+                    recs.append((doc_id, "image/png", encode_png(t)))
+                elif m == 2:
+                    w, h = _bmp_dims(n)
+                    img = np.array(
+                        [[_bmp_row_byte(n, r)] * w for r in range(h)],
+                        dtype=np.uint8,
+                    )
+                    recs.append((doc_id, "image/jpeg", encode_jpeg(img, quality=90)))
+                else:
+                    w, h = _bmp_dims(n)
+                    recs.append(
+                        (
+                            doc_id,
+                            "image/jpeg",
+                            encode_jpeg_color(_color_image(n, w, h), quality=90),
+                        )
+                    )
+            yield pd.DataFrame(recs, columns=["doc_id", "mime", "payload"])
+
+    return src.mapInPandas(enc, "doc_id BIGINT, mime STRING, payload BINARY")
+
+
+def decode_meta_mixed4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The four-encoding dispatch over ONE mixed payload column — the
+    mixed3 surface extended with color 4:2:0 JPEG: every row decoded
+    by its own REAL parser via ``decode_real`` (the two JPEG flavors
+    dispatch on the parsed SOF0 component count, not on any
+    row-metadata hint); the hash oracle states each encoding's
+    closed-form meta exactly (color JPEG: bpp 24, data_size w*h*3
+    measured from the actual full decode)."""
+    payloads = attach_image4_payload(load_table(spark, sf_dir, "documents"))
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for doc_id, mime, payload in zip(
+                pdf["doc_id"], pdf["mime"], pdf["payload"]
+            ):
+                w, h, bpp, data_size = decode_real(bytes(payload), mime)
+                recs.append((doc_id, mime, w, h, bpp, data_size))
+            yield pd.DataFrame(
+                recs,
+                columns=["doc_id", "mime", "width", "height", "bpp", "data_size"],
+            )
+
+    return payloads.mapInPandas(
+        dec,
+        "doc_id BIGINT, mime STRING, width INT, height INT, bpp INT,"
+        " data_size BIGINT",
+    )
+
+
+DECODE_META_MIXED4_SQL = """
+SELECT doc_id,
+       CASE doc_id % 4 WHEN 0 THEN 'image/bmp'
+                       WHEN 1 THEN 'image/png'
+                       ELSE 'image/jpeg' END AS mime,
+       CAST(width AS INTEGER) AS width,
+       CAST(height AS INTEGER) AS height,
+       CASE doc_id % 4 WHEN 2 THEN 8 ELSE 24 END AS bpp,
+       CAST(CASE doc_id % 4
+                 WHEN 0 THEN ((3 * width + 3) // 4) * 4 * height
+                 WHEN 1 THEN (3 * width + 1) * height
+                 WHEN 2 THEN width * height
+                 ELSE width * height * 3 END AS BIGINT) AS data_size
 FROM (
     SELECT doc_id,
            coalesce(octet_length(CAST(text AS BLOB)), 0) % 31 + 1 AS width,
