@@ -84,22 +84,79 @@ def entry(spark: SparkSession) -> DataFrame:
 # --- tier 1: hash-oracled, every module -----------------------------
 # Membership ROTATES per round (r6 verdict #7, r7 verdict #1) so
 # driver-verified coverage accumulates instead of re-proving the same
-# 50. r9 completes the rotation: the 15 new-or-changed surfaces (the
-# composed ingest admission pipeline + audit, the five-codec
-# multimodal surfaces incl. the new JPEG pair, the row-strong
-# interchange checksums, and the mergeable quantile-histogram pair)
-# sit FIRST so a time-budgeted tail cannot drop them, followed by the
-# LAST 10 never-driver-verified hash-oracled batch entries — after r9
-# every hash-oracled batch entry has a driver row at least once — and
-# 25 per-pillar keepers as regression canaries (the five keepers
-# displaced by the r9 additions moved to the head of tier 2; all five
-# are multi-round driver-green).
+# 50. After r9, EVERY hash-oracled batch entry has had a driver row;
+# the only hash-oracled entries never driver-verified were the 29
+# streaming twins (tier 4 by design). r10 closes that tail (r9
+# verdict #1): tier 1 = the 3 new r10 surfaces (persisted-index
+# admission, color JPEG pair), 18 per-pillar batch keepers (one per
+# operator module, all multi-round driver-green), and ALL 29
+# hash-oracled streaming twins — each a finite replay job, seconds
+# apiece, so 50 rows still fit the driver budget. After r10, every
+# hash-oracled registry entry (batch AND streaming) has a driver row
+# at least once cumulatively. Displaced r9 entries moved to the tier-2
+# head (all driver-green in r9).
 _TIER1 = [
-    # changed/new this round (prove first): the composed admission
-    # pipeline + audit, the mixed BMP/PNG codec surfaces, and the two
-    # interchange hops whose checksum got row-strong in r9
-    "ingest_accept_batch",
+    # new this round (prove first)
     "ingest_accept_batch_indexed",
+    "jpeg_color_roundtrip",
+    "decode_meta_mixed4",
+    # per-pillar regression keepers (driver-green in earlier rounds;
+    # one per operator module — the invariant test pins coverage)
+    "hot_items_topn",
+    "pv_hourly",
+    "blacklist",
+    "consec_fail",
+    "order_timeout",
+    "user_tier_scd2",
+    "revenue_by_priority_salted",
+    "asof_last_click",
+    "user_trailing_features",
+    "dedup_incremental",
+    "minhash_near_dup",
+    "gopher_quality_filter",
+    "embedding_centroids",
+    "jpeg_roundtrip",
+    "tpch_q1ish",
+    "item_triangles",
+    "cdc_apply",
+    "table_expectations",
+    # the 29 hash-oracled streaming twins — never driver-verified
+    # before r10 (each is a finite replay; oracle = the batch twin's)
+    "pii_scrub_stream",
+    "gopher_quality_stream",
+    "chunk_documents_stream",
+    "hashed_features_stream",
+    "pv_hourly_stream",
+    "uv_hourly_stream",
+    "hot_items_stream",
+    "hot_pages_stream",
+    "count_by_channel_stream",
+    "marketing_total_stream",
+    "ad_clicks_by_geo_stream",
+    "user_sessions_stream",
+    "pv_anomaly_stream",
+    "expectations_stream",
+    "session_paths_stream",
+    "dwell_gaps_stream",
+    "order_lifecycle_stream",
+    "funnel_stream",
+    "consec_fail_stream",
+    "trailing_features_stream",
+    "tx_reconcile_stream",
+    "blacklist_stream",
+    "interval_join_stream",
+    "tx_reconcile_stream_join",
+    "dup_span_incremental_stream",
+    "cdc_apply_stream",
+    "term_blocklist_stream",
+    "ingest_accept_stream",
+    "value_hist_daily_stream",
+]
+# --- tier 2: remaining hash-oracled batch ---------------------------
+_TIER2 = [
+    # r9 tier-1 entries displaced by the r10 rotation (all r9
+    # driver-green; first in line if the driver runs past 50)
+    "ingest_accept_batch",
     "ingest_audit",
     "ingest_two_batch",
     "decode_meta",
@@ -110,15 +167,9 @@ _TIER1 = [
     "thumbnail",
     "video_frames",
     "jpeg_meta",
-    "jpeg_roundtrip",
-    "jpeg_color_roundtrip",
-    "decode_meta_mixed4",
     "value_hist_daily",
     "value_percentiles_hist",
     "decode_meta_mixed3",
-    # the LAST never-driver-verified hash-oracled batch entries (r8
-    # verdict #2) — after this round every hash-oracled batch entry
-    # has had a driver row at least once
     "near_dup_clusters_incremental",
     "corpus_drift",
     "retention_rolling",
@@ -129,35 +180,15 @@ _TIER1 = [
     "tpch_q15ish",
     "tpch_q17ish",
     "tpch_q19ish",
-    # per-pillar regression keepers (driver-green in earlier rounds)
-    "hot_items_topn",
-    "pv_hourly",
     "active_users_trailing",
     "count_by_channel_behavior",
-    "blacklist",
-    "consec_fail",
-    "order_timeout",
-    "dedup_incremental",
     "dup_spans",
     "eval_holdout_sample",
-    "minhash_near_dup",
     "knn_topk",
-    "user_tier_scd2",
-    "tpch_q1ish",
-    "cdc_apply",
     "user_tier_scd2_maintain",
     "erase_users_roundtrip",
-    "revenue_by_priority_salted",
-    "item_triangles",
     "item_next_topk",
-    "asof_last_click",
-    "table_expectations",
-    "gopher_quality_filter",
-    "embedding_centroids",
-    "user_trailing_features",
-]
-# --- tier 2: remaining hash-oracled batch ---------------------------
-_TIER2 = [
+    # long tail (unchanged relative order)
     "churn_training_set",
     "dup_span_incremental",
     "tpch_q9ish",
@@ -271,40 +302,15 @@ _TIER3 = [
     "retention_sketch",
     "value_percentiles_ddsketch",
 ]
-# --- tier 4: streaming (finite replay jobs, seconds each) -----------
+# --- tier 4: rows-only streaming (the oracled twins moved to tier 1
+# in the r10 rotation; what remains has no value oracle by design —
+# arrival-order/sketch semantics — so a driver row adds only a
+# row-count check) -----------------------------------------------------
 _TIER4 = [
-    "pii_scrub_stream",
-    "gopher_quality_stream",
-    "chunk_documents_stream",
-    "hashed_features_stream",
-    "pv_hourly_stream",
-    "uv_hourly_stream",
-    "hot_items_stream",
-    "hot_pages_stream",
-    "count_by_channel_stream",
-    "marketing_total_stream",
     "uv_approx_stream",
-    "ad_clicks_by_geo_stream",
-    "user_sessions_stream",
-    "pv_anomaly_stream",
-    "expectations_stream",
-    "session_paths_stream",
-    "dwell_gaps_stream",
-    "order_lifecycle_stream",
-    "funnel_stream",
-    "consec_fail_stream",
-    "trailing_features_stream",
-    "tx_reconcile_stream",
-    "blacklist_stream",
-    "interval_join_stream",
-    "tx_reconcile_stream_join",
     "dedup_events_stream",
     "dedup_incremental_stream",
-    "dup_span_incremental_stream",
-    "cdc_apply_stream",
-    "term_blocklist_stream",
-    "ingest_accept_stream",
-    "value_hist_daily_stream",
+    "value_percentiles_ddsketch_stream",
 ]
 _DRIVER_ORDER = _TIER1 + _TIER2 + _TIER3 + _TIER4
 
@@ -968,6 +974,16 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "value_hist_daily_stream": (
             _stw.value_hist_daily_stream,
             _nf.value_hist_daily_oracle_sql(),
+        ),
+        # DDSketch maintenance twin (r10): update-mode keyed agg over
+        # the log-gamma grid + changelog MERGE, quantile read over the
+        # maintained state. Rows-only for the batch entry's libm-ln
+        # reason; the STRONGER check — streamed quantiles ≡ batch
+        # ddsketch estimates exactly, plus the 1% relative bound on
+        # streamed state — is test-asserted (test_streaming_windowed)
+        "value_percentiles_ddsketch_stream": (
+            _stw.value_percentiles_ddsketch_stream,
+            None,
         ),
         "uv_hourly_stream": (_stw.uv_hourly_stream, _nf.UV_HOURLY_SQL),
         "hot_items_stream": (_stw.hot_items_stream, _hot.hot_items_oracle_sql()),

@@ -102,6 +102,10 @@ HEADLINE = [
     "jpeg_roundtrip",           # baseline T.81 encode+decode, bounded error
     "value_percentiles_hist",   # merged daily histogram -> quantile pick
     "decode_meta_mixed3",       # three-codec dispatch over one column
+    # r10 additions
+    "jpeg_color_roundtrip",     # YCbCr 4:2:0 color encode+decode, bounded error
+    "decode_meta_mixed4",       # four-encoding dispatch (incl. color JPEG)
+    "value_percentiles_ddsketch",  # log-gamma summary -> quantile pick
     # NOT benched here: item_pagerank / kmeans_lloyd / cluster_canonical
     # eagerly materialize (localCheckpoint / iterate) at
     # DataFrame-construction time, so timing their collect() would
@@ -126,6 +130,14 @@ PIPELINES = [
     "orc_roundtrip",
     "ingest_accept_batch",
     "ingest_two_batch",
+    # r10: the PRODUCTION admission shape — probes PERSISTED indexes.
+    # run_full clears only _MANIFEST_CACHE; the index build memo
+    # (_INGEST_INDEX_CACHE) survives across runs, so this row times
+    # the per-batch PROBE while the corpus-scale index derivation
+    # (the scheduled nightly build) is excluded — the cost split the
+    # r9 verdict asked BENCH to show (vs ingest_accept_batch, which
+    # keeps timing the derive-everything-in-query simulation shape).
+    "ingest_accept_batch_indexed",
 ]
 
 

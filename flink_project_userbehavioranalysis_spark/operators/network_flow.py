@@ -556,21 +556,45 @@ def value_percentiles_ddsketch(
     multiply+floor grid IS bit-identical across engines. Same summary
     / merge / rank-pick dataflow: one partial-agg shuffle to the
     (type, bucket) grid, window rank over grid rows."""
-    import math
-
     gamma = (1.0 + alpha) / (1.0 - alpha)
-    ln_gamma = math.log(gamma)
-    zero_key = -(10**9)  # sorts before every real bucket
     ev = load_events(spark, sf_dir).filter(F.col("value").isNotNull())
     bucketed = ev.select(
-        "event_type",
-        F.when(F.col("value") <= 0, F.lit(zero_key))
-        .otherwise(F.ceil(F.log(F.col("value")) / ln_gamma))
-        .alias("bucket"),
+        "event_type", ddsketch_bucket(F.col("value"), gamma).alias("bucket")
     )
     merged = bucketed.groupBy("event_type", "bucket").agg(
         F.count("*").alias("cnt")
     )
+    return ddsketch_quantiles_from_grid(merged, gamma)
+
+
+#: Zero/non-positive values map to this dedicated DDSketch bucket key
+#: (sorts before every real log-gamma bucket).
+DDSKETCH_ZERO_KEY = -(10**9)
+
+
+def ddsketch_bucket(value: F.Column, gamma: float) -> F.Column:
+    """DDSketch bucket index for a value column: ceil(log_gamma(v))
+    for positive v, the dedicated zero-bucket otherwise. ONE
+    definition shared by the batch sketch and its streaming
+    maintenance twin, so the two grids are identical by construction
+    (both run Spark's ln — same libm, bit-identical buckets)."""
+    import math
+
+    ln_gamma = math.log(gamma)
+    return (
+        F.when(value <= 0, F.lit(DDSKETCH_ZERO_KEY))
+        .otherwise(F.ceil(F.log(value) / ln_gamma))
+    )
+
+
+def ddsketch_quantiles_from_grid(merged: DataFrame, gamma: float) -> DataFrame:
+    """Rank-pick p50/p90/p99 per event_type from a merged DDSketch
+    grid (event_type, bucket, cnt): cumulative-rank along the bucket
+    order, first bucket covering ceil(q*total), estimate
+    2*gamma^i/(gamma+1) (zero-bucket reports 0). The read path over
+    the PERSISTED summary — shared by the batch sketch and the
+    streamed-state read, which is what makes 'maintained grid ≡
+    rebuilt grid' test-assertable as an exact frame equality."""
     cum_w = Window.partitionBy("event_type").orderBy("bucket")
     tot_w = Window.partitionBy("event_type")
     cum = merged.select(
@@ -585,7 +609,7 @@ def value_percentiles_ddsketch(
             F.when(F.col("cum") >= F.ceil(F.col("total") * q), F.col("bucket"))
         )
         return F.round(
-            F.when(b == zero_key, F.lit(0.0)).otherwise(
+            F.when(b == DDSKETCH_ZERO_KEY, F.lit(0.0)).otherwise(
                 2.0 * F.pow(F.lit(gamma), b) / (gamma + 1.0)
             ),
             6,

@@ -1095,3 +1095,48 @@ def value_hist_daily_stream(
         )
     )
     return run_update_merge(grid, ["day", "event_type", "bucket"], spark)
+
+
+def value_percentiles_ddsketch_stream(
+    spark: SparkSession, sf_dir: str, alpha: float = 0.01, n_chunks: int = 4
+) -> DataFrame:
+    """Streaming maintenance of the DDSketch log-gamma grid (r10 —
+    the relative-accuracy companion to :func:`value_hist_daily_stream`
+    's fixed grid): watermarked 1-day windows keyed by (window,
+    event_type, log-gamma bucket), update-mode corrections folded by
+    the changelog-MERGE sink, then the shared rank-pick read
+    (:func:`operators.network_flow.ddsketch_quantiles_from_grid`) runs
+    over the MAINTAINED state. The bucketization is the same
+    ``ddsketch_bucket`` column the batch sketch uses — one engine, one
+    libm — so the streamed grid is bit-identical to the batch grid and
+    the returned quantiles match :func:`value_percentiles_ddsketch`
+    EXACTLY (test-asserted, along with the 1% relative-error bound on
+    the streamed state). Registered rows-only for the same libm-ln
+    reason as the batch entry; the exact stream≡batch equality is the
+    stronger check and lives in pytest. State is the KB-scale grid,
+    never raw rows."""
+    from flink_project_userbehavioranalysis_spark.operators.network_flow import (
+        ddsketch_bucket,
+        ddsketch_quantiles_from_grid,
+    )
+
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    ev = events_stream(spark, sf_dir, n_chunks=n_chunks)
+    grid = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(
+            F.window("ts", "1 day").alias("w"),
+            "event_type",
+            ddsketch_bucket(F.col("value"), gamma).alias("bucket"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("w.start").cast("date").cast("string").alias("day"),
+            "event_type",
+            "bucket",
+            "cnt",
+        )
+    )
+    state = run_update_merge(grid, ["day", "event_type", "bucket"], spark)
+    merged = state.groupBy("event_type", "bucket").agg(F.sum("cnt").alias("cnt"))
+    return ddsketch_quantiles_from_grid(merged, gamma)

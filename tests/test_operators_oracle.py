@@ -19,11 +19,14 @@ _BATCH_ORACLE = sorted(
 def test_driver_order_invariants():
     """The driver's correctness pass is time-budgeted (~50 rows), so
     registry order IS scoreboard coverage: the first 50 entries must
-    all be hash-oracled and rows-only/streaming entries must trail."""
+    all be hash-oracled — and since the r10 rotation they include ALL
+    the hash-oracled streaming twins (the only entries that had never
+    had a driver row after r9); rows-only entries trail everything."""
     keys = list(_REGISTRY)
     # every catalog key ordered exactly once (drift raises in _registry,
     # but assert the list itself is duplicate-free too)
     assert len(keys) == len(set(entry_mod._DRIVER_ORDER)) == len(entry_mod._DRIVER_ORDER)
+    assert len(entry_mod._TIER1) == 50
     first50 = keys[:50]
     assert all(_REGISTRY[k][1] is not None for k in first50), [
         k for k in first50 if _REGISTRY[k][1] is None
@@ -36,12 +39,24 @@ def test_driver_order_invariants():
         "similarity", "corpus_quality", "embeddings_ops", "multimodal",
     ):
         assert mod in modules, f"no tier-1 entry from {mod}"
-    # streaming strictly after all batch entries
+
     def is_stream(k):
         return k.endswith("_stream") or k.endswith("_stream_join")
 
-    first_stream = min(i for i, k in enumerate(keys) if is_stream(k))
-    assert all(is_stream(k) for k in keys[first_stream:]), keys[first_stream:]
+    # every HASH-ORACLED streaming twin sits inside the budgeted
+    # window (r10 rotation: they were the last never-driver-verified
+    # oracled entries)
+    oracled_stream = [k for k in keys if is_stream(k) and _REGISTRY[k][1] is not None]
+    assert oracled_stream and all(k in first50 for k in oracled_stream), [
+        k for k in oracled_stream if k not in first50
+    ]
+    # rows-only entries strictly after every hash-oracled entry
+    last_oracled = max(i for i, k in enumerate(keys) if _REGISTRY[k][1] is not None)
+    assert all(
+        _REGISTRY[k][1] is None for k in keys[last_oracled + 1 :]
+    ) and all(_REGISTRY[k][1] is not None for k in keys[: last_oracled + 1]), (
+        "rows-only entries interleaved with hash-oracled ones"
+    )
 
 
 def _has_nonscalar(dt):

@@ -326,3 +326,46 @@ def test_value_hist_daily_stream_equals_batch_and_oracle(spark, sf_dir):
     batch = {tuple(r) for r in NF.value_hist_daily(spark, sf_dir).collect()}
     got = {tuple(r) for r in stream.collect()}
     assert got == batch and len(got) > 0
+
+
+def test_value_ddsketch_stream_equals_batch_exactly(spark, sf_dir):
+    """The DDSketch maintenance twin (r10): quantiles read from the
+    STREAM-MAINTAINED log-gamma grid equal the batch sketch's
+    estimates EXACTLY — both sides bucket with the same Spark ln()
+    column (one libm), the grid counts are deterministic integers
+    folded by the changelog MERGE, and the rank-pick read is the
+    shared ddsketch_quantiles_from_grid. Also re-asserts the 1%
+    relative-error guarantee ON THE STREAMED STATE against the exact
+    per-type rank values."""
+    import math
+    from collections import defaultdict
+
+    from flink_project_userbehavioranalysis_spark.io import load_events
+
+    stream = W.value_percentiles_ddsketch_stream(spark, sf_dir)
+    got = {r["event_type"]: r for r in stream.collect()}
+    batch = {
+        r["event_type"]: r
+        for r in NF.value_percentiles_ddsketch(spark, sf_dir).collect()
+    }
+    assert set(got) == set(batch) and len(got) > 0
+    for et in batch:
+        for col in ("p50_est", "p90_est", "p99_est"):
+            assert got[et][col] == batch[et][col], (et, col)
+    # relative-error bound on the streamed state
+    by_type = defaultdict(list)
+    ev = load_events(spark, sf_dir)
+    for r in (
+        ev.filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+        .collect()
+    ):
+        by_type[r["event_type"]].append(r["value"])
+    for et, row in got.items():
+        vals = sorted(by_type[et])
+        for q, col in [(0.5, "p50_est"), (0.9, "p90_est"), (0.99, "p99_est")]:
+            v = vals[math.ceil(q * len(vals)) - 1]
+            if v <= 0:
+                assert row[col] == 0.0
+            else:
+                assert abs(row[col] - v) / v <= 0.01 + 1e-6, (et, q, row[col], v)
