@@ -390,3 +390,14 @@ def test_manifest_cache_is_lru_bounded(spark, poisoned_dir):
     assert I.ingest_accept_batch(
         spark, poisoned_dir, min_tokens=5 + last
     ) is frames[last]
+
+
+def test_two_batch_indexed_equals_rebuild(spark, sf_dir):
+    """The production lifecycle (persisted base indexes + overlay
+    commit ∝ batch) returns the identical batch-2 manifest as the
+    rebuild form — maintained-overlay ≡ rebuilt-corpus, row for row."""
+    rebuild = {tuple(r) for r in I.ingest_two_batch(spark, sf_dir).collect()}
+    indexed = {
+        tuple(r) for r in I.ingest_two_batch_indexed(spark, sf_dir).collect()
+    }
+    assert indexed == rebuild and len(indexed) > 0
