@@ -19,6 +19,9 @@ spec alone:
 * JFIF RGB<->YCbCr color conversion, 2x2-mean chroma subsampling,
   and generic MCU interleave (per-component Hi x Vi blocks per MCU,
   spec A.2.3),
+* restart intervals (DRI segment + byte-aligned RSTm markers with
+  modulo-8 sequence checking and per-interval DC-predictor resets,
+  spec E.1.4) — the resync structure real-world encoders emit,
 * a full marker writer/parser (SOI/APP0/DQT/SOF0/DHT/SOS/EOI) with
   per-id quant/Huffman table selection.
 
@@ -27,8 +30,8 @@ round-trip is certified by a BOUND (see ``multimodal.jpeg_roundtrip``)
 plus an EXACT losslessness check of the entropy layer: the decoder's
 quantized coefficients must equal the encoder's bit for bit, per
 component (``tests/test_jpeg_codec.py``). Anything the codec does not
-support (progressive SOF2, restart markers, 12-bit, arithmetic
-coding) raises loudly instead of guessing.
+support (progressive SOF2, 12-bit, arithmetic coding) raises
+loudly instead of guessing.
 
 No reference analog (the Flink project is scalar-only); this follows
 the builder brief's multimodal pillar. Scale shape: the codec runs
@@ -228,6 +231,12 @@ class _BitWriter:
         if self._n:
             self.write((1 << (8 - self._n)) - 1, 8 - self._n)
 
+    def restart_marker(self, m: int) -> None:
+        """Byte-align (1-bit padding, stuffing applies) and emit RSTm
+        (spec E.1.4) — the marker bytes themselves are NOT stuffed."""
+        self.flush()
+        self.buf += bytes([0xFF, 0xD0 + (m % 8)])
+
 
 class _BitReader:
     """MSB-first bit reader that un-stuffs 0xFF 0x00 and raises on a
@@ -299,6 +308,31 @@ class _BitReader:
 
     def read_bit(self) -> int:
         return self.read_bits(1)
+
+    def consume_restart(self, expected_m: int) -> None:
+        """Cross an expected RSTm boundary (spec E.1.4): only the
+        final partial byte's 1-bit padding may remain before it, the
+        marker index must match the modulo-8 sequence, and reading
+        resumes bit-aligned right after the two marker bytes."""
+        # bounded: one real (non-padding) byte past the alignment
+        # budget already proves the marker is missing — don't slurp
+        # the rest of a malformed stream into the window
+        while self._end_reason is None and self._real <= 7:
+            self._fill(self._n + 8)
+        if self._real > 7:
+            raise ValueError("restart marker not byte-aligned")
+        if self._end_marker != 0xFFD0 + (expected_m % 8):
+            raise ValueError(
+                f"expected RST{expected_m % 8}, got "
+                f"{self._end_marker:#06x}" if self._end_marker is not None
+                else "truncated stream at restart boundary"
+            )
+        self.pos += 2
+        self._win = 0
+        self._n = 0
+        self._real = 0
+        self._end_reason = None
+        self._end_marker = None
 
 
 def _huff_lut(bits: list[int], vals: list[int]) -> list[tuple[int, int]]:
@@ -486,11 +520,16 @@ def _dqt(table_id: int, qt: np.ndarray) -> bytes:
 _JFIF_APP0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
+def encode_jpeg(
+    img: np.ndarray, quality: int = 90, restart_interval: int = 0
+) -> bytes:
     """Encode a (h, w) uint8 grayscale array as a baseline sequential
-    JFIF JPEG (one component, 8-bit, no subsampling, no restarts).
-    Non-multiple-of-8 dimensions are edge-replicated to the block
-    grid; the decoder crops back using the SOF0 dimensions."""
+    JFIF JPEG (one component, 8-bit, no subsampling). Non-multiple-
+    of-8 dimensions are edge-replicated to the block grid; the decoder
+    crops back using the SOF0 dimensions. ``restart_interval`` > 0
+    emits a DRI segment and RSTm markers every that-many MCUs (one
+    block per MCU for single-component scans) with DC-predictor resets
+    — the resync structure real-world encoders emit (r10)."""
     if img.ndim != 2 or img.dtype != np.uint8:
         raise ValueError("expected a (h, w) uint8 grayscale array")
     h, w = img.shape
@@ -502,10 +541,18 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
 
     bw = _BitWriter()
     prev_dc = 0
-    for zz in forward_blocks(padded, qt):
+    for i, zz in enumerate(forward_blocks(padded, qt)):
+        if restart_interval and i and i % restart_interval == 0:
+            bw.restart_marker(i // restart_interval - 1)
+            prev_dc = 0
         prev_dc = _emit_block(bw, zz, prev_dc, _STD_DC_CODES, _STD_AC_CODES)
     bw.flush()
 
+    dri = (
+        [_seg(0xFFDD, struct.pack(">H", restart_interval))]
+        if restart_interval
+        else []
+    )
     return b"".join(
         [
             b"\xff\xd8",  # SOI
@@ -514,6 +561,7 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
             _seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00"),
             _dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS),
             _dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS),
+            *dri,
             _seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00"),
             bytes(bw.buf),
             b"\xff\xd9",  # EOI
@@ -521,7 +569,9 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
     )
 
 
-def encode_jpeg_color(img: np.ndarray, quality: int = 90) -> bytes:
+def encode_jpeg_color(
+    img: np.ndarray, quality: int = 90, restart_interval: int = 0
+) -> bytes:
     """Encode a (h, w, 3) uint8 RGB array as a baseline sequential
     JFIF JPEG with YCbCr 4:2:0 subsampling — the layout real corpora
     contain: SOF0 components Y(id 1, sampling 2x2, luma tables) and
@@ -555,25 +605,33 @@ def encode_jpeg_color(img: np.ndarray, quality: int = 90) -> bytes:
 
     bw = _BitWriter()
     prev = [0, 0, 0]
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for v in (0, 1):  # 4 Y blocks per MCU, raster order
-                for hh in (0, 1):
-                    zz = yb[(2 * my + v) * ybw + (2 * mx + hh)]
-                    prev[0] = _emit_block(bw, zz, prev[0], _STD_DC_CODES, _STD_AC_CODES)
-            ci = my * mcux + mx
-            prev[1] = _emit_block(
-                bw, cbb[ci], prev[1], _STD_DC_CHROMA_CODES, _STD_AC_CHROMA_CODES
-            )
-            prev[2] = _emit_block(
-                bw, crb[ci], prev[2], _STD_DC_CHROMA_CODES, _STD_AC_CHROMA_CODES
-            )
+    for m in range(mcuy * mcux):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.restart_marker(m // restart_interval - 1)
+            prev = [0, 0, 0]
+        my, mx = divmod(m, mcux)
+        for v in (0, 1):  # 4 Y blocks per MCU, raster order
+            for hh in (0, 1):
+                zz = yb[(2 * my + v) * ybw + (2 * mx + hh)]
+                prev[0] = _emit_block(bw, zz, prev[0], _STD_DC_CODES, _STD_AC_CODES)
+        ci = my * mcux + mx
+        prev[1] = _emit_block(
+            bw, cbb[ci], prev[1], _STD_DC_CHROMA_CODES, _STD_AC_CHROMA_CODES
+        )
+        prev[2] = _emit_block(
+            bw, crb[ci], prev[2], _STD_DC_CHROMA_CODES, _STD_AC_CHROMA_CODES
+        )
     bw.flush()
 
     sof = struct.pack(">BHHB", 8, h, w, 3) + bytes(
         [1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]
     )
     sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    dri = (
+        [_seg(0xFFDD, struct.pack(">H", restart_interval))]
+        if restart_interval
+        else []
+    )
     return b"".join(
         [
             b"\xff\xd8",  # SOI
@@ -585,6 +643,7 @@ def encode_jpeg_color(img: np.ndarray, quality: int = 90) -> bytes:
             _dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS),
             _dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS),
             _dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS),
+            *dri,
             _seg(0xFFDA, sos),
             bytes(bw.buf),
             b"\xff\xd9",  # EOI
@@ -688,6 +747,7 @@ def decode_jpeg_components(
     dhts: dict[tuple[int, int], list[tuple[int, int]]] = {}
     scan_comps: list[tuple[int, int, int]] | None = None  # cid, td, ta
     scan_start = None
+    restart_interval = 0
     for marker, start, ln in _walk_segments(b):
         if marker == 0xFFDB:
             # one or more (Pq/Tq, 64 entries) tables per segment
@@ -731,7 +791,7 @@ def decode_jpeg_components(
                 dhts[(tc_th >> 4, tc_th & 0x0F)] = _huff_lut_cached(bits, vals)
                 p += 17 + nvals
         elif marker == 0xFFDD:
-            raise NotImplementedError("restart intervals unsupported")
+            (restart_interval,) = struct.unpack_from(">H", b, start)
         elif marker == 0xFFDA:
             ns = b[start]
             scan_comps = []
@@ -785,15 +845,26 @@ def decode_jpeg_components(
         )
 
     r = _BitReader(b, scan_start)
+
+    def maybe_restart(mcu_index: int) -> None:
+        # DRI: an RSTm boundary every restart_interval MCUs, marker
+        # index cycling mod 8, every DC predictor reset (spec E.1.4)
+        if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+            r.consume_restart(mcu_index // restart_interval - 1)
+            for c in comps:
+                c["prev"] = 0
+
     if len(comps) == 1:
         c = comps[0]
         for i in range(c["bh"] * c["bw"]):
+            maybe_restart(i)  # single-component MCU = one block
             zz, c["prev"] = _decode_block(r, c["dc"], c["ac"], c["prev"])
             c["blocks"][i] = zz
     else:
         mcux = (w + 8 * hmax - 1) // (8 * hmax)
         mcuy = (h + 8 * vmax - 1) // (8 * vmax)
         for m in range(mcux * mcuy):
+            maybe_restart(m)
             my, mx = divmod(m, mcux)
             for c in comps:
                 for v in range(c["vi"]):

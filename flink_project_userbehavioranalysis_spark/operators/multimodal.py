@@ -1361,11 +1361,20 @@ def attach_image4_payload(docs: DataFrame) -> DataFrame:
                     recs.append((doc_id, "image/jpeg", encode_jpeg(img, quality=90)))
                 else:
                     w, h = _bmp_dims(n)
+                    # doc-dependent restart interval (0 = none, else
+                    # RSTm every 1-3 MCUs): the color slot exercises
+                    # the DRI resync structure real-world encoders
+                    # emit; decoded output is identical, so the
+                    # closed-form oracle is untouched
                     recs.append(
                         (
                             doc_id,
                             "image/jpeg",
-                            encode_jpeg_color(_color_image(n, w, h), quality=90),
+                            encode_jpeg_color(
+                                _color_image(n, w, h),
+                                quality=90,
+                                restart_interval=int(doc_id % 7 % 4),
+                            ),
                         )
                     )
             yield pd.DataFrame(recs, columns=["doc_id", "mime", "payload"])

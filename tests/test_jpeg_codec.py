@@ -10,8 +10,10 @@ design), so its correctness is pinned from four independent angles:
 3. pixel round-trip error is BOUNDED, with the synthetic-corpus max
    pinned exactly (2 at quality 90) so the registered bound (4) has
    known margin;
-4. everything unsupported raises loudly (progressive, restart
-   markers, multi-component, 16-bit tables, truncation).
+4. everything unsupported raises loudly (progressive, 16-bit
+   tables, truncation, restart-marker sequence violations); color
+   (YCbCr 4:2:0 MCU interleave) and restart intervals are REAL since
+   r10 and carry their own bit-exactness sections below.
 """
 
 from __future__ import annotations
@@ -197,10 +199,12 @@ def test_unsupported_flavors_raise():
     prog[i + 1] = 0xC2
     with pytest.raises(NotImplementedError, match="baseline"):
         J.decode_jpeg_meta(bytes(prog))
-    # restart interval: splice a DRI segment before SOS
+    # restart intervals are SUPPORTED since r10 — but a DRI that
+    # promises markers the stream doesn't contain must fail loudly:
+    # splice interval-2 DRI into a marker-free 4-block scan
     j = bytes(payload).find(b"\xff\xda")
-    dri = bytes(payload[:j]) + b"\xff\xdd\x00\x04\x00\x08" + bytes(payload[j:])
-    with pytest.raises(NotImplementedError, match="restart"):
+    dri = bytes(payload[:j]) + b"\xff\xdd\x00\x04\x00\x02" + bytes(payload[j:])
+    with pytest.raises(ValueError, match="restart|RST"):
         J.decode_jpeg_coeffs(dri)
     # lying SOF0 Nf (claims 3 components but carries one entry):
     # truncated component list, raises loudly (r10: real multi-
@@ -392,3 +396,48 @@ def test_decode_meta_mixed4_oracle(spark, sf_dir):
     assert_matches_oracle(
         MM.decode_meta_mixed4(spark, sf_dir), MM.DECODE_META_MIXED4_SQL, sf_dir
     )
+
+
+# ------------------------------------------ restart intervals (r10)
+
+
+@pytest.mark.parametrize("ri", [1, 2, 3, 7])
+def test_restart_interval_gray_bit_exact(ri):
+    """DRI/RSTm round trip (gray): the entropy layer stays bit-exact
+    across restart boundaries — byte-aligned 1-bit padding, marker
+    index cycling mod 8, DC predictors reset per interval."""
+    rng = np.random.default_rng(100 + ri)
+    img = rng.integers(0, 256, (33, 41)).astype(np.uint8)
+    payload = J.encode_jpeg(img, 85, restart_interval=ri)
+    assert b"\xff\xdd" in payload and b"\xff\xd0" in payload
+    w, h, qt, blocks = J.decode_jpeg_coeffs(payload)
+    padded = np.pad(img, ((0, (-33) % 8), (0, (-41) % 8)), mode="edge")
+    expected = J.forward_blocks(padded, J.quality_scaled_qt(85))
+    assert all((a == b).all() for a, b in zip(expected, blocks))
+
+
+@pytest.mark.parametrize("ri", [1, 2, 5])
+def test_restart_interval_color_bit_exact(ri):
+    """DRI/RSTm round trip (color): per-component coefficient grids
+    equal the no-restart encode's grids exactly (same quant math; the
+    restart structure only re-packages the entropy stream)."""
+    rng = np.random.default_rng(200 + ri)
+    img = rng.integers(0, 256, (34, 50, 3)).astype(np.uint8)
+    _, _, comps = J.decode_jpeg_components(
+        J.encode_jpeg_color(img, 90, restart_interval=ri)
+    )
+    _, _, comps0 = J.decode_jpeg_components(J.encode_jpeg_color(img, 90))
+    for c, c0 in zip(comps, comps0):
+        assert np.array_equal(c["blocks"], c0["blocks"])
+
+
+def test_restart_marker_sequence_violation_raises():
+    """A wrong RST index (dropped-marker resync scenario) must fail
+    loudly, not desync silently."""
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (33, 41)).astype(np.uint8)
+    payload = bytearray(J.encode_jpeg(img, 85, restart_interval=2))
+    i = bytes(payload).find(b"\xff\xd0")
+    payload[i + 1] = 0xD3
+    with pytest.raises(ValueError, match="RST"):
+        J.decode_jpeg_coeffs(bytes(payload))
