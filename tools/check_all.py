@@ -37,10 +37,13 @@ def _fast_oracle_overrides(sf_dir: str) -> dict[str, str]:
         "minhash_near_dup": fast,
         # the composed admission cascade embeds the same quadratic
         # near stage; the inverted-index form is equivalence-tested in
-        # tests/test_ingest.py
+        # tests/test_ingest.py. The _indexed variants share the
+        # rebuild forms' oracles, so they get the same override.
         "ingest_accept_batch": I.ingest_accept_oracle_sql(fast_near=True),
+        "ingest_accept_batch_indexed": I.ingest_accept_oracle_sql(fast_near=True),
         "ingest_audit": I.ingest_audit_oracle_sql(fast_near=True),
         "ingest_two_batch": I.ingest_two_batch_oracle_sql(fast_near=True),
+        "ingest_two_batch_indexed": I.ingest_two_batch_oracle_sql(fast_near=True),
     }
 
 
