@@ -100,6 +100,7 @@ _TIER1 = [
     "ingest_accept_batch_indexed",
     "ingest_two_batch_indexed",
     "jpeg_color_roundtrip",
+    "jpeg_progressive_roundtrip",
     "decode_meta_mixed4",
     # per-pillar regression keepers (driver-green in earlier rounds;
     # one per operator module — the invariant test pins coverage)
@@ -116,7 +117,6 @@ _TIER1 = [
     "minhash_near_dup",
     "gopher_quality_filter",
     "embedding_centroids",
-    "tpch_q1ish",
     "item_triangles",
     "cdc_apply",
     "table_expectations",
@@ -189,6 +189,7 @@ _TIER2 = [
     "erase_users_roundtrip",
     "item_next_topk",
     "jpeg_roundtrip",
+    "tpch_q1ish",
     # long tail (unchanged relative order)
     "churn_training_set",
     "dup_span_incremental",
@@ -940,6 +941,14 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "jpeg_color_roundtrip": (
             _mm.jpeg_color_roundtrip,
             _mm.JPEG_COLOR_ROUNDTRIP_SQL,
+        ),
+        # PROGRESSIVE (SOF2, r10): four-scan successive approximation;
+        # the per-row eq_baseline boolean proves progressive decode ≡
+        # baseline decode pixel-for-pixel (successive approximation is
+        # lossless on coefficients once every scan lands)
+        "jpeg_progressive_roundtrip": (
+            _mm.jpeg_progressive_roundtrip,
+            _mm.JPEG_PROGRESSIVE_ROUNDTRIP_SQL,
         ),
         # the four-encoding dispatch (BMP/PNG/gray-JPEG/color-JPEG by
         # doc_id mod 4): the two JPEG flavors share a mime and are told

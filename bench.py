@@ -104,6 +104,7 @@ HEADLINE = [
     "decode_meta_mixed3",       # three-codec dispatch over one column
     # r10 additions
     "jpeg_color_roundtrip",     # YCbCr 4:2:0 color encode+decode, bounded error
+    "jpeg_progressive_roundtrip",  # SOF2 successive approximation, = baseline pixels
     "decode_meta_mixed4",       # four-encoding dispatch (incl. color JPEG)
     "value_percentiles_ddsketch",  # log-gamma summary -> quantile pick
     # NOT benched here: item_pagerank / kmeans_lloyd / cluster_canonical

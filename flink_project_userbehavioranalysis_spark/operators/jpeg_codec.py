@@ -3,10 +3,11 @@
 Closes the last honest codec stub in the multimodal pillar: r8 made
 BMP real, r9 made PNG/WAV/AVI real, and ``decode_real`` still raised
 ``NotImplementedError`` for ``image/jpeg``. This module implements
-baseline sequential DCT JPEG — 8-bit GRAYSCALE (one component) and,
-since r10, 3-component YCbCr COLOR with 4:2:0 chroma subsampling (the
-format real-world corpora overwhelmingly contain) — from the public
-spec alone:
+DCT JPEG from the public spec alone — baseline sequential for 8-bit
+GRAYSCALE (one component) and, since r10, 3-component YCbCr COLOR
+with 4:2:0 chroma subsampling (the format real-world corpora
+overwhelmingly contain) plus PROGRESSIVE (SOF2) grayscale with full
+successive approximation:
 
 * forward/inverse 8x8 DCT via the orthonormal DCT-II matrix (numpy),
 * the Annex K.1 luminance and K.2 chrominance quantization tables
@@ -22,6 +23,9 @@ spec alone:
 * restart intervals (DRI segment + byte-aligned RSTm markers with
   modulo-8 sequence checking and per-interval DC-predictor resets,
   spec E.1.4) — the resync structure real-world encoders emit,
+* progressive multi-scan decode and a four-scan encoder (spectral
+  selection + successive approximation per Annex G: DC first/refine,
+  AC band first/refine with EOB runs and buffered correction bits),
 * a full marker writer/parser (SOI/APP0/DQT/SOF0/DHT/SOS/EOI) with
   per-id quant/Huffman table selection.
 
@@ -30,8 +34,8 @@ round-trip is certified by a BOUND (see ``multimodal.jpeg_roundtrip``)
 plus an EXACT losslessness check of the entropy layer: the decoder's
 quantized coefficients must equal the encoder's bit for bit, per
 component (``tests/test_jpeg_codec.py``). Anything the codec does not
-support (progressive SOF2, 12-bit, arithmetic coding) raises
-loudly instead of guessing.
+support (12-bit, arithmetic coding, lossless/hierarchical SOFs,
+progressive color) raises loudly instead of guessing.
 
 No reference analog (the Flink project is scalar-only); this follows
 the builder brief's multimodal pillar. Scale shape: the codec runs
@@ -677,17 +681,17 @@ def _walk_segments(b: bytes):
 
 def decode_jpeg_meta(b: bytes) -> tuple[int, int, int, int]:
     """Parse (width, height, precision, n_components) from the SOF0
-    frame header. Progressive (SOF2) and every other SOF flavor raise
-    — this codec is explicitly baseline-only."""
+    (baseline) or SOF2 (progressive, r10) frame header. Every other
+    SOF flavor (extended sequential, lossless, arithmetic) raises."""
     for marker, start, ln in _walk_segments(b):
-        if marker == 0xFFC0:
+        if marker in (0xFFC0, 0xFFC2):
             precision, h, w, ncomp = struct.unpack_from(">BHHB", b, start)
             return w, h, precision, ncomp
         if 0xFFC1 <= marker <= 0xFFCF and marker not in (0xFFC4, 0xFFC8, 0xFFCC):
             raise NotImplementedError(
-                f"only baseline SOF0 is supported (got {marker:#06x})"
+                f"only SOF0/SOF2 are supported (got {marker:#06x})"
             )
-    raise ValueError("no SOF0 frame header")
+    raise ValueError("no SOF frame header")
 
 
 def _decode_block(
@@ -740,7 +744,12 @@ def decode_jpeg_components(
     non-interleaved; multi-component scans decode MCU-interleaved
     (per-component Hi x Vi blocks per MCU, spec A.2.3) with
     per-component DC predictors. This is the exact-losslessness seam
-    the tests compare bit-for-bit against ``forward_blocks``."""
+    the tests compare bit-for-bit against ``forward_blocks``.
+
+    Progressive payloads (SOF2, r10) route to the multi-scan decoder
+    and come back in the same component structure."""
+    if _is_progressive(b):
+        return _decode_progressive(b)
     qts: dict[int, np.ndarray] = {}
     dims: tuple[int, int] | None = None
     frame_comps: list[tuple[int, int, int, int]] | None = None  # cid,hi,vi,tq
@@ -941,3 +950,384 @@ def decode_jpeg(b: bytes) -> np.ndarray:
             plane = np.repeat(plane, fx, axis=1)
         planes.append(plane[:h, :w])
     return ycbcr_to_rgb(*planes)
+
+
+# --------------------------------------- progressive DCT (SOF2, r10)
+#
+# Full successive-approximation progressive for GRAYSCALE (one
+# component): the libjpeg-default scan style — DC first at Al=1, AC
+# band first at Al=1, DC refinement, AC refinement — implemented from
+# T.81 Annex G alone. Successive approximation is LOSSLESS on the
+# quantized coefficients once every refinement scan lands, so the
+# tests compare the accumulated grid bit-for-bit against
+# ``forward_blocks`` exactly like the baseline entropy seam. The
+# encoder caps EOB runs at 1 (always the EOB0 symbol) so the standard
+# Annex K tables cover every emitted symbol; the decoder implements
+# the general EOBn run. Color progressive and restart markers inside
+# progressive scans raise loudly.
+
+
+def _is_progressive(b: bytes) -> bool:
+    for marker, _start, _ln in _walk_segments(b):
+        if marker == 0xFFC2:
+            return True
+        if marker == 0xFFC0:
+            return False
+    return False
+
+
+def _trunc2(v: int, al: int) -> int:
+    """AC point transform (G.1.2.2): |v| / 2^Al truncated toward zero."""
+    return (abs(v) >> al) * (1 if v >= 0 else -1)
+
+
+def encode_jpeg_progressive(img: np.ndarray, quality: int = 90) -> bytes:
+    """Encode a (h, w) uint8 grayscale array as PROGRESSIVE (SOF2)
+    JFIF JPEG with the four-scan successive-approximation script
+    ``DC@Al=1 → AC[1..63]@Al=1 → DC refine → AC refine``. The
+    coefficient content is identical to :func:`encode_jpeg`'s (same
+    quant table, same forward path) — only the scan packaging
+    differs, so the full decode is bit-identical to the baseline
+    decode (test-asserted)."""
+    if img.ndim != 2 or img.dtype != np.uint8:
+        raise ValueError("expected a (h, w) uint8 grayscale array")
+    h, w = img.shape
+    if h == 0 or w == 0 or h > 65535 or w > 65535:
+        raise ValueError("dimensions out of JPEG range")
+    qt = quality_scaled_qt(quality)
+    padded = np.pad(img, ((0, (-h) % 8), (0, (-w) % 8)), mode="edge")
+    blocks = forward_blocks(padded, qt)
+
+    def sos(ss: int, se: int, ah: int, al: int) -> bytes:
+        return _seg(0xFFDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+
+    # --- scan 1: DC first, Al=1 (arithmetic shift, diff-coded)
+    bw = _BitWriter()
+    prev = 0
+    for zz in blocks:
+        red = int(zz[0]) >> 1
+        diff = red - prev
+        prev = red
+        s = _bitsize(diff)
+        code, length = _STD_DC_CODES[s]
+        bw.write(code, length)
+        if s:
+            bw.write(_enc_magnitude(diff, s), s)
+    bw.flush()
+    scan_dc1 = sos(0, 0, 0, 1) + bytes(bw.buf)
+
+    # --- scan 2: AC band 1..63 first, Al=1 (truncating point transform)
+    bw = _BitWriter()
+    for zz in blocks:
+        run = 0
+        for k in range(1, 64):
+            r = _trunc2(int(zz[k]), 1)
+            if r == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = _STD_AC_CODES[0xF0]
+                bw.write(code, length)
+                run -= 16
+            s = _bitsize(r)
+            code, length = _STD_AC_CODES[(run << 4) | s]
+            bw.write(code, length)
+            bw.write(_enc_magnitude(r, s), s)
+            run = 0
+        if run:
+            code, length = _STD_AC_CODES[0x00]  # EOB (run capped at 1)
+            bw.write(code, length)
+    bw.flush()
+    scan_ac1 = sos(1, 63, 0, 1) + bytes(bw.buf)
+
+    # --- scan 3: DC refinement, Ah=1 Al=0 (one raw bit per block)
+    bw = _BitWriter()
+    for zz in blocks:
+        bw.write(int(zz[0]) & 1, 1)
+    bw.flush()
+    scan_dc2 = sos(0, 0, 1, 0) + bytes(bw.buf)
+
+    # --- scan 4: AC refinement, Ah=1 Al=0 (G.1.2.3): newly nonzero
+    # coefficients (|v| == 1) are run-length coded over ZERO-HISTORY
+    # positions with a sign bit; correction bits (bit 0 of |v|) for
+    # nonzero-history positions crossed along the way are buffered and
+    # flushed after each symbol
+    bw = _BitWriter()
+    for zz in blocks:
+        pending: list[int] = []
+        run = 0
+        for k in range(1, 64):
+            t = abs(int(zz[k]))  # |v| >> Al with Al = 0
+            if t == 0:
+                run += 1
+                continue
+            # a visible (t != 0) position guarantees k <= EOB, so any
+            # backlog of >15 zero-at-this-level positions flushes as
+            # ZRL HERE — before the correction-vs-new split, exactly
+            # the spec ordering (a ZRL must be emitted when the run
+            # backlog is crossed even if the next visible position is
+            # only a correction bit)
+            while run > 15:
+                code, length = _STD_AC_CODES[0xF0]
+                bw.write(code, length)
+                run -= 16
+                for bit in pending:
+                    bw.write(bit, 1)
+                pending = []
+            if t > 1:
+                # nonzero history: one buffered correction bit
+                pending.append(t & 1)
+                continue
+            # newly nonzero at this level: t == 1
+            s_code = (run << 4) | 1
+            code, length = _STD_AC_CODES[s_code]
+            bw.write(code, length)
+            bw.write(1 if int(zz[k]) > 0 else 0, 1)
+            for bit in pending:
+                bw.write(bit, 1)
+            pending = []
+            run = 0
+        if run or pending:
+            code, length = _STD_AC_CODES[0x00]  # EOB (run 1)
+            bw.write(code, length)
+            for bit in pending:
+                bw.write(bit, 1)
+    bw.flush()
+    scan_ac2 = sos(1, 63, 1, 0) + bytes(bw.buf)
+
+    return b"".join(
+        [
+            b"\xff\xd8",
+            _seg(0xFFE0, _JFIF_APP0),
+            _dqt(0, qt),
+            _seg(0xFFC2, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00"),
+            _dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS),
+            _dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS),
+            scan_dc1,
+            scan_ac1,
+            scan_dc2,
+            scan_ac2,
+            b"\xff\xd9",
+        ]
+    )
+
+
+def _finish_scan(r: _BitReader) -> int:
+    """Drain a finished scan to its terminating marker: only the final
+    partial byte's padding may remain. Returns the byte offset of the
+    marker's 0xFF."""
+    while r._end_reason is None and r._real <= 7:
+        r._fill(r._n + 8)
+    if r._real > 7:
+        raise ValueError("scan data not exhausted at scan end")
+    if r._end_marker is None:
+        raise ValueError(r._end_reason or "truncated scan")
+    return r.pos
+
+
+def _decode_progressive(b: bytes) -> tuple[int, int, list[dict]]:
+    """Multi-scan progressive (SOF2) decode for one component:
+    executes every scan in file order, accumulating the coefficient
+    grid per Annex G successive approximation; returns the same
+    component structure as the baseline path."""
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (no SOI)")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    dims: tuple[int, int] | None = None
+    ncomp = None
+    tq0 = 0
+    dhts: dict[tuple[int, int], list[tuple[int, int]]] = {}
+    coef: np.ndarray | None = None
+    n_blocks = 0
+    prev_dc_red = 0  # DC predictor, reduced domain of the DC-first scan
+    eobrun = 0
+    saw_eoi = False
+    while pos + 2 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("expected marker")
+        marker = (b[pos] << 8) | b[pos + 1]
+        if marker == 0xFFD9:
+            saw_eoi = True
+            break
+        (ln,) = struct.unpack_from(">H", b, pos + 2)
+        start = pos + 4
+        seg_len = ln - 2
+        if marker == 0xFFDB:
+            p = start
+            while p < start + seg_len:
+                pq_tq = b[p]
+                if pq_tq >> 4 != 0:
+                    raise NotImplementedError("16-bit quant tables unsupported")
+                tbl = np.zeros((8, 8), dtype=np.int64)
+                for k, (rr, cc) in enumerate(ZIGZAG):
+                    tbl[rr, cc] = b[p + 1 + k]
+                qts[pq_tq & 0x0F] = tbl
+                p += 65
+        elif marker == 0xFFC2:
+            precision, hh, ww, ncomp = struct.unpack_from(">BHHB", b, start)
+            if precision != 8:
+                raise NotImplementedError("only 8-bit precision supported")
+            if ncomp != 1:
+                raise NotImplementedError(
+                    "progressive decode supports one component (grayscale)"
+                )
+            dims = (ww, hh)
+            _cid, _hv, tq0 = struct.unpack_from(">BBB", b, start + 6)
+            n_blocks = ((hh + 7) // 8) * ((ww + 7) // 8)
+            coef = np.zeros((n_blocks, 64), dtype=np.int32)
+        elif marker == 0xFFC4:
+            p = start
+            while p < start + seg_len:
+                tc_th = b[p]
+                bits = list(b[p + 1 : p + 17])
+                nvals = sum(bits)
+                vals = list(b[p + 17 : p + 17 + nvals])
+                dhts[(tc_th >> 4, tc_th & 0x0F)] = _huff_lut_cached(bits, vals)
+                p += 17 + nvals
+        elif marker == 0xFFDD:
+            raise NotImplementedError("restart intervals in progressive scans")
+        elif marker == 0xFFDA:
+            if coef is None or dims is None:
+                raise ValueError("SOS before SOF2")
+            ns = b[start]
+            if ns != 1:
+                raise NotImplementedError("progressive scans must be 1-component")
+            td, ta = b[start + 2] >> 4, b[start + 2] & 0x0F
+            ss, se = b[start + 3], b[start + 4]
+            ah, al = b[start + 5] >> 4, b[start + 5] & 0x0F
+            r = _BitReader(b, start + seg_len)
+            if ss == 0:
+                if se != 0:
+                    raise ValueError("DC scan must have Se = 0")
+                if ah == 0:
+                    dc_tbl = dhts.get((0, td))
+                    if dc_tbl is None:
+                        raise ValueError("missing DC Huffman table")
+                    for i in range(n_blocks):
+                        s = _read_huff(r, dc_tbl)
+                        diff = _extend(r.read_bits(s), s) if s else 0
+                        prev_dc_red += diff
+                        coef[i, 0] = prev_dc_red << al
+                else:
+                    for i in range(n_blocks):
+                        coef[i, 0] |= r.read_bit() << al
+            else:
+                ac_tbl = dhts.get((1, ta))
+                if ac_tbl is None:
+                    raise ValueError("missing AC Huffman table")
+                if ah == 0:
+                    eobrun = 0
+                    for i in range(n_blocks):
+                        if eobrun:
+                            eobrun -= 1
+                            continue
+                        k = ss
+                        while k <= se:
+                            sym = _read_huff(r, ac_tbl)
+                            run, s = sym >> 4, sym & 0x0F
+                            if s == 0:
+                                if run == 15:
+                                    k += 16
+                                    if k > se + 1:
+                                        raise ValueError("ZRL overflows band")
+                                    continue
+                                eobrun = (1 << run) - 1
+                                if run:
+                                    eobrun += r.read_bits(run)
+                                break
+                            k += run
+                            if k > se:
+                                raise ValueError("AC run overflows band")
+                            coef[i, k] = _extend(r.read_bits(s), s) << al
+                            k += 1
+                else:
+                    eobrun = 0
+                    pos_bit = 1 << al
+                    neg_bit = -pos_bit
+
+                    def correct(i: int, k: int) -> None:
+                        # correction bit for a nonzero-history coef:
+                        # a set bit moves |coef| up by 1 << Al once
+                        if r.read_bit() and not (
+                            abs(int(coef[i, k])) & pos_bit
+                        ):
+                            coef[i, k] += pos_bit if coef[i, k] > 0 else neg_bit
+
+                    for i in range(n_blocks):
+                        k = ss
+                        if eobrun == 0:
+                            while k <= se:
+                                sym = _read_huff(r, ac_tbl)
+                                run, s = sym >> 4, sym & 0x0F
+                                newval = 0
+                                if s == 0:
+                                    if run != 15:  # EOBn
+                                        eobrun = 1 << run
+                                        if run:
+                                            eobrun += r.read_bits(run)
+                                        break
+                                    # ZRL: exactly 16 zeros skipped —
+                                    # run 15 + the terminal k++ below
+                                elif s == 1:
+                                    newval = pos_bit if r.read_bit() else neg_bit
+                                else:
+                                    raise ValueError("invalid refinement symbol")
+                                # advance: correct nonzero coefs along
+                                # the way; break AT the (run+1)-th zero
+                                # (spec G.2: the walk ends on the zero
+                                # slot the new value lands in, and the
+                                # terminal k++ consumes it for ZRL)
+                                while k <= se:
+                                    if coef[i, k] != 0:
+                                        correct(i, k)
+                                    else:
+                                        run -= 1
+                                        if run < 0:
+                                            break
+                                    k += 1
+                                if newval:
+                                    if k > se:
+                                        raise ValueError(
+                                            "refinement run overflows band"
+                                        )
+                                    coef[i, k] = newval
+                                k += 1
+                        if eobrun:
+                            # EOB run covers the REST of this block's
+                            # band: correction bits still arrive for
+                            # nonzero-history coefficients
+                            while k <= se:
+                                if coef[i, k] != 0:
+                                    correct(i, k)
+                                k += 1
+                            eobrun -= 1
+            pos = _finish_scan(r)
+            continue
+        elif 0xFFC0 <= marker <= 0xFFCF and marker not in (0xFFC4, 0xFFC8, 0xFFCC):
+            raise NotImplementedError("mixed SOF flavors unsupported")
+        pos += 2 + ln
+    if not saw_eoi:
+        raise ValueError("truncated progressive JPEG (no EOI)")
+    if coef is None or dims is None:
+        raise ValueError("no frame/scan data")
+    if tq0 not in qts:
+        raise ValueError(f"missing quant table {tq0}")
+    w, h = dims
+    bw_c = (w + 7) // 8
+    bh_c = (h + 7) // 8
+    return (
+        w,
+        h,
+        [
+            {
+                "cid": 1,
+                "hi": 1,
+                "vi": 1,
+                "qt": qts[tq0],
+                "bw": bw_c,
+                "bh": bh_c,
+                "blocks": coef,
+            }
+        ],
+    )

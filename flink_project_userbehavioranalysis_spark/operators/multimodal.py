@@ -1326,6 +1326,85 @@ FROM (
 """
 
 
+def jpeg_progressive_roundtrip(
+    spark: SparkSession, sf_dir: str, bound: int = 4
+) -> DataFrame:
+    """PROGRESSIVE (SOF2) encode→decode round trip (r10): each
+    document's synthetic grayscale image through the four-scan
+    successive-approximation pipeline. Successive approximation is
+    LOSSLESS on the quantized coefficients once all scans land, so the
+    progressive decode must be PIXEL-IDENTICAL to the baseline decode
+    of the same image — asserted per row as ``eq_baseline`` (the
+    oracle states TRUE), alongside the same error bound as
+    ``jpeg_roundtrip`` (coefficients identical ⇒ same bound 4)."""
+    import numpy as np
+
+    from flink_project_userbehavioranalysis_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    src_docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("tb")
+    )
+
+    def rt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for doc_id, tb in zip(pdf["doc_id"], pdf["tb"]):
+                n = 0 if tb is None else len(bytes(tb))
+                w, h = _bmp_dims(n)
+                src = np.array(
+                    [[_bmp_row_byte(n, r)] * w for r in range(h)], dtype=np.uint8
+                )
+                out = decode_jpeg(encode_jpeg_progressive(src, quality=90))
+                base = decode_jpeg(encode_jpeg(src, quality=90))
+                assert out.shape == (h, w)
+                max_err = int(
+                    np.abs(out.astype(np.int64) - src.astype(np.int64)).max()
+                )
+                recs.append(
+                    (
+                        doc_id,
+                        w,
+                        h,
+                        out.size,
+                        max_err <= bound,
+                        bool(np.array_equal(out, base)),
+                    )
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "doc_id", "width", "height", "n_samples",
+                    "max_err_le_4", "eq_baseline",
+                ],
+            )
+
+    return src_docs.mapInPandas(
+        rt,
+        "doc_id BIGINT, width INT, height INT, n_samples BIGINT,"
+        " max_err_le_4 BOOLEAN, eq_baseline BOOLEAN",
+    )
+
+
+JPEG_PROGRESSIVE_ROUNDTRIP_SQL = """
+SELECT doc_id,
+       CAST(width AS INTEGER) AS width,
+       CAST(height AS INTEGER) AS height,
+       CAST(width * height AS BIGINT) AS n_samples,
+       TRUE AS max_err_le_4,
+       TRUE AS eq_baseline
+FROM (
+    SELECT doc_id,
+           coalesce(octet_length(CAST(text AS BLOB)), 0) % 31 + 1 AS width,
+           coalesce(octet_length(CAST(text AS BLOB)), 0) % 17 + 1 AS height
+    FROM documents
+)
+"""
+
+
 def attach_image4_payload(docs: DataFrame) -> DataFrame:
     """documents → (doc_id, mime, payload) mixing all FOUR real image
     encodings in one binary column (doc_id mod 4: BMP / PNG /

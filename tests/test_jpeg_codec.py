@@ -193,12 +193,21 @@ def test_decode_meta_without_full_decode():
 
 def test_unsupported_flavors_raise():
     payload = bytearray(J.encode_jpeg(_synth(42), 90))
-    # progressive: SOF0 (FFC0) -> SOF2 (FFC2)
     i = bytes(payload).find(b"\xff\xc0")
+    # extended sequential (SOF1) and other non-SOF0/SOF2 flavors raise
+    sof1 = payload.copy()
+    sof1[i + 1] = 0xC1
+    with pytest.raises(NotImplementedError, match="SOF0/SOF2"):
+        J.decode_jpeg_meta(bytes(sof1))
+    # a LYING SOF2 marker on baseline scan data routes to the
+    # progressive decoder, whose scan-header validation rejects the
+    # baseline full-band DC+AC scan (progressive is real since r10, so
+    # the old blanket rejection is gone — see the progressive section)
     prog = payload.copy()
     prog[i + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="baseline"):
-        J.decode_jpeg_meta(bytes(prog))
+    assert J.decode_jpeg_meta(bytes(prog))[3] == 1  # meta parses fine
+    with pytest.raises(ValueError, match="DC scan"):
+        J.decode_jpeg_components(bytes(prog))
     # restart intervals are SUPPORTED since r10 — but a DRI that
     # promises markers the stream doesn't contain must fail loudly:
     # splice interval-2 DRI into a marker-free 4-block scan
@@ -441,3 +450,61 @@ def test_restart_marker_sequence_violation_raises():
     payload[i + 1] = 0xD3
     with pytest.raises(ValueError, match="RST"):
         J.decode_jpeg_coeffs(bytes(payload))
+
+
+# --------------------------------------- progressive (SOF2, r10)
+
+
+@pytest.mark.parametrize("shape", [(8, 8), (16, 24), (23, 37), (1, 1), (33, 41)])
+@pytest.mark.parametrize("quality", [20, 75, 90])
+def test_progressive_coefficients_bit_exact(shape, quality):
+    """Successive approximation is LOSSLESS on the quantized
+    coefficients once every scan lands: the progressive decoder's
+    accumulated grid equals forward_blocks bit for bit — DC
+    first/refine (arithmetic point transform) and AC band
+    first/refine (truncating point transform, EOB runs, buffered
+    correction bits) are all exactly invertible."""
+    rng = np.random.default_rng(shape[0] * 77 + shape[1] + quality)
+    img = rng.integers(0, 256, shape).astype(np.uint8)
+    payload = J.encode_jpeg_progressive(img, quality)
+    w, h, comps = J.decode_jpeg_components(payload)
+    assert (w, h) == (shape[1], shape[0])
+    padded = np.pad(
+        img, ((0, (-shape[0]) % 8), (0, (-shape[1]) % 8)), mode="edge"
+    )
+    expected = np.stack(J.forward_blocks(padded, J.quality_scaled_qt(quality)))
+    assert np.array_equal(comps[0]["blocks"], expected)
+
+
+def test_progressive_decode_identical_to_baseline():
+    """Same coefficients ⇒ same pixels: the progressive full decode
+    is byte-identical to the baseline decode of the same image."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (29, 43)).astype(np.uint8)
+    prog = J.decode_jpeg(J.encode_jpeg_progressive(img, 90))
+    base = J.decode_jpeg(J.encode_jpeg(img, 90))
+    assert np.array_equal(prog, base)
+    # and meta reports SOF2 dims like any other flavor
+    assert J.decode_jpeg_meta(J.encode_jpeg_progressive(img, 90)) == (43, 29, 8, 1)
+
+
+def test_progressive_unsupported_flavors_raise():
+    payload = bytearray(J.encode_jpeg_progressive(_synth(11), 90))
+    # color progressive: patch Nf — truncated component list raises
+    i = bytes(payload).find(b"\xff\xc2")
+    multi = payload.copy()
+    multi[i + 9] = 3
+    with pytest.raises((NotImplementedError, ValueError)):
+        J.decode_jpeg_components(bytes(multi))
+    # truncation inside a scan
+    j = bytes(payload).rfind(b"\xff\xda")
+    with pytest.raises(ValueError):
+        J.decode_jpeg_components(bytes(payload[: j + 12]))
+    # no EOI
+    with pytest.raises(ValueError, match="EOI|truncated"):
+        J.decode_jpeg_components(bytes(payload[:-2]))
+
+
+def test_jpeg_progressive_roundtrip_oracle(spark, sf_dir):
+    df = MM.jpeg_progressive_roundtrip(spark, sf_dir)
+    assert_matches_oracle(df, MM.JPEG_PROGRESSIVE_ROUNDTRIP_SQL, sf_dir)
