@@ -102,6 +102,7 @@ _TIER1 = [
     "jpeg_color_roundtrip",
     "jpeg_progressive_roundtrip",
     "decode_meta_mixed4",
+    "decode_meta_mixed6",
     # per-pillar regression keepers (driver-green in earlier rounds;
     # one per operator module — the invariant test pins coverage)
     "hot_items_topn",
@@ -118,7 +119,6 @@ _TIER1 = [
     "gopher_quality_filter",
     "embedding_centroids",
     "item_triangles",
-    "cdc_apply",
     "table_expectations",
     # the 29 hash-oracled streaming twins — never driver-verified
     # before r10 (each is a finite replay; oracle = the batch twin's)
@@ -190,6 +190,7 @@ _TIER2 = [
     "item_next_topk",
     "jpeg_roundtrip",
     "tpch_q1ish",
+    "cdc_apply",
     # long tail (unchanged relative order)
     "churn_training_set",
     "dup_span_incremental",
@@ -956,6 +957,13 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "decode_meta_mixed4": (
             _mm.decode_meta_mixed4,
             _mm.DECODE_META_MIXED4_SQL,
+        ),
+        # the six-encoding dispatch (r10): + grayscale and RGBA PNG —
+        # three rows share image/png, two share image/jpeg; every row
+        # disambiguated only by its parsed header
+        "decode_meta_mixed6": (
+            _mm.decode_meta_mixed6,
+            _mm.DECODE_META_MIXED6_SQL,
         ),
         # ---- Streaming entries from here down: each runs a full finite
         # streaming job (seconds each) — kept LAST so a time-budgeted

@@ -269,23 +269,31 @@ def _png_chunk(tag: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(text_bytes: bytes | None) -> bytes:
-    """Build a complete, valid 8-bit RGB PNG for a document payload:
-    same deterministic dimensions/pixels as the BMP path, filter type
-    cycling r % 5 per scanline."""
+#: PNG color type -> samples per pixel (the three non-palette,
+#: non-16-bit types this module implements: grayscale / RGB / RGBA).
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def encode_png(text_bytes: bytes | None, color_type: int = 2) -> bytes:
+    """Build a complete, valid 8-bit PNG for a document payload —
+    color type 2 (RGB, the default), 0 (grayscale) or 6 (RGBA, alpha
+    carrying the same row byte) — same deterministic dimensions/pixels
+    as the BMP path, filter type cycling r % 5 per scanline so every
+    unfilter path is exercised for every color type."""
     import zlib
 
+    ch = _PNG_CHANNELS[color_type]
     n = len(text_bytes) if text_bytes is not None else 0
     w, h = _bmp_dims(n)
-    rows = [bytes([_bmp_row_byte(n, r)]) * (3 * w) for r in range(h)]
+    rows = [bytes([_bmp_row_byte(n, r)]) * (ch * w) for r in range(h)]
     filtered = bytearray()
-    prev = bytes(3 * w)
+    prev = bytes(ch * w)
     for r, raw in enumerate(rows):
         ft = r % 5
         filtered.append(ft)
-        filtered += _png_filter_line(ft, raw, prev, 3)
+        filtered += _png_filter_line(ft, raw, prev, ch)
         prev = raw
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -316,12 +324,15 @@ def decode_png_meta(b: bytes) -> tuple[int, int, int, int]:
 def png_scanlines(b: bytes) -> list[bytes]:
     """Decode every scanline: walk the chunk stream (CRC-verifying
     each chunk), concatenate IDAT data, inflate, and unfilter row by
-    row. 8-bit RGB non-interlaced only — anything else raises."""
+    row. 8-bit non-interlaced grayscale / RGB / RGBA (color types
+    0/2/6, r10) — palette and 16-bit raise."""
     import zlib
 
     width, height, bit_depth, color_type = decode_png_meta(b)
-    if (bit_depth, color_type) != (8, 2):
-        raise NotImplementedError("only 8-bit RGB PNGs are supported")
+    if bit_depth != 8 or color_type not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            "only 8-bit grayscale/RGB/RGBA PNGs are supported"
+        )
     idat = bytearray()
     pos = 8
     while pos < len(b):
@@ -337,14 +348,15 @@ def png_scanlines(b: bytes) -> list[bytes]:
         if tag == b"IEND":
             break
     raw = zlib.decompress(bytes(idat))
-    stride = 3 * width
+    ch = _PNG_CHANNELS[color_type]
+    stride = ch * width
     if len(raw) != height * (stride + 1):
         raise ValueError("IDAT length does not match dimensions")
     rows: list[bytes] = []
     prev = bytes(stride)
     for r in range(height):
         off = r * (stride + 1)
-        row = _png_unfilter_line(raw[off], raw[off + 1 : off + 1 + stride], prev, 3)
+        row = _png_unfilter_line(raw[off], raw[off + 1 : off + 1 + stride], prev, ch)
         rows.append(row)
         prev = row
     return rows
@@ -441,8 +453,10 @@ def decode_real(payload: bytes, mime: str) -> tuple[int, int, int, int]:
         return w, h, bpp, ((bpp // 8 * w + 3) // 4) * 4 * h
     if mime == "image/png":
         w, h, bit_depth, color_type = decode_png_meta(payload)
-        if (bit_depth, color_type) != (8, 2):
-            raise NotImplementedError("only 8-bit RGB PNGs are supported")
+        if bit_depth != 8 or color_type not in _PNG_CHANNELS:
+            raise NotImplementedError(
+                "only 8-bit grayscale/RGB/RGBA PNGs are supported"
+            )
         # data_size measured from the actual inflated IDAT (not the
         # header): a truncated stream is a decode error, not a guess
         idat = bytearray()
@@ -455,7 +469,12 @@ def decode_real(payload: bytes, mime: str) -> tuple[int, int, int, int]:
             pos += 12 + ln
             if tag == b"IEND":
                 break
-        return w, h, 3 * bit_depth, len(zlib.decompress(bytes(idat)))
+        return (
+            w,
+            h,
+            _PNG_CHANNELS[color_type] * bit_depth,
+            len(zlib.decompress(bytes(idat))),
+        )
     if mime == "image/jpeg":
         # data_size measured from the ACTUAL full decode (entropy +
         # IDCT), not the header — a corrupt scan is a decode error
@@ -1503,6 +1522,122 @@ SELECT doc_id,
                  WHEN 0 THEN ((3 * width + 3) // 4) * 4 * height
                  WHEN 1 THEN (3 * width + 1) * height
                  WHEN 2 THEN width * height
+                 ELSE width * height * 3 END AS BIGINT) AS data_size
+FROM (
+    SELECT doc_id,
+           coalesce(octet_length(CAST(text AS BLOB)), 0) % 31 + 1 AS width,
+           coalesce(octet_length(CAST(text AS BLOB)), 0) % 17 + 1 AS height
+    FROM documents
+)
+"""
+
+
+def attach_image6_payload(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, mime, payload): the full format zoo in ONE
+    binary column (doc_id mod 6: BMP / PNG-RGB / PNG-grayscale /
+    PNG-RGBA / baseline grayscale JPEG / color 4:2:0 JPEG with
+    doc-dependent restart intervals). Three of the six share the
+    image/png mime and two share image/jpeg — every row is told apart
+    only by its parsed header (IHDR color type, SOF0 component count),
+    exactly like a crawl directory. Arrow-batched encode."""
+    import numpy as np
+
+    from flink_project_userbehavioranalysis_spark.operators.jpeg_codec import (
+        encode_jpeg,
+        encode_jpeg_color,
+    )
+
+    src = docs.select("doc_id", F.col("text").cast("binary").alias("tb"))
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for doc_id, tb in zip(pdf["doc_id"], pdf["tb"]):
+                t = None if tb is None else bytes(tb)
+                n = 0 if t is None else len(t)
+                m = doc_id % 6
+                if m == 0:
+                    recs.append((doc_id, "image/bmp", encode_bmp(t)))
+                elif m == 1:
+                    recs.append((doc_id, "image/png", encode_png(t, 2)))
+                elif m == 2:
+                    recs.append((doc_id, "image/png", encode_png(t, 0)))
+                elif m == 3:
+                    recs.append((doc_id, "image/png", encode_png(t, 6)))
+                elif m == 4:
+                    w, h = _bmp_dims(n)
+                    img = np.array(
+                        [[_bmp_row_byte(n, r)] * w for r in range(h)],
+                        dtype=np.uint8,
+                    )
+                    recs.append((doc_id, "image/jpeg", encode_jpeg(img, quality=90)))
+                else:
+                    w, h = _bmp_dims(n)
+                    recs.append(
+                        (
+                            doc_id,
+                            "image/jpeg",
+                            encode_jpeg_color(
+                                _color_image(n, w, h),
+                                quality=90,
+                                restart_interval=int(doc_id % 7 % 4),
+                            ),
+                        )
+                    )
+            yield pd.DataFrame(recs, columns=["doc_id", "mime", "payload"])
+
+    return src.mapInPandas(enc, "doc_id BIGINT, mime STRING, payload BINARY")
+
+
+def decode_meta_mixed6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The six-encoding dispatch over ONE mixed payload column (r10 —
+    extends mixed4 with grayscale and RGBA PNG): every row decoded by
+    its own REAL parser via ``decode_real``, formats disambiguated
+    only by their parsed headers; the hash oracle states each
+    encoding's closed-form meta exactly."""
+    payloads = attach_image6_payload(load_table(spark, sf_dir, "documents"))
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for doc_id, mime, payload in zip(
+                pdf["doc_id"], pdf["mime"], pdf["payload"]
+            ):
+                w, h, bpp, data_size = decode_real(bytes(payload), mime)
+                recs.append((doc_id, mime, w, h, bpp, data_size))
+            yield pd.DataFrame(
+                recs,
+                columns=["doc_id", "mime", "width", "height", "bpp", "data_size"],
+            )
+
+    return payloads.mapInPandas(
+        dec,
+        "doc_id BIGINT, mime STRING, width INT, height INT, bpp INT,"
+        " data_size BIGINT",
+    )
+
+
+DECODE_META_MIXED6_SQL = """
+SELECT doc_id,
+       CASE doc_id % 6 WHEN 0 THEN 'image/bmp'
+                       WHEN 1 THEN 'image/png'
+                       WHEN 2 THEN 'image/png'
+                       WHEN 3 THEN 'image/png'
+                       ELSE 'image/jpeg' END AS mime,
+       CAST(width AS INTEGER) AS width,
+       CAST(height AS INTEGER) AS height,
+       CASE doc_id % 6 WHEN 0 THEN 24
+                       WHEN 1 THEN 24
+                       WHEN 2 THEN 8
+                       WHEN 3 THEN 32
+                       WHEN 4 THEN 8
+                       ELSE 24 END AS bpp,
+       CAST(CASE doc_id % 6
+                 WHEN 0 THEN ((3 * width + 3) // 4) * 4 * height
+                 WHEN 1 THEN (3 * width + 1) * height
+                 WHEN 2 THEN (width + 1) * height
+                 WHEN 3 THEN (4 * width + 1) * height
+                 WHEN 4 THEN width * height
                  ELSE width * height * 3 END AS BIGINT) AS data_size
 FROM (
     SELECT doc_id,

@@ -238,3 +238,49 @@ def test_decode_meta_mixed3_oracle_and_dispatch(spark, sf_dir):
     assert_matches_oracle(df, MM.DECODE_META_MIXED3_SQL, sf_dir)
     mimes = {r["mime"] for r in df.select("mime").distinct().collect()}
     assert mimes == {"image/bmp", "image/png", "image/jpeg"}
+
+
+def test_png_grayscale_and_rgba_scanlines_exact():
+    """r10 PNG breadth: color types 0 (grayscale) and 6 (RGBA) decode
+    through the same CRC-verified chunk walk + all-five-filter
+    unfilter path with exact scanline content (the filter cycler
+    exercises every filter for every channel count)."""
+    from flink_project_userbehavioranalysis_spark.operators.multimodal import (
+        _bmp_dims,
+        _bmp_row_byte,
+        decode_png_meta,
+        encode_png,
+        png_scanlines,
+    )
+
+    for ct, ch in ((0, 1), (2, 3), (6, 4)):
+        t = b"x" * 123
+        w, h = _bmp_dims(123)
+        p = encode_png(t, ct)
+        assert decode_png_meta(p) == (w, h, 8, ct)
+        rows = png_scanlines(p)
+        assert len(rows) == h
+        for r, row in enumerate(rows):
+            assert row == bytes([_bmp_row_byte(123, r)]) * (ch * w), (ct, r)
+
+
+def test_decode_real_png_breadth_and_mixed6_oracle(spark, sf_dir):
+    from flink_project_userbehavioranalysis_spark.operators.multimodal import (
+        DECODE_META_MIXED6_SQL,
+        _bmp_dims,
+        decode_meta_mixed6,
+        decode_real,
+        encode_png,
+    )
+    from tests.oracle import assert_matches_oracle
+
+    w, h = _bmp_dims(57)
+    assert decode_real(encode_png(b"y" * 57, 0), "image/png") == (
+        w, h, 8, (w + 1) * h,
+    )
+    assert decode_real(encode_png(b"y" * 57, 6), "image/png") == (
+        w, h, 32, (4 * w + 1) * h,
+    )
+    assert_matches_oracle(
+        decode_meta_mixed6(spark, sf_dir), DECODE_META_MIXED6_SQL, sf_dir
+    )
