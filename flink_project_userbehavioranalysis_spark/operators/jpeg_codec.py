@@ -6,8 +6,8 @@ BMP real, r9 made PNG/WAV/AVI real, and ``decode_real`` still raised
 DCT JPEG from the public spec alone — baseline sequential for 8-bit
 GRAYSCALE (one component) and, since r10, 3-component YCbCr COLOR
 with 4:2:0 chroma subsampling (the format real-world corpora
-overwhelmingly contain) plus PROGRESSIVE (SOF2) grayscale with full
-successive approximation:
+overwhelmingly contain) plus PROGRESSIVE (SOF2) — grayscale AND
+color — with full successive approximation:
 
 * forward/inverse 8x8 DCT via the orthonormal DCT-II matrix (numpy),
 * the Annex K.1 luminance and K.2 chrominance quantization tables
@@ -34,8 +34,8 @@ round-trip is certified by a BOUND (see ``multimodal.jpeg_roundtrip``)
 plus an EXACT losslessness check of the entropy layer: the decoder's
 quantized coefficients must equal the encoder's bit for bit, per
 component (``tests/test_jpeg_codec.py``). Anything the codec does not
-support (12-bit, arithmetic coding, lossless/hierarchical SOFs,
-progressive color) raises loudly instead of guessing.
+support (12-bit, arithmetic coding, lossless/hierarchical SOFs)
+raises loudly instead of guessing.
 
 No reference analog (the Flink project is scalar-only); this follows
 the builder brief's multimodal pillar. Scale shape: the codec runs
@@ -954,17 +954,25 @@ def decode_jpeg(b: bytes) -> np.ndarray:
 
 # --------------------------------------- progressive DCT (SOF2, r10)
 #
-# Full successive-approximation progressive for GRAYSCALE (one
-# component): the libjpeg-default scan style — DC first at Al=1, AC
-# band first at Al=1, DC refinement, AC refinement — implemented from
-# T.81 Annex G alone. Successive approximation is LOSSLESS on the
-# quantized coefficients once every refinement scan lands, so the
-# tests compare the accumulated grid bit-for-bit against
-# ``forward_blocks`` exactly like the baseline entropy seam. The
-# encoder caps EOB runs at 1 (always the EOB0 symbol) so the standard
-# Annex K tables cover every emitted symbol; the decoder implements
-# the general EOBn run. Color progressive and restart markers inside
-# progressive scans raise loudly.
+# Full successive-approximation progressive — GRAYSCALE and, in the
+# same pass, 3-component YCbCr 4:2:0 COLOR — implemented from T.81
+# Annex G alone, in the libjpeg-default scan style: interleaved DC
+# first at Al=1, per-component AC band first at Al=1, DC refinement,
+# per-component AC refinement. Successive approximation is LOSSLESS
+# on the quantized coefficients once every refinement scan lands, so
+# the tests compare the accumulated grids bit-for-bit against
+# ``forward_blocks`` exactly like the baseline entropy seam. Two
+# structural spec rules the code pins:
+#   * interleaved scans (ns > 1) are DC-only in progressive (spec
+#     G.1.1.1) and cover the MCU-padded grid;
+#   * non-interleaved scans cover the COMPONENT's own ceil(dims/8)
+#     grid (spec A.2.2) — for 4:2:0 Y that grid can be NARROWER than
+#     the MCU-padded one, so AC never lands on pure-pad blocks (they
+#     stay DC-only flat, entirely outside the crop).
+# The encoder caps EOB runs at 1 (always the EOB0 symbol) so the
+# standard Annex K tables cover every emitted symbol; the decoder
+# implements the general EOBn run. Restart markers inside progressive
+# scans raise loudly.
 
 
 def _is_progressive(b: bytes) -> bool:
@@ -979,6 +987,85 @@ def _is_progressive(b: bytes) -> bool:
 def _trunc2(v: int, al: int) -> int:
     """AC point transform (G.1.2.2): |v| / 2^Al truncated toward zero."""
     return (abs(v) >> al) * (1 if v >= 0 else -1)
+
+
+# ----- per-scan encoders (shared by the gray and color progressive
+# ----- entry points; ``blocks`` is an iterable of zigzag int32[64])
+
+
+def _enc_ac_first(bw: _BitWriter, blocks, ac_codes, al: int) -> None:
+    """AC band [1..63] first scan at successive-approximation level
+    ``al`` (truncating point transform), EOB run capped at one block."""
+    for zz in blocks:
+        run = 0
+        for k in range(1, 64):
+            r = _trunc2(int(zz[k]), al)
+            if r == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_codes[0xF0]
+                bw.write(code, length)
+                run -= 16
+            s = _bitsize(r)
+            code, length = ac_codes[(run << 4) | s]
+            bw.write(code, length)
+            bw.write(_enc_magnitude(r, s), s)
+            run = 0
+        if run:
+            code, length = ac_codes[0x00]  # EOB (run capped at 1)
+            bw.write(code, length)
+
+
+def _enc_ac_refine(bw: _BitWriter, blocks, ac_codes, al: int) -> None:
+    """AC band [1..63] refinement scan to level ``al`` (G.1.2.3):
+    newly nonzero coefficients run-length coded over zero-at-this-
+    level slots with a sign bit; buffered correction bits for
+    nonzero-history positions flush after each symbol."""
+    for zz in blocks:
+        pending: list[int] = []
+        run = 0
+        for k in range(1, 64):
+            t = abs(int(zz[k])) >> al
+            if t == 0:
+                run += 1
+                continue
+            # a visible (t != 0) position guarantees k <= EOB, so any
+            # backlog of >15 zero-at-this-level positions flushes as
+            # ZRL HERE — before the correction-vs-new split, exactly
+            # the spec ordering
+            while run > 15:
+                code, length = ac_codes[0xF0]
+                bw.write(code, length)
+                run -= 16
+                for bit in pending:
+                    bw.write(bit, 1)
+                pending = []
+            if t > 1:
+                # nonzero history: one buffered correction bit
+                pending.append(t & 1)
+                continue
+            # newly nonzero at this level: t == 1
+            code, length = ac_codes[(run << 4) | 1]
+            bw.write(code, length)
+            bw.write(1 if int(zz[k]) > 0 else 0, 1)
+            for bit in pending:
+                bw.write(bit, 1)
+            pending = []
+            run = 0
+        if run or pending:
+            code, length = ac_codes[0x00]  # EOB (run 1)
+            bw.write(code, length)
+            for bit in pending:
+                bw.write(bit, 1)
+
+
+def _sos_prog(comps: list[tuple[int, int]], ss: int, se: int, ah: int, al: int) -> bytes:
+    """Progressive SOS header: comps = [(cid, (Td<<4)|Ta), ...]."""
+    body = bytes([len(comps)])
+    for cid, tdta in comps:
+        body += bytes([cid, tdta])
+    return _seg(0xFFDA, body + bytes([ss, se, (ah << 4) | al]))
 
 
 def encode_jpeg_progressive(img: np.ndarray, quality: int = 90) -> bytes:
@@ -998,9 +1085,6 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 90) -> bytes:
     padded = np.pad(img, ((0, (-h) % 8), (0, (-w) % 8)), mode="edge")
     blocks = forward_blocks(padded, qt)
 
-    def sos(ss: int, se: int, ah: int, al: int) -> bytes:
-        return _seg(0xFFDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
-
     # --- scan 1: DC first, Al=1 (arithmetic shift, diff-coded)
     bw = _BitWriter()
     prev = 0
@@ -1014,86 +1098,26 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 90) -> bytes:
         if s:
             bw.write(_enc_magnitude(diff, s), s)
     bw.flush()
-    scan_dc1 = sos(0, 0, 0, 1) + bytes(bw.buf)
+    scan_dc1 = _sos_prog([(1, 0x00)], 0, 0, 0, 1) + bytes(bw.buf)
 
-    # --- scan 2: AC band 1..63 first, Al=1 (truncating point transform)
+    # --- scan 2: AC band first, Al=1
     bw = _BitWriter()
-    for zz in blocks:
-        run = 0
-        for k in range(1, 64):
-            r = _trunc2(int(zz[k]), 1)
-            if r == 0:
-                run += 1
-                continue
-            while run > 15:
-                code, length = _STD_AC_CODES[0xF0]
-                bw.write(code, length)
-                run -= 16
-            s = _bitsize(r)
-            code, length = _STD_AC_CODES[(run << 4) | s]
-            bw.write(code, length)
-            bw.write(_enc_magnitude(r, s), s)
-            run = 0
-        if run:
-            code, length = _STD_AC_CODES[0x00]  # EOB (run capped at 1)
-            bw.write(code, length)
+    _enc_ac_first(bw, blocks, _STD_AC_CODES, 1)
     bw.flush()
-    scan_ac1 = sos(1, 63, 0, 1) + bytes(bw.buf)
+    scan_ac1 = _sos_prog([(1, 0x00)], 1, 63, 0, 1) + bytes(bw.buf)
 
-    # --- scan 3: DC refinement, Ah=1 Al=0 (one raw bit per block)
+    # --- scan 3: DC refinement (one raw bit per block)
     bw = _BitWriter()
     for zz in blocks:
         bw.write(int(zz[0]) & 1, 1)
     bw.flush()
-    scan_dc2 = sos(0, 0, 1, 0) + bytes(bw.buf)
+    scan_dc2 = _sos_prog([(1, 0x00)], 0, 0, 1, 0) + bytes(bw.buf)
 
-    # --- scan 4: AC refinement, Ah=1 Al=0 (G.1.2.3): newly nonzero
-    # coefficients (|v| == 1) are run-length coded over ZERO-HISTORY
-    # positions with a sign bit; correction bits (bit 0 of |v|) for
-    # nonzero-history positions crossed along the way are buffered and
-    # flushed after each symbol
+    # --- scan 4: AC refinement
     bw = _BitWriter()
-    for zz in blocks:
-        pending: list[int] = []
-        run = 0
-        for k in range(1, 64):
-            t = abs(int(zz[k]))  # |v| >> Al with Al = 0
-            if t == 0:
-                run += 1
-                continue
-            # a visible (t != 0) position guarantees k <= EOB, so any
-            # backlog of >15 zero-at-this-level positions flushes as
-            # ZRL HERE — before the correction-vs-new split, exactly
-            # the spec ordering (a ZRL must be emitted when the run
-            # backlog is crossed even if the next visible position is
-            # only a correction bit)
-            while run > 15:
-                code, length = _STD_AC_CODES[0xF0]
-                bw.write(code, length)
-                run -= 16
-                for bit in pending:
-                    bw.write(bit, 1)
-                pending = []
-            if t > 1:
-                # nonzero history: one buffered correction bit
-                pending.append(t & 1)
-                continue
-            # newly nonzero at this level: t == 1
-            s_code = (run << 4) | 1
-            code, length = _STD_AC_CODES[s_code]
-            bw.write(code, length)
-            bw.write(1 if int(zz[k]) > 0 else 0, 1)
-            for bit in pending:
-                bw.write(bit, 1)
-            pending = []
-            run = 0
-        if run or pending:
-            code, length = _STD_AC_CODES[0x00]  # EOB (run 1)
-            bw.write(code, length)
-            for bit in pending:
-                bw.write(bit, 1)
+    _enc_ac_refine(bw, blocks, _STD_AC_CODES, 0)
     bw.flush()
-    scan_ac2 = sos(1, 63, 1, 0) + bytes(bw.buf)
+    scan_ac2 = _sos_prog([(1, 0x00)], 1, 63, 1, 0) + bytes(bw.buf)
 
     return b"".join(
         [
@@ -1112,6 +1136,128 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 90) -> bytes:
     )
 
 
+def encode_jpeg_color_progressive(img: np.ndarray, quality: int = 90) -> bytes:
+    """Encode a (h, w, 3) uint8 RGB array as PROGRESSIVE (SOF2) YCbCr
+    4:2:0 JPEG — the libjpeg-default shape real photo corpora contain:
+    an INTERLEAVED DC first scan (all three components, MCU order,
+    Al=1), per-component AC band first scans (non-interleaved over
+    each component's ceil(dims/8) grid, spec A.2.2), an interleaved DC
+    refinement, and per-component AC refinements. Coefficient content
+    matches :func:`encode_jpeg_color` exactly on every block the
+    non-interleaved grids cover, so the CROPPED pixel decode is
+    bit-identical to the baseline color decode (test-asserted; MCU-pad
+    blocks outside the crop stay DC-only flat)."""
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError("expected a (h, w, 3) uint8 RGB array")
+    h, w = img.shape[:2]
+    if h == 0 or w == 0 or h > 65535 or w > 65535:
+        raise ValueError("dimensions out of JPEG range")
+    qt_y = quality_scaled_qt(quality)
+    qt_c = quality_scaled_qt(quality, BASE_CHROMA_QT)
+    pad_h, pad_w = (-h) % 16, (-w) % 16
+    padded = np.pad(img, ((0, pad_h), (0, pad_w), (0, 0)), mode="edge")
+    y, cb, cr = rgb_to_ycbcr(padded)
+    ph, pw = y.shape
+
+    def sub(plane: np.ndarray) -> np.ndarray:
+        m = plane.astype(np.float64).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        return np.clip(np.rint(m), 0, 255).astype(np.uint8)
+
+    yb = np.stack(forward_blocks(y, qt_y))  # (ph/8 x pw/8) grid, row-major
+    cbb = np.stack(forward_blocks(sub(cb), qt_c))  # (ph/16 x pw/16)
+    crb = np.stack(forward_blocks(sub(cr), qt_c))
+    mcux, mcuy = pw // 16, ph // 16
+    ybw = pw // 8
+    # non-interleaved (ceil-dims) grids per component
+    ybw_n, ybh_n = (w + 7) // 8, (h + 7) // 8
+    y_noint = [
+        yb[row * ybw + col] for row in range(ybh_n) for col in range(ybw_n)
+    ]
+
+    def mcu_blocks():
+        """(comp_index, zz) pairs in MCU-interleave order."""
+        for m in range(mcuy * mcux):
+            my, mx = divmod(m, mcux)
+            for v in (0, 1):
+                for hh in (0, 1):
+                    yield 0, yb[(2 * my + v) * ybw + (2 * mx + hh)]
+            yield 1, cbb[my * mcux + mx]
+            yield 2, crb[my * mcux + mx]
+
+    all_comps = [(1, 0x00), (2, 0x11), (3, 0x11)]
+
+    # --- scan 1: interleaved DC first, Al=1
+    bw = _BitWriter()
+    prev = [0, 0, 0]
+    for ci, zz in mcu_blocks():
+        red = int(zz[0]) >> 1
+        diff = red - prev[ci]
+        prev[ci] = red
+        dc = _STD_DC_CODES if ci == 0 else _STD_DC_CHROMA_CODES
+        s = _bitsize(diff)
+        code, length = dc[s]
+        bw.write(code, length)
+        if s:
+            bw.write(_enc_magnitude(diff, s), s)
+    bw.flush()
+    scan_dc1 = _sos_prog(all_comps, 0, 0, 0, 1) + bytes(bw.buf)
+
+    # --- scans 2-4: per-component AC first (non-interleaved grids)
+    ac_scans_first = []
+    for cid, blocks, codes in (
+        (1, y_noint, _STD_AC_CODES),
+        (2, cbb, _STD_AC_CHROMA_CODES),
+        (3, crb, _STD_AC_CHROMA_CODES),
+    ):
+        bw = _BitWriter()
+        _enc_ac_first(bw, blocks, codes, 1)
+        bw.flush()
+        ta = 0x00 if cid == 1 else 0x01
+        ac_scans_first.append(_sos_prog([(cid, ta)], 1, 63, 0, 1) + bytes(bw.buf))
+
+    # --- scan 5: interleaved DC refinement (one raw bit per block)
+    bw = _BitWriter()
+    for _ci, zz in mcu_blocks():
+        bw.write(int(zz[0]) & 1, 1)
+    bw.flush()
+    scan_dc2 = _sos_prog(all_comps, 0, 0, 1, 0) + bytes(bw.buf)
+
+    # --- scans 6-8: per-component AC refinement
+    ac_scans_refine = []
+    for cid, blocks, codes in (
+        (1, y_noint, _STD_AC_CODES),
+        (2, cbb, _STD_AC_CHROMA_CODES),
+        (3, crb, _STD_AC_CHROMA_CODES),
+    ):
+        bw = _BitWriter()
+        _enc_ac_refine(bw, blocks, codes, 0)
+        bw.flush()
+        ta = 0x00 if cid == 1 else 0x01
+        ac_scans_refine.append(_sos_prog([(cid, ta)], 1, 63, 1, 0) + bytes(bw.buf))
+
+    sof = struct.pack(">BHHB", 8, h, w, 3) + bytes(
+        [1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    return b"".join(
+        [
+            b"\xff\xd8",
+            _seg(0xFFE0, _JFIF_APP0),
+            _dqt(0, qt_y),
+            _dqt(1, qt_c),
+            _seg(0xFFC2, sof),
+            _dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS),
+            _dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS),
+            _dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS),
+            _dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS),
+            scan_dc1,
+            *ac_scans_first,
+            scan_dc2,
+            *ac_scans_refine,
+            b"\xff\xd9",
+        ]
+    )
+
+
 def _finish_scan(r: _BitReader) -> int:
     """Drain a finished scan to its terminating marker: only the final
     partial byte's padding may remain. Returns the byte offset of the
@@ -1125,23 +1271,109 @@ def _finish_scan(r: _BitReader) -> int:
     return r.pos
 
 
+def _dec_ac_first_block(
+    r: _BitReader, ac_tbl, coef_row: np.ndarray, ss: int, se: int, al: int,
+    eobrun: int,
+) -> int:
+    """Decode one block's AC-first band; returns the remaining eobrun."""
+    if eobrun:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = _read_huff(r, ac_tbl)
+        run, s = sym >> 4, sym & 0x0F
+        if s == 0:
+            if run == 15:
+                k += 16
+                if k > se + 1:
+                    raise ValueError("ZRL overflows band")
+                continue
+            eobrun = (1 << run) - 1
+            if run:
+                eobrun += r.read_bits(run)
+            break
+        k += run
+        if k > se:
+            raise ValueError("AC run overflows band")
+        coef_row[k] = _extend(r.read_bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _dec_ac_refine_block(
+    r: _BitReader, ac_tbl, coef_row: np.ndarray, ss: int, se: int, al: int,
+    eobrun: int,
+) -> int:
+    """Decode one block's AC-refinement band; returns remaining eobrun."""
+    pos_bit = 1 << al
+    neg_bit = -pos_bit
+
+    def correct(k: int) -> None:
+        if r.read_bit() and not (abs(int(coef_row[k])) & pos_bit):
+            coef_row[k] += pos_bit if coef_row[k] > 0 else neg_bit
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = _read_huff(r, ac_tbl)
+            run, s = sym >> 4, sym & 0x0F
+            newval = 0
+            if s == 0:
+                if run != 15:  # EOBn
+                    eobrun = 1 << run
+                    if run:
+                        eobrun += r.read_bits(run)
+                    break
+                # ZRL: exactly 16 zeros skipped — run 15 + terminal k++
+            elif s == 1:
+                newval = pos_bit if r.read_bit() else neg_bit
+            else:
+                raise ValueError("invalid refinement symbol")
+            # advance: correct nonzero coefs along the way; break AT
+            # the (run+1)-th zero (the slot the new value lands in;
+            # the terminal k++ consumes it for ZRL)
+            while k <= se:
+                if coef_row[k] != 0:
+                    correct(k)
+                else:
+                    run -= 1
+                    if run < 0:
+                        break
+                k += 1
+            if newval:
+                if k > se:
+                    raise ValueError("refinement run overflows band")
+                coef_row[k] = newval
+            k += 1
+    if eobrun:
+        # EOB run covers the REST of this block's band: correction
+        # bits still arrive for nonzero-history coefficients
+        while k <= se:
+            if coef_row[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
 def _decode_progressive(b: bytes) -> tuple[int, int, list[dict]]:
-    """Multi-scan progressive (SOF2) decode for one component:
-    executes every scan in file order, accumulating the coefficient
-    grid per Annex G successive approximation; returns the same
-    component structure as the baseline path."""
+    """Multi-scan progressive (SOF2) decode — grayscale or
+    multi-component color: executes every scan in file order,
+    accumulating per-component coefficient grids per Annex G
+    successive approximation; returns the same component structure as
+    the baseline path. Interleaved (ns > 1) scans must be DC-only and
+    walk the MCU grid; single-component scans walk that component's
+    ceil-dims grid mapped into its MCU-padded storage grid."""
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (no SOI)")
     pos = 2
     qts: dict[int, np.ndarray] = {}
     dims: tuple[int, int] | None = None
-    ncomp = None
-    tq0 = 0
+    frame_comps: list[tuple[int, int, int, int]] | None = None  # cid,hi,vi,tq
     dhts: dict[tuple[int, int], list[tuple[int, int]]] = {}
-    coef: np.ndarray | None = None
-    n_blocks = 0
-    prev_dc_red = 0  # DC predictor, reduced domain of the DC-first scan
-    eobrun = 0
+    comps_by_cid: dict[int, dict] = {}
+    hmax = vmax = 1
+    mcux = mcuy = 0
     saw_eoi = False
     while pos + 2 <= len(b):
         if b[pos] != 0xFF:
@@ -1168,14 +1400,38 @@ def _decode_progressive(b: bytes) -> tuple[int, int, list[dict]]:
             precision, hh, ww, ncomp = struct.unpack_from(">BHHB", b, start)
             if precision != 8:
                 raise NotImplementedError("only 8-bit precision supported")
-            if ncomp != 1:
-                raise NotImplementedError(
-                    "progressive decode supports one component (grayscale)"
-                )
+            if seg_len < 6 + 3 * ncomp:
+                raise ValueError("truncated SOF2 component list")
             dims = (ww, hh)
-            _cid, _hv, tq0 = struct.unpack_from(">BBB", b, start + 6)
-            n_blocks = ((hh + 7) // 8) * ((ww + 7) // 8)
-            coef = np.zeros((n_blocks, 64), dtype=np.int32)
+            frame_comps = []
+            for i in range(ncomp):
+                cid, hv, tq = struct.unpack_from(">BBB", b, start + 6 + 3 * i)
+                hi, vi = hv >> 4, hv & 0x0F
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError("invalid sampling factors")
+                frame_comps.append((cid, hi, vi, tq))
+            hmax = max(hi for _, hi, _, _ in frame_comps)
+            vmax = max(vi for _, _, vi, _ in frame_comps)
+            mcux = (ww + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (hh + 8 * vmax - 1) // (8 * vmax)
+            for cid, hi, vi, tq in frame_comps:
+                if len(frame_comps) == 1:
+                    bw_c = (ww * hi + 8 * hmax - 1) // (8 * hmax)
+                    bh_c = (hh * vi + 8 * vmax - 1) // (8 * vmax)
+                else:
+                    bw_c, bh_c = mcux * hi, mcuy * vi
+                comps_by_cid[cid] = {
+                    "cid": cid,
+                    "hi": hi,
+                    "vi": vi,
+                    "tq": tq,
+                    "bw": bw_c,
+                    "bh": bh_c,
+                    # ceil-dims grid for non-interleaved scans (A.2.2)
+                    "bw_n": (((ww * hi + hmax - 1) // hmax) + 7) // 8,
+                    "bh_n": (((hh * vi + vmax - 1) // vmax) + 7) // 8,
+                    "blocks": np.zeros((bh_c * bw_c, 64), dtype=np.int32),
+                }
         elif marker == 0xFFC4:
             p = start
             while p < start + seg_len:
@@ -1188,120 +1444,85 @@ def _decode_progressive(b: bytes) -> tuple[int, int, list[dict]]:
         elif marker == 0xFFDD:
             raise NotImplementedError("restart intervals in progressive scans")
         elif marker == 0xFFDA:
-            if coef is None or dims is None:
+            if frame_comps is None or dims is None:
                 raise ValueError("SOS before SOF2")
             ns = b[start]
-            if ns != 1:
-                raise NotImplementedError("progressive scans must be 1-component")
-            td, ta = b[start + 2] >> 4, b[start + 2] & 0x0F
-            ss, se = b[start + 3], b[start + 4]
-            ah, al = b[start + 5] >> 4, b[start + 5] & 0x0F
+            scan = []
+            for i in range(ns):
+                cid = b[start + 1 + 2 * i]
+                tdta = b[start + 2 + 2 * i]
+                if cid not in comps_by_cid:
+                    raise ValueError("scan references unknown component")
+                scan.append((comps_by_cid[cid], tdta >> 4, tdta & 0x0F))
+            off = 1 + 2 * ns
+            ss, se = b[start + off], b[start + off + 1]
+            ah, al = b[start + off + 2] >> 4, b[start + off + 2] & 0x0F
             r = _BitReader(b, start + seg_len)
-            if ss == 0:
-                if se != 0:
-                    raise ValueError("DC scan must have Se = 0")
-                if ah == 0:
-                    dc_tbl = dhts.get((0, td))
-                    if dc_tbl is None:
-                        raise ValueError("missing DC Huffman table")
-                    for i in range(n_blocks):
-                        s = _read_huff(r, dc_tbl)
-                        diff = _extend(r.read_bits(s), s) if s else 0
-                        prev_dc_red += diff
-                        coef[i, 0] = prev_dc_red << al
-                else:
-                    for i in range(n_blocks):
-                        coef[i, 0] |= r.read_bit() << al
-            else:
-                ac_tbl = dhts.get((1, ta))
-                if ac_tbl is None:
-                    raise ValueError("missing AC Huffman table")
-                if ah == 0:
-                    eobrun = 0
-                    for i in range(n_blocks):
-                        if eobrun:
-                            eobrun -= 1
-                            continue
-                        k = ss
-                        while k <= se:
-                            sym = _read_huff(r, ac_tbl)
-                            run, s = sym >> 4, sym & 0x0F
-                            if s == 0:
-                                if run == 15:
-                                    k += 16
-                                    if k > se + 1:
-                                        raise ValueError("ZRL overflows band")
-                                    continue
-                                eobrun = (1 << run) - 1
-                                if run:
-                                    eobrun += r.read_bits(run)
-                                break
-                            k += run
-                            if k > se:
-                                raise ValueError("AC run overflows band")
-                            coef[i, k] = _extend(r.read_bits(s), s) << al
-                            k += 1
-                else:
-                    eobrun = 0
-                    pos_bit = 1 << al
-                    neg_bit = -pos_bit
-
-                    def correct(i: int, k: int) -> None:
-                        # correction bit for a nonzero-history coef:
-                        # a set bit moves |coef| up by 1 << Al once
-                        if r.read_bit() and not (
-                            abs(int(coef[i, k])) & pos_bit
-                        ):
-                            coef[i, k] += pos_bit if coef[i, k] > 0 else neg_bit
-
-                    for i in range(n_blocks):
-                        k = ss
-                        if eobrun == 0:
-                            while k <= se:
-                                sym = _read_huff(r, ac_tbl)
-                                run, s = sym >> 4, sym & 0x0F
-                                newval = 0
-                                if s == 0:
-                                    if run != 15:  # EOBn
-                                        eobrun = 1 << run
-                                        if run:
-                                            eobrun += r.read_bits(run)
-                                        break
-                                    # ZRL: exactly 16 zeros skipped —
-                                    # run 15 + the terminal k++ below
-                                elif s == 1:
-                                    newval = pos_bit if r.read_bit() else neg_bit
+            if ns > 1:
+                # interleaved scans are DC-only in progressive (G.1.1.1)
+                if ss != 0 or se != 0:
+                    raise ValueError("interleaved progressive scan must be DC")
+                prev = {c["cid"]: 0 for c, _, _ in scan}
+                for m in range(mcux * mcuy):
+                    my, mx = divmod(m, mcux)
+                    for c, td, _ta in scan:
+                        for v in range(c["vi"]):
+                            for hh2 in range(c["hi"]):
+                                idx = (my * c["vi"] + v) * c["bw"] + (
+                                    mx * c["hi"] + hh2
+                                )
+                                if ah == 0:
+                                    dc_tbl = dhts.get((0, td))
+                                    if dc_tbl is None:
+                                        raise ValueError("missing DC table")
+                                    s = _read_huff(r, dc_tbl)
+                                    diff = (
+                                        _extend(r.read_bits(s), s) if s else 0
+                                    )
+                                    prev[c["cid"]] += diff
+                                    c["blocks"][idx, 0] = prev[c["cid"]] << al
                                 else:
-                                    raise ValueError("invalid refinement symbol")
-                                # advance: correct nonzero coefs along
-                                # the way; break AT the (run+1)-th zero
-                                # (spec G.2: the walk ends on the zero
-                                # slot the new value lands in, and the
-                                # terminal k++ consumes it for ZRL)
-                                while k <= se:
-                                    if coef[i, k] != 0:
-                                        correct(i, k)
-                                    else:
-                                        run -= 1
-                                        if run < 0:
-                                            break
-                                    k += 1
-                                if newval:
-                                    if k > se:
-                                        raise ValueError(
-                                            "refinement run overflows band"
-                                        )
-                                    coef[i, k] = newval
-                                k += 1
-                        if eobrun:
-                            # EOB run covers the REST of this block's
-                            # band: correction bits still arrive for
-                            # nonzero-history coefficients
-                            while k <= se:
-                                if coef[i, k] != 0:
-                                    correct(i, k)
-                                k += 1
-                            eobrun -= 1
+                                    c["blocks"][idx, 0] |= r.read_bit() << al
+            else:
+                c, td, ta = scan[0]
+                # non-interleaved: the component's ceil-dims raster,
+                # mapped into its (possibly wider) storage grid
+                indices = [
+                    row * c["bw"] + col
+                    for row in range(c["bh_n"])
+                    for col in range(c["bw_n"])
+                ]
+                if ss == 0:
+                    if se != 0:
+                        raise ValueError("DC scan must have Se = 0")
+                    if ah == 0:
+                        dc_tbl = dhts.get((0, td))
+                        if dc_tbl is None:
+                            raise ValueError("missing DC Huffman table")
+                        prev_dc = 0
+                        for idx in indices:
+                            s = _read_huff(r, dc_tbl)
+                            diff = _extend(r.read_bits(s), s) if s else 0
+                            prev_dc += diff
+                            c["blocks"][idx, 0] = prev_dc << al
+                    else:
+                        for idx in indices:
+                            c["blocks"][idx, 0] |= r.read_bit() << al
+                else:
+                    ac_tbl = dhts.get((1, ta))
+                    if ac_tbl is None:
+                        raise ValueError("missing AC Huffman table")
+                    eobrun = 0
+                    if ah == 0:
+                        for idx in indices:
+                            eobrun = _dec_ac_first_block(
+                                r, ac_tbl, c["blocks"][idx], ss, se, al, eobrun
+                            )
+                    else:
+                        for idx in indices:
+                            eobrun = _dec_ac_refine_block(
+                                r, ac_tbl, c["blocks"][idx], ss, se, al, eobrun
+                            )
             pos = _finish_scan(r)
             continue
         elif 0xFFC0 <= marker <= 0xFFCF and marker not in (0xFFC4, 0xFFC8, 0xFFCC):
@@ -1309,25 +1530,23 @@ def _decode_progressive(b: bytes) -> tuple[int, int, list[dict]]:
         pos += 2 + ln
     if not saw_eoi:
         raise ValueError("truncated progressive JPEG (no EOI)")
-    if coef is None or dims is None:
+    if frame_comps is None or dims is None:
         raise ValueError("no frame/scan data")
-    if tq0 not in qts:
-        raise ValueError(f"missing quant table {tq0}")
     w, h = dims
-    bw_c = (w + 7) // 8
-    bh_c = (h + 7) // 8
-    return (
-        w,
-        h,
-        [
+    out = []
+    for cid, _hi, _vi, tq in frame_comps:
+        c = comps_by_cid[cid]
+        if tq not in qts:
+            raise ValueError(f"missing quant table {tq}")
+        out.append(
             {
-                "cid": 1,
-                "hi": 1,
-                "vi": 1,
-                "qt": qts[tq0],
-                "bw": bw_c,
-                "bh": bh_c,
-                "blocks": coef,
+                "cid": cid,
+                "hi": c["hi"],
+                "vi": c["vi"],
+                "qt": qts[tq],
+                "bw": c["bw"],
+                "bh": c["bh"],
+                "blocks": c["blocks"],
             }
-        ],
-    )
+        )
+    return w, h, out

@@ -1348,19 +1348,23 @@ FROM (
 def jpeg_progressive_roundtrip(
     spark: SparkSession, sf_dir: str, bound: int = 4
 ) -> DataFrame:
-    """PROGRESSIVE (SOF2) encode→decode round trip (r10): each
-    document's synthetic grayscale image through the four-scan
-    successive-approximation pipeline. Successive approximation is
-    LOSSLESS on the quantized coefficients once all scans land, so the
-    progressive decode must be PIXEL-IDENTICAL to the baseline decode
-    of the same image — asserted per row as ``eq_baseline`` (the
-    oracle states TRUE), alongside the same error bound as
-    ``jpeg_roundtrip`` (coefficients identical ⇒ same bound 4)."""
+    """PROGRESSIVE (SOF2) encode→decode round trips (r10): each
+    document's synthetic images through the successive-approximation
+    pipelines — grayscale (four-scan) AND YCbCr 4:2:0 color
+    (eight-scan: interleaved DC first/refine, per-component AC band
+    first/refine). Successive approximation is LOSSLESS on the
+    quantized coefficients once all scans land, so each progressive
+    decode must be PIXEL-IDENTICAL to its baseline decode — asserted
+    per row as ``eq_baseline`` / ``eq_baseline_color`` (the oracle
+    states TRUE), alongside the same error bound as ``jpeg_roundtrip``
+    (coefficients identical ⇒ same bound 4)."""
     import numpy as np
 
     from flink_project_userbehavioranalysis_spark.operators.jpeg_codec import (
         decode_jpeg,
         encode_jpeg,
+        encode_jpeg_color,
+        encode_jpeg_color_progressive,
         encode_jpeg_progressive,
     )
 
@@ -1383,6 +1387,9 @@ def jpeg_progressive_roundtrip(
                 max_err = int(
                     np.abs(out.astype(np.int64) - src.astype(np.int64)).max()
                 )
+                csrc = _color_image(n, w, h)
+                cout = decode_jpeg(encode_jpeg_color_progressive(csrc, quality=90))
+                cbase = decode_jpeg(encode_jpeg_color(csrc, quality=90))
                 recs.append(
                     (
                         doc_id,
@@ -1391,20 +1398,22 @@ def jpeg_progressive_roundtrip(
                         out.size,
                         max_err <= bound,
                         bool(np.array_equal(out, base)),
+                        bool(np.array_equal(cout, cbase)),
                     )
                 )
             yield pd.DataFrame(
                 recs,
                 columns=[
                     "doc_id", "width", "height", "n_samples",
-                    "max_err_le_4", "eq_baseline",
+                    "max_err_le_4", "eq_baseline", "eq_baseline_color",
                 ],
             )
 
     return src_docs.mapInPandas(
         rt,
         "doc_id BIGINT, width INT, height INT, n_samples BIGINT,"
-        " max_err_le_4 BOOLEAN, eq_baseline BOOLEAN",
+        " max_err_le_4 BOOLEAN, eq_baseline BOOLEAN,"
+        " eq_baseline_color BOOLEAN",
     )
 
 
@@ -1414,7 +1423,8 @@ SELECT doc_id,
        CAST(height AS INTEGER) AS height,
        CAST(width * height AS BIGINT) AS n_samples,
        TRUE AS max_err_le_4,
-       TRUE AS eq_baseline
+       TRUE AS eq_baseline,
+       TRUE AS eq_baseline_color
 FROM (
     SELECT doc_id,
            coalesce(octet_length(CAST(text AS BLOB)), 0) % 31 + 1 AS width,

@@ -508,3 +508,54 @@ def test_progressive_unsupported_flavors_raise():
 def test_jpeg_progressive_roundtrip_oracle(spark, sf_dir):
     df = MM.jpeg_progressive_roundtrip(spark, sf_dir)
     assert_matches_oracle(df, MM.JPEG_PROGRESSIVE_ROUNDTRIP_SQL, sf_dir)
+
+
+@pytest.mark.parametrize("shape", [(16, 16), (17, 29), (1, 1), (34, 50)])
+@pytest.mark.parametrize("quality", [50, 90])
+def test_progressive_color_pixel_identical_to_baseline(shape, quality):
+    """Eight-scan progressive color (interleaved DC first/refine +
+    per-component AC first/refine over ceil-dims grids): the CROPPED
+    pixel decode is byte-identical to the baseline color decode —
+    successive approximation reconstructed every coefficient the
+    non-interleaved grids cover, and MCU-pad blocks (DC-only flat)
+    are entirely outside the crop."""
+    rng = np.random.default_rng(shape[0] * 31 + shape[1] + quality)
+    img = rng.integers(0, 256, (*shape, 3)).astype(np.uint8)
+    prog = J.decode_jpeg(J.encode_jpeg_color_progressive(img, quality))
+    base = J.decode_jpeg(J.encode_jpeg_color(img, quality))
+    assert np.array_equal(prog, base)
+
+
+def test_progressive_color_coefficients_match_on_ceil_grid():
+    """Per-component coefficient grids equal the baseline color
+    encode's on the non-interleaved ceil(dims/8) raster (the blocks
+    progressive AC scans cover; spec A.2.2)."""
+    import math
+
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, (17, 29, 3)).astype(np.uint8)
+    _, _, comps = J.decode_jpeg_components(J.encode_jpeg_color_progressive(img, 90))
+    _, _, base = J.decode_jpeg_components(J.encode_jpeg_color(img, 90))
+    for c, cb in zip(comps, base):
+        w_c = math.ceil(29 * c["hi"] / 2)
+        h_c = math.ceil(17 * c["vi"] / 2)
+        bwn, bhn = (w_c + 7) // 8, (h_c + 7) // 8
+        a = c["blocks"].reshape(c["bh"], c["bw"], 64)[:bhn, :bwn]
+        e = cb["blocks"].reshape(cb["bh"], cb["bw"], 64)[:bhn, :bwn]
+        assert np.array_equal(a, e), c["cid"]
+
+
+def test_progressive_interleaved_ac_scan_rejected():
+    """Interleaved progressive scans must be DC-only (G.1.1.1): an
+    SOS claiming a 3-component AC band raises."""
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    payload = bytearray(J.encode_jpeg_color_progressive(img, 90))
+    # first SOS is the interleaved DC scan (ns=3); patch Ss/Se to an
+    # AC band
+    j = bytes(payload).find(b"\xff\xda")
+    # SOS payload: len(2) ns(1) + 3*2 comps + Ss Se AhAl
+    payload[j + 4 + 7] = 1   # Ss
+    payload[j + 4 + 8] = 63  # Se
+    with pytest.raises(ValueError, match="interleaved"):
+        J.decode_jpeg_components(bytes(payload))
