@@ -154,6 +154,8 @@ _TIER1 = [
 ]
 # --- tier 2: remaining hash-oracled batch ---------------------------
 _TIER2 = [
+    # r10 additions beyond the tier-1 budget
+    "audio_features_stereo8",
     # r9 tier-1 entries displaced by the r10 rotation (all r9
     # driver-green; first in line if the driver runs past 50)
     "ingest_accept_batch",
@@ -911,6 +913,12 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         # (chunk-walk decode) + windowed exact-integer energy/peak
         # features — the VAD/loudness framing pass, Arrow-batched
         "audio_features": (_mm.audio_features, _mm.audio_features_oracle_sql()),
+        # r10 WAV breadth: stereo 8-bit unsigned PCM — deinterleave +
+        # recentring on the real decode path, per-channel windows
+        "audio_features_stereo8": (
+            _mm.audio_features_stereo8,
+            _mm.audio_features_stereo8_oracle_sql(),
+        ),
         # §2.10 multimodal resize (r9): nearest-neighbor 8×8 RGB
         # thumbnail over the real per-format decodes — the vision
         # normalization step; md5 + exact byte sum hash-oracled

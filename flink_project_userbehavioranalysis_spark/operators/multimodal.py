@@ -665,15 +665,39 @@ def _wav_sample(n_bytes: int, i: int) -> int:
     return (n_bytes + i * 7) % 251 - 125
 
 
-def encode_wav(text_bytes: bytes | None) -> bytes:
-    """Build a complete, valid 16-bit mono PCM WAV for a doc payload."""
+#: Per-channel sample phase shift for multi-channel synthetic WAVs
+#: (channel c's sample i is the closed form at index i + 13c).
+_WAV_CH_SHIFT = 13
+
+
+def encode_wav(
+    text_bytes: bytes | None, channels: int = 1, bits: int = 16
+) -> bytes:
+    """Build a complete, valid PCM WAV for a doc payload — 16-bit mono
+    by default; r10 adds interleaved STEREO (channel 1 = the closed
+    form phase-shifted by 13 samples) and 8-BIT unsigned PCM (the WAV
+    convention: u8 = s + 128; the synthetic samples span -125..125 so
+    they fit losslessly)."""
     import numpy as np
 
+    if channels not in (1, 2) or bits not in (8, 16):
+        raise ValueError("channels must be 1/2 and bits 8/16")
     n = len(text_bytes) if text_bytes is not None else 0
     ns = _wav_n_samples(n)
-    samples = ((n + np.arange(ns, dtype=np.int64) * 7) % 251 - 125).astype("<i2")
-    data = samples.tobytes()
-    fmt = struct.pack("<HHIIHH", 1, 1, _WAV_RATE, _WAV_RATE * 2, 2, 16)
+    idx = np.arange(ns, dtype=np.int64)
+    planes = [
+        (n + (idx + _WAV_CH_SHIFT * c) * 7) % 251 - 125 for c in range(channels)
+    ]
+    inter = np.stack(planes, axis=1).reshape(-1)  # interleaved frames
+    if bits == 16:
+        data = inter.astype("<i2").tobytes()
+    else:
+        data = (inter + 128).astype(np.uint8).tobytes()
+    block_align = channels * (bits // 8)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, _WAV_RATE, _WAV_RATE * block_align,
+        block_align, bits,
+    )
     body = (
         b"WAVE"
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
@@ -708,21 +732,45 @@ def decode_wav_meta(b: bytes) -> tuple[int, int, int, int]:
     return channels, rate, bits, data_len // block_align
 
 
-def wav_samples(b: bytes):
-    """Decode the int16 LE sample array (mono PCM only)."""
+def wav_channel_samples(b: bytes):
+    """Decode the PCM frames as a SIGNED (n_samples, channels) int32
+    array — 8-bit unsigned (recentred by -128) or 16-bit LE, mono or
+    stereo (r10). Anything else raises."""
     import numpy as np
 
     channels, _rate, bits, n_samples = decode_wav_meta(b)
-    if (channels, bits) != (1, 16):
-        raise NotImplementedError("only 16-bit mono PCM is supported")
+    if channels not in (1, 2) or bits not in (8, 16):
+        raise NotImplementedError("only 8/16-bit mono/stereo PCM is supported")
     pos = 12
     while pos + 8 <= len(b):
         tag = b[pos : pos + 4]
         (ln,) = struct.unpack_from("<I", b, pos + 4)
         if tag == b"data":
-            return np.frombuffer(b, dtype="<i2", count=n_samples, offset=pos + 8)
+            count = n_samples * channels
+            if bits == 16:
+                flat = np.frombuffer(
+                    b, dtype="<i2", count=count, offset=pos + 8
+                ).astype(np.int32)
+            else:
+                flat = (
+                    np.frombuffer(
+                        b, dtype=np.uint8, count=count, offset=pos + 8
+                    ).astype(np.int32)
+                    - 128
+                )
+            return flat.reshape(n_samples, channels)
         pos += 8 + ln + (ln & 1)
     raise ValueError("missing data chunk")
+
+
+def wav_samples(b: bytes):
+    """Decode the int16 LE sample array (the mono-16 specialization
+    the audio_features surface uses; multi-channel/8-bit callers use
+    :func:`wav_channel_samples`)."""
+    channels, _rate, bits, _n = decode_wav_meta(b)
+    if (channels, bits) != (1, 16):
+        raise NotImplementedError("only 16-bit mono PCM is supported here")
+    return wav_channel_samples(b)[:, 0].astype("<i2")
 
 
 def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -793,6 +841,84 @@ SELECT doc_id,
        CAST(sum(s * s) AS BIGINT) AS energy,
        CAST(max(abs(s)) AS BIGINT) AS peak
 FROM sm GROUP BY 1, 2
+"""
+
+
+def audio_features_stereo8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio features over STEREO 8-BIT payloads (r10 WAV
+    breadth): per 256-sample window PER CHANNEL, exact-integer energy
+    and peak — the interleaved-frame deinterleave + unsigned-PCM
+    recentring both exercised on the real decode path. Output:
+    (doc_id, channel, win_idx, energy, peak), hash-oracled against the
+    phase-shifted closed form."""
+    import numpy as np
+
+    src = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("tb")
+    )
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["tb"].map(
+                        lambda t: encode_wav(
+                            None if t is None else bytes(t), channels=2, bits=8
+                        )
+                    ),
+                }
+            )
+
+    payloads = src.mapInPandas(enc, "doc_id BIGINT, payload BINARY")
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, chans, wins, energies, peaks = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                sig = wav_channel_samples(bytes(payload)).astype(np.int64)
+                for c in range(sig.shape[1]):
+                    w = sig[:, c].reshape(-1, _WAV_WIN)
+                    k = w.shape[0]
+                    ids.extend([doc_id] * k)
+                    chans.extend([c] * k)
+                    wins.extend(range(k))
+                    energies.extend((w * w).sum(axis=1).tolist())
+                    peaks.extend(np.abs(w).max(axis=1).tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "channel": chans,
+                    "win_idx": wins,
+                    "energy": energies,
+                    "peak": peaks,
+                }
+            )
+
+    return payloads.mapInPandas(
+        feats,
+        "doc_id BIGINT, channel INT, win_idx BIGINT, energy BIGINT, peak BIGINT",
+    )
+
+
+def audio_features_stereo8_oracle_sql() -> str:
+    w = _WAV_WIN
+    return f"""
+WITH dims AS (
+    SELECT doc_id, coalesce(octet_length(CAST(text AS BLOB)), 0) AS n
+    FROM documents
+), sm AS (
+    SELECT doc_id, c, i,
+           ((n + (i + {_WAV_CH_SHIFT} * c) * 7) % 251) - 125 AS s
+    FROM dims, unnest(range(0, (n % 50 + 1) * {w})) AS t(i),
+         unnest(range(0, 2)) AS u(c)
+)
+SELECT doc_id,
+       CAST(c AS INTEGER) AS channel,
+       CAST(i // {w} AS BIGINT) AS win_idx,
+       CAST(sum(s * s) AS BIGINT) AS energy,
+       CAST(max(abs(s)) AS BIGINT) AS peak
+FROM sm GROUP BY 1, 2, 3
 """
 
 

@@ -284,3 +284,43 @@ def test_decode_real_png_breadth_and_mixed6_oracle(spark, sf_dir):
     assert_matches_oracle(
         decode_meta_mixed6(spark, sf_dir), DECODE_META_MIXED6_SQL, sf_dir
     )
+
+
+def test_wav_stereo_and_8bit_decode_exact():
+    """r10 WAV breadth: stereo interleave and 8-bit unsigned PCM both
+    decode to the exact closed-form signed samples."""
+    import numpy as np
+
+    from flink_project_userbehavioranalysis_spark.operators.multimodal import (
+        _WAV_CH_SHIFT,
+        _wav_n_samples,
+        decode_wav_meta,
+        encode_wav,
+        wav_channel_samples,
+    )
+
+    n = 37
+    t = b"z" * n
+    for ch, bits in ((1, 8), (2, 16), (2, 8)):
+        p = encode_wav(t, channels=ch, bits=bits)
+        assert decode_wav_meta(p) == (ch, 8000, bits, _wav_n_samples(n))
+        sig = wav_channel_samples(p)
+        assert sig.shape == (_wav_n_samples(n), ch)
+        i = np.arange(_wav_n_samples(n), dtype=np.int64)
+        for c in range(ch):
+            exp = (n + (i + _WAV_CH_SHIFT * c) * 7) % 251 - 125
+            assert np.array_equal(sig[:, c], exp), (ch, bits, c)
+
+
+def test_audio_features_stereo8_oracle(spark, sf_dir):
+    from flink_project_userbehavioranalysis_spark.operators.multimodal import (
+        audio_features_stereo8,
+        audio_features_stereo8_oracle_sql,
+    )
+    from tests.oracle import assert_matches_oracle
+
+    assert_matches_oracle(
+        audio_features_stereo8(spark, sf_dir),
+        audio_features_stereo8_oracle_sql(),
+        sf_dir,
+    )
