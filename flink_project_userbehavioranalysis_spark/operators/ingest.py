@@ -389,7 +389,15 @@ def _cascade_over_indexes(
         .join(cand, ["doc_id", "corpus_doc"])
     )
     sizes_b = sh_b.groupBy("doc_id").agg(F.count("*").alias("sa"))
-    sizes_c = idx["sizes"]
+    # sizes_b is batch-cardinality → always broadcastable. The CORPUS
+    # size table is NOT (per-doc rows, unbounded at 100 TB): restrict
+    # it to the candidate corpus docs first — candidates ∝ batch by
+    # the LSH-band construction — so the verify join's right side is
+    # batch-proportional regardless of corpus size (r10 fix: the old
+    # blanket F.broadcast(sizes_c) pinned the FULL corpus size table).
+    sizes_c = idx["sizes"].join(
+        cand.select("corpus_doc").distinct(), "corpus_doc", "left_semi"
+    )
     near_ids = (
         common.join(F.broadcast(sizes_b), "doc_id")
         .join(F.broadcast(sizes_c), "corpus_doc")
