@@ -139,6 +139,11 @@ PIPELINES = [
     # r9 verdict asked BENCH to show (vs ingest_accept_batch, which
     # keeps timing the derive-everything-in-query simulation shape).
     "ingest_accept_batch_indexed",
+    # and the production LIFECYCLE shape: run-1 probe + overlay commit
+    # (∝ accepted batch) + run-2 probe over base ∪ overlay, with the
+    # corpus0 nightly build memoized — vs ingest_two_batch, which
+    # rebuilds the corpus indexes in-query twice
+    "ingest_two_batch_indexed",
 ]
 
 
