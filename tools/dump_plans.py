@@ -499,6 +499,17 @@ EXHIBITS = [
         "source row vector), no BatchEvalPython; at 100 TB this is "
         "embarrassingly parallel per input split.",
     ),
+    (
+        "ingest_accept_batch_indexed",
+        "PRODUCTION admission probe (r10): the same cascade with every "
+        "corpus side a PARQUET INDEX SCAN (fingerprints / LSH bands / "
+        "shingles / sizes / grams / vocab / lang counts from the "
+        "memoized nightly build) — all probes LEFT SEMI / ANTI / equi "
+        "joins against those scans, batch-side staging unchanged, no "
+        "cartesian, no BatchEvalPython; admission cost ∝ batch because "
+        "nothing corpus-scale is derived at query time (SCALE.md: "
+        "near-flat at corpus ×100).",
+    ),
 ]
 
 
@@ -525,6 +536,27 @@ def main() -> None:
             )
 
             df, staged = _manifest_frame(spark, SF)
+        elif name == "ingest_accept_batch_indexed":
+            # same memoization story: exhibit the live probe frame
+            # over the persisted indexes
+            import pyspark.sql.functions as F
+
+            from flink_project_userbehavioranalysis_spark.io import load_table
+            from flink_project_userbehavioranalysis_spark.operators.ingest import (
+                INGEST_DEFAULTS,
+                _cascade_over_indexes,
+                _read_ingest_indexes,
+                build_ingest_indexes,
+            )
+
+            root = build_ingest_indexes(spark, SF)
+            docs = load_table(spark, SF, "documents").select(
+                "doc_id", "lang", "text"
+            )
+            batch = docs.filter(F.col("doc_id") >= INGEST_DEFAULTS["split_id"])
+            df, staged = _cascade_over_indexes(
+                batch, _read_ingest_indexes(spark, [root]), INGEST_DEFAULTS
+            )
         else:
             df = qs[name](spark, SF)
         df.collect()  # finalize AQE
