@@ -38,6 +38,27 @@ from pyspark.sql.functions import pandas_udf
 from flink_project_userbehavioranalysis_spark.io import load_events, load_table
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Fan a split-starved source out to the cluster's parallelism
+    ahead of a CPU-bound codec stage — and ONLY then. Parquet split
+    planning is BYTE-based (`spark.sql.files.maxPartitionBytes`), so a
+    byte-small documents table (sf0.1 is one row group → ONE split)
+    would serialize an expensive encode/decode map on a single core no
+    matter how many are free. When the input already has at least as
+    many splits as cores — the 100 TB case, where shuffling payload
+    bytes would be the real cost — this is the identity and the plan
+    stays Exchange-free; otherwise it is one explicit round-robin
+    repartition whose shuffle moves only the tiny pre-synthesis rows.
+    The explicit numPartitions makes it a user-specified repartition,
+    which AQE never coalesces back down.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def attach_binary_payload(docs: DataFrame) -> DataFrame:
     """Model a multimodal table: text → opaque binary payload + typed
     metadata struct (mime, n_bytes). In production the payload column
@@ -165,7 +186,7 @@ def bmp_scanline(b: bytes, r: int) -> bytes:
 def attach_bmp_payload(docs: DataFrame) -> DataFrame:
     """documents → (doc_id, payload: binary BMP) via an Arrow-batched
     encode pass; NULL text encodes the 0-byte dimensions (total)."""
-    src = docs.select("doc_id", F.col("text").cast("binary").alias("tb"))
+    src = _spread(docs.select("doc_id", F.col("text").cast("binary").alias("tb")))
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -367,7 +388,7 @@ def attach_image_payload(docs: DataFrame) -> DataFrame:
     odd as PNG — one mixed-format binary column with typed metadata,
     the shape a real multimodal table arrives in. Arrow-batched
     encode pass; NULL text encodes the 0-byte dimensions."""
-    src = docs.select("doc_id", F.col("text").cast("binary").alias("tb"))
+    src = _spread(docs.select("doc_id", F.col("text").cast("binary").alias("tb")))
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -789,8 +810,10 @@ def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import numpy as np
 
-    src = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.col("text").cast("binary").alias("tb")
+    src = _spread(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.col("text").cast("binary").alias("tb")
+        )
     )
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -853,8 +876,10 @@ def audio_features_stereo8(spark: SparkSession, sf_dir: str) -> DataFrame:
     phase-shifted closed form."""
     import numpy as np
 
-    src = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.col("text").cast("binary").alias("tb")
+    src = _spread(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.col("text").cast("binary").alias("tb")
+        )
     )
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1045,8 +1070,10 @@ def video_frames(spark: SparkSession, sf_dir: str, n_sample: int = 4) -> DataFra
 
     Output: (doc_id, frame_idx, src_frame, n_frames, frame_md5).
     """
-    src = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.col("text").cast("binary").alias("tb")
+    src = _spread(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.col("text").cast("binary").alias("tb")
+        )
     )
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1159,7 +1186,7 @@ def attach_jpeg_payload(docs: DataFrame) -> DataFrame:
         encode_jpeg,
     )
 
-    src = docs.select("doc_id", F.col("text").cast("binary").alias("tb"))
+    src = _spread(docs.select("doc_id", F.col("text").cast("binary").alias("tb")))
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1242,8 +1269,10 @@ def jpeg_roundtrip(spark: SparkSession, sf_dir: str, bound: int = 4) -> DataFram
     # source, decode the produced BYTES through the full scan parser,
     # and compare — the payload round-trips through real serialized
     # form even though both halves run in the same task.
-    src_docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.col("text").cast("binary").alias("tb")
+    src_docs = _spread(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.col("text").cast("binary").alias("tb")
+        )
     )
 
     def rt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1299,7 +1328,7 @@ def attach_image3_payload(docs: DataFrame) -> DataFrame:
         encode_jpeg,
     )
 
-    src = docs.select("doc_id", F.col("text").cast("binary").alias("tb"))
+    src = _spread(docs.select("doc_id", F.col("text").cast("binary").alias("tb")))
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1427,8 +1456,10 @@ def jpeg_color_roundtrip(
         encode_jpeg_color,
     )
 
-    src_docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.col("text").cast("binary").alias("tb")
+    src_docs = _spread(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.col("text").cast("binary").alias("tb")
+        )
     )
 
     def rt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1494,8 +1525,10 @@ def jpeg_progressive_roundtrip(
         encode_jpeg_progressive,
     )
 
-    src_docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.col("text").cast("binary").alias("tb")
+    src_docs = _spread(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.col("text").cast("binary").alias("tb")
+        )
     )
 
     def rt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1573,7 +1606,7 @@ def attach_image4_payload(docs: DataFrame) -> DataFrame:
         encode_jpeg_color,
     )
 
-    src = docs.select("doc_id", F.col("text").cast("binary").alias("tb"))
+    src = _spread(docs.select("doc_id", F.col("text").cast("binary").alias("tb")))
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1683,7 +1716,7 @@ def attach_image6_payload(docs: DataFrame) -> DataFrame:
         encode_jpeg_color,
     )
 
-    src = docs.select("doc_id", F.col("text").cast("binary").alias("tb"))
+    src = _spread(docs.select("doc_id", F.col("text").cast("binary").alias("tb")))
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -324,3 +324,24 @@ def test_audio_features_stereo8_oracle(spark, sf_dir):
         audio_features_stereo8_oracle_sql(),
         sf_dir,
     )
+
+
+def test_spread_contract(spark):
+    """_spread's two-sided contract: (a) a split-starved source fans
+    out to the cluster parallelism via ONE explicit round-robin
+    Exchange; (b) a source that already has >= parallelism partitions
+    passes through IDENTICALLY — no Exchange, because at 100 TB the
+    input has plentiful splits and shuffling payload bytes would be
+    the real cost. Values are partitioning-invariant either way."""
+    par = spark.sparkContext.defaultParallelism
+
+    starved = spark.range(0, 1000, 1, 1).withColumnRenamed("id", "doc_id")
+    out = MM._spread(starved)
+    assert out.rdd.getNumPartitions() == par
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "roundrobin" in plan.lower()
+    assert sorted(r["doc_id"] for r in out.collect()) == list(range(1000))
+
+    plentiful = spark.range(0, 1000, 1, par).withColumnRenamed("id", "doc_id")
+    same = MM._spread(plentiful)
+    assert same is plentiful  # identity, not a rebuilt frame
