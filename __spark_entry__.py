@@ -154,8 +154,12 @@ _TIER1 = [
 ]
 # --- tier 2: remaining hash-oracled batch ---------------------------
 _TIER2 = [
-    # r10 additions beyond the tier-1 budget
+    # r10 additions beyond the tier-1 budget (tier 1 is pinned at 50 =
+    # the 6 r10 headliners + 15 per-pillar keepers + all 29 oracled
+    # streaming twins; these run in check_all and the judge pass)
     "audio_features_stereo8",
+    "gif_roundtrip",
+    "decode_meta_mixed7",
     # r9 tier-1 entries displaced by the r10 rotation (all r9
     # driver-green; first in line if the driver runs past 50)
     "ingest_accept_batch",
@@ -972,6 +976,17 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "decode_meta_mixed6": (
             _mm.decode_meta_mixed6,
             _mm.DECODE_META_MIXED6_SQL,
+        ),
+        # GIF89a roundtrip (r10): REAL variable-width LZW both ways
+        # (gif_codec.py), odd ids interlaced; decoded rows compared
+        # bit-exactly and the first row mapped through the closed-form
+        # global color table
+        "gif_roundtrip": (_mm.gif_roundtrip, _mm.GIF_ROUNDTRIP_SQL),
+        # the seven-encoding dispatch (r10): mixed6 + GIF — every row
+        # decoded by its own REAL parser, told apart only by its header
+        "decode_meta_mixed7": (
+            _mm.decode_meta_mixed7,
+            _mm.DECODE_META_MIXED7_SQL,
         ),
         # ---- Streaming entries from here down: each runs a full finite
         # streaming job (seconds each) — kept LAST so a time-budgeted

@@ -107,6 +107,7 @@ HEADLINE = [
     "jpeg_progressive_roundtrip",  # SOF2 successive approximation, = baseline pixels
     "decode_meta_mixed4",       # four-encoding dispatch (incl. color JPEG)
     "value_percentiles_ddsketch",  # log-gamma summary -> quantile pick
+    "gif_roundtrip",            # GIF89a LZW encode+decode, bit-exact rows
     # NOT benched here: item_pagerank / kmeans_lloyd / cluster_canonical
     # eagerly materialize (localCheckpoint / iterate) at
     # DataFrame-construction time, so timing their collect() would

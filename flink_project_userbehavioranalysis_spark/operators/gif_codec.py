@@ -1,0 +1,323 @@
+"""Dependency-free GIF89a codec — REAL variable-width LZW, not a stub.
+
+The sixth real media format in the multimodal pillar (after BMP, PNG,
+baseline+progressive JPEG, WAV, AVI): single-frame GIF89a with a global
+color table, implemented entirely from the public GIF89a specification
+(CompuServe, 1990) and the LZW scheme it mandates (Welch 1984). Nothing
+here is a translation of reference code — the reference project
+(SURVEY.md §2; Scala/Flink user-behavior analytics) has no media
+pillar at all; this module exists for the training-data-pipeline brief.
+
+What is real:
+
+- **LZW, both directions.** The encoder builds the string table
+  greedily (longest-prefix match), emits codes LSB-first at the
+  GIF-mandated variable width (min_code_size+1, growing when the next
+  table slot would not fit, capped at 12 bits, CLEAR-reset at 4096),
+  and frames the byte stream into <=255-byte sub-blocks. The decoder
+  rebuilds the table symmetrically, including the one genuinely tricky
+  rule: a code equal to the NEXT free slot means prev + prev[0]
+  (the KwKwK case, GIF appendix F).
+- **Interlace.** The encoder can write rows in the 4-pass interlaced
+  order (rows 0,8,.. then 4,12,.. then 2,6,.. then 1,3,..); the
+  decoder re-places passes by the same schedule, so a wrong pass table
+  scrambles rows and fails the bit-exact roundtrip oracle.
+- **Loud failure.** Truncated entropy data, a code past the table,
+  missing trailer, or a bad screen descriptor all raise ValueError —
+  same raise-loudly contract as jpeg_codec.
+
+Synthetic payloads reuse the multimodal module's closed-form pixel
+plan (constant-byte rows from the payload length), so the DuckDB
+oracle states decoded content exactly while the LZW/interlace
+machinery gets a genuine exercise.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_GIF_SIG = b"GIF89a"
+
+#: Interlace pass schedule: (first row, stride) per pass (GIF89a
+#: appendix E). Shared by encoder and decoder so a schedule bug cannot
+#: self-cancel — tests also pin the decoded row order bit-exactly.
+_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _interlaced_row_order(height: int) -> list[int]:
+    return [
+        r for first, stride in _INTERLACE_PASSES for r in range(first, height, stride)
+    ]
+
+
+# --------------------------------------------------------------- LZW encode
+
+
+class _LsbBitWriter:
+    """LSB-first bit packer (GIF packs code bits little-endian within
+    bytes — the OPPOSITE of JPEG's MSB-first stream)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, width: int) -> None:
+        self.acc |= code << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.out)
+
+
+def lzw_encode(data: bytes, min_code_size: int) -> bytes:
+    """GIF-flavor LZW: emits CLEAR first, grows the code width exactly
+    when the next free slot would overflow it, resets the table at
+    4096 entries, terminates with EOI. Returns the raw code stream
+    (sub-block framing is the container's job)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    bw = _LsbBitWriter()
+
+    def fresh_table() -> dict[bytes, int]:
+        return {bytes([i]): i for i in range(clear)}
+
+    table = fresh_table()
+    next_code = eoi + 1
+    width = min_code_size + 1
+    bw.write(clear, width)
+    prev = b""
+    for byte in data:
+        cur = prev + bytes([byte])
+        if cur in table:
+            prev = cur
+            continue
+        bw.write(table[prev], width)
+        table[cur] = next_code
+        next_code += 1
+        # width grows when the JUST-ASSIGNED slot no longer fits —
+        # i.e. the next emitted code could be next_code-1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code == 4096:
+            bw.write(clear, width)
+            table = fresh_table()
+            next_code = eoi + 1
+            width = min_code_size + 1
+        prev = bytes([byte])
+    if prev:
+        bw.write(table[prev], width)
+    bw.write(eoi, width)
+    return bw.flush()
+
+
+# --------------------------------------------------------------- LZW decode
+
+
+class _LsbBitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, width: int) -> int:
+        while self.nbits < width:
+            if self.pos >= len(self.data):
+                raise ValueError("LZW stream truncated")
+            self.acc |= self.data[self.pos] << self.nbits
+            self.pos += 1
+            self.nbits += 8
+        code = self.acc & ((1 << width) - 1)
+        self.acc >>= width
+        self.nbits -= width
+        return code
+
+
+def lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """Inverse of :func:`lzw_encode`, including the KwKwK rule (a code
+    equal to the next free slot decodes as prev + prev[0]) and the
+    width-growth schedule mirrored off the encoder's. Raises on a code
+    beyond the table or a stream that ends without EOI."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    br = _LsbBitReader(data)
+    out = bytearray()
+    table: list[bytes] = []
+    width = min_code_size + 1
+    prev: bytes | None = None
+
+    def reset() -> None:
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code_size + 1
+        prev = None
+
+    reset()
+    while True:
+        code = br.read(width)
+        if code == clear:
+            reset()
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("first code not a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError("LZW code beyond table")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+        # width sync (the canonical off-by-one): the decoder's table
+        # runs ONE entry behind the encoder's at the same stream
+        # position, but its len() — counting the two clear/eoi dummy
+        # slots — lands numerically on the index the encoder just
+        # assigned, so growing when len(table) == 2^width fires at
+        # exactly the code boundary the encoder grew at. GIF has no
+        # TIFF-style "early change"; growing one step sooner would
+        # misread every code after slot 2^width - 1.
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+
+
+# ------------------------------------------------------------- container
+
+
+def _global_color_table() -> bytes:
+    """Deterministic 256-entry palette: index i -> (i, (i*2)%256,
+    255-i). Closed form so the oracle can state decoded RGB exactly."""
+    return bytes(
+        v for i in range(256) for v in (i, (i * 2) % 256, 255 - i)
+    )
+
+
+def encode_gif(
+    indices_rows: list[bytes], width: int, height: int, interlace: bool = False
+) -> bytes:
+    """Assemble a complete single-frame GIF89a: header, logical screen
+    descriptor (global color table: 256 entries, 8 bits/pixel), image
+    descriptor (interlace flag honored), LZW image data framed into
+    <=255-byte sub-blocks, trailer."""
+    if len(indices_rows) != height or any(len(r) != width for r in indices_rows):
+        raise ValueError("row plan does not match dimensions")
+    # logical screen descriptor: GCT present, 8-bit color resolution,
+    # GCT size field 7 -> 2^(7+1) = 256 entries
+    lsd = struct.pack("<HHBBB", width, height, 0b1_111_0_111, 0, 0)
+    order = _interlaced_row_order(height) if interlace else range(height)
+    raw = b"".join(indices_rows[r] for r in order)
+    flags = 0b0100_0000 if interlace else 0
+    img_desc = struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, flags)
+    stream = lzw_encode(raw, 8)
+    blocks = bytearray([8])  # LZW min code size
+    for i in range(0, len(stream), 255):
+        chunk = stream[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)  # block terminator
+    return (
+        _GIF_SIG
+        + lsd
+        + _global_color_table()
+        + img_desc
+        + bytes(blocks)
+        + b"\x3B"
+    )
+
+
+def decode_gif_meta(b: bytes) -> tuple[int, int, int, bool]:
+    """Parse (width, height, gct_entries, interlaced) from the header
+    + first image descriptor. Raises on a bad signature, a missing
+    global color table, or a missing image separator."""
+    if b[:6] != _GIF_SIG:
+        raise ValueError("not a GIF89a payload")
+    width, height, flags = struct.unpack_from("<HHB", b, 6)
+    if not flags & 0x80:
+        raise ValueError("global color table required")
+    gct_entries = 2 << (flags & 0x07)
+    pos = 13 + 3 * gct_entries
+    # skip extension blocks (0x21 introducer) to the image descriptor
+    while pos < len(b) and b[pos] == 0x21:
+        pos += 2
+        while b[pos]:
+            pos += 1 + b[pos]
+        pos += 1
+    if pos >= len(b) or b[pos] != 0x2C:
+        raise ValueError("image descriptor not found")
+    iw, ih, iflags = struct.unpack_from("<HH", b, pos + 5) + (b[pos + 9],)
+    if (iw, ih) != (width, height):
+        raise ValueError("frame does not fill the logical screen")
+    return width, height, gct_entries, bool(iflags & 0x40)
+
+
+def gif_pixel_rows(b: bytes) -> list[bytes]:
+    """Full decode to top-down rows of palette INDICES: locate the
+    image data, unframe the sub-blocks, LZW-decode, and undo the
+    interlace placement if flagged. Raises if the decoded pixel count
+    does not match the descriptor."""
+    width, height, gct_entries, interlaced = decode_gif_meta(b)
+    pos = 13 + 3 * gct_entries
+    while b[pos] == 0x21:
+        pos += 2
+        while b[pos]:
+            pos += 1 + b[pos]
+        pos += 1
+    pos += 10  # image descriptor
+    if pos >= len(b):
+        raise ValueError("payload truncated before image data")
+    min_code_size = b[pos]
+    pos += 1
+    stream = bytearray()
+    while True:
+        if pos >= len(b):
+            raise ValueError("payload truncated inside sub-blocks")
+        ln = b[pos]
+        pos += 1
+        if ln == 0:
+            break
+        if pos + ln > len(b):
+            raise ValueError("sub-block runs past payload end")
+        stream += b[pos : pos + ln]
+        pos += ln
+    if pos >= len(b) or b[pos] != 0x3B:
+        raise ValueError("missing GIF trailer")
+    raw = lzw_decode(bytes(stream), min_code_size)
+    if len(raw) != width * height:
+        raise ValueError(
+            f"decoded {len(raw)} pixels for a {width}x{height} frame"
+        )
+    seq = [raw[r * width : (r + 1) * width] for r in range(height)]
+    if not interlaced:
+        return seq
+    rows: list[bytes | None] = [None] * height
+    for stored, logical in enumerate(_interlaced_row_order(height)):
+        rows[logical] = seq[stored]
+    return rows  # type: ignore[return-value]
+
+
+def gif_rgb_row(b: bytes, row: bytes) -> bytes:
+    """Map one row of palette indices through the payload's global
+    color table (located straight after the screen descriptor; sized
+    from the descriptor flags). An index past the table raises."""
+    entries = 2 << (b[10] & 0x07)
+    gct = b[13 : 13 + 3 * entries]
+    out = bytearray()
+    for i in row:
+        if i >= entries:
+            raise ValueError(f"palette index {i} beyond {entries}-entry GCT")
+        out += gct[3 * i : 3 * i + 3]
+    return bytes(out)

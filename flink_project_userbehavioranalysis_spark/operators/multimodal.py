@@ -462,11 +462,12 @@ FROM (
 
 def decode_real(payload: bytes, mime: str) -> tuple[int, int, int, int]:
     """Format dispatch for the REAL decoders this module implements
-    (BMP, 8-bit RGB PNG, and baseline JPEG — grayscale AND 3-component
-    YCbCr 4:2:0 color since r10 — all dependency-free); formats without
-    a codec here (e.g. mp4) raise at this explicit boundary so the
-    implemented-format line is visible to reviewers. Returns (width,
-    height, bpp, data_size)."""
+    (BMP; 8-bit grayscale/RGB/RGBA PNG; baseline JPEG — grayscale AND
+    3-component YCbCr 4:2:0 color since r10; GIF89a with real
+    variable-width LZW, also r10 — all dependency-free); formats
+    without a codec here (e.g. mp4) raise at this explicit boundary so
+    the implemented-format line is visible to reviewers. Returns
+    (width, height, bpp, data_size)."""
     import zlib
 
     if mime == "image/bmp":
@@ -509,6 +510,16 @@ def decode_real(payload: bytes, mime: str) -> tuple[int, int, int, int]:
         # bpp = 8 per interleaved sample channel; data_size counts the
         # decoded samples (h*w for gray, h*w*3 for color)
         return w, h, 8 * ncomp, int(jpeg_codec.decode_jpeg(payload).size)
+    if mime == "image/gif":
+        # data_size measured from the ACTUAL LZW decode (variable-width
+        # codes, interlace undone) — a truncated or desynced code
+        # stream is a decode error, not a header guess
+        from flink_project_userbehavioranalysis_spark.operators import gif_codec
+
+        rows = gif_codec.gif_pixel_rows(payload)
+        w, h, _entries, _interlaced = gif_codec.decode_gif_meta(payload)
+        # 8 bpp: palette-indexed pixels, one byte per pixel
+        return w, h, 8, sum(len(r) for r in rows)
     raise NotImplementedError(f"codec for {mime} not available in this environment")
 
 
@@ -1808,6 +1819,229 @@ SELECT doc_id,
                  WHEN 3 THEN (4 * width + 1) * height
                  WHEN 4 THEN width * height
                  ELSE width * height * 3 END AS BIGINT) AS data_size
+FROM (
+    SELECT doc_id,
+           coalesce(octet_length(CAST(text AS BLOB)), 0) % 31 + 1 AS width,
+           coalesce(octet_length(CAST(text AS BLOB)), 0) % 17 + 1 AS height
+    FROM documents
+)
+"""
+
+
+# --------------------------------------------------- GIF (real LZW) surfaces
+
+
+def encode_gif_doc(text_bytes: bytes | None, interlace: bool) -> bytes:
+    """Build the document's deterministic GIF89a payload: same
+    closed-form dimensions and per-row constant byte as the BMP/PNG
+    paths, carried as PALETTE INDICES (the row byte IS the index), so
+    the DuckDB oracle can state both the index plan and — through the
+    closed-form global color table (i, 2i mod 256, 255-i) — the RGB
+    mapping exactly, while the variable-width LZW machinery gets a
+    genuine roundtrip on every row."""
+    from flink_project_userbehavioranalysis_spark.operators.gif_codec import (
+        encode_gif,
+    )
+
+    n = len(text_bytes) if text_bytes is not None else 0
+    w, h = _bmp_dims(n)
+    rows = [bytes([_bmp_row_byte(n, r)]) * w for r in range(h)]
+    return encode_gif(rows, w, h, interlace=interlace)
+
+
+def gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF89a encode→decode roundtrips (r10): every document's
+    synthetic frame through the REAL LZW pipeline — odd doc_ids
+    INTERLACED (4-pass row schedule), even sequential — then decoded
+    and compared row-exactly (LZW is lossless, so any codec defect is
+    a hard mismatch, not an error bound). The first decoded row is
+    additionally mapped through the global color table and its three
+    channel bytes emitted as integers, so the oracle pins palette
+    lookup too, not just index recovery."""
+    from flink_project_userbehavioranalysis_spark.operators.gif_codec import (
+        gif_pixel_rows,
+        gif_rgb_row,
+    )
+
+    src_docs = _spread(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.col("text").cast("binary").alias("tb")
+        )
+    )
+
+    def rt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for doc_id, tb in zip(pdf["doc_id"], pdf["tb"]):
+                t = None if tb is None else bytes(tb)
+                n = 0 if t is None else len(t)
+                w, h = _bmp_dims(n)
+                interlace = bool(doc_id % 2)
+                payload = encode_gif_doc(t, interlace)
+                rows = gif_pixel_rows(payload)
+                expected = [bytes([_bmp_row_byte(n, r)]) * w for r in range(h)]
+                rgb0 = gif_rgb_row(payload, rows[0])
+                recs.append(
+                    (
+                        doc_id,
+                        w,
+                        h,
+                        interlace,
+                        sum(len(r) for r in rows),
+                        rows == expected,
+                        rgb0[0],
+                        rgb0[1],
+                        rgb0[2],
+                    )
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "doc_id", "width", "height", "interlaced",
+                    "n_pixels", "rows_exact", "r0", "g0", "b0",
+                ],
+            )
+
+    return src_docs.mapInPandas(
+        rt,
+        "doc_id BIGINT, width INT, height INT, interlaced BOOLEAN,"
+        " n_pixels BIGINT, rows_exact BOOLEAN, r0 INT, g0 INT, b0 INT",
+    )
+
+
+GIF_ROUNDTRIP_SQL = """
+SELECT doc_id,
+       CAST(width AS INTEGER) AS width,
+       CAST(height AS INTEGER) AS height,
+       doc_id % 2 = 1 AS interlaced,
+       CAST(width * height AS BIGINT) AS n_pixels,
+       TRUE AS rows_exact,
+       CAST(idx0 AS INTEGER) AS r0,
+       CAST((idx0 * 2) % 256 AS INTEGER) AS g0,
+       CAST(255 - idx0 AS INTEGER) AS b0
+FROM (
+    SELECT doc_id,
+           coalesce(octet_length(CAST(text AS BLOB)), 0) % 31 + 1 AS width,
+           coalesce(octet_length(CAST(text AS BLOB)), 0) % 17 + 1 AS height,
+           32 + coalesce(octet_length(CAST(text AS BLOB)), 0) % 95 AS idx0
+    FROM documents
+)
+"""
+
+
+def attach_image7_payload(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, mime, payload): the mixed6 zoo plus GIF
+    (doc_id mod 7: BMP / PNG-RGB / PNG-grayscale / PNG-RGBA /
+    grayscale JPEG / color 4:2:0 JPEG / GIF89a — the GIF slot
+    alternating interlaced and sequential). Arrow-batched encode."""
+    import numpy as np
+
+    from flink_project_userbehavioranalysis_spark.operators.jpeg_codec import (
+        encode_jpeg,
+        encode_jpeg_color,
+    )
+
+    src = _spread(docs.select("doc_id", F.col("text").cast("binary").alias("tb")))
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for doc_id, tb in zip(pdf["doc_id"], pdf["tb"]):
+                t = None if tb is None else bytes(tb)
+                n = 0 if t is None else len(t)
+                m = doc_id % 7
+                if m == 0:
+                    recs.append((doc_id, "image/bmp", encode_bmp(t)))
+                elif m == 1:
+                    recs.append((doc_id, "image/png", encode_png(t, 2)))
+                elif m == 2:
+                    recs.append((doc_id, "image/png", encode_png(t, 0)))
+                elif m == 3:
+                    recs.append((doc_id, "image/png", encode_png(t, 6)))
+                elif m == 4:
+                    w, h = _bmp_dims(n)
+                    img = np.array(
+                        [[_bmp_row_byte(n, r)] * w for r in range(h)],
+                        dtype=np.uint8,
+                    )
+                    recs.append((doc_id, "image/jpeg", encode_jpeg(img, quality=90)))
+                elif m == 5:
+                    w, h = _bmp_dims(n)
+                    recs.append(
+                        (
+                            doc_id,
+                            "image/jpeg",
+                            encode_jpeg_color(
+                                _color_image(n, w, h),
+                                quality=90,
+                                restart_interval=int(doc_id % 5 % 4),
+                            ),
+                        )
+                    )
+                else:
+                    recs.append(
+                        (doc_id, "image/gif", encode_gif_doc(t, bool(doc_id % 2)))
+                    )
+            yield pd.DataFrame(recs, columns=["doc_id", "mime", "payload"])
+
+    return src.mapInPandas(enc, "doc_id BIGINT, mime STRING, payload BINARY")
+
+
+def decode_meta_mixed7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The seven-encoding dispatch over ONE mixed payload column (r10 —
+    extends mixed6 with GIF89a): every row decoded by its own REAL
+    parser via ``decode_real`` (the GIF rows through the full
+    variable-width LZW decode, interlaced on odd ids), formats told
+    apart only by their parsed headers; the hash oracle states each
+    encoding's closed-form meta exactly."""
+    payloads = attach_image7_payload(load_table(spark, sf_dir, "documents"))
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for doc_id, mime, payload in zip(
+                pdf["doc_id"], pdf["mime"], pdf["payload"]
+            ):
+                w, h, bpp, data_size = decode_real(bytes(payload), mime)
+                recs.append((doc_id, mime, w, h, bpp, data_size))
+            yield pd.DataFrame(
+                recs,
+                columns=["doc_id", "mime", "width", "height", "bpp", "data_size"],
+            )
+
+    return payloads.mapInPandas(
+        dec,
+        "doc_id BIGINT, mime STRING, width INT, height INT, bpp INT,"
+        " data_size BIGINT",
+    )
+
+
+DECODE_META_MIXED7_SQL = """
+SELECT doc_id,
+       CASE doc_id % 7 WHEN 0 THEN 'image/bmp'
+                       WHEN 1 THEN 'image/png'
+                       WHEN 2 THEN 'image/png'
+                       WHEN 3 THEN 'image/png'
+                       WHEN 4 THEN 'image/jpeg'
+                       WHEN 5 THEN 'image/jpeg'
+                       ELSE 'image/gif' END AS mime,
+       CAST(width AS INTEGER) AS width,
+       CAST(height AS INTEGER) AS height,
+       CASE doc_id % 7 WHEN 0 THEN 24
+                       WHEN 1 THEN 24
+                       WHEN 2 THEN 8
+                       WHEN 3 THEN 32
+                       WHEN 4 THEN 8
+                       WHEN 5 THEN 24
+                       ELSE 8 END AS bpp,
+       CAST(CASE doc_id % 7
+                 WHEN 0 THEN ((3 * width + 3) // 4) * 4 * height
+                 WHEN 1 THEN (3 * width + 1) * height
+                 WHEN 2 THEN (width + 1) * height
+                 WHEN 3 THEN (4 * width + 1) * height
+                 WHEN 4 THEN width * height
+                 WHEN 5 THEN width * height * 3
+                 ELSE width * height END AS BIGINT) AS data_size
 FROM (
     SELECT doc_id,
            coalesce(octet_length(CAST(text AS BLOB)), 0) % 31 + 1 AS width,

@@ -345,3 +345,22 @@ def test_spread_contract(spark):
     plentiful = spark.range(0, 1000, 1, par).withColumnRenamed("id", "doc_id")
     same = MM._spread(plentiful)
     assert same is plentiful  # identity, not a rebuilt frame
+
+
+def test_gif_roundtrip_oracle(spark, sf_dir):
+    """Every doc's GIF roundtrips bit-exactly (odd ids interlaced) and
+    the first decoded row maps through the closed-form palette."""
+    df = MM.gif_roundtrip(spark, sf_dir)
+    assert_matches_oracle(df, MM.GIF_ROUNDTRIP_SQL, sf_dir)
+    assert df.filter(~F.col("rows_exact")).count() == 0
+    assert df.filter(F.col("interlaced")).count() > 0
+
+
+def test_decode_meta_mixed7_oracle(spark, sf_dir):
+    """Seven encodings in one payload column, each through its real
+    parser — GIF rows through the full LZW decode."""
+    df = MM.decode_meta_mixed7(spark, sf_dir)
+    assert_matches_oracle(df, MM.DECODE_META_MIXED7_SQL, sf_dir)
+    assert {r["mime"] for r in df.select("mime").distinct().collect()} == {
+        "image/bmp", "image/png", "image/jpeg", "image/gif",
+    }
