@@ -85,12 +85,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # Membership ROTATES per round (r6 verdict #7, r7 verdict #1) so
 # driver-verified coverage accumulates instead of re-proving the same
 # 50. After r9, EVERY hash-oracled batch entry has had a driver row;
-# the only hash-oracled entries never driver-verified were the 29
+# the only hash-oracled entries never driver-verified were the
 # streaming twins (tier 4 by design). r10 closes that tail (r9
-# verdict #1): tier 1 = the 3 new r10 surfaces (persisted-index
-# admission, color JPEG pair), 18 per-pillar batch keepers (one per
-# operator module, all multi-round driver-green), and ALL 29
-# hash-oracled streaming twins — each a finite replay job, seconds
+# verdict #1): tier 1 = the new r10 surfaces (persisted-index
+# admission, JPEG color/progressive pair, mixed dispatches),
+# per-pillar batch keepers (one per operator module, all multi-round
+# driver-green), and ALL 30 hash-oracled streaming twins
+# (decode_meta_stream included) — each a finite replay job, seconds
 # apiece, so 50 rows still fit the driver budget. After r10, every
 # hash-oracled registry entry (batch AND streaming) has a driver row
 # at least once cumulatively. Displaced r9 entries moved to the tier-2
@@ -102,7 +103,6 @@ _TIER1 = [
     "jpeg_color_roundtrip",
     "jpeg_progressive_roundtrip",
     "decode_meta_mixed4",
-    "decode_meta_mixed6",
     # per-pillar regression keepers (driver-green in earlier rounds;
     # one per operator module — the invariant test pins coverage)
     "hot_items_topn",
@@ -120,7 +120,7 @@ _TIER1 = [
     "embedding_centroids",
     "item_triangles",
     "table_expectations",
-    # the 29 hash-oracled streaming twins — never driver-verified
+    # the 30 hash-oracled streaming twins — never driver-verified
     # before r10 (each is a finite replay; oracle = the batch twin's)
     "pii_scrub_stream",
     "gopher_quality_stream",
@@ -151,6 +151,7 @@ _TIER1 = [
     "term_blocklist_stream",
     "ingest_accept_stream",
     "value_hist_daily_stream",
+    "decode_meta_stream",
 ]
 # --- tier 2: remaining hash-oracled batch ---------------------------
 _TIER2 = [
@@ -160,6 +161,7 @@ _TIER2 = [
     "audio_features_stereo8",
     "gif_roundtrip",
     "decode_meta_mixed7",
+    "decode_meta_mixed6",
     # r9 tier-1 entries displaced by the r10 rotation (all r9
     # driver-green; first in line if the driver runs past 50)
     "ingest_accept_batch",
@@ -1026,6 +1028,11 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
             _stw.value_hist_daily_stream,
             _nf.value_hist_daily_oracle_sql(),
         ),
+        # streaming MULTIMODAL decode (r10): the mixed BMP/PNG
+        # encode→decode Arrow passes as an append-mode projection over
+        # the document feed — stateless, so the batch hash oracle is
+        # the streaming oracle (pii_scrub_stream family)
+        "decode_meta_stream": (_stw.decode_meta_stream, _mm.DECODE_META_SQL),
         # DDSketch maintenance twin (r10): update-mode keyed agg over
         # the log-gamma grid + changelog MERGE, quantile read over the
         # maintained state. Rows-only for the batch entry's libm-ln

@@ -52,6 +52,11 @@ def _spread(df: DataFrame) -> DataFrame:
     The explicit numPartitions makes it a user-specified repartition,
     which AQE never coalesces back down.
     """
+    if df.isStreaming:
+        # micro-batch parallelism is the source's (file-chunk / Kafka
+        # partition count); .rdd is illegal on a streaming frame and a
+        # blind repartition would add a per-batch shuffle — pass through
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
@@ -420,7 +425,16 @@ def decode_meta_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered stream ((1 + 3·width) × height, measured from the
     inflated IDAT).
     """
-    payloads = attach_image_payload(load_table(spark, sf_dir, "documents"))
+    return decode_meta_projection(load_table(spark, sf_dir, "documents"))
+
+
+def decode_meta_projection(docs: DataFrame) -> DataFrame:
+    """The encode→decode body of ``decode_meta_table`` over an
+    arbitrary docs relation — batch AND streaming (mapInPandas is
+    stateless, so the same projection runs unchanged in append mode;
+    ``decode_meta_stream`` replays it per micro-batch and the batch
+    oracle doubles as the streaming oracle)."""
+    payloads = attach_image_payload(docs)
 
     def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

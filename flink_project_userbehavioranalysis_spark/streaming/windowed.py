@@ -769,6 +769,31 @@ def chunk_documents_stream(spark: SparkSession, sf_dir: str, n_chunks: int = 4) 
     )
 
 
+def decode_meta_stream(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> DataFrame:
+    """Stateless streaming MULTIMODAL decode: the mixed BMP/PNG
+    encode→decode Arrow passes of ``multimodal.decode_meta_table``
+    applied at ingest over the document feed — the shape a production
+    media pipeline has (payloads arrive on a feed, metadata extraction
+    runs as a continuous map). Both mapInPandas passes are stateless,
+    so the whole thing is an append-mode projection at scan rate (zero
+    state, no watermark — the ``pii_scrub_stream`` family). Shares
+    ``decode_meta_projection`` with the batch operator, so the batch
+    hash oracle is the streaming oracle."""
+    from flink_project_userbehavioranalysis_spark.operators.multimodal import (
+        decode_meta_projection,
+    )
+    from flink_project_userbehavioranalysis_spark.streaming.replay import (
+        run_append_memory,
+    )
+
+    docs = docs_stream(spark, sf_dir, n_chunks=n_chunks)
+    return run_append_memory(
+        decode_meta_projection(docs.select("doc_id", "text")),
+        "decode_meta_stream",
+        spark,
+    )
+
+
 def expectations_stream(
     spark: SparkSession, sf_dir: str, n_chunks: int = 4
 ) -> DataFrame:
