@@ -161,6 +161,7 @@ _TIER2 = [
     "audio_features_stereo8",
     "gif_roundtrip",
     "decode_meta_mixed7",
+    "export_shards_roundtrip",
     "decode_meta_mixed6",
     # r9 tier-1 entries displaced by the r10 rotation (all r9
     # driver-green; first in line if the driver runs past 50)
@@ -676,6 +677,15 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         # format (Hive/Trino estates), built into Spark; shares the
         # JSONL hop's checksum oracle
         "orc_roundtrip": (_mt.orc_roundtrip, _mt.JSONL_ROUNDTRIP_SQL),
+        # training-shard EXPORT proof (r10): epoch-shuffle plan →
+        # hive-partitioned shard write → read-back manifest; oracle =
+        # the manifest straight off the raw table, so a hash match
+        # certifies every doc landed exactly once in its planned shard
+        # with the planned read order
+        "export_shards_roundtrip": (
+            _mt.export_shards_roundtrip,
+            _mt.export_shards_oracle_sql(),
+        ),
         # maintenance (r7): right-to-be-forgotten sweep — scrubbed
         # rewrite + audit; oracle = anti-joined raw table, so a hash
         # match certifies exactly-the-listed-users deletion

@@ -597,3 +597,84 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         # eager: the reused scratch dir is overwritten by the next call
         .localCheckpoint(eager=True)
     )
+
+
+def export_shards_roundtrip(
+    spark: SparkSession, sf_dir: str, buckets: int = 16, seed: str = "shuf1"
+) -> DataFrame:
+    """Registered training-shard EXPORT proof (r10) — the step between
+    the epoch-shuffle PLAN (``llm_text.corpus_shuffle_order``) and a
+    training job's data loader: physically write the corpus as ONE
+    hive-partitioned dataset keyed by the planned shard, read the
+    files back, and emit a per-shard manifest computed ONLY from what
+    landed on disk — doc count, token total, and the md5 over the
+    read-order doc_id chain. Oracle = the identical manifest straight
+    off the documents table, so a hash match certifies the export
+    wrote every doc exactly once, into exactly the planned shard, with
+    the planned read order intact (a lost, duplicated, or misrouted
+    doc flips n_docs or the chain digest; a scrambled order flips the
+    digest alone).
+
+    Scale shape: the plan is the shuffle-order projection (md5 shard +
+    one partition-local rank per shard) joined narrowly to the token
+    counts; the write is ``partitionBy(shard)`` — each task streams
+    its rows into per-shard files with no extra exchange beyond the
+    rank's, and shard count is the parallelism dial a 100 TB export
+    turns. The manifest agg is a partial-agg rollup at shard grain
+    (``buckets`` rows out); the chain digest folds each shard's ids
+    AFTER an explicit array_sort on (pos, doc_id), so collect_list's
+    arrival nondeterminism cannot leak into the hash."""
+    from flink_project_userbehavioranalysis_spark.operators.llm_text import (
+        corpus_shuffle_order,
+    )
+
+    order = corpus_shuffle_order(spark, sf_dir, seed=seed, buckets=buckets)
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    planned = order.join(toks, "doc_id")
+    out = _scratch_dir(spark, "shards", sf_dir)
+    planned.write.mode("overwrite").partitionBy("shard").parquet(out)
+    back = spark.read.parquet(out).withColumn(
+        # hive partition-value inference types the shard dir as INT;
+        # the manifest contract (and the plan) say BIGINT
+        "shard", F.col("shard").cast("long")
+    )
+    ordered_ids = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "doc_id"))),
+        lambda s: s["doc_id"].cast("string"),
+    )
+    return (
+        back.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+            F.md5(F.concat_ws(",", ordered_ids).cast("binary")).alias("ids_md5"),
+        )
+        # eager: the reused scratch dir is overwritten by the next call
+        .localCheckpoint(eager=True)
+    )
+
+
+def export_shards_oracle_sql(buckets: int = 16, seed: str = "shuf1") -> str:
+    digit = "(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+    val = f"{digit.format(i=1)} * 16 + {digit.format(i=2)}"
+    return f"""
+WITH t AS (
+    SELECT doc_id, md5('{seed}:' || CAST(doc_id AS VARCHAR)) AS h,
+           len(string_split(text, ' ')) AS n_tokens
+    FROM documents
+), b AS (
+    SELECT doc_id, n_tokens, h, ({val}) % {int(buckets)} AS shard FROM t
+), p AS (
+    SELECT doc_id, n_tokens, shard,
+           row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
+    FROM b
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY pos)) AS ids_md5
+FROM p
+GROUP BY shard
+"""

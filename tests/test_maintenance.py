@@ -331,3 +331,23 @@ def test_cdc_apply_delete_reinsert_across_boundary(spark, sf_dir, tmp_path):
     got = {r["user_id"]: (r["last_value"], r["n_changes"])
            for r in mt.cdc_apply(spark, str(d)).collect()}
     assert got == {1: (3.0, 3), 3: (6.0, 1)}
+
+
+def test_export_shards_roundtrip(spark, sf_dir):
+    """The manifest hash-matches the oracle AND the physical layout is
+    the hive-partitioned shard tree a training loader expects — one
+    shard=N directory per planned bucket, every doc routed by the
+    closed-form md5 plan."""
+    import glob
+    import os
+
+    from flink_project_userbehavioranalysis_spark.operators import maintenance as MT
+    from tests.oracle import assert_matches_oracle
+
+    df = MT.export_shards_roundtrip(spark, sf_dir, buckets=8)
+    assert_matches_oracle(df, MT.export_shards_oracle_sql(buckets=8), sf_dir)
+    out = MT._scratch_dir(spark, "shards", sf_dir)
+    dirs = {os.path.basename(p) for p in glob.glob(os.path.join(out, "shard=*"))}
+    assert dirs == {f"shard={k}" for k in range(8)}
+    n_docs = df.agg({"n_docs": "sum"}).collect()[0][0]
+    assert n_docs == spark.read.parquet(f"{sf_dir}/documents.parquet").count()
