@@ -32,6 +32,7 @@ from flink_project_userbehavioranalysis_spark.operators import multimodal as _mm
 from flink_project_userbehavioranalysis_spark.operators import network_flow as _nf
 from flink_project_userbehavioranalysis_spark.operators import order_pay as _op
 from flink_project_userbehavioranalysis_spark.operators import relational as _rel
+from flink_project_userbehavioranalysis_spark.operators import search as _srch
 from flink_project_userbehavioranalysis_spark.operators import similarity as _sim
 from flink_project_userbehavioranalysis_spark.operators import skew as _skew
 from flink_project_userbehavioranalysis_spark.operators import tpch as _tp
@@ -163,6 +164,10 @@ _TIER2 = [
     "decode_meta_mixed7",
     "export_shards_roundtrip",
     "decode_meta_mixed6",
+    "fts_topk",
+    "phrase_search",
+    "term_stats_maintain",
+    "edit_dup_pairs",
     # r9 tier-1 entries displaced by the r10 rotation (all r9
     # driver-green; first in line if the driver runs past 50)
     "ingest_accept_batch",
@@ -313,6 +318,7 @@ _TIER3 = [
     "uv_trailing_sketch",
     "retention_sketch",
     "value_percentiles_ddsketch",
+    "bm25_topk",
 ]
 # --- tier 4: rows-only streaming (the oracled twins moved to tier 1
 # in the r10 rotation; what remains has no value oracle by design —
@@ -446,6 +452,28 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "doc_quality_stats": (_text.doc_quality_stats, _text.DOC_QUALITY_STATS_SQL),
         "lang_stats": (_text.lang_stats, _text.LANG_STATS_SQL),
         "tfidf_top_term": (_text.tfidf_top_term, _text.TFIDF_TOP_TERM_SQL),
+        # Full-text search pillar (r10): inverted-index ranked
+        # retrieval — conjunctive AND + exact-integer tf-idf (BIGINT
+        # idf scaling, libm-free, so the ranking hash-oracles)
+        "fts_topk": (_srch.fts_topk, _srch.fts_topk_oracle_sql()),
+        # positional phrase match (vote-counting start algebra: one
+        # broadcast join + one partial agg for ALL phrases at once)
+        "phrase_search": (_srch.phrase_search, _srch.phrase_search_oracle_sql()),
+        # BM25 ranking (float idf rides libm ln ⇒ rows-only BY
+        # DESIGN; rank parity vs independent recompute + agreement
+        # with the integer tf-idf twin asserted in tests/test_search.py)
+        "bm25_topk": (_srch.bm25_topk, None),
+        # term-dictionary maintenance: stored (term, df, cf) + batch
+        # delta merged by integer SUM — maintained ≡ rebuilt (the
+        # oracle recomputes the dictionary over ALL docs)
+        "term_stats_maintain": (
+            _srch.term_stats_maintain,
+            _srch.term_stats_maintain_oracle_sql(),
+        ),
+        # edit-distance similarity join: exact-safe pigeonhole
+        # segment filter (PassJoin, VLDB'11) → levenshtein verify
+        # (both engines ship the classic DP ⇒ fully hash-oracled)
+        "edit_dup_pairs": (_srch.edit_dup_pairs, _srch.edit_dup_pairs_oracle_sql()),
         "doc_fingerprint": (_text.doc_fingerprint, _text.DOC_FINGERPRINT_SQL),
         "lang_id_rules": (_text.lang_id_rules, _text.LANG_ID_RULES_SQL),
         # §2.10 statistical lang-ID (float log-likelihood argmax — engine-

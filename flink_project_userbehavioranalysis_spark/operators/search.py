@@ -1,0 +1,605 @@
+"""Full-text search pillar: inverted-index retrieval over ``documents``.
+
+No reference analog (the Flink project has no search ops) — this is
+the retrieval half of the LLM-data story (SURVEY §2.10): the same
+postings relation that powers dedup/contamination checks also answers
+ranked and phrase queries, and a training-data pipeline needs exactly
+that (corpus QA probes, eval-leak hunts, targeted subset pulls).
+
+Design rules for the 100 TB posture:
+- The inverted index is a *relation*, not a data structure: postings =
+  (term, doc_id, tf) from one explode + one partial-agg shuffle, the
+  same shape a Lucene segment stores, but addressable by every Spark
+  operator. At 100 TB you bucket it by term (see ``layout.py``) so a
+  query's postings probe is a pruned scan, never a full pass.
+- QUERY relations (terms, phrases) are tiny literal tables — always
+  broadcast; the corpus-sized side is only ever semi-joined/pruned by
+  them. No collect anywhere.
+- Conjunctive (AND) semantics are a count-match: a doc matches when
+  its per-query matched-term count equals the query's term count —
+  one partial-agg shuffle on (query, doc), no per-term self-joins.
+- RANKING must be cross-engine exact to hash-oracle: tf-idf uses an
+  integer-scaled idf — ``(1_000_000 * N) div df`` — so scores are
+  exact BIGINTs (libm-free); ties break on doc_id. The float BM25
+  variant rides libm ln() and is registered rows-only BY DESIGN with
+  its rank parity vs an independent recompute asserted in pytest
+  (the value_percentiles_ddsketch precedent).
+- PHRASE match is positional-postings algebra, not regex: token t at
+  position p matching phrase word j votes for start p - j; a start
+  with votes == phrase length is an occurrence. One broadcast join +
+  one partial-agg shuffle for ALL phrases at once, and repeated words
+  in a phrase fall out correctly (each j can only be matched by the
+  unique token at p = start + j).
+- The term DICTIONARY (df/cf stats) is a mergeable summary: per-batch
+  stats are exact deltas, merge = integer SUM by term — the
+  maintained-index pattern (maintained ≡ rebuilt, hash-proven) that
+  the incremental dedup/SCD2/MV ops already follow.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from flink_project_userbehavioranalysis_spark.io import load_table
+
+#: Ranked-retrieval query set (conjunctive AND; terms distinct per
+#: query). Query 3 includes the corpus's one rare term ('dup', df≈25
+#: of 500 at sf0.01) so the idf weighting is exercised on a genuinely
+#: selective term, not just the ~uniform head vocabulary.
+FTS_QUERIES: list[tuple[int, str]] = [
+    (0, "slow query scan"),
+    (1, "hash join merge"),
+    (2, "customer order group"),
+    (3, "dup batch"),
+    (4, "spark window agg"),
+]
+
+#: Phrase query set. Phrase 4 repeats a word (adjacent-duplicate
+#: matching is where naive position joins go wrong); phrase 5 is a
+#: trigram (multi-step adjacency).
+PHRASES: list[tuple[int, str]] = [
+    (0, "slow query"),
+    (1, "hash join"),
+    (2, "table scan"),
+    (3, "window agg"),
+    (4, "group group"),
+    (5, "the table line"),
+]
+
+_IDF_SCALE = 1_000_000
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+
+
+def _postings(docs: DataFrame) -> DataFrame:
+    """The inverted index as a relation: (term, doc_id, tf) — one
+    explode + one partial-agg shuffle. At 100 TB this is written once,
+    bucketed by term, and every probe below becomes a pruned scan."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    return toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+
+
+def _positional_postings(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, term) — the positional index phrase match needs."""
+    return docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term")
+    ).filter(F.col("term") != "")
+
+
+_TOKS_CTE = """
+toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+    FROM documents WHERE text IS NOT NULL
+),
+post AS (
+    SELECT term, doc_id, count(*) AS tf
+    FROM toks WHERE term <> '' GROUP BY 1, 2
+)"""
+
+
+def _query_values() -> str:
+    return ", ".join(
+        f"({qid}, '{t}')" for qid, s in FTS_QUERIES for t in s.split()
+    )
+
+
+# ------------------------------------------------- ranked retrieval (tf-idf)
+
+
+def fts_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Conjunctive ranked retrieval: for each query, the top-k docs
+    containing ALL query terms, ranked by exact-integer tf-idf.
+
+    score(q, d) = Σ_t tf(t, d) · ((1e6 · N) div df(t)) — BIGINT
+    arithmetic end to end so Spark and DuckDB agree bit-for-bit
+    (integer div, not a libm log). Plan shape: the broadcast query
+    relation prunes the postings probe; df is computed for the query's
+    terms only (semi-join first — the dictionary is never globally
+    aggregated for a lookup); conjunctivity = matched-count equality;
+    top-k = WindowGroupLimit on (score desc, doc_id).
+
+    Output: (query_id, doc_id, score, rank).
+    """
+    docs = _docs(spark, sf_dir)
+    post = _postings(docs)
+    q = spark.createDataFrame(
+        [(qid, t) for qid, s in FTS_QUERIES for t in s.split()],
+        "query_id INT, term STRING",
+    )
+    qn = q.groupBy("query_id").agg(F.count("*").alias("n_terms"))
+    dfq = (
+        post.join(F.broadcast(q.select("term").distinct()), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    n = docs.agg(F.count("*").alias("n_docs"))
+    cand = (
+        post.join(F.broadcast(q), "term")
+        .join(F.broadcast(dfq), "term")
+        .crossJoin(F.broadcast(n))
+    )
+    scored = cand.groupBy("query_id", "doc_id").agg(
+        F.sum(F.expr(f"tf * (({_IDF_SCALE} * n_docs) div df)")).alias("score"),
+        F.count("*").alias("matched"),
+    )
+    full = scored.join(F.broadcast(qn), "query_id").filter(
+        F.col("matched") == F.col("n_terms")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        full.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("score").cast("bigint").alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def fts_topk_oracle_sql(k: int = 10) -> str:
+    return f"""
+WITH {_TOKS_CTE},
+q(query_id, term) AS (VALUES {_query_values()}),
+qn AS (SELECT query_id, count(*) AS n_terms FROM q GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents WHERE text IS NOT NULL),
+dfq AS (
+    SELECT term, count(*) AS df FROM post
+    WHERE term IN (SELECT term FROM q) GROUP BY 1
+),
+sc AS (
+    SELECT q.query_id, p.doc_id,
+           sum(p.tf * (({_IDF_SCALE} * n.n_docs) // dfq.df)) AS score,
+           count(*) AS matched
+    FROM q JOIN post p USING (term) JOIN dfq USING (term) CROSS JOIN n
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT sc.query_id, sc.doc_id, sc.score,
+           row_number() OVER (
+               PARTITION BY sc.query_id ORDER BY sc.score DESC, sc.doc_id
+           ) AS rank
+    FROM sc JOIN qn USING (query_id)
+    WHERE sc.matched = qn.n_terms
+)
+SELECT query_id, doc_id, CAST(score AS BIGINT) AS score,
+       CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+# ---------------------------------------------------------- phrase search
+
+
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search, all phrases in one pass: token t at
+    (doc, pos) matching phrase word j votes for start = pos - j; a
+    start whose vote count equals the phrase length is one occurrence
+    (correct under repeated phrase words — position start + j holds
+    exactly one token, so each j is matched at most once per start).
+
+    ONE broadcast join (tokens ⋈ phrase words) + ONE partial-agg
+    shuffle on (phrase, doc, start) + one per-doc rollup — no
+    per-phrase scan, no regex, no self-join chain whose depth grows
+    with phrase length.
+
+    Output: (phrase_id, doc_id, n_occurrences).
+    """
+    return phrase_occurrences(spark, _docs(spark, sf_dir), PHRASES)
+
+
+def phrase_occurrences(
+    spark: SparkSession, docs: DataFrame, phrases: list[tuple[int, str]]
+) -> DataFrame:
+    """The vote-counting phrase matcher over an arbitrary docs frame
+    (split out so crafted-input tests can drive the algebra directly —
+    overlapping matches, adjacent-duplicate words)."""
+    toks = _positional_postings(docs)
+    pw = spark.createDataFrame(
+        [(pid, j, wjw) for pid, s in phrases for j, wjw in enumerate(s.split())],
+        "phrase_id INT, j INT, word STRING",
+    )
+    plen = pw.groupBy("phrase_id").agg(F.count("*").alias("plen"))
+    votes = (
+        toks.join(F.broadcast(pw), toks["term"] == pw["word"])
+        .select("phrase_id", "doc_id", (F.col("pos") - F.col("j")).alias("start"))
+        .groupBy("phrase_id", "doc_id", "start")
+        .agg(F.count("*").alias("nvotes"))
+    )
+    occ = votes.join(F.broadcast(plen), "phrase_id").filter(
+        F.col("nvotes") == F.col("plen")
+    )
+    return occ.groupBy("phrase_id", "doc_id").agg(
+        F.count("*").cast("bigint").alias("n_occurrences")
+    )
+
+
+def phrase_search_oracle_sql() -> str:
+    pw_vals = ", ".join(
+        f"({pid}, {j}, '{wjw}')"
+        for pid, s in PHRASES
+        for j, wjw in enumerate(s.split())
+    )
+    return f"""
+WITH base AS (
+    SELECT doc_id, string_split(text, ' ') AS toks
+    FROM documents WHERE text IS NOT NULL
+),
+toks AS (
+    SELECT doc_id, i - 1 AS pos, toks[i] AS term
+    FROM base, unnest(range(1, len(toks) + 1)) AS r(i)
+    WHERE toks[i] <> ''
+),
+pw(phrase_id, j, word) AS (VALUES {pw_vals}),
+plen AS (SELECT phrase_id, count(*) AS plen FROM pw GROUP BY 1),
+votes AS (
+    SELECT pw.phrase_id, t.doc_id, t.pos - pw.j AS start, count(*) AS nvotes
+    FROM toks t JOIN pw ON t.term = pw.word
+    GROUP BY 1, 2, 3
+)
+SELECT v.phrase_id, v.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM votes v JOIN plen USING (phrase_id)
+WHERE v.nvotes = plen.plen
+GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------------------- BM25
+
+
+def bm25_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 ranked retrieval (Robertson/Sparck-Jones), conjunctive.
+
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)),
+    score  = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+
+    Registered ROWS-ONLY by design: idf rides libm ln(), which is not
+    correctly-rounded cross-engine (the value_percentiles_ddsketch
+    precedent) — rank parity vs an independent Python recompute and
+    rank agreement with the integer tf-idf twin are asserted in
+    ``tests/test_search.py`` instead. Same plan shape as ``fts_topk``
+    plus one broadcast doc-length join; score rounded to 6 decimals
+    with a doc_id tie-break so the emitted ranking is deterministic.
+
+    Output: (query_id, doc_id, score, rank).
+    """
+    docs = _docs(spark, sf_dir)
+    post = _postings(docs)
+    dl = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("double").alias("dl")
+    )
+    stats = dl.agg(
+        F.avg("dl").alias("avgdl"), F.count("*").cast("double").alias("n_docs")
+    )
+    q = spark.createDataFrame(
+        [(qid, t) for qid, s in FTS_QUERIES for t in s.split()],
+        "query_id INT, term STRING",
+    )
+    qn = q.groupBy("query_id").agg(F.count("*").alias("n_terms"))
+    dfq = (
+        post.join(F.broadcast(q.select("term").distinct()), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count("*").cast("double").alias("df"))
+    )
+    cand = (
+        post.join(F.broadcast(q), "term")
+        .join(F.broadcast(dfq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    contrib = cand.withColumn(
+        "w",
+        F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        * (F.col("tf") * (k1 + 1))
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("w"), 6).alias("score"), F.count("*").alias("matched")
+    )
+    full = scored.join(F.broadcast(qn), "query_id").filter(
+        F.col("matched") == F.col("n_terms")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        full.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+# ----------------------------------------- term-dictionary maintenance
+
+
+def term_stats_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental term-dictionary maintenance (maintained ≡ rebuilt):
+    the stored dictionary (term, df, cf) for the corpus partition
+    (doc_id % 5 ≠ 0) is merged with the ingest batch's delta
+    (doc_id % 5 = 0) by integer SUM — df/cf are exact mergeable
+    summaries because docs are immutable and batches are disjoint, the
+    same algebra the HLL/histogram summaries use. Cost ∝ batch: the
+    corpus side is a stored KB-scale dictionary, never re-derived at
+    maintenance time (derived here only to simulate it; the bench
+    treats it like the other maintained≡rebuilt entries).
+
+    The oracle recomputes the dictionary over ALL docs — proving the
+    merge is exactly the rebuild.
+
+    Output: (term, df, cf).
+    """
+
+    def stats(docs: DataFrame) -> DataFrame:
+        toks = docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("term")
+        ).filter(F.col("term") != "")
+        return (
+            toks.groupBy("term", "doc_id")
+            .agg(F.count("*").alias("tf"))
+            .groupBy("term")
+            .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
+        )
+
+    docs = _docs(spark, sf_dir)
+    stored = stats(docs.filter(F.col("doc_id") % 5 != 0))
+    delta = stats(docs.filter(F.col("doc_id") % 5 == 0))
+    return (
+        stored.unionByName(delta)
+        .groupBy("term")
+        .agg(
+            F.sum("df").cast("bigint").alias("df"),
+            F.sum("cf").cast("bigint").alias("cf"),
+        )
+    )
+
+
+def term_stats_maintain_oracle_sql() -> str:
+    return f"""
+WITH {_TOKS_CTE}
+SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf
+FROM post GROUP BY 1
+"""
+
+
+# ------------------------------------- edit-distance similarity join
+
+
+#: Title grain for the edit-distance join: first N tokens.
+_EDIT_NTOK = 12
+
+
+def _titles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.array_join(F.slice(F.split("text", " "), 1, _EDIT_NTOK), " ").alias(
+            "title"
+        ),
+    )
+
+
+def edit_dup_pairs(spark: SparkSession, sf_dir: str, k: int = 4) -> DataFrame:
+    """Edit-distance similarity join over document titles (first
+    twelve tokens): all pairs with levenshtein(title_a, title_b) ≤ k —
+    the entity-resolution / near-dup-title primitive (catalog titles,
+    URLs, citation strings) the char-level side of the dedup family
+    lacks.
+
+    Candidate generation is the PIGEONHOLE SEGMENT FILTER (the
+    PassJoin scheme, Li/Deng/Feng VLDB'11), which is exact-safe: split
+    every title into k+1 contiguous segments; ≤ k edits can touch at
+    most k of them, so one segment survives untouched and appears in
+    the partner EXACTLY, position-shifted by at most k (each edit
+    shifts downstream offsets by ≤ 1). So candidates come from an
+    EQUI-JOIN on literal segment content:
+      index side — each title's k+1 segments as
+        (len, seg_idx, seg_string);
+      probe side — for each partner length in the ±k band, each
+        segment index, each start within the ±k window, the title's
+        substring of that segment's exact length.
+    Probe fan-out is (2k+1)·(k+1)·(≤2k+1) ≈ 405 narrow rows per doc —
+    LINEAR in the corpus — and segment strings are long (~len/(k+1)
+    chars), so posting lists stay sparse even on this corpus's dense
+    30-word alphabet, where bigram count-filter lists degenerate
+    (measured: the count-filter join materialized 94M rows at sf0.1;
+    this plan joins ~2M probe rows against 25k segments). Candidates
+    are deduped then verified with exact ``levenshtein`` (JVM codegen;
+    DuckDB ships the identical classic DP, so the surface hash-oracles
+    end to end against a filter-free recompute — the oracle applies NO
+    candidate filter, so a hash match is also the completeness proof).
+    Never a cartesian.
+
+    Output: (doc_a, doc_b, dist), doc_a < doc_b.
+    """
+    return edit_pairs_frame(_titles(spark, sf_dir), k)
+
+
+def edit_pairs_frame(t: DataFrame, k: int) -> DataFrame:
+    """The pigeonhole edit-join over an arbitrary (doc_id, title)
+    frame (split out so crafted-input tests can drive completeness
+    against a brute-force recompute)."""
+    m = k + 1
+    tl = t.select("doc_id", "title", F.length("title").alias("l"))
+    # The even-partition closed form (first m-rem segments of length
+    # base, last rem of length base+1) needs base ≥ 1 — empty segments
+    # would match vacuously. True here (titles ≥ 23 chars); raise-loud
+    # contract via the filter + count assertion in tests.
+    seg = (
+        tl.filter(F.col("l") >= m)
+        .select(
+            F.col("doc_id").alias("b_id"),
+            F.col("l").alias("lb"),
+            "title",
+            F.explode(F.sequence(F.lit(0), F.lit(k))).alias("i"),
+        )
+        .withColumn("base", F.expr("lb div " + str(m)))
+        .withColumn("rem", F.col("lb") % m)
+        .withColumn(
+            "seg_len",
+            F.col("base")
+            + F.when(F.col("i") >= m - F.col("rem"), F.lit(1)).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "p",
+            F.col("i") * F.col("base")
+            + F.greatest(F.lit(0), F.col("i") - (m - F.col("rem"))),
+        )
+        .select(
+            "b_id",
+            "lb",
+            "i",
+            "p",
+            F.expr("substring(title, p + 1, seg_len)").alias("seg"),
+        )
+    )
+    probe = (
+        tl.select(
+            F.col("doc_id").alias("a_id"),
+            F.col("l").alias("la"),
+            "title",
+            F.explode(
+                F.sequence(F.greatest(F.lit(m), F.col("l") - k), F.col("l") + k)
+            ).alias("lb"),
+        )
+        .withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(k))))
+        .withColumn("base", F.expr("lb div " + str(m)))
+        .withColumn("rem", F.col("lb") % m)
+        .withColumn(
+            "seg_len",
+            F.col("base")
+            + F.when(F.col("i") >= m - F.col("rem"), F.lit(1)).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "p",
+            F.col("i") * F.col("base")
+            + F.greatest(F.lit(0), F.col("i") - (m - F.col("rem"))),
+        )
+        .withColumn("qlo", F.greatest(F.lit(0), F.col("p") - k))
+        .withColumn("qhi", F.least(F.col("la") - F.col("seg_len"), F.col("p") + k))
+        .filter(F.col("qhi") >= F.col("qlo"))
+        .withColumn("q", F.explode(F.sequence(F.col("qlo"), F.col("qhi"))))
+        .select(
+            "a_id",
+            "lb",
+            "i",
+            F.expr("substring(title, q + 1, seg_len)").alias("sub"),
+        )
+    )
+    cand = (
+        probe.join(
+            seg,
+            (probe["lb"] == seg["lb"])
+            & (probe["i"] == seg["i"])
+            & (probe["sub"] == seg["seg"])
+            & (probe["a_id"] < seg["b_id"]),
+        )
+        .select(F.col("a_id").alias("doc_a"), F.col("b_id").alias("doc_b"))
+        .distinct()
+    )
+    ta = t.select(F.col("doc_id").alias("doc_a"), F.col("title").alias("ta"))
+    tb = t.select(F.col("doc_id").alias("doc_b"), F.col("title").alias("tb"))
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("dist", F.levenshtein("ta", "tb"))
+        .filter(F.col("dist") <= k)
+        .select("doc_a", "doc_b", F.col("dist").cast("int").alias("dist"))
+    )
+
+
+def edit_dup_pairs_oracle_sql(k: int = 4) -> str:
+    return f"""
+WITH t AS (
+    SELECT doc_id,
+           array_to_string(string_split(text, ' ')[1:{_EDIT_NTOK}], ' ') AS title
+    FROM documents WHERE text IS NOT NULL
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.title, b.title) AS INTEGER) AS dist
+FROM t a JOIN t b
+  ON a.doc_id < b.doc_id
+ AND abs(len(a.title) - len(b.title)) <= {k}
+WHERE levenshtein(a.title, b.title) <= {k}
+"""
+
+
+def edit_dup_pairs_fast_oracle_sql(k: int = 4) -> str:
+    """The segment-filtered recompute for the sf0.1 local matrix: same
+    pigeonhole candidate generation as the Spark plan, in SQL (the
+    filter is exact-safe, and the equivalence to the filter-free
+    registered oracle is pinned at sf0.01 in tests/test_search.py) —
+    the quadratic all-pairs levenshtein takes ~2 min at sf0.1, this
+    runs in seconds. The driver's registered oracle stays filter-free."""
+    m = k + 1
+    return f"""
+WITH t0 AS (
+    SELECT doc_id,
+           array_to_string(string_split(text, ' ')[1:{_EDIT_NTOK}], ' ') AS title
+    FROM documents WHERE text IS NOT NULL
+),
+t AS (SELECT doc_id, title, len(title) AS l FROM t0),
+segb AS (
+    SELECT doc_id AS b_id, l AS lb, i, title,
+           i * (l // {m}) + greatest(0, i - ({m} - l % {m})) AS p,
+           (l // {m}) + CASE WHEN i >= {m} - (l % {m}) THEN 1 ELSE 0 END AS seg_len
+    FROM t, unnest(range(0, {m})) AS r(i)
+    WHERE l >= {m}
+),
+seg AS (SELECT b_id, lb, i, substr(title, p + 1, seg_len) AS seg FROM segb),
+pb1 AS (
+    SELECT doc_id AS a_id, l AS la, title, lb, i,
+           i * (lb // {m}) + greatest(0, i - ({m} - lb % {m})) AS p,
+           (lb // {m}) + CASE WHEN i >= {m} - (lb % {m}) THEN 1 ELSE 0 END AS seg_len
+    FROM t,
+         unnest(range(greatest({m}, l - {k}), l + {k} + 1)) AS r1(lb),
+         unnest(range(0, {m})) AS r2(i)
+),
+pb2 AS (
+    SELECT a_id, title, lb, i, seg_len,
+           greatest(0, p - {k}) AS qlo, least(la - seg_len, p + {k}) AS qhi
+    FROM pb1
+),
+probe AS (
+    SELECT a_id, lb, i, substr(title, q + 1, seg_len) AS sub
+    FROM pb2, unnest(range(qlo, qhi + 1)) AS r(q)
+    WHERE qhi >= qlo
+),
+cand AS (
+    SELECT DISTINCT p.a_id AS doc_a, s.b_id AS doc_b
+    FROM probe p JOIN seg s
+      ON p.lb = s.lb AND p.i = s.i AND p.sub = s.seg AND p.a_id < s.b_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(levenshtein(a.title, b.title) AS INTEGER) AS dist
+FROM cand c JOIN t a ON a.doc_id = c.doc_a JOIN t b ON b.doc_id = c.doc_b
+WHERE levenshtein(a.title, b.title) <= {k}
+"""

@@ -1,0 +1,339 @@
+"""Full-text search pillar: oracle parity, phrase vote algebra on
+crafted inputs, BM25 rank parity vs an independent recompute, and the
+q-gram count filter's recall-exactness guarantee."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from flink_project_userbehavioranalysis_spark.operators import search as S
+from tests.conftest import SF_DIR_MID
+from tests.oracle import assert_matches_oracle, duck_con
+
+
+# ------------------------------------------------------ oracle parity
+
+
+def test_fts_topk_matches_oracle(spark, sf_dir):
+    assert_matches_oracle(S.fts_topk(spark, sf_dir), S.fts_topk_oracle_sql(), sf_dir)
+
+
+def test_fts_topk_matches_oracle_mid(spark):
+    assert_matches_oracle(
+        S.fts_topk(spark, SF_DIR_MID), S.fts_topk_oracle_sql(), SF_DIR_MID
+    )
+
+
+def test_phrase_search_matches_oracle_mid(spark):
+    assert_matches_oracle(
+        S.phrase_search(spark, SF_DIR_MID), S.phrase_search_oracle_sql(), SF_DIR_MID
+    )
+
+
+def test_term_stats_maintain_matches_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        S.term_stats_maintain(spark, sf_dir),
+        S.term_stats_maintain_oracle_sql(),
+        sf_dir,
+    )
+
+
+def test_edit_dup_pairs_matches_oracle_mid(spark):
+    """The oracle applies NO candidate filter (all pairs + the
+    provably safe length band), so a hash match here *is* the
+    completeness proof for the pigeonhole segment filter on this
+    corpus — any candidate the filter wrongly dropped would show up
+    as a missing row."""
+    assert_matches_oracle(
+        S.edit_dup_pairs(spark, SF_DIR_MID),
+        S.edit_dup_pairs_oracle_sql(),
+        SF_DIR_MID,
+    )
+
+
+def test_edit_fast_oracle_equivalent_to_registered(spark):
+    """The sf0.1 fast-oracle override (segment-filtered SQL recompute)
+    returns exactly the registered filter-free oracle's rows at
+    sf0.01 — the equivalence check_all's override relies on."""
+    con = duck_con(SF_DIR_MID)
+    slow = con.execute(S.edit_dup_pairs_oracle_sql()).fetchall()
+    fast = con.execute(S.edit_dup_pairs_fast_oracle_sql()).fetchall()
+    assert sorted(slow) == sorted(fast)
+
+
+# -------------------------------------------- conjunctive semantics
+
+
+def test_fts_hits_contain_all_query_terms(spark, sf_dir):
+    """Every returned doc must contain every query term (AND)."""
+    hits = S.fts_topk(spark, sf_dir).collect()
+    assert hits, "fts_topk returned nothing at sf0.001"
+    texts = {
+        r["doc_id"]: set(r["text"].split())
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+        if r["text"] is not None
+    }
+    qterms = {qid: set(s.split()) for qid, s in S.FTS_QUERIES}
+    for r in hits:
+        assert qterms[r["query_id"]] <= texts[r["doc_id"]]
+
+
+# ----------------------------------------- phrase vote algebra (crafted)
+
+
+def _crafted_docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in enumerate(rows)],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars INT",
+    )
+
+
+def test_phrase_overlapping_occurrences(spark):
+    """'group group' in 'group group group' occurs at starts 0 AND 1 —
+    the vote algebra must count overlapping matches."""
+    docs = _crafted_docs(spark, ["x group group group y"])
+    got = S.phrase_occurrences(spark, docs, [(0, "group group")]).collect()
+    assert [(r["doc_id"], r["n_occurrences"]) for r in got] == [(0, 2)]
+
+
+def test_phrase_repeated_word_not_overcounted(spark):
+    """A doc with the words present but never adjacent matches zero;
+    'a b' must not fire on 'a x b' or on 'b a'."""
+    docs = _crafted_docs(spark, ["a x b", "b a", "a b a b"])
+    got = {
+        (r["doc_id"]): r["n_occurrences"]
+        for r in S.phrase_occurrences(spark, docs, [(0, "a b")]).collect()
+    }
+    assert got == {2: 2}
+
+
+def test_phrase_trigram_boundaries(spark):
+    """Trigram must not fire on a doc that ends mid-phrase."""
+    docs = _crafted_docs(spark, ["p q r", "p q", "z p q r p q r"])
+    got = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in S.phrase_occurrences(spark, docs, [(0, "p q r")]).collect()
+    }
+    assert got == {0: 1, 2: 2}
+
+
+def test_phrase_bruteforce_parity_mid(spark):
+    """Vote-counting == a naive token-window scan over every doc at
+    sf0.01 for every registered phrase (overlap-counting semantics)."""
+    got = {
+        (r["phrase_id"], r["doc_id"]): r["n_occurrences"]
+        for r in S.phrase_search(spark, SF_DIR_MID).collect()
+    }
+    texts = (
+        spark.read.parquet(f"{SF_DIR_MID}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    expect = {}
+    for row in texts:
+        if row["text"] is None:
+            continue
+        toks = [t for t in row["text"].split(" ") if t]
+        for pid, s in S.PHRASES:
+            ws = s.split()
+            n = sum(
+                1
+                for i in range(len(toks) - len(ws) + 1)
+                if toks[i : i + len(ws)] == ws
+            )
+            if n:
+                expect[(pid, row["doc_id"])] = n
+    assert got == expect
+
+
+# --------------------------------------------------------------- BM25
+
+
+def test_bm25_rank_parity_vs_independent_recompute(spark, sf_dir):
+    """Spark BM25 ranking == a pure-Python recompute from the raw
+    texts (same formula, same 6-decimal rounding, same doc_id
+    tie-break)."""
+    got = S.bm25_topk(spark, sf_dir).collect()
+    texts = {
+        r["doc_id"]: [t for t in r["text"].split(" ") if t]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+        if r["text"] is not None
+    }
+    n_docs = len(texts)
+    avgdl = sum(len(v) for v in texts.values()) / n_docs
+    df = {}
+    for toks in texts.values():
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+    k1, b = 1.2, 0.75
+    expect = {}
+    for qid, s in S.FTS_QUERIES:
+        terms = s.split()
+        scored = []
+        for d, toks in texts.items():
+            if not all(t in toks for t in terms):
+                continue
+            dl = float(len(toks))
+            sc = 0.0
+            for t in terms:
+                tf = toks.count(t)
+                idf = math.log(1 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
+                sc += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+            scored.append((round(sc, 6), d))
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        for rank, (sc, d) in enumerate(scored[:10], start=1):
+            expect[(qid, d)] = (rank, sc)
+    got_map = {(r["query_id"], r["doc_id"]): (r["rank"], r["score"]) for r in got}
+    assert set(got_map) == set(expect)
+    for key, (rank, sc) in expect.items():
+        grank, gsc = got_map[key]
+        assert grank == rank, (key, grank, rank)
+        assert abs(gsc - sc) < 1e-6, (key, gsc, sc)
+
+
+def test_bm25_and_tfidf_agree_on_match_sets(spark, sf_dir):
+    """Both rankers are conjunctive over the same queries, so the doc
+    sets they rank (pre-top-k truncation this is equality; post-top-k
+    each emitted doc must appear in the other's full match set) agree."""
+    bm = S.bm25_topk(spark, sf_dir, k=10**6).collect()
+    ti = S.fts_topk(spark, sf_dir, k=10**6).collect()
+    assert {(r["query_id"], r["doc_id"]) for r in bm} == {
+        (r["query_id"], r["doc_id"]) for r in ti
+    }
+
+
+# ------------------------------------------- levenshtein cross-engine
+
+
+def test_levenshtein_parity_spark_vs_duckdb(spark):
+    """Both engines ship classic Levenshtein (no transpositions) —
+    pinned on pairs that would differ under Damerau or LCS variants."""
+    pairs = [
+        ("abc", "acb"),  # transposition: classic=2, damerau=1
+        ("kitten", "sitting"),
+        ("", "abc"),
+        ("same", "same"),
+        ("ab", "ba"),
+        ("slow query scan table", "slow scan query table"),
+    ]
+    sdf = spark.createDataFrame(pairs, "a STRING, b STRING").select(
+        F.levenshtein("a", "b").alias("d")
+    )
+    got = [r["d"] for r in sdf.collect()]
+    con = duck_con("/root/testdata/sf0.001")
+    want = [
+        con.execute("select levenshtein(?, ?)", [a, b]).fetchone()[0]
+        for a, b in pairs
+    ]
+    assert got == want
+
+
+def test_edit_pairs_nonvacuous_and_symmetric_free(spark):
+    """At sf0.01 the planted duplicate docs guarantee hits; emitted
+    pairs are canonical (a < b, no mirror duplicates)."""
+    rows = S.edit_dup_pairs(spark, SF_DIR_MID).collect()
+    assert len(rows) >= 20
+    seen = set()
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert (r["doc_a"], r["doc_b"]) not in seen
+        seen.add((r["doc_a"], r["doc_b"]))
+    assert any(r["dist"] > 0 for r in rows), "threshold only reaching exact dups"
+
+
+def test_pigeonhole_complete_on_crafted_corpus(spark):
+    """Brute-force completeness sweep: every pair of crafted titles
+    within distance k MUST be emitted — substitutions, insertions,
+    deletions, edits clustered in one segment, edits spread across
+    segments, and shifts near the ±k position window edge."""
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[-1]
+
+    base = "abcdefghij klmnop qrstu vwxyz01234"
+    titles = [
+        base,
+        base.replace("e", "E"),                      # 1 substitution
+        "XX" + base,                                 # 2 head insertions (max shift)
+        base[4:],                                    # 4 head deletions
+        base.replace("klmnop", "klXnYp"),            # 2 edits inside one segment
+        "a" + base[2:20] + "Z" + base[21:] + "W",    # spread across segments
+        base[:10] + base[14:],                       # 4-char mid deletion
+        "completely different title here 99",        # far
+        base + "QRSX",                               # 4 tail insertions
+    ]
+    k = 4
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(titles)], "doc_id BIGINT, title STRING"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["dist"]
+        for r in S.edit_pairs_frame(docs, k).collect()
+    }
+    expect = {
+        (i, j): lev(titles[i], titles[j])
+        for i in range(len(titles))
+        for j in range(i + 1, len(titles))
+        if lev(titles[i], titles[j]) <= k
+    }
+    assert got == expect
+    assert len(expect) >= 6, "crafted corpus should produce several true pairs"
+
+
+# ------------------------------------------------- maintenance algebra
+
+
+def test_term_stats_merge_is_rebuild(spark, sf_dir):
+    """maintained (stored + delta summed) ≡ rebuilt over all docs —
+    checked frame-to-frame, not just through the oracle."""
+    maintained = {
+        r["term"]: (r["df"], r["cf"])
+        for r in S.term_stats_maintain(spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("text").isNotNull()
+    )
+    rebuilt = {
+        r["term"]: (r["df"], r["cf"])
+        for r in docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
+        .collect()
+    }
+    assert maintained == rebuilt
+
+
+# ------------------------------------------------------- plan hygiene
+
+
+def test_fts_no_python_eval_and_query_broadcast(spark, sf_dir):
+    plan = S.fts_topk(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_edit_pairs_no_cartesian(spark, sf_dir):
+    plan = (
+        S.edit_dup_pairs(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -29,12 +29,17 @@ def _fast_oracle_overrides(sf_dir: str) -> dict[str, str]:
     if "sf0.1" not in sf_dir and "sf1" not in sf_dir:
         return {}
     from flink_project_userbehavioranalysis_spark.operators import ingest as I
+    from flink_project_userbehavioranalysis_spark.operators import search as SR
     from flink_project_userbehavioranalysis_spark.operators import similarity as S
 
     fast = S.ngram_jaccard_fast_oracle_sql()
     return {
         "ngram_jaccard_pairs": fast,
         "minhash_near_dup": fast,
+        # quadratic all-pairs levenshtein → the exact-safe pigeonhole
+        # segment recompute (equivalence pinned at sf0.01 in
+        # tests/test_search.py)
+        "edit_dup_pairs": SR.edit_dup_pairs_fast_oracle_sql(),
         # the composed admission cascade embeds the same quadratic
         # near stage; the inverted-index form is equivalence-tested in
         # tests/test_ingest.py. The _indexed variants share the
