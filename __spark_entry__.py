@@ -16,6 +16,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from flink_project_userbehavioranalysis_spark.operators import audio_codecs as _aud
 from flink_project_userbehavioranalysis_spark.operators import behavior as _bx
 from flink_project_userbehavioranalysis_spark.operators import corpus_quality as _cq
 from flink_project_userbehavioranalysis_spark.operators import custom_joins as _cj
@@ -168,6 +169,9 @@ _TIER2 = [
     "phrase_search",
     "term_stats_maintain",
     "edit_dup_pairs",
+    "audio_features_mulaw",
+    "adpcm_roundtrip",
+    "video_frames_mjpeg",
     # r9 tier-1 entries displaced by the r10 rotation (all r9
     # driver-green; first in line if the driver runs past 50)
     "ingest_accept_batch",
@@ -963,6 +967,23 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
             _mm.audio_features_stereo8,
             _mm.audio_features_stereo8_oracle_sql(),
         ),
+        # r10 COMPRESSED audio: G.711 μ-law (format tag 7) — real
+        # compress→WAV→RIFF-walk→expand; companding is integer
+        # piecewise math so the DECODED SAMPLE VALUES hash-oracle end
+        # to end (the oracle replays compress∘expand in SQL)
+        "audio_features_mulaw": (
+            _aud.audio_features_mulaw,
+            _aud.audio_features_mulaw_oracle_sql(),
+        ),
+        # r10 COMPRESSED audio: IMA/DVI4 ADPCM (format tag 0x11) —
+        # real adaptive-predictor codec (published step/index tables,
+        # block headers, nibble packing), CROSS-STREAM vectorized;
+        # stateful ⇒ jpeg_roundtrip-style dims + error-bound contract
+        # (scalar↔vectorized state equality pinned in tests)
+        "adpcm_roundtrip": (
+            _aud.adpcm_roundtrip,
+            _aud.adpcm_roundtrip_oracle_sql(),
+        ),
         # §2.10 multimodal resize (r9): nearest-neighbor 8×8 RGB
         # thumbnail over the real per-format decodes — the vision
         # normalization step; md5 + exact byte sum hash-oracled
@@ -971,6 +992,14 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         # (header-tree walk, avih/strf cross-check, uncompressed-DIB
         # frame chunks) + even frame sampling — hash-oracled
         "video_frames": (_mm.video_frames, _mm.video_frames_oracle_sql()),
+        # r10 COMPRESSED video: Motion-JPEG AVI ('MJPG' fourcc, '00dc'
+        # chunks) — every sampled frame decoded through the repo's own
+        # baseline T.81 pipeline; dims/sampling exact + per-frame
+        # error bound (the jpeg_roundtrip contract)
+        "video_frames_mjpeg": (
+            _mm.video_frames_mjpeg,
+            _mm.video_frames_mjpeg_oracle_sql(),
+        ),
         # §2.10 multimodal JPEG (r9): real baseline T.81 codec
         # (standard Huffman/quant tables, zigzag, numpy DCT). Lossy,
         # so the contract splits: SOF0 header + full-decode sample

@@ -1070,14 +1070,15 @@ def decode_avi_meta(b: bytes) -> tuple[int, int, int, int]:
 
 
 def avi_frame(b: bytes, k: int) -> bytes:
-    """Extract raw frame ``k``'s DIB pixel data by walking the movi
-    LIST's '00db' chunks (chunk index = frame index for a single
-    video stream with no interleaved audio)."""
+    """Extract frame ``k``'s chunk data by walking the movi LIST's
+    frame chunks — '00db' (uncompressed DIB) or '00dc' (compressed,
+    e.g. MJPG) — chunk index = frame index for a single video stream
+    with no interleaved audio."""
     idx = 0
     for tag, ltype, start, ln in _riff_chunks(b, 12, len(b)):
         if tag == b"LIST" and ltype == b"movi":
             for t2, _l2, s2, n2 in _riff_chunks(b, start, start + ln):
-                if t2 == b"00db":
+                if t2 in (b"00db", b"00dc"):
                     if idx == k:
                         return b[s2 : s2 + n2]
                     idx += 1
@@ -1154,6 +1155,165 @@ SELECT doc_id,
        md5(repeat(chr(CAST(32 + (n + 5 * ((i * nf) // {n_sample})) % 95
                            AS INTEGER)),
                   ((3 * width + 3) // 4) * 4 * height)) AS frame_md5
+FROM dims CROSS JOIN (SELECT unnest(range(0, {n_sample})) AS i)
+"""
+
+
+# ------------------------------------------- MJPEG AVI (compressed video)
+#
+# r10: COMPRESSED video — Motion-JPEG in AVI ('MJPG' fourcc, '00dc'
+# chunks), the classic capture format every AVI tool reads: each frame
+# is a complete baseline JPEG decoded by the repo's own T.81 codec.
+# Container walk is the same real header-tree parse as the DIB path;
+# the frame payload is lossy, so the contract follows jpeg_roundtrip:
+# dims/frame-count/sampling are exact (hash-oracled) and the pixel
+# path certifies a max-abs-error bound per sampled frame.
+
+
+def _mjpeg_frame_image(n: int, k: int, w: int, h: int):
+    """Closed-form grayscale source for frame k: row r filled with
+    32 + (n + 5k + r) % 95 (the DIB frame constant, extended with the
+    row gradient so the DCT sees real vertical structure)."""
+    import numpy as np
+
+    r = np.arange(h, dtype=np.int64)
+    rows = (32 + (n + 5 * k + r) % 95).astype(np.uint8)
+    return np.repeat(rows[:, None], w, axis=1)
+
+
+def encode_avi_mjpeg(text_bytes: bytes | None) -> bytes:
+    """Build a complete, valid MJPEG AVI: same header tree as
+    :func:`encode_avi` but strh/strf declare the 'MJPG' codec and the
+    movi LIST carries '00dc' chunks, each a full baseline JPEG."""
+    from flink_project_userbehavioranalysis_spark.operators.jpeg_codec import (
+        encode_jpeg,
+    )
+
+    n = len(text_bytes) if text_bytes is not None else 0
+    w, h = _bmp_dims(n)
+    nf = _avi_n_frames(n)
+    frames = [
+        encode_jpeg(_mjpeg_frame_image(n, k, w, h), quality=90) for k in range(nf)
+    ]
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return tag + struct.pack("<I", len(data)) + data + (b"\x00" * (len(data) & 1))
+
+    def lst(list_type: bytes, data: bytes) -> bytes:
+        return b"LIST" + struct.pack("<I", 4 + len(data)) + list_type + data
+
+    (mjpg,) = struct.unpack("<I", b"MJPG")
+    buf_size = max(len(f) for f in frames)
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, mjpg, buf_size, 0, 0, 0, 0)
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4H",
+        b"vids", b"MJPG", 0, 0, 0, 0,
+        1, 1_000_000 // _AVI_USEC_PER_FRAME,
+        0, nf, buf_size, 0, 0,
+        0, 0, w, h,
+    )
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        _AVI_USEC_PER_FRAME, buf_size * 10, 0, 0, nf, 0, 1, buf_size, w, h,
+        0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def video_frames_mjpeg(
+    spark: SparkSession, sf_dir: str, n_sample: int = 4, bound: int = 4
+) -> DataFrame:
+    """Compressed-video frame sampling: encode each doc as an MJPEG
+    AVI, walk the container, extract ``n_sample`` evenly-spaced '00dc'
+    chunks, decode each through the full baseline JPEG pipeline
+    (Huffman + dequant + IDCT), and certify the reconstruction against
+    the closed-form source frame. Two Arrow passes with a true binary
+    column between them; all codec work inside the batch.
+
+    Output: (doc_id, frame_idx, src_frame, n_frames, width, height,
+    max_err_le_4) — everything but the bound column is exact.
+    """
+    import numpy as np
+
+    from flink_project_userbehavioranalysis_spark.operators.jpeg_codec import (
+        decode_jpeg,
+    )
+
+    src = _spread(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.col("text").cast("binary").alias("tb")
+        )
+    )
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n": [0 if t is None else len(bytes(t)) for t in pdf["tb"]],
+                    "payload": pdf["tb"].map(
+                        lambda t: encode_avi_mjpeg(None if t is None else bytes(t))
+                    ),
+                }
+            )
+
+    payloads = src.mapInPandas(enc, "doc_id BIGINT, n INT, payload BINARY")
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, n, payload in zip(pdf["doc_id"], pdf["n"], pdf["payload"]):
+                b = bytes(payload)
+                w, h, nf, _usec = decode_avi_meta(b)
+                for i in range(n_sample):
+                    k = i * nf // n_sample
+                    out = decode_jpeg(avi_frame(b, k))
+                    if out.shape != (h, w):
+                        raise ValueError("MJPEG frame dims disagree with header")
+                    src_img = _mjpeg_frame_image(int(n), k, w, h)
+                    err = int(
+                        np.abs(
+                            out.astype(np.int64) - src_img.astype(np.int64)
+                        ).max()
+                    )
+                    rows.append((doc_id, i, k, nf, w, h, err <= bound))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "src_frame", "n_frames",
+                    "width", "height", "max_err_le_4",
+                ],
+            )
+
+    return payloads.mapInPandas(
+        sample,
+        "doc_id BIGINT, frame_idx INT, src_frame INT, n_frames INT,"
+        " width INT, height INT, max_err_le_4 BOOLEAN",
+    )
+
+
+def video_frames_mjpeg_oracle_sql(n_sample: int = 4) -> str:
+    return f"""
+WITH dims AS (
+    SELECT doc_id,
+           coalesce(octet_length(CAST(text AS BLOB)), 0) % 31 + 1 AS width,
+           coalesce(octet_length(CAST(text AS BLOB)), 0) % 17 + 1 AS height,
+           coalesce(octet_length(CAST(text AS BLOB)), 0) % 12 + 2 AS nf
+    FROM documents
+)
+SELECT doc_id,
+       CAST(i AS INTEGER) AS frame_idx,
+       CAST((i * nf) // {n_sample} AS INTEGER) AS src_frame,
+       CAST(nf AS INTEGER) AS n_frames,
+       CAST(width AS INTEGER) AS width,
+       CAST(height AS INTEGER) AS height,
+       TRUE AS max_err_le_4
 FROM dims CROSS JOIN (SELECT unnest(range(0, {n_sample})) AS i)
 """
 

@@ -364,3 +364,36 @@ def test_decode_meta_mixed7_oracle(spark, sf_dir):
     assert {r["mime"] for r in df.select("mime").distinct().collect()} == {
         "image/bmp", "image/png", "image/jpeg", "image/gif",
     }
+
+
+def test_mjpeg_avi_container_properties():
+    """MJPEG AVI: header tree declares MJPG, frame chunks are '00dc'
+    carrying complete JPEGs whose SOF0 dims match the AVI header."""
+    import struct
+
+    from flink_project_userbehavioranalysis_spark.operators.jpeg_codec import (
+        decode_jpeg, decode_jpeg_meta,
+    )
+
+    for n in [0, 7, 48, 257]:
+        b = MM.encode_avi_mjpeg(b"x" * n)
+        w, h, nf, usec = MM.decode_avi_meta(b)
+        assert (w, h) == MM._bmp_dims(n)
+        assert nf == MM._avi_n_frames(n)
+        # strf biCompression must be the MJPG fourcc
+        assert b"MJPG" in b
+        for k in range(nf):
+            fr = MM.avi_frame(b, k)
+            jw, jh, _prec, ncomp = decode_jpeg_meta(fr)
+            assert (jw, jh, ncomp) == (w, h, 1)
+            out = decode_jpeg(fr)
+            src = MM._mjpeg_frame_image(n, k, w, h)
+            import numpy as np
+
+            assert int(np.abs(out.astype(np.int64) - src.astype(np.int64)).max()) <= 4
+
+
+def test_video_frames_mjpeg_oracle(spark, sf_dir):
+    df = MM.video_frames_mjpeg(spark, sf_dir)
+    assert_matches_oracle(df, MM.video_frames_mjpeg_oracle_sql(), sf_dir)
+    assert df.filter(~F.col("max_err_le_4")).count() == 0
