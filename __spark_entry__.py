@@ -92,7 +92,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # verdict #1): tier 1 = the new r10 surfaces (persisted-index
 # admission, JPEG color/progressive pair, mixed dispatches),
 # per-pillar batch keepers (one per operator module, all multi-round
-# driver-green), and ALL 30 hash-oracled streaming twins
+# driver-green), and ALL 31 hash-oracled streaming twins (term_stats_stream added late-r10)
 # (decode_meta_stream included) — each a finite replay job, seconds
 # apiece, so 50 rows still fit the driver budget. After r10, every
 # hash-oracled registry entry (batch AND streaming) has a driver row
@@ -121,8 +121,7 @@ _TIER1 = [
     "gopher_quality_filter",
     "embedding_centroids",
     "item_triangles",
-    "table_expectations",
-    # the 30 hash-oracled streaming twins — never driver-verified
+    # the 31 hash-oracled streaming twins — never driver-verified
     # before r10 (each is a finite replay; oracle = the batch twin's)
     "pii_scrub_stream",
     "gopher_quality_stream",
@@ -154,11 +153,15 @@ _TIER1 = [
     "ingest_accept_stream",
     "value_hist_daily_stream",
     "decode_meta_stream",
+    # r10-new: term-dictionary maintenance at ingest (hash-oracled ⇒
+    # must sit in the budgeted window; displaced table_expectations —
+    # driver-green r6–r9 — to the tier-2 head)
+    "term_stats_stream",
 ]
 # --- tier 2: remaining hash-oracled batch ---------------------------
 _TIER2 = [
     # r10 additions beyond the tier-1 budget (tier 1 is pinned at 50 =
-    # the 6 r10 headliners + 15 per-pillar keepers + all 29 oracled
+    # the 5 r10 headliners + 14 per-pillar keepers + all 31 oracled
     # streaming twins; these run in check_all and the judge pass)
     "audio_features_stereo8",
     "gif_roundtrip",
@@ -172,6 +175,7 @@ _TIER2 = [
     "audio_features_mulaw",
     "adpcm_roundtrip",
     "video_frames_mjpeg",
+    "table_expectations",
     # r9 tier-1 entries displaced by the r10 rotation (all r9
     # driver-green; first in line if the driver runs past 50)
     "ingest_accept_batch",
@@ -1217,6 +1221,15 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "term_blocklist_stream": (
             _stw.term_blocklist_stream,
             _cq.term_blocklist_oracle_sql(),
+        ),
+        # streaming maintenance of the search pillar's term dictionary
+        # (r10): row-local (term, tf) pairs via array HOFs (one
+        # streaming agg allowed) + update-mode keyed agg + changelog
+        # MERGE; the feed replays ALL docs so the batch REBUILD oracle
+        # applies directly (streaming ≡ maintained ≡ rebuilt)
+        "term_stats_stream": (
+            _stw.term_stats_stream,
+            _srch.term_stats_maintain_oracle_sql(),
         ),
     }
 

@@ -1049,6 +1049,42 @@ def term_blocklist_stream(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -
     return run_append_memory(out, "term_blocklist_stream", spark)
 
 
+def term_stats_stream(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> DataFrame:
+    """Streaming maintenance of the search pillar's term dictionary
+    (:func:`operators.search.term_stats_maintain`): (term, df, cf) is
+    an exact mergeable summary (docs immutable, feed append-only), so
+    it is maintained at INGEST as ONE update-mode keyed agg + the
+    changelog-MERGE sink — the ``value_hist_daily_stream`` discipline
+    applied to text. State is the dictionary itself (bounded by the
+    vocabulary, KB scale), never raw rows.
+
+    Structured Streaming allows a single aggregation per query, so the
+    per-doc (term, tf) pairs are computed ROW-LOCALLY with array HOFs
+    (distinct tokens → struct(term, count-in-doc) → one explode)
+    instead of a first explode→groupBy pass; the one streaming agg is
+    then count(*) = df (each doc contributes once per distinct term)
+    and sum(tf) = cf. Deterministic integers end to end, and the feed
+    replays ALL docs, so the finite replay is hash-oracled against the
+    batch REBUILD oracle: streaming ≡ maintained ≡ rebuilt."""
+    docs = docs_stream(spark, sf_dir, n_chunks=n_chunks)
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    pairs = F.transform(
+        F.array_distinct(toks),
+        lambda t: F.struct(
+            t.alias("term"),
+            F.size(F.filter(toks, lambda x: x == t)).cast("long").alias("tf"),
+        ),
+    )
+    dic = (
+        docs.filter(F.col("text").isNotNull())
+        .select(F.explode(pairs).alias("p"))
+        .select("p.term", "p.tf")
+        .groupBy("term")
+        .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
+    )
+    return run_update_merge(dic, ["term"], spark)
+
+
 def ingest_accept_stream(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> DataFrame:
     """Streaming twin of the composed admission pipeline's per-doc
     PREFIX (``operators.ingest``): malformed → blocklist → gopher →

@@ -337,3 +337,19 @@ def test_edit_pairs_no_cartesian(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_term_stats_stream_equals_batch_rebuild(spark, sf_dir):
+    """The ingest-maintained dictionary (update-mode agg + changelog
+    MERGE over the replayed feed) equals the batch rebuild exactly."""
+    from flink_project_userbehavioranalysis_spark.streaming import windowed as W
+
+    streamed = {
+        r["term"]: (r["df"], r["cf"])
+        for r in W.term_stats_stream(spark, sf_dir).collect()
+    }
+    rebuilt = {
+        r["term"]: (r["df"], r["cf"])
+        for r in S.term_stats_maintain(spark, sf_dir).collect()
+    }
+    assert streamed == rebuilt
