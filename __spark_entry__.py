@@ -169,6 +169,7 @@ _TIER2 = [
     "export_shards_roundtrip",
     "decode_meta_mixed6",
     "fts_topk",
+    "fts_topk_indexed",
     "phrase_search",
     "term_stats_maintain",
     "edit_dup_pairs",
@@ -464,6 +465,11 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         # retrieval — conjunctive AND + exact-integer tf-idf (BIGINT
         # idf scaling, libm-free, so the ranking hash-oracles)
         "fts_topk": (_srch.fts_topk, _srch.fts_topk_oracle_sql()),
+        # production cost shape: probe the PERSISTED term-partitioned
+        # postings index (static IN-list ⇒ planning-time partition
+        # pruning, plan-asserted); content-equal by construction ⇒
+        # same oracle
+        "fts_topk_indexed": (_srch.fts_topk_indexed, _srch.fts_topk_oracle_sql()),
         # positional phrase match (vote-counting start algebra: one
         # broadcast join + one partial agg for ALL phrases at once)
         "phrase_search": (_srch.phrase_search, _srch.phrase_search_oracle_sql()),

@@ -108,6 +108,14 @@ HEADLINE = [
     "decode_meta_mixed4",       # four-encoding dispatch (incl. color JPEG)
     "value_percentiles_ddsketch",  # log-gamma summary -> quantile pick
     "gif_roundtrip",            # GIF89a LZW encode+decode, bit-exact rows
+    # late-r10 additions (search pillar + compressed A/V codecs)
+    "fts_topk",                 # inverted-index conjunctive retrieval, int tf-idf
+    "phrase_search",            # positional vote-counting phrase match
+    "edit_dup_pairs",           # PassJoin pigeonhole edit-distance join
+    "term_stats_maintain",      # mergeable term-dictionary merge
+    "audio_features_mulaw",     # G.711 compress+expand, windowed features
+    "adpcm_roundtrip",          # IMA ADPCM cross-stream vectorized roundtrip
+    "video_frames_mjpeg",       # MJPEG AVI walk + per-frame T.81 decode
     # NOT benched here: item_pagerank / kmeans_lloyd / cluster_canonical
     # eagerly materialize (localCheckpoint / iterate) at
     # DataFrame-construction time, so timing their collect() would

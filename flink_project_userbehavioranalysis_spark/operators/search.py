@@ -127,17 +127,32 @@ def fts_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     """
     docs = _docs(spark, sf_dir)
     post = _postings(docs)
+    dic = post.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    return _rank_conjunctive(spark, post, dic, n, k)
+
+
+def _query_frames(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
     q = spark.createDataFrame(
         [(qid, t) for qid, s in FTS_QUERIES for t in s.split()],
         "query_id INT, term STRING",
     )
-    qn = q.groupBy("query_id").agg(F.count("*").alias("n_terms"))
-    dfq = (
-        post.join(F.broadcast(q.select("term").distinct()), "term", "left_semi")
-        .groupBy("term")
-        .agg(F.count("*").alias("df"))
-    )
-    n = docs.agg(F.count("*").alias("n_docs"))
+    return q, q.groupBy("query_id").agg(F.count("*").alias("n_terms"))
+
+
+def _rank_conjunctive(
+    spark: SparkSession,
+    post: DataFrame,
+    dic: DataFrame,
+    n: DataFrame,
+    k: int,
+) -> DataFrame:
+    """The scoring tail shared by the derive-in-query and
+    persisted-index forms: broadcast query relation prunes the
+    postings probe, df looked up for query terms only, conjunctivity
+    as matched-count equality, integer tf-idf, WindowGroupLimit."""
+    q, qn = _query_frames(spark)
+    dfq = dic.join(F.broadcast(q.select("term").distinct()), "term", "left_semi")
     cand = (
         post.join(F.broadcast(q), "term")
         .join(F.broadcast(dfq), "term")
@@ -161,6 +176,64 @@ def fts_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+#: Session-keyed scratch roots for the persisted postings index (the
+#: nightly-build memo; the ingest _INGEST_INDEX_CACHE discipline).
+_FTS_INDEX_CACHE: dict[tuple, str] = {}
+
+
+def build_fts_index(spark: SparkSession, sf_dir: str) -> str:
+    """The NIGHTLY index build: materialize the postings relation
+    PARTITIONED BY TERM, the term dictionary (term, df), and the
+    1-row corpus doc count as parquet under a session-keyed scratch
+    dir. Term-partitioning is the small-vocabulary stand-in for
+    bucketing: a query probe over literal terms becomes a
+    PLANNING-TIME partition-pruned scan (asserted in
+    tests/test_search.py) — at 100 TB vocabulary you'd bucketBy(term)
+    instead and get the same pruned probe. Memoized per (app, sf_dir);
+    production runs this as a scheduled job."""
+    import os as _os
+
+    from flink_project_userbehavioranalysis_spark.operators.maintenance import (
+        _scratch_dir,
+    )
+
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    cached = _FTS_INDEX_CACHE.get(key)
+    if cached is not None:
+        return cached
+    docs = _docs(spark, sf_dir)
+    post = _postings(docs)
+    root = _scratch_dir(spark, "fts-idx", sf_dir)
+    post.write.mode("overwrite").partitionBy("term").parquet(f"{root}/postings")
+    post.groupBy("term").agg(F.count("*").alias("df")).write.mode(
+        "overwrite"
+    ).parquet(f"{root}/dict")
+    docs.agg(F.count("*").alias("n_docs")).write.mode("overwrite").parquet(
+        f"{root}/n"
+    )
+    _FTS_INDEX_CACHE[key] = root
+    return root
+
+
+def fts_topk_indexed(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """PRODUCTION cost shape of :func:`fts_topk`: probe the PERSISTED
+    postings index instead of deriving it in-query. The query terms
+    are literals, so the probe applies a static IN-list filter that
+    the planner turns into partition pruning — the scan touches only
+    the queried terms' partitions, never the corpus. Content-equal to
+    the derive form by construction (one `_postings` definition), so
+    it shares the same oracle; cost ∝ postings of the queried terms,
+    not ∝ corpus."""
+    root = build_fts_index(spark, sf_dir)
+    terms = sorted({t for _qid, s in FTS_QUERIES for t in s.split()})
+    post = spark.read.parquet(f"{root}/postings").filter(
+        F.col("term").isin(terms)
+    )
+    dic = spark.read.parquet(f"{root}/dict")
+    n = spark.read.parquet(f"{root}/n")
+    return _rank_conjunctive(spark, post, dic, n, k)
 
 
 def fts_topk_oracle_sql(k: int = 10) -> str:

@@ -353,3 +353,20 @@ def test_term_stats_stream_equals_batch_rebuild(spark, sf_dir):
         for r in S.term_stats_maintain(spark, sf_dir).collect()
     }
     assert streamed == rebuilt
+
+
+def test_fts_indexed_matches_derived_and_prunes_partitions(spark, sf_dir):
+    """The persisted-index probe returns exactly the derive-in-query
+    result, and its postings scan is PARTITION-PRUNED to the queried
+    terms (the planning-time pruning the term layout exists for)."""
+    idx = S.fts_topk_indexed(spark, sf_dir)
+    derived = S.fts_topk(spark, sf_dir)
+    assert sorted(map(tuple, idx.collect())) == sorted(map(tuple, derived.collect()))
+    assert_matches_oracle(idx, S.fts_topk_oracle_sql(), sf_dir)
+    root = S.build_fts_index(spark, sf_dir)
+    plan = (
+        spark.read.parquet(f"{root}/postings")
+        .filter(F.col("term").isin(["dup", "spark"]))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [" in plan and "term" in plan.split("PartitionFilters")[1][:120]

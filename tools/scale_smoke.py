@@ -107,6 +107,16 @@ QUERIES = [
     "jpeg_color_roundtrip",
     "decode_meta_mixed4",
     "value_percentiles_ddsketch",
+    # late-r10 additions: search pillar (postings probe / positional
+    # votes / PassJoin pigeonhole segments / dictionary merge) and the
+    # compressed A/V codecs (all map-only Arrow passes)
+    "fts_topk",
+    "phrase_search",
+    "edit_dup_pairs",
+    "term_stats_maintain",
+    "audio_features_mulaw",
+    "adpcm_roundtrip",
+    "video_frames_mjpeg",
 ]
 # tpch_q3ish/q6ish are NOT in the smoke: synthesize() scales events/
 # documents/embeddings only, so a lineitem query would report a flat
