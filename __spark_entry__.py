@@ -171,6 +171,8 @@ _TIER2 = [
     "fts_topk",
     "fts_topk_indexed",
     "phrase_search",
+    "search_snippets",
+    "term_associations",
     "term_stats_maintain",
     "edit_dup_pairs",
     "audio_features_mulaw",
@@ -470,6 +472,21 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         # pruning, plan-asserted); content-equal by construction ⇒
         # same oracle
         "fts_topk_indexed": (_srch.fts_topk_indexed, _srch.fts_topk_oracle_sql()),
+        # snippet/highlight generation over the top-k hits: 5-token
+        # window on the query's rarest term (expression-level string
+        # algebra, end-clamped identically in both engines ⇒ the
+        # snippet STRINGS hash-oracle)
+        "search_snippets": (
+            _srch.search_snippets,
+            _srch.search_snippets_oracle_sql(),
+        ),
+        # query-expansion co-occurrence: per-term top-k associates by
+        # exact-integer document lift (the exp-PMI ranking, idf-style
+        # scaled ⇒ hash-oracled)
+        "term_associations": (
+            _srch.term_associations,
+            _srch.term_associations_oracle_sql(),
+        ),
         # positional phrase match (vote-counting start algebra: one
         # broadcast join + one partial agg for ALL phrases at once)
         "phrase_search": (_srch.phrase_search, _srch.phrase_search_oracle_sql()),

@@ -676,3 +676,192 @@ SELECT c.doc_a, c.doc_b,
 FROM cand c JOIN t a ON a.doc_id = c.doc_a JOIN t b ON b.doc_id = c.doc_b
 WHERE levenshtein(a.title, b.title) <= {k}
 """
+
+
+# ----------------------------------------------------- result snippets
+
+
+def search_snippets(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Snippet/highlight generation for the top-k retrieval hits: a
+    five-token window centered on the first occurrence of the query's
+    RAREST term (min df, term-asc tie-break — the most informative
+    anchor). Pure expression-level string algebra over the hits ⋈ docs
+    join: array_position finds the anchor (the term is guaranteed
+    present — retrieval is conjunctive), slice clamps the window at
+    both ends identically in Spark and DuckDB, so the emitted snippet
+    STRINGS hash-oracle. The hits relation is k·|queries| rows, so the
+    docs join is a broadcast probe of the big side — cost ∝ results,
+    not corpus.
+
+    Output: (query_id, doc_id, rank, anchor_term, snippet).
+    """
+    hits = fts_topk(spark, sf_dir, k=k)
+    docs = _docs(spark, sf_dir)
+    post = _postings(docs)
+    q, _qn = _query_frames(spark)
+    dfq = (
+        post.join(F.broadcast(q.select("term").distinct()), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    rarest = (
+        q.join(dfq, "term")
+        .withColumn(
+            "rr",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.asc("df"), F.asc("term"))
+            ),
+        )
+        .filter(F.col("rr") == 1)
+        .select("query_id", F.col("term").alias("anchor_term"))
+    )
+    joined = (
+        hits.join(F.broadcast(rarest), "query_id")
+        .join(docs.select("doc_id", "text"), "doc_id")
+        .withColumn("toks", F.filter(F.split("text", " "), lambda t: t != ""))
+        .withColumn("p", F.expr("array_position(toks, anchor_term)"))
+        .withColumn("a", F.greatest(F.lit(1), F.col("p") - 2))
+    )
+    return joined.select(
+        "query_id",
+        "doc_id",
+        "rank",
+        "anchor_term",
+        F.array_join(F.slice("toks", F.col("a"), 5), " ").alias("snippet"),
+    )
+
+
+def search_snippets_oracle_sql(k: int = 10) -> str:
+    base = fts_topk_oracle_sql(k).strip().removeprefix("WITH ")
+    prefix = base.split("SELECT query_id, doc_id")[0].rstrip().rstrip(",")
+    return f"""
+WITH {prefix},
+hits AS (
+    SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= {k}
+),
+rarest AS (
+    SELECT query_id, term AS anchor_term
+    FROM (
+        SELECT q.query_id, q.term,
+               row_number() OVER (
+                   PARTITION BY q.query_id ORDER BY dfq.df, q.term
+               ) AS rr
+        FROM q JOIN dfq USING (term)
+    ) WHERE rr = 1
+),
+tokd AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+    FROM documents WHERE text IS NOT NULL
+),
+anch AS (
+    SELECT h.query_id, h.doc_id, h.rank, r.anchor_term, d.toks,
+           greatest(1, list_position(d.toks, r.anchor_term) - 2) AS a
+    FROM hits h JOIN rarest r USING (query_id) JOIN tokd d USING (doc_id)
+)
+SELECT query_id, doc_id, CAST(rank AS INTEGER) AS rank, anchor_term,
+       array_to_string(toks[a:least(len(toks), a + 4)], ' ') AS snippet
+FROM anch
+"""
+
+
+# -------------------------------------------- term association (lift)
+
+
+def term_associations(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Query-expansion co-occurrence: for every term, its top-k
+    associated terms by document-level LIFT — n_ab·N / (n_a·n_b), the
+    exp of PMI — kept exact-integer via the idf-style scaling
+    (1e6·n_ab·N) div (n_a·n_b) so the ranking hash-oracles. Pair
+    generation is a self-equi-join of the distinct (doc, term)
+    relation on doc (pair volume bounded by vocab² per doc; for open
+    vocabularies prune to the per-doc top-m informative terms first —
+    the standard co-occurrence cap), one partial-agg shuffle on the
+    pair, broadcast dictionary joins, WindowGroupLimit per term. Both
+    orientations are emitted (a→b and b→a) so every term has a
+    complete associate list.
+
+    Output: (term, assoc, n_both, lift_scaled, rank).
+    """
+    docs = _docs(spark, sf_dir)
+    d = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    a, b = d.alias("a"), d.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.term") < F.col("b.term")),
+        )
+        .groupBy(F.col("a.term").alias("ta"), F.col("b.term").alias("tb"))
+        .agg(F.count("*").alias("n_both"))
+    )
+    dic = d.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    both = pairs.unionByName(
+        pairs.select(
+            F.col("tb").alias("ta"), F.col("ta").alias("tb"), "n_both"
+        )
+    )
+    scored = (
+        both.join(F.broadcast(dic.withColumnRenamed("term", "ta").withColumnRenamed("df", "df_a")), "ta")
+        .join(F.broadcast(dic.withColumnRenamed("term", "tb").withColumnRenamed("df", "df_b")), "tb")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "lift_scaled",
+            F.expr(f"({_IDF_SCALE} * n_both * n_docs) div (df_a * df_b)"),
+        )
+    )
+    w = Window.partitionBy("ta").orderBy(F.desc("lift_scaled"), F.asc("tb"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("ta").alias("term"),
+            F.col("tb").alias("assoc"),
+            F.col("n_both").cast("bigint").alias("n_both"),
+            F.col("lift_scaled").cast("bigint").alias("lift_scaled"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def term_associations_oracle_sql(k: int = 5) -> str:
+    return f"""
+WITH {_TOKS_CTE},
+d AS (SELECT DISTINCT doc_id, term FROM post),
+pairs AS (
+    SELECT a.term AS ta, b.term AS tb, count(*) AS n_both
+    FROM d a JOIN d b ON a.doc_id = b.doc_id AND a.term < b.term
+    GROUP BY 1, 2
+),
+bidir AS (
+    SELECT ta, tb, n_both FROM pairs
+    UNION ALL
+    SELECT tb AS ta, ta AS tb, n_both FROM pairs
+),
+dic AS (SELECT term, count(*) AS df FROM d GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents WHERE text IS NOT NULL),
+scored AS (
+    SELECT b.ta, b.tb, b.n_both,
+           ({_IDF_SCALE} * b.n_both * n.n_docs) // (da.df * db.df) AS lift_scaled
+    FROM bidir b
+    JOIN dic da ON da.term = b.ta
+    JOIN dic db ON db.term = b.tb
+    CROSS JOIN n
+),
+ranked AS (
+    SELECT ta, tb, n_both, lift_scaled,
+           row_number() OVER (
+               PARTITION BY ta ORDER BY lift_scaled DESC, tb
+           ) AS rank
+    FROM scored
+)
+SELECT ta AS term, tb AS assoc,
+       CAST(n_both AS BIGINT) AS n_both,
+       CAST(lift_scaled AS BIGINT) AS lift_scaled,
+       CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {k}
+"""

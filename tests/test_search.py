@@ -370,3 +370,47 @@ def test_fts_indexed_matches_derived_and_prunes_partitions(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters: [" in plan and "term" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_search_snippets_matches_oracle_mid(spark):
+    assert_matches_oracle(
+        S.search_snippets(spark, SF_DIR_MID),
+        S.search_snippets_oracle_sql(),
+        SF_DIR_MID,
+    )
+
+
+def test_search_snippets_contain_anchor(spark, sf_dir):
+    """Every snippet contains its anchor term and is at most five
+    tokens; the anchor is the query's rarest term."""
+    rows = S.search_snippets(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        toks = r["snippet"].split(" ")
+        assert r["anchor_term"] in toks, r
+        assert 1 <= len(toks) <= 5, r
+
+
+def test_term_associations_matches_oracle_mid(spark):
+    assert_matches_oracle(
+        S.term_associations(spark, SF_DIR_MID),
+        S.term_associations_oracle_sql(),
+        SF_DIR_MID,
+    )
+
+
+def test_term_associations_lift_sanity(spark):
+    """'dup' co-occurs with everything in its 25 planted docs but is
+    rare, so its associates' lift must exceed the head-vocabulary
+    baseline lift (≈1e6 for independent uniform terms)."""
+    rows = S.term_associations(spark, SF_DIR_MID).collect()
+    by_term = {}
+    for r in rows:
+        by_term.setdefault(r["term"], []).append(r)
+    assert "dup" in by_term
+    # ranks are 1..k, contiguous, lift non-increasing
+    for term, rs in by_term.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        lifts = [r["lift_scaled"] for r in rs]
+        assert lifts == sorted(lifts, reverse=True)
