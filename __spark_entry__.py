@@ -176,6 +176,7 @@ _TIER2 = [
     "term_stats_maintain",
     "edit_dup_pairs",
     "audio_features_mulaw",
+    "audio_features_alaw",
     "adpcm_roundtrip",
     "video_frames_mjpeg",
     "table_expectations",
@@ -1001,6 +1002,13 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "audio_features_mulaw": (
             _aud.audio_features_mulaw,
             _aud.audio_features_mulaw_oracle_sql(),
+        ),
+        # the Annex-A sibling (format tag 6): even steps + no-zero
+        # segment 0, sign bit set for positive, XOR 0x55 on the wire;
+        # same end-to-end hash-oracle as μ-law
+        "audio_features_alaw": (
+            _aud.audio_features_alaw,
+            _aud.audio_features_alaw_oracle_sql(),
         ),
         # r10 COMPRESSED audio: IMA/DVI4 ADPCM (format tag 0x11) —
         # real adaptive-predictor codec (published step/index tables,

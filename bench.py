@@ -114,6 +114,7 @@ HEADLINE = [
     "edit_dup_pairs",           # PassJoin pigeonhole edit-distance join
     "term_stats_maintain",      # mergeable term-dictionary merge
     "audio_features_mulaw",     # G.711 compress+expand, windowed features
+    "audio_features_alaw",      # the Annex-A sibling
     "adpcm_roundtrip",          # IMA ADPCM cross-stream vectorized roundtrip
     "video_frames_mjpeg",       # MJPEG AVI walk + per-frame T.81 decode
     # NOT benched here: item_pagerank / kmeans_lloyd / cluster_canonical

@@ -306,9 +306,13 @@ def adpcm_encode_blocks(signal: np.ndarray) -> bytes:
                 diff -= step >> 1
             if diff >= step >> 2:
                 code |= 1
-            pred += int(
-                _ima_decode_delta(np.array([step]), np.array([code]))[0]
+            mag = (
+                (step >> 3)
+                + (step if code & 4 else 0)
+                + (step >> 1 if code & 2 else 0)
+                + (step >> 2 if code & 1 else 0)
             )
+            pred += -mag if code & 8 else mag
             pred = max(-32768, min(32767, pred))
             idx = int(min(max(idx + _IMA_INDEX_ADJ[code & 7], 0), 88))
             nibbles.append(code)
@@ -398,7 +402,13 @@ def adpcm_decode(data: bytes, n_samples: int) -> np.ndarray:
         for j in range(nc):
             code = int(codes[j])
             step = int(_IMA_STEPS[idx])
-            pred += int(_ima_decode_delta(np.array([step]), np.array([code]))[0])
+            mag = (
+                (step >> 3)
+                + (step if code & 4 else 0)
+                + (step >> 1 if code & 2 else 0)
+                + (step >> 2 if code & 1 else 0)
+            )
+            pred += -mag if code & 8 else mag
             pred = max(-32768, min(32767, pred))
             idx = int(min(max(idx + _IMA_INDEX_ADJ[code & 7], 0), 88))
             out[t + 1 + j] = pred
@@ -456,12 +466,9 @@ def _adpcm_sample(n: int, i: np.ndarray) -> np.ndarray:
     return (np.abs((n + 3 * i) % 8000 - 4000) - 2000) * 4
 
 
-def encode_wav_adpcm(text_bytes: bytes | None) -> bytes:
-    """Build a complete, valid IMA ADPCM WAV (format tag 0x11, mono,
-    4-bit, fact chunk) for a doc payload."""
-    n = len(text_bytes) if text_bytes is not None else 0
-    ns = _wav_n_samples(n)
-    data = adpcm_encode_blocks(_adpcm_sample(n, np.arange(ns, dtype=np.int64)))
+def _wrap_adpcm_wav(ns: int, data: bytes) -> bytes:
+    """Wrap encoded ADPCM blocks in the WAV container (format tag
+    0x11, mono, 4-bit, fact chunk)."""
     fmt = struct.pack(
         "<HHIIHHHH",
         0x11, 1, _WAV_RATE,
@@ -476,6 +483,16 @@ def encode_wav_adpcm(text_bytes: bytes | None) -> bytes:
         + b"data" + struct.pack("<I", len(data)) + data
     )
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_wav_adpcm(text_bytes: bytes | None) -> bytes:
+    """Build a complete, valid IMA ADPCM WAV for a doc payload via the
+    SCALAR reference encoder (tests; the registered surface encodes
+    whole Arrow batches through ``adpcm_encode_batch`` instead)."""
+    n = len(text_bytes) if text_bytes is not None else 0
+    ns = _wav_n_samples(n)
+    data = adpcm_encode_blocks(_adpcm_sample(n, np.arange(ns, dtype=np.int64)))
+    return _wrap_adpcm_wav(ns, data)
 
 
 def decode_wav_adpcm(b: bytes) -> np.ndarray:
@@ -509,13 +526,19 @@ def adpcm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # check without re-deriving it from the lossy payload.
     def enc2(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            ls = [0 if tb is None else len(bytes(tb)) for tb in pdf["tb"]]
+            sigs = [
+                _adpcm_sample(n, np.arange(_wav_n_samples(n), dtype=np.int64))
+                for n in ls
+            ]
+            blocks = adpcm_encode_batch(sigs)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "tb": pdf["tb"],
                     "payload": [
-                        encode_wav_adpcm(None if tb is None else bytes(tb))
-                        for tb in pdf["tb"]
+                        _wrap_adpcm_wav(len(sig), data)
+                        for sig, data in zip(sigs, blocks)
                     ],
                 }
             )
@@ -570,4 +593,151 @@ FROM (
            (coalesce(octet_length(CAST(text AS BLOB)), 0) % 50 + 1) * {w} AS ns
     FROM documents
 )
+"""
+
+
+# --------------------------------------------------- G.711 A-law companding
+#
+# 13-bit formulation (G.711 Annex A structure): 7 segment ends, even
+# steps of 2 in segment 0 (A-law has no zero output — minimum ±1),
+# implicit-leading-bit mantissa above, sign bit SET for POSITIVE, and
+# the alternate-bit inversion (XOR 0x55) on the wire. Integer
+# piecewise math like μ-law ⇒ the oracle replays compress∘expand in
+# SQL and the decoded sample values hash-oracle end to end.
+
+_ALAW_SEG_ENDS = np.array([31, 63, 127, 255, 511, 1023, 2047], dtype=np.int64)
+_ALAW_CLIP = 4095
+
+
+def alaw_compress(s13: np.ndarray) -> np.ndarray:
+    """Vectorized G.711 A-law encoder over 13-bit signed samples."""
+    s = np.asarray(s13, dtype=np.int64)
+    sign = s >= 0
+    m = np.minimum(np.abs(s), _ALAW_CLIP)
+    seg = np.searchsorted(_ALAW_SEG_ENDS, m, side="left")
+    mant = np.where(seg == 0, m >> 1, (m >> seg) & 0xF)
+    aval = (seg << 4) | mant
+    return ((np.where(sign, 0x80, 0) | aval) ^ 0x55).astype(np.uint8)
+
+
+def alaw_expand(code: np.ndarray) -> np.ndarray:
+    """Vectorized A-law decoder → 13-bit signed samples (int64)."""
+    c = (np.asarray(code, dtype=np.int64) ^ 0x55) & 0xFF
+    sign = (c >> 7) & 1  # 1 = positive (A-law convention)
+    seg = (c >> 4) & 7
+    mant = c & 0xF
+    mag = np.where(
+        seg == 0, 2 * mant + 1, (2 * mant + 33) << np.maximum(seg - 1, 0)
+    )
+    return np.where(sign == 1, mag, -mag)
+
+
+#: Closed-form 13-bit source for the A-law surface (±4000 spans all
+#: eight segments; stride 11 is coprime to 8001 so every residue
+#: appears).
+def _alaw_sample(n: int, i: np.ndarray) -> np.ndarray:
+    return (n + i * 11) % 8001 - 4000
+
+
+def encode_wav_alaw(text_bytes: bytes | None) -> bytes:
+    """Build a complete, valid G.711 A-law WAV (format tag 6)."""
+    n = len(text_bytes) if text_bytes is not None else 0
+    ns = _wav_n_samples(n)
+    codes = alaw_compress(_alaw_sample(n, np.arange(ns, dtype=np.int64)))
+    data = codes.tobytes()
+    fmt = struct.pack("<HHIIHH", 6, 1, _WAV_RATE, _WAV_RATE, 1, 8)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, ns)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_alaw(b: bytes) -> np.ndarray:
+    audio_format, channels, _rate, bits, ns, data = wav_meta_any(b)
+    if (audio_format, channels, bits) != (6, 1, 8):
+        raise NotImplementedError("only mono 8-bit A-law here")
+    return alaw_expand(np.frombuffer(data, dtype=np.uint8, count=ns))
+
+
+def audio_features_alaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio features over G.711 A-law payloads — the μ-law
+    surface's Annex-A sibling (see :func:`audio_features_mulaw`); the
+    decoded SAMPLE VALUES hash-oracle end to end for the same
+    integer-piecewise reason.
+
+    Output: (doc_id, win_idx, energy, peak) — exact BIGINTs.
+    """
+    src = _spread(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.col("text").cast("binary").alias("tb")
+        )
+    )
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["tb"].map(
+                        lambda t: encode_wav_alaw(None if t is None else bytes(t))
+                    ),
+                }
+            )
+
+    payloads = src.mapInPandas(enc, "doc_id BIGINT, payload BINARY")
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, wins, energies, peaks = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                s = decode_wav_alaw(bytes(payload))
+                w = s.reshape(-1, _WAV_WIN)
+                k = w.shape[0]
+                ids.extend([doc_id] * k)
+                wins.extend(range(k))
+                energies.extend((w * w).sum(axis=1).tolist())
+                peaks.extend(np.abs(w).max(axis=1).tolist())
+            yield pd.DataFrame(
+                {"doc_id": ids, "win_idx": wins, "energy": energies, "peak": peaks}
+            )
+
+    return payloads.mapInPandas(
+        feats, "doc_id BIGINT, win_idx BIGINT, energy BIGINT, peak BIGINT"
+    )
+
+
+def audio_features_alaw_oracle_sql() -> str:
+    w = _WAV_WIN
+    return f"""
+WITH dims AS (
+    SELECT doc_id, coalesce(octet_length(CAST(text AS BLOB)), 0) AS n
+    FROM documents
+), sm AS (
+    SELECT doc_id, i, ((n + i * 11) % 8001) - 4000 AS s
+    FROM dims, unnest(range(0, (n % 50 + 1) * {w})) AS t(i)
+), comp AS (
+    SELECT doc_id, i, s, least(abs(s), {_ALAW_CLIP}) AS m
+    FROM sm
+), segd AS (
+    SELECT doc_id, i, s, m,
+           CASE WHEN m <= 31 THEN 1 WHEN m <= 63 THEN 2
+                WHEN m <= 127 THEN 4 WHEN m <= 255 THEN 8
+                WHEN m <= 511 THEN 16 WHEN m <= 1023 THEN 32
+                WHEN m <= 2047 THEN 64 ELSE 128 END AS p
+    FROM comp
+), dec AS (
+    SELECT doc_id, i,
+           CASE WHEN s >= 0 THEN 1 ELSE -1 END
+           * CASE WHEN m <= 31 THEN 2 * (m // 2) + 1
+                  ELSE (2 * ((m // p) % 16) + 33) * (p // 2) END AS d
+    FROM segd
+)
+SELECT doc_id,
+       CAST(i // {w} AS BIGINT) AS win_idx,
+       CAST(sum(d * d) AS BIGINT) AS energy,
+       CAST(max(abs(d)) AS BIGINT) AS peak
+FROM dec GROUP BY 1, 2
 """

@@ -174,3 +174,43 @@ def test_codecs_total_on_empty_frame(spark):
         ).parquet(os.path.join(d, f"{t}.parquet"))
     assert A.audio_features_mulaw(spark, d).count() == 0
     assert A.adpcm_roundtrip(spark, d).count() == 0
+
+
+# --------------------------------------------------------------- A-law
+
+
+def test_alaw_code_identity_all_256():
+    """A-law has no negative-zero collapse (segment 0 outputs are the
+    odd midpoints ±1, ±3, …), so ALL 256 codes roundtrip."""
+    codes = np.arange(256, dtype=np.int64)
+    assert np.array_equal(A.alaw_compress(A.alaw_expand(codes)), codes)
+
+
+def test_alaw_quantization_error_segment_bound():
+    """|expand(compress(s)) − s| ≤ 1 in segment 0 and ≤ 2^(seg−1)
+    above (half-step per segment), global max 64."""
+    s = np.arange(-A._ALAW_CLIP, A._ALAW_CLIP + 1, dtype=np.int64)
+    err = np.abs(A.alaw_expand(A.alaw_compress(s)) - s)
+    m = np.minimum(np.abs(s), A._ALAW_CLIP)
+    seg = np.searchsorted(A._ALAW_SEG_ENDS, m, side="left")
+    bound = np.where(seg == 0, 1, 1 << np.maximum(seg - 1, 0))
+    assert (err <= bound).all()
+    assert int(err.max()) == 64
+
+
+def test_alaw_wav_roundtrip_values():
+    for n in [0, 48, 257, 553]:
+        b = A.encode_wav_alaw(b"x" * n)
+        got = A.decode_wav_alaw(b)
+        src = A._alaw_sample(n, np.arange(A._wav_n_samples(n), dtype=np.int64))
+        assert np.array_equal(got, A.alaw_expand(A.alaw_compress(src)))
+    fmt, ch, rate, bits, ns, _ = A.wav_meta_any(A.encode_wav_alaw(b"y" * 9))
+    assert (fmt, ch, rate, bits) == (6, 1, 8000, 8)
+
+
+def test_audio_features_alaw_matches_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        A.audio_features_alaw(spark, sf_dir),
+        A.audio_features_alaw_oracle_sql(),
+        sf_dir,
+    )

@@ -510,6 +510,31 @@ EXHIBITS = [
         "nothing corpus-scale is derived at query time (SCALE.md: "
         "near-flat at corpus ×100).",
     ),
+    (
+        "fts_topk_indexed",
+        "PRODUCTION ranked retrieval (late r10): the postings probe is a "
+        "PARTITION-PRUNED parquet scan — the literal query terms appear "
+        "as PartitionFilters, so the scan touches only the queried "
+        "terms' partitions (at real vocabulary: bucketBy(term)); the "
+        "query/dictionary/doc-count relations all broadcast, "
+        "conjunctivity is one partial-agg shuffle on (query, doc), "
+        "top-k is WindowGroupLimit. No full-corpus pass anywhere.",
+    ),
+    (
+        "edit_dup_pairs",
+        "PassJoin pigeonhole edit-join (late r10): candidates come from "
+        "an EQUI-JOIN on literal segment content (probe fan-out ≈405 "
+        "rows/doc — linear in corpus), never a cartesian or a gram "
+        "count-filter blowup; the levenshtein verify runs as a codegen "
+        "filter on the deduped candidate pairs.",
+    ),
+    (
+        "phrase_search",
+        "Positional phrase match (late r10): ONE broadcast join (tokens "
+        "⋈ phrase words) + ONE partial-agg shuffle on (phrase, doc, "
+        "start) covers ALL phrases at once — no per-phrase scan, no "
+        "regex, no self-join chain growing with phrase length.",
+    ),
 ]
 
 

@@ -115,6 +115,7 @@ QUERIES = [
     "edit_dup_pairs",
     "term_stats_maintain",
     "audio_features_mulaw",
+    "audio_features_alaw",
     "adpcm_roundtrip",
     "video_frames_mjpeg",
 ]
