@@ -233,6 +233,17 @@ def main() -> None:
     warmed = {name: fn(spark, SF_DIR) for name, fn in queries.items()}
     for df in warmed.values():
         df.collect()
+    # Force a driver GC after the warm pass so the ContextCleaner can
+    # drop its broadcast/shuffle litter BEFORE timing starts (local
+    # mode: driver JVM == executor JVM; the DataFrame handles in
+    # `warmed` stay — they pin plans, not blocks). The late-round
+    # heavy rows (codec Arrow passes, the ingest lifecycle
+    # simulations) otherwise leave old-gen pressure that inflates
+    # every timed row — measured r10: knn_topk 0.63 s in a clean
+    # session vs 1.32 s in the pressured one. Method-neutral: nothing
+    # timed yet.
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(2)
     # floor AFTER the warm pass: queries_adj subtracts it from medians
     # taken in the warmed state, so it must be the warmed floor — the
     # cold-session floor is ~20% larger and would over-subtract.
