@@ -92,7 +92,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # verdict #1): tier 1 = the new r10 surfaces (persisted-index
 # admission, JPEG color/progressive pair, mixed dispatches),
 # per-pillar batch keepers (one per operator module, all multi-round
-# driver-green), and ALL 31 hash-oracled streaming twins (term_stats_stream added late-r10)
+# driver-green), and ALL 32 hash-oracled streaming twins (term_stats_stream + audio_features_mulaw_stream added late-r10)
 # (decode_meta_stream included) — each a finite replay job, seconds
 # apiece, so 50 rows still fit the driver budget. After r10, every
 # hash-oracled registry entry (batch AND streaming) has a driver row
@@ -120,8 +120,7 @@ _TIER1 = [
     "minhash_near_dup",
     "gopher_quality_filter",
     "embedding_centroids",
-    "item_triangles",
-    # the 31 hash-oracled streaming twins — never driver-verified
+    # the 32 hash-oracled streaming twins — never driver-verified
     # before r10 (each is a finite replay; oracle = the batch twin's)
     "pii_scrub_stream",
     "gopher_quality_stream",
@@ -153,15 +152,17 @@ _TIER1 = [
     "ingest_accept_stream",
     "value_hist_daily_stream",
     "decode_meta_stream",
-    # r10-new: term-dictionary maintenance at ingest (hash-oracled ⇒
-    # must sit in the budgeted window; displaced table_expectations —
-    # driver-green r6–r9 — to the tier-2 head)
+    # r10-new: term-dictionary maintenance + μ-law audio decode at
+    # ingest (hash-oracled ⇒ must sit in the budgeted window;
+    # displaced table_expectations and item_triangles — both
+    # multi-round driver-green — to the tier-2 head)
     "term_stats_stream",
+    "audio_features_mulaw_stream",
 ]
 # --- tier 2: remaining hash-oracled batch ---------------------------
 _TIER2 = [
     # r10 additions beyond the tier-1 budget (tier 1 is pinned at 50 =
-    # the 5 r10 headliners + 14 per-pillar keepers + all 31 oracled
+    # the 5 r10 headliners + 13 per-pillar keepers + all 32 oracled
     # streaming twins; these run in check_all and the judge pass)
     "audio_features_stereo8",
     "gif_roundtrip",
@@ -180,6 +181,7 @@ _TIER2 = [
     "adpcm_roundtrip",
     "video_frames_mjpeg",
     "table_expectations",
+    "item_triangles",
     # r9 tier-1 entries displaced by the r10 rotation (all r9
     # driver-green; first in line if the driver runs past 50)
     "ingest_accept_batch",
@@ -1252,6 +1254,13 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "term_blocklist_stream": (
             _stw.term_blocklist_stream,
             _cq.term_blocklist_oracle_sql(),
+        ),
+        # streaming AUDIO decode (late r10): the μ-law feature passes
+        # as an append-mode projection at ingest (decode_meta_stream
+        # family; batch oracle ≡ streaming oracle)
+        "audio_features_mulaw_stream": (
+            _stw.audio_features_mulaw_stream,
+            _aud.audio_features_mulaw_oracle_sql(),
         ),
         # streaming maintenance of the search pillar's term dictionary
         # (r10): row-local (term, tf) pairs via array HOFs (one

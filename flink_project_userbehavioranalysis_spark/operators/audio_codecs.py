@@ -161,11 +161,17 @@ def audio_features_mulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (doc_id, win_idx, energy, peak) — exact BIGINTs.
     """
-    src = _spread(
-        load_table(spark, sf_dir, "documents").select(
-            "doc_id", F.col("text").cast("binary").alias("tb")
-        )
+    return mulaw_features_projection(
+        _spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     )
+
+
+def mulaw_features_projection(docs: DataFrame) -> DataFrame:
+    """The two stateless Arrow passes over a (doc_id, text) relation —
+    shared by the batch surface and the streaming at-ingest twin
+    (``streaming.windowed.audio_features_mulaw_stream``), so the batch
+    hash oracle is the streaming oracle."""
+    src = docs.select("doc_id", F.col("text").cast("binary").alias("tb"))
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

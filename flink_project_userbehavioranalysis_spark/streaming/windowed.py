@@ -794,6 +794,32 @@ def decode_meta_stream(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> D
     )
 
 
+def audio_features_mulaw_stream(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 4
+) -> DataFrame:
+    """Stateless streaming AUDIO decode: the G.711 μ-law
+    compress→container→expand→window Arrow passes applied at ingest
+    over the document feed (the ``decode_meta_stream`` family — a
+    production speech pipeline extracts features as the audio lands).
+    Both mapInPandas passes are stateless, so the whole thing is an
+    append-mode projection at scan rate (zero state, no watermark).
+    Shares ``mulaw_features_projection`` with the batch operator, so
+    the batch hash oracle is the streaming oracle."""
+    from flink_project_userbehavioranalysis_spark.operators.audio_codecs import (
+        mulaw_features_projection,
+    )
+    from flink_project_userbehavioranalysis_spark.streaming.replay import (
+        run_append_memory,
+    )
+
+    docs = docs_stream(spark, sf_dir, n_chunks=n_chunks)
+    return run_append_memory(
+        mulaw_features_projection(docs.select("doc_id", "text")),
+        "audio_features_mulaw_stream",
+        spark,
+    )
+
+
 def expectations_stream(
     spark: SparkSession, sf_dir: str, n_chunks: int = 4
 ) -> DataFrame:

@@ -214,3 +214,15 @@ def test_audio_features_alaw_matches_oracle(spark, sf_dir):
         A.audio_features_alaw_oracle_sql(),
         sf_dir,
     )
+
+
+def test_audio_features_mulaw_stream_equals_batch(spark, sf_dir):
+    """The at-ingest streaming projection equals the batch surface
+    exactly (shared projection, append mode, zero state)."""
+    from flink_project_userbehavioranalysis_spark.streaming import windowed as W
+
+    streamed = sorted(
+        map(tuple, W.audio_features_mulaw_stream(spark, sf_dir).collect())
+    )
+    batch = sorted(map(tuple, A.audio_features_mulaw(spark, sf_dir).collect()))
+    assert streamed == batch

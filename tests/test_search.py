@@ -414,3 +414,15 @@ def test_term_associations_lift_sanity(spark):
         assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
         lifts = [r["lift_scaled"] for r in rs]
         assert lifts == sorted(lifts, reverse=True)
+
+
+def test_edit_titles_long_enough_for_partition(spark):
+    """The pigeonhole even-partition needs base ≥ 1 (titles ≥ k+1
+    chars); pin that the corpus can never produce a shorter title —
+    the index side filters l ≥ m, so a violation would silently drop
+    pairs instead of raising."""
+    import pyspark.sql.functions as FF
+
+    for sf in ["/root/testdata/sf0.001", SF_DIR_MID]:
+        t = S._titles(spark, sf)
+        assert t.filter(FF.length("title") < 5).count() == 0
