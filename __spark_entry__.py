@@ -98,12 +98,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # hash-oracled registry entry (batch AND streaming) has a driver row
 # at least once cumulatively. Displaced r9 entries moved to the tier-2
 # head (all driver-green in r9).
+# r11 rotation: the four new search-pillar surfaces (OR-mode, prefix
+# expansion, RRF hybrid fusion, maintained postings index) head the
+# budgeted window; decode_meta_mixed4 stays as the multimodal keeper.
+# The four displaced r10 headliners (all driver-green in
+# CORRECTNESS_r10) moved to the tier-2 head.
 _TIER1 = [
     # new this round (prove first)
-    "ingest_accept_batch_indexed",
-    "ingest_two_batch_indexed",
-    "jpeg_color_roundtrip",
-    "jpeg_progressive_roundtrip",
+    "fts_topk_any",
+    "fts_prefix_topk",
+    "hybrid_topk",
+    "fts_topk_maintained",
     "decode_meta_mixed4",
     # per-pillar regression keepers (driver-green in earlier rounds;
     # one per operator module — the invariant test pins coverage)
@@ -161,9 +166,13 @@ _TIER1 = [
 ]
 # --- tier 2: remaining hash-oracled batch ---------------------------
 _TIER2 = [
-    # r10 additions beyond the tier-1 budget (tier 1 is pinned at 50 =
-    # the 5 r10 headliners + 13 per-pillar keepers + all 32 oracled
-    # streaming twins; these run in check_all and the judge pass)
+    # r10 headliners displaced by the r11 rotation (driver-green r10)
+    "ingest_accept_batch_indexed",
+    "ingest_two_batch_indexed",
+    "jpeg_color_roundtrip",
+    "jpeg_progressive_roundtrip",
+    # r10 additions beyond the tier-1 budget (tier 1 is pinned at 50;
+    # these run in check_all and the judge pass)
     "audio_features_stereo8",
     "gif_roundtrip",
     "decode_meta_mixed7",
@@ -326,6 +335,8 @@ _TIER3 = [
     "ann_lsh_topk",
     "ivf_topk",
     "pq_topk",
+    "ivf_topk_indexed",
+    "pq_topk_indexed",
     "cosine_dup_pairs_lsh",
     "semantic_dedup",
     "embedding_pca",
@@ -475,6 +486,31 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         # pruning, plan-asserted); content-equal by construction ⇒
         # same oracle
         "fts_topk_indexed": (_srch.fts_topk_indexed, _srch.fts_topk_oracle_sql()),
+        # maintained-index lifecycle (r11): probe the nightly BASE
+        # index ∪ the committed batch OVERLAY with SUM-merged
+        # dictionary/doc-count — registered under the FULL-REBUILD
+        # oracle, so the hash proves maintained-overlay ≡ rebuilt
+        # (the ingest_two_batch_indexed contract on the search pillar)
+        "fts_topk_maintained": (
+            _srch.fts_topk_maintained,
+            _srch.fts_topk_oracle_sql(),
+        ),
+        # disjunctive (match-ANY) retrieval (r11): the conjunctive
+        # plan minus the matched-count filter — same integer tf-idf,
+        # same probe shape, superset result set
+        "fts_topk_any": (_srch.fts_topk_any, _srch.fts_topk_any_oracle_sql()),
+        # prefix retrieval (r11): prefixes expanded against the
+        # (vocabulary-sized) dictionary, expanded term set broadcast
+        # into the same postings probe; match-any integer tf-idf
+        "fts_prefix_topk": (
+            _srch.fts_prefix_topk,
+            _srch.fts_prefix_topk_oracle_sql(),
+        ),
+        # hybrid lexical+semantic retrieval (r11): RRF fusion of the
+        # integer-tf-idf lexical list and the cosine top-k semantic
+        # list — fusion keeps only RANKS at integer scale
+        # (Σ ⌊1e6/(60+rank)⌋), so the fused ranking hash-oracles
+        "hybrid_topk": (_srch.hybrid_topk, _srch.hybrid_topk_oracle_sql()),
         # snippet/highlight generation over the top-k hits: 5-token
         # window on the query's rarest term (expression-level string
         # algebra, end-clamped identically in both engines ⇒ the
@@ -607,6 +643,14 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         # shortlist + exact re-rank — bounds candidate-SCORING cost, not
         # just candidate generation; recall gate in test_similarity)
         "pq_topk": (_sim.pq_topk, None),
+        # production cost shape (r11): probe the PERSISTED ANN index
+        # (build_ann_index: centroids + codebooks + cell-partitioned
+        # packed-code inverted lists) — the corpus-scale encode lives
+        # in the scheduled build; probe ≡ the in-query twin
+        # bit-for-bit (frame-equality test-pinned ⇒ recall gates
+        # carry over); rows-only for the twin's reason
+        "ivf_topk_indexed": (_sim.ivf_topk_indexed, None),
+        "pq_topk_indexed": (_sim.pq_topk_indexed, None),
         # §2.10 embedding-cosine near-dup pairs
         "cosine_dup_pairs": (_sim.cosine_dup_pairs, _sim.cosine_dup_pairs_oracle_sql()),
         # §2.10 cosine near-dup at unbounded scale (sign-LSH candidates +

@@ -4,8 +4,13 @@ Runs every ``__spark_entry__.queries()`` entry at ``$SPARK_GRAFT_SF_DIR``
 (default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints
 ONE JSON line::
 
-    {"metric": "warm_query_total", "value": <sum of medians>, "unit": "sec",
-     "queries": {name: median_sec, ...}, "sf": 0.1, ...}
+    {"metric": "warm_query_total", "value": <sum of headline medians>,
+     "pipeline_total": <sum of full-invocation PIPELINES medians>,
+     "unit": "sec", "queries": {name: median_sec, ...}, "sf": 0.1, ...}
+
+``value`` covers the collect()-timed headline set only; the
+full-invocation maintainer jobs (PIPELINES) report separately as
+``pipeline_total`` so both trends stay readable round-over-round.
 
 Method (mirrors BASELINE.md §Method so the 2× bar is apples-to-apples):
 - timing = ``time.perf_counter()`` around ``df.collect()`` (DuckDB baseline
@@ -117,6 +122,19 @@ HEADLINE = [
     "audio_features_alaw",      # the Annex-A sibling
     "adpcm_roundtrip",          # IMA ADPCM cross-stream vectorized roundtrip
     "video_frames_mjpeg",       # MJPEG AVI walk + per-frame T.81 decode
+    # r11 additions: the retrieval-mode family + persisted-index
+    # probes. The *_indexed/_maintained rows time the PROBE with the
+    # nightly build memoized (the index materializes once in the warm
+    # pass — the ingest_accept_batch_indexed cost-split contract).
+    "fts_topk_indexed",         # persisted term-partitioned index probe
+    "fts_topk_maintained",      # base ∪ overlay probe, SUM-merged dict
+    "fts_topk_any",             # disjunctive (match-any) retrieval
+    "fts_prefix_topk",          # dictionary-expanded prefix retrieval
+    "hybrid_topk",              # RRF fusion of lexical + cosine rankings
+    "search_snippets",          # rarest-term highlight windows over hits
+    "term_associations",        # exact-integer lift co-occurrence mining
+    "ivf_topk_indexed",         # persisted IVF inverted-list probe
+    "pq_topk_indexed",          # persisted packed-code SDC probe
     # NOT benched here: item_pagerank / kmeans_lloyd / cluster_canonical
     # eagerly materialize (localCheckpoint / iterate) at
     # DataFrame-construction time, so timing their collect() would
@@ -277,7 +295,14 @@ def main() -> None:
         per_query_arrow[name] = round(_median_time(lambda d=df: d.toPandas()), 4)
         rows[name] = df.count()
 
-    total = round(sum(per_query.values()), 4)
+    # SPLIT totals (r11): the PIPELINES rows are full-invocation
+    # maintainer jobs (a different measurement class), so mixing them
+    # into one total made round-over-round comparison unreadable
+    # (r10's "total roughly doubles" note). warm_query_total = the
+    # collect()-timed headline set only; pipeline_total = the
+    # full-invocation set; vs_prev is computed per set.
+    total = round(sum(v for k, v in per_query.items() if k not in PIPELINES), 4)
+    pipeline_total = round(sum(per_query[k] for k in PIPELINES if k in per_query), 4)
     # The driver keeps only the LAST 2000 chars of stdout and parses the
     # final JSON line; r04's line (queries + queries_adj + rows + vs_prev)
     # overflowed that tail and the driver recorded `parsed: null`. So:
@@ -286,12 +311,14 @@ def main() -> None:
     detail = {
         "metric": "warm_query_total",
         "value": total,
+        "pipeline_total": pipeline_total,
         "unit": "sec",
         # method version: bumped when the measurement procedure changes
-        # (v2 = session-wide warm pass + warmed floor, r6) so a
-        # cross-method vs_prev ratio is readable as a method change,
-        # not a performance delta.
-        "method": "warmpass-v2",
+        # (v2 = session-wide warm pass + warmed floor, r6; v2-split =
+        # r11, headline "value" no longer includes the PIPELINES rows —
+        # those report as pipeline_total) so a cross-method vs_prev
+        # ratio is readable as a method change, not a performance delta.
+        "method": "warmpass-v2-split",
         "queries": per_query,
         "sf": _sf_of(SF_DIR),
         "floor_sec": round(floor, 4),
@@ -312,8 +339,20 @@ def main() -> None:
         "count_by_channel_behavior", "blacklist", "consec_fail",
         "order_timeout", "interval_join", "tpch_q1ish",
     ]
+    # Search-pillar same-run pairs (r11): the queries the r10 verdict
+    # asked to anchor — each DuckDB side is the registered oracle doing
+    # genuinely comparable relational work, except edit_dup_pairs which
+    # uses the equivalence-tested segment-filtered fast oracle (the
+    # registered all-pairs recompute is a deliberate completeness
+    # proof, not comparable work — ~2 min at sf0.1).
+    SEARCH_COMPARABLE = [
+        "fts_topk", "phrase_search", "term_associations",
+        "term_stats_maintain", "edit_dup_pairs", "search_snippets",
+        "fts_topk_any", "fts_prefix_topk", "hybrid_topk",
+    ]
     duck_ms: dict[str, float] = {}
     duck_df_ms: dict[str, float] = {}
+    duck_search_ms: dict[str, float] = {}
     try:
         import duckdb
 
@@ -336,6 +375,11 @@ SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS w,
 FROM events WHERE event_type = 'view' GROUP BY 1
 """,
         )
+        from flink_project_userbehavioranalysis_spark.operators.search import (
+            edit_dup_pairs_fast_oracle_sql,
+        )
+
+        osql["edit_dup_pairs"] = edit_dup_pairs_fast_oracle_sql()
         try:
             for name in BASELINE_COMPARABLE:
                 q = osql.get(name)
@@ -347,10 +391,27 @@ FROM events WHERE event_type = 'view' GROUP BY 1
                 duck_df_ms[name] = round(
                     _median_time(lambda q=q: con.execute(q).df()), 4
                 )
+            for name in SEARCH_COMPARABLE:
+                q = osql.get(name)
+                if not q or name not in per_query:
+                    continue
+                duck_search_ms[name] = round(
+                    _median_time(lambda q=q: con.execute(q).fetchall()), 4
+                )
         finally:
             con.close()
     except Exception:
         pass  # baseline-in-run is best-effort; BASELINE.md still anchors
+    if duck_search_ms:
+        comp_s = [k for k in duck_search_ms if k in per_query]
+        detail["same_host_search"] = {
+            "duckdb_fetchall": duck_search_ms,
+            "ratio_collect_vs_fetchall": round(
+                sum(per_query[k] for k in comp_s)
+                / sum(duck_search_ms[k] for k in comp_s),
+                3,
+            ),
+        }
     if duck_ms:
         # intersect all three dicts: a failure between the fetchall and
         # .df() timings of one query must not KeyError the whole report
@@ -377,19 +438,29 @@ FROM events WHERE event_type = 'view' GROUP BY 1
         # grows round over round, so a whole-total ratio would read new
         # coverage as a regression (r05 vs r02 showed 1.14x while every
         # overlapping query was flat or faster).
-        common = [k for k in per_query if pq.get(k)]
+        # per-SET ratios (r11): headline (collect-timed) and pipeline
+        # (full-invocation) are different measurement classes — the
+        # split keeps both trends readable on their own terms
+        common = [k for k in per_query if pq.get(k) and k not in PIPELINES]
+        common_pipe = [k for k in PIPELINES if k in per_query and pq.get(k)]
         cur_common = sum(per_query[k] for k in common)
         prev_common = sum(pq[k] for k in common)
+        cur_pipe = sum(per_query[k] for k in common_pipe)
+        prev_pipe = sum(pq[k] for k in common_pipe)
         detail["vs_prev"] = {
             "prev_file": os.path.basename(ppath),
             "prev_method": pdata.get("method"),  # None = pre-warmpass capture
             "prev_sf": pdata.get("sf"),
             "prev_total": pdata.get("value"),
             "common_queries": len(common),
+            "common_pipelines": len(common_pipe),
             # ratios only make sense at the same scale factor; ±2x
             # session noise on sub-50 ms queries is expected (see notes)
             "total_ratio": round(cur_common / prev_common, 3)
             if same_sf and prev_common
+            else None,
+            "pipeline_ratio": round(cur_pipe / prev_pipe, 3)
+            if same_sf and prev_pipe
             else None,
             "query_ratio": {
                 k: round(v / pq[k], 2) for k, v in per_query.items() if pq.get(k)
@@ -403,6 +474,7 @@ FROM events WHERE event_type = 'view' GROUP BY 1
     compact = {
         "metric": "warm_query_total",
         "value": total,
+        "pipeline_total": pipeline_total,
         "unit": "sec",
         "method": detail["method"],
         "queries": per_query,
@@ -411,11 +483,16 @@ FROM events WHERE event_type = 'view' GROUP BY 1
     }
     if prev is not None and detail["vs_prev"].get("total_ratio") is not None:
         compact["vs_prev_total"] = detail["vs_prev"]["total_ratio"]
+        compact["vs_prev_pipeline"] = detail["vs_prev"].get("pipeline_ratio")
         compact["vs_prev_file"] = detail["vs_prev"]["prev_file"]
     if "same_host_baseline" in detail:
         shb = detail["same_host_baseline"]
         compact["vs_duckdb_same_host"] = shb["ratio_collect_vs_fetchall"]
         compact["vs_duckdb_same_host_arrow"] = shb["ratio_arrow_vs_df"]
+    if "same_host_search" in detail:
+        compact["vs_duckdb_search"] = detail["same_host_search"][
+            "ratio_collect_vs_fetchall"
+        ]
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) >= 1900:  # never overflow the tail: totals beat detail
         compact["queries"] = {}

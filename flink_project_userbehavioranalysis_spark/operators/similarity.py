@@ -625,6 +625,277 @@ def pq_topk(
     return _score_candidates(short, emb, k)
 
 
+# --------------------------------------- ANN: persisted IVF/IVF-PQ index
+
+#: (appId, sf_dir, params) -> scratch root of the persisted ANN index.
+#: The nightly-build memo (the ingest _INGEST_INDEX_CACHE discipline):
+#: NOT cleared between probe runs — that separation is the point.
+_ANN_INDEX_CACHE: dict[tuple, str] = {}
+
+
+def build_ann_index(
+    spark: SparkSession,
+    sf_dir: str,
+    n_cells: int = 32,
+    m_sub: int = 32,
+    n_codes: int = 16,
+) -> str:
+    """The NIGHTLY ANN index build — the production shape the
+    derive-in-query `ivf_topk`/`pq_topk` simulate. Trains the IVF
+    coarse quantizer and the PQ codebooks on the bounded deterministic
+    `_sample_matrix` sample (≤2 MB driver), then runs ONE map-only
+    encode pass over the corpus and persists three parquet tables
+    under a session-keyed scratch root:
+
+      - ``centroids`` (cell, c ARRAY<DOUBLE>) — n_cells rows, KBs;
+      - ``codebooks`` (m, code, c ARRAY<DOUBLE>) — m_sub·n_codes rows;
+      - ``enc`` (vec_id, cell, lo, hi) partitioned by cell — the
+        inverted lists, each vector as its cell id + two packed int64s
+        of PQ codes (16 bytes vs 256 for the raw floats).
+
+    Doubles round-trip parquet exactly, so a probe over the persisted
+    index reproduces the in-query twin bit-for-bit (frame-equality
+    test-pinned). At 100 TB this is the scheduled job: the corpus-scale
+    encode happens once per build, and every query-time probe touches
+    only the (narrow) inverted lists — never re-encodes the corpus.
+    Memoized per (app, sf_dir, params)."""
+    import numpy as np
+    import pandas as pd
+
+    from flink_project_userbehavioranalysis_spark.operators.maintenance import (
+        _scratch_dir,
+    )
+
+    key = (
+        spark.sparkContext.applicationId,
+        __import__("os").path.abspath(sf_dir),
+        n_cells,
+        m_sub,
+        n_codes,
+    )
+    cached = _ANN_INDEX_CACHE.get(key)
+    if cached is not None:
+        return cached
+    sample = _sample_matrix(spark, sf_dir)
+    cents = _ivf_centroids(sample, n_cells)
+    books = _pq_codebooks(sample, m_sub, n_codes)
+    d = books.shape[2]
+    root = _scratch_dir(spark, "ann-idx", sf_dir)
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cell INT, c ARRAY<DOUBLE>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{root}/centroids")
+    spark.createDataFrame(
+        [
+            (int(m), int(j), [float(x) for x in books[m, j]])
+            for m in range(books.shape[0])
+            for j in range(books.shape[1])
+        ],
+        "m INT, code INT, c ARRAY<DOUBLE>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{root}/codebooks")
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            v = v / np.linalg.norm(v, axis=1, keepdims=True)
+            cell = (v @ cents.T).argmax(axis=1).astype(np.int64)
+            codes = np.empty((len(v), m_sub), dtype=np.int64)
+            for m in range(m_sub):
+                sub = v[:, m * d : (m + 1) * d]
+                d2 = ((sub[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+                codes[:, m] = d2.argmin(axis=1)
+            lo, hi = _pack_codes(codes, m_sub)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "cell": cell, "lo": lo, "hi": hi}
+            )
+
+    emb.mapInPandas(
+        encode, "vec_id BIGINT, cell BIGINT, lo BIGINT, hi BIGINT"
+    ).write.mode("overwrite").partitionBy("cell").parquet(f"{root}/enc")
+    _ANN_INDEX_CACHE[key] = root
+    return root
+
+
+def _load_ann_model(spark: SparkSession, root: str):
+    """Reload the trained model from the persisted index: bounded
+    driver collects (n_cells + m_sub·n_codes rows — KBs regardless of
+    corpus size), id-ordered so array layout is deterministic."""
+    import numpy as np
+
+    crows = spark.read.parquet(f"{root}/centroids").orderBy("cell").collect()
+    cents = np.array([r["c"] for r in crows], dtype=np.float64)
+    brows = spark.read.parquet(f"{root}/codebooks").orderBy("m", "code").collect()
+    if brows:
+        m_sub = max(r["m"] for r in brows) + 1
+        n_codes = max(r["code"] for r in brows) + 1
+        books = np.array([r["c"] for r in brows], dtype=np.float64).reshape(
+            m_sub, n_codes, -1
+        )
+    else:
+        books = np.zeros((0, 0, 0))
+    return cents, books
+
+
+def _query_side(emb: DataFrame, n_queries: int | None) -> DataFrame:
+    """The probe's query relation: the full table (the registered
+    shape — every vector queries, so recall is measurable corpus-wide)
+    or a fixed bounded prefix (the production/scale shape: probe cost
+    ∝ queries while the index side grows with the corpus)."""
+    return emb if n_queries is None else emb.filter(F.col("vec_id") < n_queries)
+
+
+def ivf_topk_indexed(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    n_probe: int = 16,
+    n_cells: int = 32,
+    n_queries: int | None = None,
+) -> DataFrame:
+    """PRODUCTION cost shape of :func:`ivf_topk`: probe the PERSISTED
+    inverted lists (:func:`build_ann_index`) instead of re-encoding
+    the corpus in-query. Queries are assigned to their n_probe nearest
+    cells in one map-only pass (the trained centroids reload from the
+    index — KBs), candidates come from the same cell equi-join against
+    the persisted ``enc`` table, and the exact re-rank is unchanged
+    (`_score_candidates`). Probe output ≡ the derive-in-query twin
+    bit-for-bit (same deterministic model, parquet round-trips doubles
+    exactly; frame-equality test-pinned), so the recall gates carry
+    over. Cost: the corpus-scale encode lives in the scheduled build;
+    the probe touches queries + inverted lists only."""
+    import numpy as np
+    import pandas as pd
+
+    root = build_ann_index(spark, sf_dir, n_cells=n_cells)
+    cents, _books = _load_ann_model(spark, root)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    lists = spark.read.parquet(f"{root}/enc").select(
+        F.col("vec_id").alias("neighbor_id"), "cell"
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            v = v / np.linalg.norm(v, axis=1, keepdims=True)
+            cells = np.argsort(-(v @ cents.T), axis=1)[:, :n_probe].astype(np.int64)
+            ids = pdf["vec_id"].to_numpy()
+            yield pd.DataFrame(
+                {"query_id": np.repeat(ids, n_probe), "cell": cells.reshape(-1)}
+            )
+
+    probes = _query_side(emb, n_queries).mapInPandas(
+        assign, "query_id BIGINT, cell BIGINT"
+    )
+    cand = (
+        probes.join(lists, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    return _score_candidates(cand, emb, k)
+
+
+def pq_topk_indexed(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    m_sub: int = 32,
+    n_codes: int = 16,
+    n_cells: int = 32,
+    n_probe: int = 16,
+    shortlist: int = 16,
+    n_queries: int | None = None,
+) -> DataFrame:
+    """PRODUCTION cost shape of :func:`pq_topk`: the SDC scan rides
+    the PERSISTED packed codes — queries are encoded in one map-only
+    pass against the reloaded codebooks, the candidate equi-join reads
+    cell + two packed int64s per corpus vector straight off the
+    ``enc`` table (16-byte payloads — the narrow-shuffle property now
+    lives in storage too), the symmetric LUT rebuilds from the
+    persisted codebooks (64 KB), and only the per-query shortlist
+    reaches the exact re-rank. Output ≡ :func:`pq_topk` bit-for-bit
+    (frame-equality test-pinned), recall gates carry over."""
+    import numpy as np
+    import pandas as pd
+
+    root = build_ann_index(spark, sf_dir, n_cells=n_cells, m_sub=m_sub, n_codes=n_codes)
+    cents, books = _load_ann_model(spark, root)
+    d = books.shape[2]
+    lut_flat = (
+        np.einsum("mkd,mjd->mkj", books, books).reshape(-1)
+        if books.size
+        else np.zeros(0)
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    enc = spark.read.parquet(f"{root}/enc")
+
+    def probe(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+            cells = np.argsort(-(vn @ cents.T), axis=1)[:, :n_probe].astype(np.int64)
+            codes = np.empty((len(v), m_sub), dtype=np.int64)
+            for m in range(m_sub):
+                sub = vn[:, m * d : (m + 1) * d]
+                d2 = ((sub[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+                codes[:, m] = d2.argmin(axis=1)
+            lo, hi = _pack_codes(codes, m_sub)
+            ids = pdf["vec_id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(ids, n_probe),
+                    "cell": cells.reshape(-1),
+                    "qlo": np.repeat(lo, n_probe),
+                    "qhi": np.repeat(hi, n_probe),
+                }
+            )
+
+    probes = _query_side(emb, n_queries).mapInPandas(
+        probe, "query_id BIGINT, cell BIGINT, qlo BIGINT, qhi BIGINT"
+    )
+    pairs = (
+        probes.join(enc, "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id", "qlo", "qhi", F.col("vec_id").alias("neighbor_id"), "lo", "hi"
+        )
+    )
+
+    def sdc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qc = _unpack_codes(pdf["qlo"].to_numpy(), pdf["qhi"].to_numpy(), m_sub)
+            nc = _unpack_codes(pdf["lo"].to_numpy(), pdf["hi"].to_numpy(), m_sub)
+            base = (np.arange(m_sub) * n_codes * n_codes)[None, :]
+            approx = lut_flat[base + qc * n_codes + nc].sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "approx": np.round(approx, 9),
+                }
+            )
+
+    scored = pairs.mapInPandas(sdc, "query_id BIGINT, neighbor_id BIGINT, approx DOUBLE")
+    w = Window.partitionBy("query_id").orderBy(F.desc("approx"), F.asc("neighbor_id"))
+    short = (
+        scored.withColumn("arn", F.row_number().over(w))
+        .filter(F.col("arn") <= shortlist * k)
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    return _score_candidates(short, emb, k)
+
+
 # ------------------------------------------- embedding-cosine near-dup pairs
 
 

@@ -418,11 +418,236 @@ def test_term_associations_lift_sanity(spark):
 
 def test_edit_titles_long_enough_for_partition(spark):
     """The pigeonhole even-partition needs base ≥ 1 (titles ≥ k+1
-    chars); pin that the corpus can never produce a shorter title —
-    the index side filters l ≥ m, so a violation would silently drop
-    pairs instead of raising."""
+    chars); pin that the corpus keeps the main branch sufficient (the
+    short-title branch exists for completeness but should prune to
+    zero rows on this corpus)."""
     import pyspark.sql.functions as FF
 
     for sf in ["/root/testdata/sf0.001", SF_DIR_MID]:
         t = S._titles(spark, sf)
         assert t.filter(FF.length("title") < 5).count() == 0
+
+
+def test_short_title_pairs_complete(spark):
+    """Titles shorter than k+1 chars cannot be pigeonhole-segmented;
+    the short-title branch must still find every ≤k pair touching
+    them — brute-force completeness sweep over a crafted corpus mixing
+    tiny, boundary-length (2k, 2k+1) and long titles."""
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    k = 4
+    titles = [
+        "ab",            # far below m
+        "abcd",          # m-1: longest non-segmentable
+        "abcde",         # exactly m
+        "abcdefgh",      # exactly 2k (short-branch upper edge)
+        "abcdefghi",     # 2k+1: main branch only
+        "zz",            # tiny, distance ≤ k to other tiny titles
+        "",              # degenerate empty title
+        "abcdefghijklmnop qrstu",  # long: unreachable from tiny ones
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(titles)], "doc_id BIGINT, title STRING"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["dist"]
+        for r in S.edit_pairs_frame(docs, k).collect()
+    }
+    expect = {
+        (i, j): lev(titles[i], titles[j])
+        for i in range(len(titles))
+        for j in range(i + 1, len(titles))
+        if lev(titles[i], titles[j]) <= k
+    }
+    assert got == expect
+    assert len(expect) >= 5, "crafted corpus should produce several short pairs"
+
+
+def test_fast_oracle_covers_short_titles():
+    """The sf0.1 fast oracle carries the same short-title branch as
+    the Spark plan: on a crafted corpus with tiny titles it must agree
+    with the filter-free registered oracle (the mutual-blind-spot the
+    r10 advisory flagged)."""
+    import duckdb
+
+    con = duckdb.connect()
+    titles = ["ab", "abcd", "abcde", "abcdefgh", "abcdefghi", "zz", "much longer title here"]
+    con.execute("CREATE TABLE t0 (doc_id BIGINT, title VARCHAR)")
+    con.executemany("INSERT INTO t0 VALUES (?, ?)", list(enumerate(titles)))
+    # swap the documents-derived CTE for the crafted table
+    fast = S.edit_dup_pairs_fast_oracle_sql().replace(
+        "WITH t0 AS (\n    SELECT doc_id,\n           array_to_string(string_split(text, ' ')[1:12], ' ') AS title\n    FROM documents WHERE text IS NOT NULL\n),",
+        "WITH",
+    )
+    slow = S.edit_dup_pairs_oracle_sql().replace(
+        "WITH t AS (\n    SELECT doc_id,\n           array_to_string(string_split(text, ' ')[1:12], ' ') AS title\n    FROM documents WHERE text IS NOT NULL\n)",
+        "WITH t AS (SELECT * FROM t0)",
+    )
+    assert "documents" not in fast and "documents" not in slow
+    a = sorted(con.execute(fast).fetchall())
+    b = sorted(con.execute(slow).fetchall())
+    assert a == b and len(b) >= 4
+
+
+# ------------------------------------------------ OR / prefix retrieval
+
+
+def test_fts_topk_any_matches_oracle_mid(spark):
+    assert_matches_oracle(
+        S.fts_topk_any(spark, SF_DIR_MID), S.fts_topk_any_oracle_sql(), SF_DIR_MID
+    )
+
+
+def test_fts_any_superset_of_conjunctive(spark, sf_dir):
+    """With an unbounded k, OR-mode's per-query match set contains
+    every conjunctive match, and scores agree on the intersection
+    (same tf-idf algebra, only the admission differs)."""
+    big = 10**6
+    any_rows = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in S.fts_topk_any(spark, sf_dir, k=big).collect()
+    }
+    all_rows = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in S.fts_topk(spark, sf_dir, k=big).collect()
+    }
+    assert set(all_rows) <= set(any_rows)
+    assert len(any_rows) > len(all_rows)
+    for key, score in all_rows.items():
+        assert any_rows[key] == score
+
+
+def test_fts_prefix_topk_matches_oracle_mid(spark):
+    assert_matches_oracle(
+        S.fts_prefix_topk(spark, SF_DIR_MID),
+        S.fts_prefix_topk_oracle_sql(),
+        SF_DIR_MID,
+    )
+
+
+def test_fts_prefix_expansion_broadcast_and_no_cartesian(spark, sf_dir):
+    """The prefix expansion joins prefixes against the DICTIONARY
+    (vocabulary-sized) with the prefix relation broadcast, and the
+    postings probe stays a broadcast equi-join — no CartesianProduct
+    anywhere in the plan."""
+    plan = (
+        S.fts_prefix_topk(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    assert "StartsWith" in plan
+
+
+def test_fts_prefix_matches_only_prefixed_terms(spark, sf_dir):
+    """Every doc in a prefix query's results contains at least one
+    term with that prefix (match-any over the expanded set)."""
+    rows = S.fts_prefix_topk(spark, sf_dir).collect()
+    assert rows
+    docs = {
+        r["doc_id"]: set(r["text"].split())
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("text").isNotNull())
+        .collect()
+    }
+    pfx = dict(S.FTS_PREFIX_QUERIES)
+    for r in rows:
+        p = pfx[r["query_id"]]
+        assert any(t.startswith(p) for t in docs[r["doc_id"]]), r
+
+
+# --------------------------------------------------- hybrid retrieval
+
+
+def test_hybrid_topk_matches_oracle_mid(spark):
+    assert_matches_oracle(
+        S.hybrid_topk(spark, SF_DIR_MID), S.hybrid_topk_oracle_sql(), SF_DIR_MID
+    )
+
+
+def test_hybrid_rrf_contract(spark, sf_dir):
+    """Fused output: ranks contiguous from 1 per query, rrf_scaled
+    non-increasing with rank, and every fused score is a sum of at
+    most two reciprocal-rank contributions (bounded by 2·⌊1e6/61⌋)."""
+    rows = S.hybrid_topk(spark, sf_dir).collect()
+    assert rows
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+    max_contrib = 2 * (1_000_000 // (S.RRF_K + 1))
+    for _qid, rs in per_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r["rrf_scaled"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        assert all(0 < s <= max_contrib for s in scores)
+
+
+def test_hybrid_both_lists_contribute(spark, sf_dir):
+    """Docs present on BOTH lists must outscore the single-list floor:
+    at least one fused row per run exceeds the max single-list
+    contribution ⌊1e6/61⌋ — i.e. fusion actually fuses."""
+    rows = S.hybrid_topk(spark, sf_dir).collect()
+    single_max = 1_000_000 // (S.RRF_K + 1)
+    assert any(r["rrf_scaled"] > single_max for r in rows)
+
+
+# --------------------------------------------- maintained postings index
+
+
+def test_fts_maintained_equals_rebuilt(spark, sf_dir):
+    """Maintained (base ∪ overlay, SUM-merged dictionary) ≡ the full
+    derive-in-query rebuild, frame-to-frame AND against the rebuild
+    oracle."""
+    maintained = S.fts_topk_maintained(spark, sf_dir)
+    rebuilt = S.fts_topk(spark, sf_dir)
+    assert sorted(map(tuple, maintained.collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
+    assert_matches_oracle(maintained, S.fts_topk_oracle_sql(), sf_dir)
+
+
+def test_fts_split_index_leak_directions(spark, sf_dir):
+    """Base holds exactly the stored corpus's postings (doc_id%5≠0),
+    the overlay exactly the batch's (doc_id%5=0) — neither side leaks
+    into the other, and base ∪ overlay covers every doc the full
+    index covers."""
+    base, overlay = S.build_fts_index_split(spark, sf_dir)
+    b = spark.read.parquet(f"{base}/postings")
+    o = spark.read.parquet(f"{overlay}/postings")
+    assert b.filter(F.col("doc_id") % 5 == 0).count() == 0
+    assert o.filter(F.col("doc_id") % 5 != 0).count() == 0
+    full = S._postings(S._docs(spark, sf_dir))
+    assert b.count() + o.count() == full.count()
+
+
+def test_term_partition_read_survives_numeric_vocabulary(spark, tmp_path):
+    """A vocabulary whose terms all parse as numbers must come back as
+    STRINGS from the term-partitioned read (partition-column type
+    inference disabled), so isin()/join probes stay correct — the r10
+    advisory's silent-empty-result hazard."""
+    df = spark.createDataFrame(
+        [(1, "1", 2), (2, "2", 3), (3, "007", 1)], "doc_id BIGINT, term STRING, tf BIGINT"
+    )
+    path = str(tmp_path / "numeric-postings")
+    df.write.mode("overwrite").partitionBy("term").parquet(path)
+    back = S._read_term_partitioned(spark, path)
+    assert dict(back.dtypes)["term"] == "string"
+    got = sorted(
+        (r["doc_id"], r["term"]) for r in back.filter(F.col("term").isin(["1", "007"])).collect()
+    )
+    assert got == [(1, "1"), (3, "007")]
+    # conf restored after the read
+    assert (
+        spark.conf.get("spark.sql.sources.partitionColumnTypeInference.enabled")
+        == "true"
+    )

@@ -177,6 +177,66 @@ def test_ann_paths_never_collect_corpus(spark, sf_dir, monkeypatch):
     assert S.ivf_topk(spark, sf_dir).count() > 0
 
 
+def test_ivf_indexed_equals_derived(spark, sf_dir):
+    """The persisted-index probe reproduces the derive-in-query twin
+    BIT-FOR-BIT (same deterministic model, doubles round-trip parquet
+    exactly) — so the ≥0.8 recall gate carries over by equality, and
+    the probe's plan stays cartesian-free."""
+    derived = sorted(map(tuple, S.ivf_topk(spark, sf_dir).collect()))
+    idx_df = S.ivf_topk_indexed(spark, sf_dir)
+    assert sorted(map(tuple, idx_df.collect())) == derived
+    plan = idx_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_indexed_equals_derived(spark, sf_dir, monkeypatch):
+    """Same contract for the IVF-PQ probe: persisted packed codes +
+    reloaded codebooks reproduce pq_topk exactly, never touching the
+    collected corpus broadcast."""
+
+    def boom(*a, **kw):
+        raise AssertionError("persisted-PQ probe called _corpus_broadcast")
+
+    derived = sorted(map(tuple, S.pq_topk(spark, sf_dir).collect()))
+    monkeypatch.setattr(S, "_corpus_broadcast", boom)
+    idx_df = S.pq_topk_indexed(spark, sf_dir)
+    assert sorted(map(tuple, idx_df.collect())) == derived
+    plan = idx_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_index_probe_bounded_queries(spark, sf_dir):
+    """The production probe shape: a FIXED query set against the
+    corpus-sized index — results restricted to exactly the bounded
+    queries, each agreeing with the full-query run (per-query results
+    are independent: candidates come from the query's own probe
+    rows)."""
+    full = {
+        (r["query_id"], r["neighbor_id"], r["rn"])
+        for r in S.ivf_topk_indexed(spark, sf_dir).collect()
+    }
+    bounded = {
+        (r["query_id"], r["neighbor_id"], r["rn"])
+        for r in S.ivf_topk_indexed(spark, sf_dir, n_queries=50).collect()
+    }
+    assert {q for q, _, _ in bounded} == set(range(50))
+    assert bounded == {t for t in full if t[0] < 50}
+
+
+def test_ann_index_model_tables_bounded(spark, sf_dir):
+    """The persisted model relations stay KB-scale regardless of
+    corpus size (n_cells and m_sub·n_codes rows), and the inverted
+    lists carry exactly one row per corpus vector."""
+    root = S.build_ann_index(spark, sf_dir)
+    n_corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert spark.read.parquet(f"{root}/centroids").count() <= 32
+    assert spark.read.parquet(f"{root}/codebooks").count() == 32 * 16
+    enc = spark.read.parquet(f"{root}/enc")
+    assert enc.count() == n_corpus
+    assert enc.select("vec_id").distinct().count() == n_corpus
+
+
 def test_ivf_training_sample_bounded(spark, sf_dir, monkeypatch):
     """IVF centroid training must cap driver memory: the training
     matrix handed to k-means never exceeds the sample cap even if the
