@@ -273,6 +273,20 @@ def main() -> None:
         _MANIFEST_CACHE,
     )
 
+    # HEADLINE rows first (r11 hygiene): the PIPELINES set runs ~90 s
+    # of heavy full invocations; timing it before the headline set left
+    # old-gen pressure under the BASELINE-comparable sub-50 ms rows
+    # (the r10 warm-pass note's failure mode, in a new spot). The
+    # headline medians now come from the cleanest post-GC state.
+    for name, df in warmed.items():
+        per_query[name] = round(_median_time(lambda d=df: d.collect()), 4)
+        # the Arrow client path (toPandas): same engine work, efficient
+        # materialization — the delivery mode a real consumer uses for
+        # wide results; recorded so the client-overhead component of
+        # the collect() number is visible (pii_scrub: ~60% of it)
+        per_query_arrow[name] = round(_median_time(lambda d=df: d.toPandas()), 4)
+        rows[name] = df.count()
+
     all_queries = entry_mod.queries()
     for name in PIPELINES:
         fn = all_queries[name]
@@ -286,14 +300,6 @@ def main() -> None:
 
         per_query[name] = round(_median_time(run_full, runs=3), 4)
         rows[name] = fn(spark, SF_DIR).count()
-    for name, df in warmed.items():
-        per_query[name] = round(_median_time(lambda d=df: d.collect()), 4)
-        # the Arrow client path (toPandas): same engine work, efficient
-        # materialization — the delivery mode a real consumer uses for
-        # wide results; recorded so the client-overhead component of
-        # the collect() number is visible (pii_scrub: ~60% of it)
-        per_query_arrow[name] = round(_median_time(lambda d=df: d.toPandas()), 4)
-        rows[name] = df.count()
 
     # SPLIT totals (r11): the PIPELINES rows are full-invocation
     # maintainer jobs (a different measurement class), so mixing them

@@ -352,6 +352,7 @@ def ivf_topk(
     k: int = 5,
     n_cells: int = 32,
     n_probe: int = 16,
+    n_queries: int | None = None,
 ) -> DataFrame:
     """Approximate kNN via IVF (inverted-file) coarse quantization —
     the second scale path next to sign-LSH: spherical k-means cells
@@ -398,8 +399,15 @@ def ivf_topk(
     lists = probes.filter(F.col("probe_rank") == 0).select(
         F.col("vec_id").alias("neighbor_id"), "cell"
     )  # each vector lives in exactly its nearest cell
+    # n_queries bounds the QUERY side only (the production shape: a
+    # fixed query batch against the whole corpus); the inverted lists
+    # always cover every vector — re-derived per run, which is exactly
+    # the cost the persisted-index twin removes
+    qside = probes if n_queries is None else probes.filter(
+        F.col("vec_id") < n_queries
+    )
     cand = (
-        probes.select(F.col("vec_id").alias("query_id"), "cell")
+        qside.select(F.col("vec_id").alias("query_id"), "cell")
         .join(lists, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")

@@ -312,7 +312,99 @@ def ingest_probe_scaling(spark, factor: int) -> dict:
     return out
 
 
+def synthesize_embeddings_growth(spark, factor: int) -> str:
+    """Embeddings-only corpus-growth fixture for the ANN probe claim:
+    the base 20k vectors stay at their ids (the fixed query set lives
+    among them), plus ``factor - 1`` perturbed copies at high id
+    shifts — the index side genuinely grows ×factor while the query
+    set never changes. Other tables copied untouched so load_table
+    keeps working."""
+    out = f"/tmp/ubx-ann-scale-f{factor}"
+    if os.path.isdir(out) and os.path.exists(f"{out}/.done"):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    for t in TABLES:
+        if t != "embeddings":
+            shutil.copy(f"{BASE}/{t}.parquet", f"{out}/{t}.parquet")
+    emb = load_table(spark, BASE, "embeddings")
+    ks = F.explode(F.sequence(F.lit(1), F.lit(factor - 1))).alias("k")
+    copies = emb.select("*", ks).select(
+        (F.col("vec_id") + F.col("k") * F.lit(10**7)).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x: x + (F.col("k") % 16).cast("float") * F.lit(0.003),
+        ).alias("embedding"),
+        "label",
+    )
+    emb.unionByName(copies).repartition(32).write.mode("overwrite").parquet(
+        f"{out}/embeddings.parquet"
+    )
+    open(f"{out}/.done", "w").write("ok")
+    return out
+
+
+#: Fixed ANN probe query set (vec_id < 100 — ids present at every factor).
+ANN_PROBE_QUERIES = 100
+
+
+def ann_probe_scaling(spark, factor: int) -> dict:
+    """Measure the persisted-ANN-index claim: with the QUERY SET FIXED
+    (100 vectors) and the corpus grown ×factor, the persisted-index
+    probe (`ivf_topk_indexed` — nightly `build_ann_index` untimed,
+    exactly as in production) should stay near-flat, while the
+    derive-in-query form (`ivf_topk`) re-encodes the whole corpus per
+    run and grows with it. Cells scale with the corpus (the IVF
+    discipline: constant expected cell size ⇒ candidates per query
+    stay ≈ n_probe · cell_size regardless of corpus growth); both
+    forms use the same cell count per dir so the probe work is
+    identical and only the encode cost differs."""
+    from flink_project_userbehavioranalysis_spark.operators import similarity as S
+
+    grown = synthesize_embeddings_growth(spark, factor)
+    out: dict = {}
+    cells = {"base": 32, f"x{factor}": min(32 * factor, 2048)}
+    for name in ("ivf_topk_indexed", "ivf_topk"):
+        times = {}
+        for tag, d in (("base", BASE), (f"x{factor}", grown)):
+            nc = cells[tag]
+            if name.endswith("_indexed"):
+                S.build_ann_index(spark, d, n_cells=nc)  # nightly, untimed
+                df = S.ivf_topk_indexed(
+                    spark, d, n_cells=nc, n_queries=ANN_PROBE_QUERIES
+                )
+            else:
+                df = S.ivf_topk(spark, d, n_cells=nc, n_queries=ANN_PROBE_QUERIES)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "CartesianProduct" not in plan, name
+            times[tag] = median_time(lambda dd=df: dd.collect(), runs=3)
+        ratio = times[f"x{factor}"] / times["base"]
+        out[name] = {
+            "base_sec": round(times["base"], 3),
+            "scale_sec": round(times[f"x{factor}"], 3),
+            "time_ratio": round(ratio, 2),
+        }
+        print(
+            f"{name:<28}{times['base']*1000:>10.1f}"
+            f"{times[f'x{factor}']*1000:>10.1f}{ratio:>8.2f}"
+            f"{'(corpus x' + str(factor) + ', queries fixed)':>30}"
+        )
+    return out
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "ann":
+        # standalone ANN probe experiment: python tools/scale_smoke.py ann [factor]
+        factor = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+        spark = get_spark(
+            app_name="ann-scale", master="local[32]", shuffle_partitions=64,
+            streaming=False,
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        print(f"{'op':<28}{'sf0.1 ms':>10}{f'x{factor} ms':>10}{'ratio':>8}")
+        probe = ann_probe_scaling(spark, factor)
+        print(json.dumps({"factor": factor, "ann_probe": probe}))
+        return
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     spark = get_spark(
         app_name="scale-smoke", master="local[32]", shuffle_partitions=64, streaming=False
