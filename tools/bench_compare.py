@@ -30,6 +30,18 @@ BASELINE_MS = {
     "order_timeout": 28.6,
     "interval_join": 14.1,
     "tpch_q1ish": 80.2,
+    # r11 search-pillar anchors (median of 9, warm; BASELINE.md r11 rows)
+    "fts_topk": 78.2,
+    "fts_topk_indexed": 78.2,     # same relation off the persisted index
+    "fts_topk_maintained": 78.2,  # same relation off base ∪ overlay
+    "fts_topk_any": 78.7,
+    "fts_prefix_topk": 83.8,
+    "hybrid_topk": 94.4,
+    "phrase_search": 84.3,
+    "term_associations": 132.9,
+    "term_stats_maintain": 61.0,
+    "edit_dup_pairs": 569.2,      # segment-filtered fast-oracle bar
+    "search_snippets": 127.2,
 }
 
 
