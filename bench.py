@@ -183,18 +183,34 @@ def _sf_of(path: str) -> float:
         return -1.0
 
 
-def _prev_bench() -> tuple[str, dict] | None:
-    """NEWEST driver-recorded BENCH_r{N}.json — the round-over-round
-    trend anchor (regressions visible without a judge). The driver's
-    ``parsed`` field is null for captures whose stdout tail overflowed
-    (r01/r03/r04); those are recovered by re-parsing the last JSON
-    object embedded in the ``tail`` text, so the anchor is always the
-    PRIOR ROUND, never a stale earlier one (r05's vs_prev silently
-    compared against r02 because r04 had parsed=null)."""
+def _prev_bench(cur_sf: float) -> tuple[str, dict] | None:
+    """The newest prior bench record WITH per-query detail at the
+    CURRENT scale factor — the round-over-round trend anchor.
+
+    Sources, newest first:
+    1. ``bench_detail.json`` — the committed detail of the last full
+       bench run on this checkout. Needed since r11: the headline set
+       outgrew the driver's 2000-char stdout tail, so BENCH_r{N}.json's
+       compact line drops its ``queries`` map and the detail file is
+       the only per-query record of the driver's own run.
+    2. driver-recorded ``BENCH_r{N}.json`` files (newest round first);
+       captures whose stdout tail overflowed (r01/r03/r04) are
+       recovered by re-parsing the last JSON object in ``tail`` —
+       so the anchor is the PRIOR ROUND, never a stale earlier one.
+
+    Records at a different sf are skipped (a local sf0.01 smoke must
+    not shadow the sf0.1 trend)."""
     import glob
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.path.join(here, "bench_detail.json")
+    try:
+        d = json.load(open(detail_path))
+        if d.get("queries") and d.get("sf") == cur_sf:
+            return (detail_path, d)
+    except (OSError, json.JSONDecodeError):
+        pass
     for p in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")), reverse=True):
         try:
             d = json.load(open(p))
@@ -212,7 +228,7 @@ def _prev_bench() -> tuple[str, dict] | None:
                     continue
                 if cand.get("queries"):
                     parsed = cand
-        if parsed and parsed.get("queries"):
+        if parsed and parsed.get("queries") and parsed.get("sf") == cur_sf:
             return (p, parsed)
     return None
 
@@ -435,7 +451,7 @@ FROM events WHERE event_type = 'view' GROUP BY 1
     detail["queries_arrow"] = per_query_arrow
     detail["pipeline_queries"] = PIPELINES  # full-invocation method, see above
 
-    prev = _prev_bench()
+    prev = _prev_bench(detail["sf"])
     if prev is not None:
         ppath, pdata = prev
         pq = pdata.get("queries", {})
