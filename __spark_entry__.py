@@ -337,6 +337,7 @@ _TIER3 = [
     "pq_topk",
     "ivf_topk_indexed",
     "pq_topk_indexed",
+    "ivf_probe_topk",
     "cosine_dup_pairs_lsh",
     "semantic_dedup",
     "embedding_pca",
@@ -651,6 +652,13 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         # carry over); rows-only for the twin's reason
         "ivf_topk_indexed": (_sim.ivf_topk_indexed, None),
         "pq_topk_indexed": (_sim.pq_topk_indexed, None),
+        # the BOUNDED-query production probe (r11): driver-side probed
+        # cells (queries are a request batch — KBs by contract) give a
+        # static IN-list on the cell partition column, so the IVF-Flat
+        # list scan partition-prunes at planning time and candidate
+        # vectors ride the pruned scan (no second corpus join); equals
+        # the all-queries twin restricted to the batch (test-pinned)
+        "ivf_probe_topk": (_sim.ivf_probe_topk, None),
         # §2.10 embedding-cosine near-dup pairs
         "cosine_dup_pairs": (_sim.cosine_dup_pairs, _sim.cosine_dup_pairs_oracle_sql()),
         # §2.10 cosine near-dup at unbounded scale (sign-LSH candidates +

@@ -718,11 +718,23 @@ def build_ann_index(
                 codes[:, m] = d2.argmin(axis=1)
             lo, hi = _pack_codes(codes, m_sub)
             yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"].to_numpy(), "cell": cell, "lo": lo, "hi": hi}
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cell": cell,
+                    "lo": lo,
+                    "hi": hi,
+                    # IVF-Flat: the inverted lists carry the RAW vector
+                    # too, so a probe can score candidates straight off
+                    # the (partition-pruned) list scan without a second
+                    # corpus join; columnar parquet means the PQ probe,
+                    # which rides only the packed codes, never reads it
+                    "embedding": list(pdf["embedding"]),
+                }
             )
 
     emb.mapInPandas(
-        encode, "vec_id BIGINT, cell BIGINT, lo BIGINT, hi BIGINT"
+        encode,
+        "vec_id BIGINT, cell BIGINT, lo BIGINT, hi BIGINT, embedding ARRAY<FLOAT>",
     ).write.mode("overwrite").partitionBy("cell").parquet(f"{root}/enc")
     _ANN_INDEX_CACHE[key] = root
     return root
@@ -902,6 +914,96 @@ def pq_topk_indexed(
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     return _score_candidates(short, emb, k)
+
+
+def ivf_probe_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 100,
+    k: int = 5,
+    n_cells: int = 32,
+    n_probe: int = 16,
+) -> DataFrame:
+    """The PRODUCTION ANN probe: a BOUNDED query batch against the
+    persisted IVF-Flat index — the shape a live search/retrieval
+    service runs per request batch, and the one whose cost must be
+    ∝ queries, not ∝ corpus.
+
+    The query batch is bounded BY CONTRACT (a request batch — the
+    `_sample_matrix` discipline: collecting it is KBs no matter the
+    corpus), which unlocks the two corpus-independence properties the
+    all-queries twin (`ivf_topk_indexed`) can't have:
+
+    1. probed cells are computed DRIVER-SIDE (queries × centroids — a
+       KB × KB matmul), so the inverted-list read carries a STATIC
+       IN-list filter on the `cell` partition column → planning-time
+       partition pruning: the scan touches only probed cells' files,
+       a fixed n_probe·cell_size volume per query regardless of how
+       many cells the corpus has grown into;
+    2. candidate vectors come straight OFF the pruned list scan (the
+       index stores raw vectors IVF-Flat-style), and the query side
+       joins in as a BROADCAST relation — no second corpus scan, no
+       corpus-sized shuffle; the only shuffle is the per-query
+       row_number over ~n_probe·cell_size scored candidates.
+
+    Scoring reproduces the knn contract exactly (float64 cosine,
+    round 9 dp, neighbor-id tie-break), so results equal the
+    all-queries twin restricted to the batch (test-pinned).
+
+    Output: (query_id, neighbor_id, rn) — same shape as knn_topk.
+    """
+    import numpy as np
+
+    root = build_ann_index(spark, sf_dir, n_cells=n_cells)
+    cents, _books = _load_ann_model(spark, root)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qrows = sorted(
+        emb.filter(F.col("vec_id") < n_queries).collect(), key=lambda r: r[0]
+    )
+    if not qrows or not len(cents):
+        return spark.createDataFrame(
+            [], "query_id BIGINT, neighbor_id BIGINT, rn BIGINT"
+        )
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    cells = np.argsort(-(qn @ cents.T), axis=1)[:, :n_probe].astype(np.int64)
+    probed = sorted({int(c) for row in cells for c in row})
+    q = spark.createDataFrame(
+        [
+            (int(r[0]), int(c), [float(x) for x in r[1]])
+            for r, row in zip(qrows, cells)
+            for c in row
+        ],
+        "query_id BIGINT, cell BIGINT, qv ARRAY<FLOAT>",
+    )
+    lists = (
+        spark.read.parquet(f"{root}/enc")
+        .filter(F.col("cell").isin(probed))  # static ⇒ partition-pruned
+        .select(F.col("vec_id").alias("neighbor_id"), "cell", "embedding")
+    )
+    vd = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(vd(c), F.lit(0.0), lambda a, x: a + x * x)
+    )
+    dot = F.aggregate(
+        F.zip_with(vd("qv"), vd("embedding"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    scored = (
+        lists.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score", F.round(dot / (nrm("qv") * nrm("embedding")), 9))
+        # no pair dedup needed: every vector lives in exactly ONE cell
+        # and a query's probed cells are distinct, so each (query,
+        # neighbor) pair joins at most once
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.col("rn").cast("long").alias("rn"))
+    )
 
 
 # ------------------------------------------- embedding-cosine near-dup pairs

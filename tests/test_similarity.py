@@ -224,6 +224,23 @@ def test_ann_index_probe_bounded_queries(spark, sf_dir):
     assert bounded == {t for t in full if t[0] < 50}
 
 
+def test_ivf_probe_topk_equals_restriction_and_prunes(spark, sf_dir):
+    """The bounded-batch production probe returns exactly the
+    all-queries derive twin restricted to the batch, and its inverted-
+    list scan is PARTITION-PRUNED to the probed cells (the static
+    IN-list the driver-side cell computation exists for)."""
+    probe_df = S.ivf_probe_topk(spark, sf_dir, n_queries=50)
+    probe = sorted(map(tuple, probe_df.collect()))
+    full = sorted(
+        t for t in map(tuple, S.ivf_topk(spark, sf_dir).collect()) if t[0] < 50
+    )
+    assert probe == full
+    plan = probe_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "PartitionFilters: [" in plan
+    assert "cell" in plan.split("PartitionFilters")[1][:160]
+
+
 def test_ann_index_model_tables_bounded(spark, sf_dir):
     """The persisted model relations stay KB-scale regardless of
     corpus size (n_cells and m_sub·n_codes rows), and the inverted

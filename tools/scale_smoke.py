@@ -337,73 +337,86 @@ def synthesize_embeddings_growth(spark, factor: int) -> str:
         ).alias("embedding"),
         "label",
     )
-    emb.unionByName(copies).repartition(32).write.mode("overwrite").parquet(
-        f"{out}/embeddings.parquet"
-    )
+    # range-cluster on vec_id (the realistic id-ordered ingest layout)
+    # so the fixed query batch's vec_id<100 scan prunes to one file via
+    # parquet row-group stats instead of decoding the whole grown table
+    emb.unionByName(copies).repartitionByRange(32, "vec_id").sortWithinPartitions(
+        "vec_id"
+    ).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
     open(f"{out}/.done", "w").write("ok")
     return out
 
 
-#: Fixed ANN probe query set (vec_id < 100 — ids present at every factor).
-ANN_PROBE_QUERIES = 100
+#: Fixed ANN probe query batch (vec_id < 10 — ids present at every
+#: factor). Small by design: the corpus-independence property needs
+#: n_cells ≥ batch·n_probe (once every probed list is distinct, probe
+#: I/O = batch·n_probe·cell_size, constant under corpus growth with
+#: the cells∝corpus discipline) — 10 queries × 16 probes = 160 lists,
+#: below the 320 cells of the ×10 point.
+ANN_PROBE_QUERIES = 10
 
 
-def ann_probe_scaling(spark, factor: int) -> dict:
-    """Measure the persisted-ANN-index claim: with the QUERY SET FIXED
-    (100 vectors) and the corpus grown ×factor, the persisted-index
-    probe (`ivf_topk_indexed` — nightly `build_ann_index` untimed,
-    exactly as in production) should stay near-flat, while the
-    derive-in-query form (`ivf_topk`) re-encodes the whole corpus per
-    run and grows with it. Cells scale with the corpus (the IVF
-    discipline: constant expected cell size ⇒ candidates per query
-    stay ≈ n_probe · cell_size regardless of corpus growth); both
-    forms use the same cell count per dir so the probe work is
-    identical and only the encode cost differs."""
+def ann_probe_scaling(spark, factors: list[int]) -> dict:
+    """Measure the persisted-ANN-index claim across corpus sizes: with
+    the QUERY BATCH FIXED and cells ∝ corpus (the IVF discipline —
+    constant expected cell size), the production probe
+    (`ivf_probe_topk`: driver-side probed cells ⇒ partition-pruned
+    IVF-Flat list scan; nightly `build_ann_index` untimed, exactly as
+    in production) reads batch·n_probe·cell_size rows REGARDLESS of
+    corpus size once n_cells ≥ batch·n_probe — the ×10→×100 leg should
+    be near-FLAT — while the derive-in-query form (`ivf_topk`)
+    re-encodes the whole corpus per run and grows with it throughout.
+    FULL invocation per timed run (the ingest_probe_scaling contract):
+    re-collecting one prebuilt DataFrame reuses its shuffle files,
+    which would silently exclude the corpus encode from the
+    derive-in-query side — exactly the cost this experiment exposes."""
     from flink_project_userbehavioranalysis_spark.operators import similarity as S
 
-    grown = synthesize_embeddings_growth(spark, factor)
+    dirs = [("x1", BASE, 32)] + [
+        (f"x{f}", synthesize_embeddings_growth(spark, f), min(32 * f, 4096))
+        for f in factors
+    ]
     out: dict = {}
-    cells = {"base": 32, f"x{factor}": min(32 * factor, 2048)}
-    for name in ("ivf_topk_indexed", "ivf_topk"):
+
+    def probe_fn(spark_, d, n_cells, n_queries):
+        return S.ivf_probe_topk(spark_, d, n_queries=n_queries, n_cells=n_cells)
+
+    for name, fn in (("ivf_probe_topk", probe_fn), ("ivf_topk", S.ivf_topk)):
         times = {}
-        for tag, d in (("base", BASE), (f"x{factor}", grown)):
-            nc = cells[tag]
-            if name.endswith("_indexed"):
+        for tag, d, nc in dirs:
+            if name == "ivf_probe_topk":
                 S.build_ann_index(spark, d, n_cells=nc)  # nightly, untimed
-                df = S.ivf_topk_indexed(
-                    spark, d, n_cells=nc, n_queries=ANN_PROBE_QUERIES
-                )
-            else:
-                df = S.ivf_topk(spark, d, n_cells=nc, n_queries=ANN_PROBE_QUERIES)
-            plan = df._jdf.queryExecution().executedPlan().toString()
+            plan = (
+                fn(spark, d, n_cells=nc, n_queries=ANN_PROBE_QUERIES)
+                ._jdf.queryExecution().executedPlan().toString()
+            )
             assert "CartesianProduct" not in plan, name
-            times[tag] = median_time(lambda dd=df: dd.collect(), runs=3)
-        ratio = times[f"x{factor}"] / times["base"]
-        out[name] = {
-            "base_sec": round(times["base"], 3),
-            "scale_sec": round(times[f"x{factor}"], 3),
-            "time_ratio": round(ratio, 2),
-        }
-        print(
-            f"{name:<28}{times['base']*1000:>10.1f}"
-            f"{times[f'x{factor}']*1000:>10.1f}{ratio:>8.2f}"
-            f"{'(corpus x' + str(factor) + ', queries fixed)':>30}"
-        )
+            times[tag] = median_time(
+                lambda f=fn, dd=d, n=nc: f(
+                    spark, dd, n_cells=n, n_queries=ANN_PROBE_QUERIES
+                ).collect(),
+                runs=3,
+            )
+        out[name] = {tag: round(t, 3) for tag, t in times.items()}
+        row = "".join(f"{t*1000:>12.1f}" for t in times.values())
+        print(f"{name:<28}{row}   (batch={ANN_PROBE_QUERIES} fixed, cells ∝ corpus)")
     return out
 
 
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "ann":
-        # standalone ANN probe experiment: python tools/scale_smoke.py ann [factor]
-        factor = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+        # standalone ANN probe experiment:
+        #   python tools/scale_smoke.py ann [factor ...]   (default 10 100)
+        factors = [int(a) for a in sys.argv[2:]] or [10, 100]
         spark = get_spark(
             app_name="ann-scale", master="local[32]", shuffle_partitions=64,
             streaming=False,
         )
         spark.sparkContext.setLogLevel("ERROR")
-        print(f"{'op':<28}{'sf0.1 ms':>10}{f'x{factor} ms':>10}{'ratio':>8}")
-        probe = ann_probe_scaling(spark, factor)
-        print(json.dumps({"factor": factor, "ann_probe": probe}))
+        hdr = "".join(f"{'x' + str(f) + ' ms':>12}" for f in [1] + factors)
+        print(f"{'op':<28}{hdr}")
+        probe = ann_probe_scaling(spark, factors)
+        print(json.dumps({"factors": factors, "ann_probe": probe}))
         return
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     spark = get_spark(
