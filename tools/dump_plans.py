@@ -535,6 +535,37 @@ EXHIBITS = [
         "start) covers ALL phrases at once — no per-phrase scan, no "
         "regex, no self-join chain growing with phrase length.",
     ),
+    (
+        "fts_prefix_topk",
+        "Prefix retrieval (r11): the prefix relation broadcast against "
+        "the VOCABULARY-sized dictionary (StartsWith residual on a "
+        "BroadcastNestedLoopJoin over the small side — the corpus never "
+        "meets a non-equi join), expanded term set broadcast into the "
+        "same postings probe as the literal-terms path.",
+    ),
+    (
+        "fts_topk_maintained",
+        "Maintained postings index (r11): base ∪ overlay parquet scans "
+        "both PartitionFilter-pruned to the queried terms; dictionary "
+        "and doc-count merged by a KB-scale partial-agg SUM at probe "
+        "time — no corpus touch anywhere in the maintenance read path.",
+    ),
+    (
+        "hybrid_topk",
+        "RRF hybrid fusion (r11): lexical ranking reuses the fts plan; "
+        "the five query vectors ride a broadcast against the embeddings "
+        "scan (cost ∝ corpus × |queries|, the exact-baseline shape); "
+        "fusion is a full-outer merge on (query, doc) with integer "
+        "reciprocal-rank arithmetic — no floats anywhere in the ranking.",
+    ),
+    (
+        "ivf_probe_topk",
+        "Bounded-batch ANN probe (r11): the IVF-Flat list scan carries "
+        "PartitionFilters on the cell column (probed cells computed "
+        "driver-side from the KB-scale query batch), candidate vectors "
+        "ride the pruned scan, query side broadcast — the only shuffle "
+        "is the per-query row_number over ~n_probe·cell_size candidates.",
+    ),
 ]
 
 
