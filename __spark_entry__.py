@@ -105,7 +105,6 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS_r10) moved to the tier-2 head.
 _TIER1 = [
     # new this round (prove first)
-    "fts_topk_any",
     "fts_prefix_topk",
     "hybrid_topk",
     "fts_topk_maintained",
@@ -163,9 +162,17 @@ _TIER1 = [
     # multi-round driver-green — to the tier-2 head)
     "term_stats_stream",
     "audio_features_mulaw_stream",
+    # r11-new: retrieval over stream-maintained postings (hash-oracled
+    # streaming ⇒ budgeted window; displaced fts_topk_any — oracled
+    # batch — to the tier-2 head)
+    "fts_topk_stream_maintained",
 ]
 # --- tier 2: remaining hash-oracled batch ---------------------------
 _TIER2 = [
+    # r11 batch entry displaced by its own streaming sibling (the
+    # oracled-streaming-twins-in-first-50 invariant); first in line
+    # past the budget and judge-verified via check_all at both SFs
+    "fts_topk_any",
     # r10 headliners displaced by the r11 rotation (driver-green r10)
     "ingest_accept_batch_indexed",
     "ingest_two_batch_indexed",
@@ -1322,6 +1329,16 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "term_stats_stream": (
             _stw.term_stats_stream,
             _srch.term_stats_maintain_oracle_sql(),
+        ),
+        # retrieval over STREAM-MAINTAINED postings (r11): each
+        # arriving doc appends its own (term, doc_id, tf) rows —
+        # stateless index maintenance at feed speed — then the exact-
+        # integer conjunctive ranking runs over the maintained
+        # relation; the feed replays ALL docs, so the batch REBUILD
+        # oracle applies (streaming-maintained ≡ rebuilt)
+        "fts_topk_stream_maintained": (
+            _stw.fts_topk_stream_maintained,
+            _srch.fts_topk_oracle_sql(),
         ),
     }
 

@@ -1111,6 +1111,68 @@ def term_stats_stream(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> Da
     return run_update_merge(dic, ["term"], spark)
 
 
+def fts_topk_stream_maintained(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 4, k: int = 10
+) -> DataFrame:
+    """Retrieval over STREAM-MAINTAINED postings — the ingest-feeds-
+    search story end to end: each arriving document appends its own
+    (term, doc_id, tf) postings rows plus one doc-count marker row.
+    Postings at (term, doc) grain are ROW-LOCAL for immutable docs
+    (the same array-HOF pair construction as ``term_stats_stream``),
+    so index maintenance is a STATELESS append projection at feed
+    speed — zero state, no watermark, the pii_scrub_stream class; in
+    production the sink is the term-partitioned postings table the
+    batch overlay commit writes (``search.build_fts_index_split``).
+
+    After the replay, the conjunctive exact-integer tf-idf ranking
+    (`search._rank_query_frame`) runs over the maintained relation —
+    dictionary df and corpus doc count derived from the maintained
+    rows themselves (the marker rows carry docs whose text yields no
+    tokens, so N stays exact). The feed replays ALL docs, so the batch
+    REBUILD oracle applies at full hash strength:
+    streaming-maintained ≡ rebuilt (fts_topk_oracle_sql)."""
+    from flink_project_userbehavioranalysis_spark.operators.search import (
+        _query_frames,
+        _rank_query_frame,
+    )
+    from flink_project_userbehavioranalysis_spark.streaming.replay import (
+        run_append_memory,
+    )
+
+    docs = docs_stream(spark, sf_dir, n_chunks=n_chunks)
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    pairs = F.transform(
+        F.array_distinct(toks),
+        lambda t: F.struct(
+            t.alias("term"),
+            F.size(F.filter(toks, lambda x: x == t)).cast("long").alias("tf"),
+        ),
+    )
+    marker = F.array(
+        F.struct(F.lit("").alias("term"), F.lit(0).cast("long").alias("tf"))
+    )
+    rows = (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", F.explode(F.concat(pairs, marker)).alias("p"))
+        .select("doc_id", "p.term", "p.tf")
+    )
+    maintained = run_append_memory(rows, "fts_postings_stream", spark)
+    post = maintained.filter(F.col("term") != "")
+    n = maintained.filter(F.col("term") == "").agg(F.count("*").alias("n_docs"))
+    # the dictionary re-aggregates the SAME memory-table lineage the
+    # postings probe scans; route the grouping key through a rename so
+    # the downstream post ⋈ dfq join doesn't carry conflicting
+    # attribute ids from the shared SubqueryAlias
+    dic = (
+        post.select(F.col("term").alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("df"))
+        .withColumnRenamed("t", "term")
+    )
+    q, qn = _query_frames(spark)
+    return _rank_query_frame(post, dic, n, k, q, qn, require_all=True)
+
+
 def ingest_accept_stream(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> DataFrame:
     """Streaming twin of the composed admission pipeline's per-doc
     PREFIX (``operators.ingest``): malformed → blocklist → gopher →

@@ -604,6 +604,19 @@ def test_hybrid_both_lists_contribute(spark, sf_dir):
 # --------------------------------------------- maintained postings index
 
 
+def test_fts_stream_maintained_equals_rebuilt(spark, sf_dir):
+    """Retrieval over stream-maintained postings (each arriving doc
+    appends its own rows; stateless ingest) equals the batch rebuild
+    exactly — streaming-maintained ≡ rebuilt under the same oracle."""
+    from flink_project_userbehavioranalysis_spark.streaming import windowed as W
+
+    streamed = sorted(
+        map(tuple, W.fts_topk_stream_maintained(spark, sf_dir).collect())
+    )
+    rebuilt = sorted(map(tuple, S.fts_topk(spark, sf_dir).collect()))
+    assert streamed == rebuilt
+
+
 def test_fts_maintained_equals_rebuilt(spark, sf_dir):
     """Maintained (base ∪ overlay, SUM-merged dictionary) ≡ the full
     derive-in-query rebuild, frame-to-frame AND against the rebuild
