@@ -173,6 +173,7 @@ _TIER2 = [
     # oracled-streaming-twins-in-first-50 invariant); first in line
     # past the budget and judge-verified via check_all at both SFs
     "fts_topk_any",
+    "fts_fuzzy_topk",
     # r10 headliners displaced by the r11 rotation (driver-green r10)
     "ingest_accept_batch_indexed",
     "ingest_two_batch_indexed",
@@ -513,6 +514,16 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "fts_prefix_topk": (
             _srch.fts_prefix_topk,
             _srch.fts_prefix_topk_oracle_sql(),
+        ),
+        # typo-tolerant fuzzy retrieval (r11): query terms expand to
+        # dictionary terms within levenshtein ≤ 1 (vocabulary-sized
+        # broadcast NLJ; the PassJoin segment filter is the open-
+        # vocabulary swap-in), fuzzy-AND counted over ORIGINAL terms,
+        # exact-integer tf-idf over distinct expansions — levenshtein
+        # is the classic DP on both engines, so it hash-oracles
+        "fts_fuzzy_topk": (
+            _srch.fts_fuzzy_topk,
+            _srch.fts_fuzzy_topk_oracle_sql(),
         ),
         # hybrid lexical+semantic retrieval (r11): RRF fusion of the
         # integer-tf-idf lexical list and the cosine top-k semantic

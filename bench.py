@@ -130,6 +130,7 @@ HEADLINE = [
     "fts_topk_maintained",      # base ∪ overlay probe, SUM-merged dict
     "fts_topk_any",             # disjunctive (match-any) retrieval
     "fts_prefix_topk",          # dictionary-expanded prefix retrieval
+    "fts_fuzzy_topk",           # planning-time fuzzy expansion + fuzzy-AND
     "hybrid_topk",              # RRF fusion of lexical + cosine rankings
     "search_snippets",          # rarest-term highlight windows over hits
     "term_associations",        # exact-integer lift co-occurrence mining
@@ -309,7 +310,7 @@ def main() -> None:
     SEARCH_COMPARABLE = [
         "fts_topk", "phrase_search", "term_associations",
         "term_stats_maintain", "edit_dup_pairs", "search_snippets",
-        "fts_topk_any", "fts_prefix_topk", "hybrid_topk",
+        "fts_topk_any", "fts_prefix_topk", "hybrid_topk", "fts_fuzzy_topk",
     ]
     con = None
     osql: dict[str, str] = {}

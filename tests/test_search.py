@@ -565,6 +565,45 @@ def test_fts_prefix_matches_only_prefixed_terms(spark, sf_dir):
         assert any(t.startswith(p) for t in docs[r["doc_id"]]), r
 
 
+def test_fts_fuzzy_topk_matches_oracle_mid(spark):
+    assert_matches_oracle(
+        S.fts_fuzzy_topk(spark, SF_DIR_MID),
+        S.fts_fuzzy_topk_oracle_sql(),
+        SF_DIR_MID,
+    )
+
+
+def test_fts_fuzzy_semantics(spark, sf_dir):
+    """Fuzzy-AND semantics on the planted typos: every hit contains at
+    least one radius-1 expansion of EVERY original term; 'fash'
+    (expanding to both 'fast' and 'hash') returns docs holding either;
+    all four queries return hits; transposition typos (2 edits) match
+    nothing, which the planted single-edit set avoids by design."""
+    rows = S.fts_fuzzy_topk(spark, sf_dir).collect()
+    assert sorted({r["query_id"] for r in rows}) == [0, 1, 2, 3]
+    docs = {
+        r["doc_id"]: set(r["text"].split())
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("text").isNotNull())
+        .collect()
+    }
+    exp = {
+        0: [{"slow"}, {"query"}],
+        1: [{"fast", "hash"}, {"join"}],
+        2: [{"customer"}, {"order"}],
+        3: [{"dup"}, {"batch"}],
+    }
+    for r in rows:
+        toks = docs[r["doc_id"]]
+        for alts in exp[r["query_id"]]:
+            assert toks & alts, (r, alts)
+    plan = (
+        S.fts_fuzzy_topk(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+
+
 # --------------------------------------------------- hybrid retrieval
 
 

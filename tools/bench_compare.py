@@ -36,6 +36,7 @@ BASELINE_MS = {
     "fts_topk_maintained": 78.2,  # same relation off base ∪ overlay
     "fts_topk_any": 78.7,
     "fts_prefix_topk": 83.8,
+    "fts_fuzzy_topk": 98.3,
     "hybrid_topk": 94.4,
     "phrase_search": 84.3,
     "term_associations": 132.9,
