@@ -14,7 +14,8 @@ full-invocation maintainer jobs (PIPELINES) report separately as
 
 Method (mirrors BASELINE.md §Method so the 2× bar is apples-to-apples):
 - timing = ``time.perf_counter()`` around ``df.collect()`` (DuckDB baseline
-  timed ``fetchall()``), 1 untimed warm-up run then median of 3.
+  timed ``fetchall()``), 1 untimed warm-up run then median of RUNS
+  (default 5); per-query minimums recorded beside the medians.
 - warm session: one tuned SparkSession for the whole run; the normalized
   events scan is persisted once (io.cache_events) and shared by all
   queries — the 100 TB analog of a materialized normalized table.
