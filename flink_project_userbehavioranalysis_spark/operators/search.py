@@ -253,21 +253,27 @@ def build_fts_index(spark: SparkSession, sf_dir: str) -> str:
     return root
 
 
+#: The persisted postings layout (data cols + the `term` partition
+#: column). Declaring it at read time does two jobs at once: the
+#: partition column stays STRING even when every term parses as a
+#: number (no type inference — a numeric `term` would silently empty
+#: the string isin() probe), and a split side that happened to index
+#: ZERO documents reads back as an empty frame instead of failing
+#: parquet schema inference (r11 advisory).
+_POSTINGS_SCHEMA = "doc_id BIGINT, tf BIGINT, term STRING"
+
+
 def _read_term_partitioned(spark: SparkSession, path: str) -> DataFrame:
-    """Read a term-partitioned parquet tree with partition-column TYPE
-    INFERENCE disabled for the duration of the read: a vocabulary
-    whose terms all parse as numbers would otherwise come back as a
-    numeric `term` column, silently emptying the string isin() probe
-    and the join with the query relation. File-source schema
-    resolution is eager, so the conf only needs to hold across the
-    read call itself."""
-    conf = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    old = spark.conf.get(conf, "true")
-    spark.conf.set(conf, "false")
-    try:
-        return spark.read.parquet(path)
-    finally:
-        spark.conf.set(conf, old)
+    """Read a term-partitioned postings tree under the DECLARED schema
+    (`_POSTINGS_SCHEMA`). An explicit schema is the session-safe form:
+    the previous implementation toggled the session-global
+    partitionColumnTypeInference conf around the read, which leaked to
+    concurrent reads on the same SparkSession (r11 advisory)."""
+    return (
+        spark.read.schema(_POSTINGS_SCHEMA)
+        .parquet(path)
+        .select("term", "doc_id", "tf")
+    )
 
 
 def fts_topk_indexed(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
@@ -358,14 +364,14 @@ def fts_topk_maintained(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFr
         .filter(F.col("term").isin(terms))
     )
     dic = (
-        spark.read.parquet(f"{base}/dict")
-        .unionByName(spark.read.parquet(f"{overlay}/dict"))
+        spark.read.schema("term STRING, df BIGINT")
+        .parquet(f"{base}/dict", f"{overlay}/dict")
         .groupBy("term")
         .agg(F.sum("df").alias("df"))
     )
     n = (
-        spark.read.parquet(f"{base}/n")
-        .unionByName(spark.read.parquet(f"{overlay}/n"))
+        spark.read.schema("n_docs BIGINT")
+        .parquet(f"{base}/n", f"{overlay}/n")
         .agg(F.sum("n_docs").alias("n_docs"))
     )
     return _rank_conjunctive(spark, post, dic, n, k)

@@ -698,8 +698,22 @@ def test_term_partition_read_survives_numeric_vocabulary(spark, tmp_path):
         (r["doc_id"], r["term"]) for r in back.filter(F.col("term").isin(["1", "007"])).collect()
     )
     assert got == [(1, "1"), (3, "007")]
-    # conf restored after the read
+    # the explicit-schema read never touches session conf (r11 advisory:
+    # the old conf-toggle could leak to concurrent reads)
     assert (
         spark.conf.get("spark.sql.sources.partitionColumnTypeInference.enabled")
         == "true"
     )
+
+
+def test_term_partition_read_survives_empty_tree(spark, tmp_path):
+    """A split side that indexed ZERO documents (empty partitioned
+    write) must read back as an empty frame under the declared schema,
+    not fail parquet schema inference — the r11 advisory's
+    tiny/filtered-corpus hazard for fts_topk_maintained."""
+    empty = spark.createDataFrame([], "doc_id BIGINT, term STRING, tf BIGINT")
+    path = str(tmp_path / "empty-postings")
+    empty.write.mode("overwrite").partitionBy("term").parquet(path)
+    back = S._read_term_partitioned(spark, path)
+    assert back.columns == ["term", "doc_id", "tf"]
+    assert back.count() == 0
