@@ -546,6 +546,134 @@ FTS_FUZZY_QUERIES: list[tuple[int, str]] = [
 ]
 
 
+#: Defensive bound on the planning-time fuzzy expansion collect: the
+#: matched-expansion set is ≤ |typo terms| · (radius-1 ball ∩ vocab),
+#: tiny on any real query batch — a vocabulary pathologically dense in
+#: edit-1 neighbors should raise loudly, never OOM the driver (r11
+#: advisory).
+_FUZZY_EXPANSION_CAP = 10_000
+
+
+def _fuzzy_expand(dic: DataFrame, qt: DataFrame, k: int = 1) -> DataFrame:
+    """Dictionary expansion for fuzzy retrieval as a PassJoin segment
+    EQUI-JOIN (Li/Deng/Feng VLDB'11 — the same pigeonhole filter
+    :func:`edit_pairs_frame` ships, asymmetric here: the vocabulary is
+    the indexed side, the query terms the probe side). Every dictionary
+    term of length ≥ k+1 is split into k+1 contiguous segments; ≤ k
+    edits leave one segment appearing EXACTLY in the query term,
+    position-shifted ≤ k — so candidates come from an equi-join on
+    (partner_len, seg_idx, literal segment content) with the tiny query
+    relation BROADCAST, never a nested-loop levenshtein over the
+    vocabulary (the r11 in-code caveat, now closed: open-vocabulary
+    safe — index fan-out is (k+1) rows per dictionary term, linear in
+    the vocabulary). Dictionary terms shorter than k+1 (unsegmentable)
+    pair only with query terms of length ≤ 2k; that bounded population
+    goes through a length-band equi-join. Candidates are verified with
+    exact ``levenshtein``, so the output is identical by construction
+    to the nested-loop expansion (and to the DuckDB oracle's).
+
+    Output: (query_id, j, term, df), distinct.
+    """
+    m = k + 1
+    d = dic.select("term", "df", F.length("term").alias("ld"))
+    seg = (
+        d.filter(F.col("ld") >= m)
+        .select(
+            "term",
+            "df",
+            F.col("ld").alias("lb"),
+            F.explode(F.sequence(F.lit(0), F.lit(k))).alias("i"),
+        )
+        .withColumn("base", F.expr(f"lb div {m}"))
+        .withColumn("rem", F.col("lb") % m)
+        .withColumn(
+            "seg_len",
+            F.col("base")
+            + F.when(F.col("i") >= m - F.col("rem"), F.lit(1)).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "p",
+            F.col("i") * F.col("base")
+            + F.greatest(F.lit(0), F.col("i") - (m - F.col("rem"))),
+        )
+        .select(
+            "term",
+            "df",
+            "lb",
+            "i",
+            F.expr("substring(term, p + 1, seg_len)").alias("seg"),
+        )
+    )
+    q = qt.select("query_id", "j", "qterm", F.length("qterm").alias("la"))
+    probe = (
+        q.select(
+            "query_id",
+            "j",
+            "qterm",
+            "la",
+            # partner (dictionary-term) lengths in the ±k band; the
+            # segmentation below is the PARTNER's (length lb), applied
+            # to the query term's own characters at shifted positions
+            F.explode(
+                F.sequence(F.greatest(F.lit(m), F.col("la") - k), F.col("la") + k)
+            ).alias("lb"),
+        )
+        .withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(k))))
+        .withColumn("base", F.expr(f"lb div {m}"))
+        .withColumn("rem", F.col("lb") % m)
+        .withColumn(
+            "seg_len",
+            F.col("base")
+            + F.when(F.col("i") >= m - F.col("rem"), F.lit(1)).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "p",
+            F.col("i") * F.col("base")
+            + F.greatest(F.lit(0), F.col("i") - (m - F.col("rem"))),
+        )
+        .withColumn("qlo", F.greatest(F.lit(0), F.col("p") - k))
+        .withColumn("qhi", F.least(F.col("la") - F.col("seg_len"), F.col("p") + k))
+        .filter(F.col("qhi") >= F.col("qlo"))
+        .withColumn("qpos", F.explode(F.sequence(F.col("qlo"), F.col("qhi"))))
+        .select(
+            "query_id",
+            "j",
+            "qterm",
+            F.col("lb").alias("plb"),
+            F.col("i").alias("pi"),
+            F.expr("substring(qterm, qpos + 1, seg_len)").alias("sub"),
+        )
+    )
+    cand = seg.join(
+        F.broadcast(probe),
+        (F.col("lb") == F.col("plb"))
+        & (F.col("i") == F.col("pi"))
+        & (F.col("seg") == F.col("sub")),
+    ).select("query_id", "j", "qterm", "term", "df")
+    # short branch: unsegmentable dictionary terms (ld < m ⇒ ld ≤ k)
+    # can only sit within k edits of query terms of length ≤ 2k — a
+    # bounded population paired by a length-band equi-join
+    qshort = q.filter(F.col("la") <= 2 * k).select(
+        "query_id",
+        "j",
+        "qterm",
+        F.explode(
+            F.sequence(F.greatest(F.lit(1), F.col("la") - k), F.col("la") + k)
+        ).alias("ld"),
+    )
+    short_cand = (
+        d.filter(F.col("ld") < m)
+        .join(F.broadcast(qshort), "ld")
+        .select("query_id", "j", "qterm", "term", "df")
+    )
+    return (
+        cand.unionByName(short_cand)
+        .filter(F.levenshtein("term", "qterm") <= k)
+        .select("query_id", "j", "term", "df")
+        .distinct()
+    )
+
+
 def fts_fuzzy_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     """Typo-tolerant ranked retrieval: each query term EXPANDS to the
     dictionary terms within levenshtein ≤ 1, and a doc matches when it
@@ -555,15 +683,15 @@ def fts_fuzzy_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     matched expansion terms, each distinct dictionary term counted
     once per query even when it expands from two typos.
 
-    The expansion join touches only the DICTIONARY (vocabulary-sized;
-    broadcast nested-loop over the small side with an exact
-    `levenshtein` residual — at open-web vocabulary swap in the
-    PassJoin segment equi-join of `edit_pairs_frame`, which is the
-    same filter this repo already ships); the corpus-side plan is
-    unchanged from the literal-terms path: broadcast expanded set,
-    pruned postings probe, one scoring shuffle, WindowGroupLimit.
-    Both engines ship the classic levenshtein DP, so the surface
-    hash-oracles end to end.
+    The expansion touches only the DICTIONARY (vocabulary-sized) via
+    the PassJoin segment EQUI-JOIN of :func:`_fuzzy_expand` — open-
+    vocabulary safe: (k+1) index rows per dictionary term, broadcast
+    query probe, exact ``levenshtein`` only on segment-matched
+    candidates, never a nested-loop over the vocabulary. The
+    corpus-side plan is unchanged from the literal-terms path:
+    broadcast expanded set, pruned postings probe, one scoring
+    shuffle, WindowGroupLimit. Both engines ship the classic
+    levenshtein DP, so the surface hash-oracles end to end.
 
     Output: (query_id, doc_id, matched_terms, score, rank).
     """
@@ -577,16 +705,22 @@ def fts_fuzzy_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     )
     # PLANNING-TIME expansion (the Lucene FuzzyQuery model: rewrite
     # against the term dictionary before the probe): one bounded job —
-    # dictionary × typo terms with an exact levenshtein residual —
-    # whose OUTPUT (matched expansions, ≤ |typos|·radius-ball) is
-    # collected and re-broadcast as a literal relation. Keeping the
-    # expansion lazy instead re-derives the postings subtree once per
-    # reference (measured 6 explodes / 27 s at sf0.1 vs one / 2 s).
+    # the PassJoin segment equi-join of `_fuzzy_expand` — whose OUTPUT
+    # (matched expansions, ≤ |typos|·radius-ball) is collected and
+    # re-broadcast as a literal relation. Keeping the expansion lazy
+    # instead re-derives the postings subtree once per reference
+    # (measured 6 explodes / 27 s at sf0.1 vs one / 2 s). The collect
+    # is capped: a vocabulary pathologically dense in edit-1 neighbors
+    # raises instead of OOMing the driver.
     exp_rows = (
-        dic.join(F.broadcast(qt), F.levenshtein(F.col("term"), F.col("qterm")) <= 1)
-        .select("query_id", "j", "term", "df")
-        .collect()
+        _fuzzy_expand(dic, qt, k=1).limit(_FUZZY_EXPANSION_CAP + 1).collect()
     )
+    if len(exp_rows) > _FUZZY_EXPANSION_CAP:
+        raise RuntimeError(
+            f"fuzzy expansion exceeded {_FUZZY_EXPANSION_CAP} rows — "
+            "vocabulary too dense in edit-1 neighbors for a literal "
+            "rebroadcast; keep the expansion as a lazy frame instead"
+        )
     if not exp_rows:
         return spark.createDataFrame(
             [],

@@ -604,6 +604,81 @@ def test_fts_fuzzy_semantics(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_fuzzy_expand_equals_bruteforce(spark, sf_dir):
+    """The PassJoin segment expansion returns EXACTLY the nested-loop
+    levenshtein expansion on the real dictionary — the completeness
+    proof for the pigeonhole filter on this surface (false positives
+    are impossible: both paths verify with exact levenshtein)."""
+    docs = S._docs(spark, sf_dir)
+    post = S._postings(docs)
+    dic = post.groupBy("term").agg(F.count("*").alias("df"))
+    qt = spark.createDataFrame(
+        [
+            (qid, j, t)
+            for qid, s in S.FTS_FUZZY_QUERIES
+            for j, t in enumerate(s.split())
+        ],
+        "query_id INT, j INT, qterm STRING",
+    )
+    fast = sorted(map(tuple, S._fuzzy_expand(dic, qt, k=1).collect()))
+    brute = sorted(
+        map(
+            tuple,
+            dic.join(
+                F.broadcast(qt), F.levenshtein(F.col("term"), F.col("qterm")) <= 1
+            )
+            .select("query_id", "j", "term", "df")
+            .distinct()
+            .collect(),
+        )
+    )
+    assert fast == brute and fast
+
+
+def test_fuzzy_expand_short_terms_covered(spark):
+    """Dictionary terms shorter than k+1 (unsegmentable) still expand
+    through the length-band short branch — crafted single-char vocab."""
+    dic = spark.createDataFrame(
+        [("a", 3), ("ab", 2), ("xy", 1)], "term STRING, df BIGINT"
+    )
+    qt = spark.createDataFrame([(0, 0, "b")], "query_id INT, j INT, qterm STRING")
+    got = sorted(
+        (r["term"], r["df"]) for r in S._fuzzy_expand(dic, qt, k=1).collect()
+    )
+    assert got == [("a", 3), ("ab", 2)]  # lev(a,b)=1, lev(ab,b)=1, lev(xy,b)=2
+
+
+def test_fuzzy_expand_no_nested_loop_over_dictionary(spark, sf_dir):
+    """The expansion plan is segment EQUI-JOINs with the query side
+    broadcast — no BroadcastNestedLoopJoin, no CartesianProduct
+    touching the vocabulary (the r11 open-vocabulary caveat, closed)."""
+    docs = S._docs(spark, sf_dir)
+    post = S._postings(docs)
+    dic = post.groupBy("term").agg(F.count("*").alias("df"))
+    qt = spark.createDataFrame(
+        [(0, 0, "slo")], "query_id INT, j INT, qterm STRING"
+    )
+    plan = (
+        S._fuzzy_expand(dic, qt, k=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_fuzzy_expansion_cap_raises(spark, monkeypatch):
+    """A pathologically dense expansion fails loudly instead of
+    collecting unbounded rows to the driver (r11 advisory)."""
+    import pytest as _pytest
+
+    monkeypatch.setattr(S, "_FUZZY_EXPANSION_CAP", 2)
+    with _pytest.raises(RuntimeError, match="fuzzy expansion exceeded"):
+        S.fts_fuzzy_topk(spark, SF_DIR_MID)
+
+
 # --------------------------------------------------- hybrid retrieval
 
 
