@@ -346,6 +346,12 @@ _TIER3 = [
     "ivf_topk_indexed",
     "pq_topk_indexed",
     "ivf_probe_topk",
+    # r12: maintained-ANN lifecycle (probe over base ∪ overlay, the
+    # re-train gate) and the persisted-index hybrid — rows-only by the
+    # same engine-specific-cells reason as their ivf siblings
+    "ivf_probe_topk_maintained",
+    "ann_overlay_drift",
+    "hybrid_topk_indexed",
     "cosine_dup_pairs_lsh",
     "semantic_dedup",
     "embedding_pca",
@@ -363,6 +369,9 @@ _TIER4 = [
     "dedup_events_stream",
     "dedup_incremental_stream",
     "value_percentiles_ddsketch_stream",
+    # r12: at-ingest ANN encode twin (rows-only; stream ≡ batch
+    # overlay ≡ rebuilt-encode pinned in pytest)
+    "ann_encode_stream",
 ]
 _DRIVER_ORDER = _TIER1 + _TIER2 + _TIER3 + _TIER4
 
@@ -530,6 +539,14 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         # list — fusion keeps only RANKS at integer scale
         # (Σ ⌊1e6/(60+rank)⌋), so the fused ranking hash-oracles
         "hybrid_topk": (_srch.hybrid_topk, _srch.hybrid_topk_oracle_sql()),
+        # r12: the complete RAG serving path over PERSISTED indexes
+        # only — lexical list from the term-partitioned postings
+        # index, semantic list from the cell-partitioned IVF-Flat
+        # probe, shared exact-integer RRF fusion; NO corpus-scale scan
+        # in the serving plan (test-pinned). Rows-only (the semantic
+        # side rides engine-specific k-means cells); rank parity vs
+        # the exact hybrid + fused recall@k gated in pytest
+        "hybrid_topk_indexed": (_srch.hybrid_topk_indexed, None),
         # snippet/highlight generation over the top-k hits: 5-token
         # window on the query's rarest term (expression-level string
         # algebra, end-clamped identically in both engines ⇒ the
@@ -677,6 +694,22 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         # vectors ride the pruned scan (no second corpus join); equals
         # the all-queries twin restricted to the batch (test-pinned)
         "ivf_probe_topk": (_sim.ivf_probe_topk, None),
+        # r12: the maintained-ANN lifecycle — nightly base build with
+        # FROZEN models + overlay commit encoding only the batch
+        # (cost ∝ batch, no training at commit time), probed as
+        # base ∪ overlay with the same static-IN-list partition
+        # pruning. Rows-only (k-means cells engine-specific); the
+        # stronger checks live in pytest: base ∪ overlay ≡ one-pass
+        # re-encode against the same frozen models (frame equality),
+        # recall re-gated over the maintained lists, leak-direction
+        # on the split
+        "ivf_probe_topk_maintained": (_sim.ivf_probe_topk_maintained, None),
+        # r12: the maintained index's RE-TRAIN gate — overlay fraction
+        # + cell-size skew over the persisted lists (KB-scale
+        # aggregates, never a vector touch); rows-only: max_growth
+        # rides engine-specific cells. Flag-responds-to-metric
+        # asserted in tests
+        "ann_overlay_drift": (_sim.ann_overlay_drift, None),
         # §2.10 embedding-cosine near-dup pairs
         "cosine_dup_pairs": (_sim.cosine_dup_pairs, _sim.cosine_dup_pairs_oracle_sql()),
         # §2.10 cosine near-dup at unbounded scale (sign-LSH candidates +
@@ -1351,6 +1384,14 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
             _stw.fts_topk_stream_maintained,
             _srch.fts_topk_oracle_sql(),
         ),
+        # r12: streaming at-ingest ANN encode — arriving vectors get
+        # their cell id + packed PQ codes against the FROZEN nightly
+        # models as a stateless Arrow-batched append projection (zero
+        # state, no shuffle; the models are a KB-scale closure).
+        # Rows-only (cells engine-specific); the stronger check is
+        # pinned in pytest: emitted set ≡ the batch overlay commit
+        # bit-for-bit ≡ rebuilt-encode
+        "ann_encode_stream": (_stw.ann_encode_stream, None),
     }
 
 

@@ -829,8 +829,9 @@ def hybrid_topk(
     the whole embeddings table, scored with the knn_topk contract
     (round 9 dp, neighbor-id tie-break) as a broadcast of the FIVE
     query vectors against the corpus — cost ∝ corpus × |queries|, the
-    exact-baseline shape (swap in the persisted IVF probe for
-    unbounded corpora; the fusion algebra is list-source-agnostic).
+    exact-baseline shape (:func:`hybrid_topk_indexed` is the
+    unbounded-corpus form: both lists from persisted pruned indexes;
+    the fusion algebra is list-source-agnostic).
 
     RRF keeps only the RANKS: fused(d) = Σ_lists ⌊1e6 / (60 + rank)⌋
     (Cormack et al.'s 1/(k+rank) at integer scale) — so the fused
@@ -863,6 +864,14 @@ def hybrid_topk(
         .filter(F.col("rank_sem") <= k_each)
         .select("query_id", "doc_id", "rank_sem")
     )
+    return _rrf_fuse(lex, sem, k)
+
+
+def _rrf_fuse(lex: DataFrame, sem: DataFrame, k: int) -> DataFrame:
+    """The list-source-agnostic RRF merge: full-outer on (query, doc),
+    fused(d) = Σ_lists ⌊1e6 / (60 + rank)⌋ in exact BIGINT arithmetic,
+    WindowGroupLimit top-k. Shared by the exact and the
+    persisted-index hybrid."""
     fused = (
         lex.join(sem, ["query_id", "doc_id"], "full_outer")
         .withColumn(
@@ -886,6 +895,50 @@ def hybrid_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def hybrid_topk_indexed(
+    spark: SparkSession, sf_dir: str, k: int = 10, k_each: int = 20
+) -> DataFrame:
+    """The COMPLETE RAG serving path over PERSISTED indexes only — the
+    swap-in :func:`hybrid_topk`'s docstring names, now wired (r11
+    brief #2): the lexical list probes the persisted term-partitioned
+    postings index (:func:`fts_topk_indexed` — planning-time partition
+    pruning to the queried terms), the semantic list probes the
+    persisted cell-partitioned IVF-Flat index
+    (:func:`similarity.ivf_probe_topk` — driver-side probed-cell
+    IN-list ⇒ planning-time partition pruning, query batch broadcast),
+    and the fusion is the shared exact-integer RRF merge
+    (`_rrf_fuse`). NO corpus-scale scan appears anywhere in the
+    serving plan — both sides read only pruned index partitions, so
+    per-query cost is ∝ (queried-term postings + probed-cell lists),
+    corpus-independent: the per-request shape a live retrieval service
+    needs at unbounded corpus size.
+
+    Registered rows-only (the semantic side rides engine-specific
+    k-means cells); rank parity vs the exact :func:`hybrid_topk` and
+    a fused recall@k gate are test-pinned.
+
+    Output: (query_id, doc_id, rrf_scaled, rank).
+    """
+    from flink_project_userbehavioranalysis_spark.operators.similarity import (
+        ivf_probe_topk,
+    )
+
+    lex = fts_topk_indexed(spark, sf_dir, k=k_each).select(
+        "query_id", "doc_id", F.col("rank").alias("rank_lex")
+    )
+    qids = [qid for qid, _s in FTS_QUERIES]
+    sem = (
+        ivf_probe_topk(spark, sf_dir, n_queries=max(qids) + 1, k=k_each)
+        .filter(F.col("query_id").isin(qids))
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rn").cast("int").alias("rank_sem"),
+        )
+    )
+    return _rrf_fuse(lex, sem, k)
 
 
 def hybrid_topk_oracle_sql(k: int = 10, k_each: int = 20) -> str:

@@ -1289,3 +1289,103 @@ def value_percentiles_ddsketch_stream(
     state = run_update_merge(grid, ["day", "event_type", "bucket"], spark)
     merged = state.groupBy("event_type", "bucket").agg(F.sum("cnt").alias("cnt"))
     return ddsketch_quantiles_from_grid(merged, gamma)
+
+
+_EMB_CHUNK_CACHE: dict[tuple, str] = {}
+
+
+def embeddings_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    only_overlay: bool = True,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """Micro-batch replay of the embeddings table as a vector-ingest
+    feed (the `docs_stream` layout contract: ordered chunk files,
+    maxFilesPerTrigger=1). ``only_overlay`` replays just the
+    maintained-ANN lifecycle's ingest batch (vec_id % 5 = 0) — the
+    vectors whose at-ingest encode the streaming twin maintains."""
+    import os
+    import tempfile
+
+    from flink_project_userbehavioranalysis_spark.io import load_table
+    from flink_project_userbehavioranalysis_spark.operators.similarity import (
+        _ANN_SPLIT_MOD,
+    )
+
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        only_overlay,
+        n_chunks,
+    )
+    if key not in _EMB_CHUNK_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        if only_overlay:
+            emb = emb.filter(F.col("vec_id") % _ANN_SPLIT_MOD == 0)
+        bounds = emb.select(
+            F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")
+        ).collect()[0]
+        lo, hi = bounds["lo"] or 0, bounds["hi"] or 0
+        step = max((hi - lo) // n_chunks + 1, 1)
+        flat_dir = tempfile.mkdtemp(prefix="ubx-emb-replay-")
+        idx = 0
+        out_dir = tempfile.mkdtemp(prefix="ubx-emb-chunks-")
+        for c in range(n_chunks):
+            chunk = emb.filter(
+                (F.col("vec_id") >= lo + c * step)
+                & (F.col("vec_id") < lo + (c + 1) * step)
+            )
+            chunk.coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/c{c:03d}")
+        for sub in sorted(os.listdir(out_dir)):
+            subdir = os.path.join(out_dir, sub)
+            for f in sorted(os.listdir(subdir)):
+                if f.endswith(".parquet"):
+                    dst = os.path.join(flat_dir, f"{idx:03d}.parquet")
+                    os.rename(os.path.join(subdir, f), dst)
+                    os.utime(dst, (1_700_000_000 + idx * 10, 1_700_000_000 + idx * 10))
+                    idx += 1
+        _EMB_CHUNK_CACHE[key] = flat_dir
+    return (
+        spark.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_EMB_CHUNK_CACHE[key])
+    )
+
+
+def ann_encode_stream(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> DataFrame:
+    """Streaming at-ingest ANN encode — completes the "every persisted
+    index maintained at feed speed" story (term stats, postings, and
+    the DDSketch grids already have their at-ingest twins): arriving
+    vectors are encoded against the FROZEN nightly models (cell id +
+    packed PQ codes, the exact `_encode_with_models` pass the overlay
+    commit runs) as a STATELESS Arrow-batched append projection — zero
+    state, no watermark, no shuffle; throughput is the feed scan rate.
+    The models are a KB-scale closure (n_cells·d + m_sub·n_codes·d
+    doubles), broadcast to executors inside the mapInPandas closure —
+    corpus-independent by construction.
+
+    The feed replays the maintained lifecycle's ingest batch
+    (vec_id % 5 = 0), so the emitted (vec_id, cell, lo, hi) SET equals
+    the batch overlay commit of :func:`build_ann_index_split`
+    bit-for-bit (encode is deterministic given frozen models; pytest
+    pins stream ≡ batch-overlay ≡ rebuilt-encode). Registered
+    rows-only: k-means cells are engine-specific, so no SQL oracle —
+    the cross-twin equality is the stronger check.
+
+    Output: (vec_id, cell, lo, hi).
+    """
+    from flink_project_userbehavioranalysis_spark.operators.similarity import (
+        _encode_with_models,
+        _load_ann_model,
+        build_ann_index_split,
+    )
+    from flink_project_userbehavioranalysis_spark.streaming.replay import (
+        run_append_memory,
+    )
+
+    base, _overlay = build_ann_index_split(spark, sf_dir)
+    cents, books = _load_ann_model(spark, base)
+    feed = embeddings_stream(spark, sf_dir, only_overlay=True, n_chunks=n_chunks)
+    enc = _encode_with_models(feed, cents, books).select("vec_id", "cell", "lo", "hi")
+    return run_append_memory(enc, "ann_encode_stream", spark)

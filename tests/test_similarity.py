@@ -437,3 +437,114 @@ def test_min_label_cc_pointer_jumping_on_chain(spark):
     assert len(out) == n and all(r["cluster_id"] == 0 for r in out)
     with pytest.raises(RuntimeError, match="did not converge"):
         S._min_label_cc(nodes, pairs, max_iters=1).collect()
+
+
+# --------------------- maintained ANN index (overlay-commit lifecycle)
+
+
+def test_ann_split_leak_directions(spark, sf_dir):
+    """Base lists hold exactly the stored corpus's vectors
+    (vec_id%5≠0), the overlay exactly the batch's (vec_id%5=0) —
+    neither side leaks, and base ∪ overlay covers every vector."""
+    base, overlay = S.build_ann_index_split(spark, sf_dir)
+    b = spark.read.schema(S._ENC_SCHEMA).parquet(f"{base}/enc")
+    o = spark.read.schema(S._ENC_SCHEMA).parquet(f"{overlay}/enc")
+    assert b.filter(F.col("vec_id") % 5 == 0).count() == 0
+    assert o.filter(F.col("vec_id") % 5 != 0).count() == 0
+    n_corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert b.count() + o.count() == n_corpus
+    assert o.count() > 0
+
+
+def test_ann_maintained_equals_rebuilt_encode(spark, sf_dir):
+    """The overlay-commit contract: base ∪ overlay is IDENTICAL, row
+    for row (vec_id, cell, lo, hi), to a full re-encode of the corpus
+    against the SAME frozen models — maintained ≡ rebuilt, so every
+    probe over the maintained lists inherits the rebuilt index's
+    results exactly."""
+    from flink_project_userbehavioranalysis_spark.io import load_table
+
+    base, overlay = S.build_ann_index_split(spark, sf_dir)
+    cents, books = S._load_ann_model(spark, base)
+    maintained = sorted(
+        map(
+            tuple,
+            S._read_enc(spark, f"{base}/enc", f"{overlay}/enc")
+            .select("vec_id", "cell", "lo", "hi")
+            .collect(),
+        )
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    rebuilt = sorted(
+        map(
+            tuple,
+            S._encode_with_models(emb, cents, books)
+            .select("vec_id", "cell", "lo", "hi")
+            .collect(),
+        )
+    )
+    assert maintained == rebuilt and maintained
+
+
+def test_ivf_probe_maintained_recall_and_pruning(spark, sf_dir):
+    """Recall re-gated over base ∪ overlay: the maintained probe keeps
+    ≥0.8 of the exact top-5 edges for the query batch (frozen models
+    trained on the BASE corpus only — the honest lifecycle), and both
+    list scans stay partition-pruned to the probed cells."""
+    probe_df = S.ivf_probe_topk_maintained(spark, sf_dir, n_queries=100)
+    probe = {(r[0], r[1]) for r in probe_df.collect()}
+    exact = {
+        (r[0], r[1])
+        for r in S.knn_topk(spark, sf_dir).collect()
+        if r[0] < 100
+    }
+    assert len(probe & exact) / len(exact) >= 0.8
+    plan = probe_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "PartitionFilters: [" in plan
+    assert "cell" in plan.split("PartitionFilters")[1][:160]
+
+
+def test_ann_split_model_tables_bounded(spark, sf_dir):
+    """The frozen model persisted with the base index stays KB-scale
+    regardless of corpus size."""
+    base, _overlay = S.build_ann_index_split(spark, sf_dir)
+    assert spark.read.parquet(f"{base}/centroids").count() <= 32
+    assert spark.read.parquet(f"{base}/codebooks").count() == 32 * 16
+
+
+def test_ann_overlay_drift_metrics_and_gate(spark, sf_dir):
+    """The re-train gate: on the shipped 1-in-5 split the overlay
+    fraction is ~0.2 and cells are balanced, so retrain=False at the
+    default thresholds; tightening max_overlay_frac below the actual
+    fraction fires the gate — the flag responds to the metric, not a
+    constant."""
+    row = S.ann_overlay_drift(spark, sf_dir).collect()[0]
+    assert abs(row["overlay_frac"] - 0.2) < 0.05
+    assert row["n_total"] == row["n_overlay"] + (row["n_total"] - row["n_overlay"])
+    assert row["retrain"] is False
+    fired = S.ann_overlay_drift(spark, sf_dir, max_overlay_frac=0.1).collect()[0]
+    assert fired["retrain"] is True
+
+
+def test_ann_encode_stream_equals_batch_overlay(spark, sf_dir):
+    """Streaming at-ingest encode ≡ the batch overlay commit: the
+    emitted (vec_id, cell, lo, hi) set from the stateless streaming
+    projection equals the persisted overlay lists bit-for-bit
+    (deterministic encode against the same frozen models)."""
+    from flink_project_userbehavioranalysis_spark.streaming import windowed as W
+
+    streamed = sorted(
+        map(tuple, W.ann_encode_stream(spark, sf_dir).collect())
+    )
+    _base, overlay = S.build_ann_index_split(spark, sf_dir)
+    batch = sorted(
+        map(
+            tuple,
+            spark.read.schema(S._ENC_SCHEMA)
+            .parquet(f"{overlay}/enc")
+            .select("vec_id", "cell", "lo", "hi")
+            .collect(),
+        )
+    )
+    assert streamed == batch and streamed
