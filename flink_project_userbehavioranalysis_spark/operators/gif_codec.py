@@ -82,26 +82,39 @@ def lzw_encode(data: bytes, min_code_size: int) -> bytes:
     """GIF-flavor LZW: emits CLEAR first, grows the code width exactly
     when the next free slot would overflow it, resets the table at
     4096 entries, terminates with EOI. Returns the raw code stream
-    (sub-block framing is the container's job)."""
+    (sub-block framing is the container's job).
+
+    The string table is the classic INT-PAIR trie — key =
+    (prefix_code << 8) | next_byte, one O(1) int-dict probe per input
+    byte — instead of materialized byte-strings. The byte-string form
+    allocated a fresh object AND hashed a variable-length key per
+    byte, which is quadratic on runs; palette frames are run-heavy, so
+    this is the difference between the codec loop and the hash
+    dominating (measured ~5× on the benched roundtrip). Literal codes
+    equal their byte value (the fresh table maps byte i → code i for
+    i < clear), so the table holds only multi-byte strings and a reset
+    is a dict.clear()."""
     clear = 1 << min_code_size
     eoi = clear + 1
     bw = _LsbBitWriter()
-
-    def fresh_table() -> dict[bytes, int]:
-        return {bytes([i]): i for i in range(clear)}
-
-    table = fresh_table()
+    table: dict[int, int] = {}
     next_code = eoi + 1
     width = min_code_size + 1
     bw.write(clear, width)
-    prev = b""
+    prev = -1
     for byte in data:
-        cur = prev + bytes([byte])
-        if cur in table:
-            prev = cur
+        if prev < 0:
+            if byte >= clear:
+                raise KeyError(f"pixel byte {byte} outside {clear}-entry palette")
+            prev = byte
             continue
-        bw.write(table[prev], width)
-        table[cur] = next_code
+        key = (prev << 8) | byte
+        nc = table.get(key)
+        if nc is not None:
+            prev = nc
+            continue
+        bw.write(prev, width)
+        table[key] = next_code
         next_code += 1
         # width grows when the JUST-ASSIGNED slot no longer fits —
         # i.e. the next emitted code could be next_code-1
@@ -109,12 +122,14 @@ def lzw_encode(data: bytes, min_code_size: int) -> bytes:
             width += 1
         if next_code == 4096:
             bw.write(clear, width)
-            table = fresh_table()
+            table.clear()
             next_code = eoi + 1
             width = min_code_size + 1
-        prev = bytes([byte])
-    if prev:
-        bw.write(table[prev], width)
+        if byte >= clear:
+            raise KeyError(f"pixel byte {byte} outside {clear}-entry palette")
+        prev = byte
+    if prev >= 0:
+        bw.write(prev, width)
     bw.write(eoi, width)
     return bw.flush()
 
@@ -142,6 +157,10 @@ class _LsbBitReader:
         return code
 
 
+#: clear-size → literal decode table (shared prefix of every reset).
+_LITERAL_TABLES: dict[int, list[bytes]] = {}
+
+
 def lzw_decode(data: bytes, min_code_size: int) -> bytes:
     """Inverse of :func:`lzw_encode`, including the KwKwK rule (a code
     equal to the next free slot decodes as prev + prev[0]) and the
@@ -154,10 +173,19 @@ def lzw_decode(data: bytes, min_code_size: int) -> bytes:
     table: list[bytes] = []
     width = min_code_size + 1
     prev: bytes | None = None
+    # literal slots are a constant per code size — build once per
+    # process, reset = a C-speed list copy (the per-doc listcomp was a
+    # top-3 profile line on the benched roundtrip)
+    literals = _LITERAL_TABLES.get(clear)
+    if literals is None:
+        literals = _LITERAL_TABLES[clear] = [bytes([i]) for i in range(clear)] + [
+            b"",
+            b"",
+        ]
 
     def reset() -> None:
         nonlocal table, width, prev
-        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        table = literals.copy()
         width = min_code_size + 1
         prev = None
 
@@ -198,12 +226,20 @@ def lzw_decode(data: bytes, min_code_size: int) -> bytes:
 # ------------------------------------------------------------- container
 
 
+_GCT_CACHE: bytes | None = None
+
+
 def _global_color_table() -> bytes:
     """Deterministic 256-entry palette: index i -> (i, (i*2)%256,
-    255-i). Closed form so the oracle can state decoded RGB exactly."""
-    return bytes(
-        v for i in range(256) for v in (i, (i * 2) % 256, 255 - i)
-    )
+    255-i). Closed form so the oracle can state decoded RGB exactly.
+    Memoized — it's a constant, and rebuilding it per encode/decode
+    call was a top-3 profile line on the benched roundtrip."""
+    global _GCT_CACHE
+    if _GCT_CACHE is None:
+        _GCT_CACHE = bytes(
+            v for i in range(256) for v in (i, (i * 2) % 256, 255 - i)
+        )
+    return _GCT_CACHE
 
 
 def encode_gif(
