@@ -103,20 +103,31 @@ def entry(spark: SparkSession) -> DataFrame:
 # budgeted window; decode_meta_mixed4 stays as the multimodal keeper.
 # The four displaced r10 headliners (all driver-green in
 # CORRECTNESS_r10) moved to the tier-2 head.
+# r12 rotation: the three surfaces whose IMPLEMENTATIONS changed this
+# round under unchanged oracles head the window — fts_fuzzy_topk
+# (PassJoin segment expansion replaced the nested-loop levenshtein),
+# gif_roundtrip (int-pair LZW trie + memoized palette), interval_join
+# (kept plan, profiled; the two-barrier floor note in BASELINE.md) —
+# so the driver scoreboard proves the rewrites, not just pytest.
+# Displaced: order_timeout (order_pay now covered by interval_join),
+# decode_meta_mixed4 (multimodal covered by gif_roundtrip), and
+# hybrid_topk (r11 head, driver-green in CORRECTNESS_r11; the search
+# pillar keeps three tier-1 rows) — all to the tier-2 head.
 _TIER1 = [
-    # new this round (prove first)
+    # changed this round (prove first)
+    "fts_fuzzy_topk",
+    "gif_roundtrip",
+    "interval_join",
+    # r11 heads (driver-green in CORRECTNESS_r11)
     "fts_prefix_topk",
-    "hybrid_topk",
     "fts_topk_maintained",
-    "decode_meta_mixed4",
+    "user_tier_scd2",
     # per-pillar regression keepers (driver-green in earlier rounds;
     # one per operator module — the invariant test pins coverage)
     "hot_items_topn",
     "pv_hourly",
     "blacklist",
     "consec_fail",
-    "order_timeout",
-    "user_tier_scd2",
     "revenue_by_priority_salted",
     "asof_last_click",
     "user_trailing_features",
@@ -149,6 +160,8 @@ _TIER1 = [
     "tx_reconcile_stream",
     "blacklist_stream",
     "interval_join_stream",
+    # (r12: interval_join's batch form rotated to the head; its stream
+    # twin stays here with the other oracled twins)
     "tx_reconcile_stream_join",
     "dup_span_incremental_stream",
     "cdc_apply_stream",
@@ -169,11 +182,15 @@ _TIER1 = [
 ]
 # --- tier 2: remaining hash-oracled batch ---------------------------
 _TIER2 = [
+    # entries displaced by the r12 rotation (all driver-green in r11
+    # or earlier); first in line past the budget
+    "order_timeout",
+    "hybrid_topk",
+    "decode_meta_mixed4",
     # r11 batch entry displaced by its own streaming sibling (the
-    # oracled-streaming-twins-in-first-50 invariant); first in line
-    # past the budget and judge-verified via check_all at both SFs
+    # oracled-streaming-twins-in-first-50 invariant); judge-verified
+    # via check_all at both SFs
     "fts_topk_any",
-    "fts_fuzzy_topk",
     # r10 headliners displaced by the r11 rotation (driver-green r10)
     "ingest_accept_batch_indexed",
     "ingest_two_batch_indexed",
@@ -182,7 +199,6 @@ _TIER2 = [
     # r10 additions beyond the tier-1 budget (tier 1 is pinned at 50;
     # these run in check_all and the judge pass)
     "audio_features_stereo8",
-    "gif_roundtrip",
     "decode_meta_mixed7",
     "export_shards_roundtrip",
     "decode_meta_mixed6",
@@ -244,7 +260,6 @@ _TIER2 = [
     "clean_corpus",
     "uv_hourly",
     "tx_reconcile",
-    "interval_join",
     "bpe_encode",
     "count_by_channel_report",
     "dup_span_scrub",

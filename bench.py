@@ -201,37 +201,61 @@ def _prev_bench(cur_sf: float) -> tuple[str, dict] | None:
        so the anchor is the PRIOR ROUND, never a stale earlier one.
 
     Records at a different sf are skipped (a local sf0.01 smoke must
-    not shadow the sf0.1 trend)."""
+    not shadow the sf0.1 trend).
+
+    Returns (path, data, provenance) — provenance says WHOSE run the
+    anchor is (r11 advisory: two local runs in a row silently compare
+    against the previous local run, not the prior driver round; the
+    provenance string makes that visible in the emitted record):
+    ``driver-round <file>`` when bench_detail.json matches the newest
+    driver-recorded capture, ``local-rerun (after <file>)`` when it
+    was refreshed locally since, or ``driver-record`` for a BENCH_r*
+    fallback."""
     import glob
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
+
+    def newest_driver_record() -> tuple[str, dict] | None:
+        for p in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")), reverse=True):
+            try:
+                d = json.load(open(p))
+            except (OSError, json.JSONDecodeError):
+                continue
+            parsed = d.get("parsed") if isinstance(d.get("parsed"), dict) else None
+            if not parsed:
+                # tail keeps the final stdout chars; the bench line is
+                # the last {...} blob
+                tail = d.get("tail") or ""
+                for m in re.finditer(r"\{\"metric\".*?\}(?=\s*$|\n)", tail, re.S):
+                    try:
+                        cand = json.loads(m.group(0))
+                    except json.JSONDecodeError:
+                        continue
+                    if cand.get("value") is not None:
+                        parsed = cand
+            if parsed and parsed.get("sf") == cur_sf:
+                return (p, parsed)
+        return None
+
+    driver = newest_driver_record()
     detail_path = os.path.join(here, "bench_detail.json")
     try:
         d = json.load(open(detail_path))
         if d.get("queries") and d.get("sf") == cur_sf:
-            return (detail_path, d)
+            if driver is not None and driver[1].get("value") == d.get("value") and (
+                driver[1].get("method") == d.get("method")
+            ):
+                prov = f"driver-round {os.path.basename(driver[0])}"
+            elif driver is not None:
+                prov = f"local-rerun (after {os.path.basename(driver[0])})"
+            else:
+                prov = "local-rerun"
+            return (detail_path, d, prov)
     except (OSError, json.JSONDecodeError):
         pass
-    for p in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")), reverse=True):
-        try:
-            d = json.load(open(p))
-        except (OSError, json.JSONDecodeError):
-            continue
-        parsed = d.get("parsed") if isinstance(d.get("parsed"), dict) else None
-        if not (parsed and parsed.get("queries")):
-            # tail keeps the final stdout chars; the bench line is the
-            # last {...} blob containing "queries"
-            tail = d.get("tail") or ""
-            for m in re.finditer(r"\{\"metric\".*?\}(?=\s*$|\n)", tail, re.S):
-                try:
-                    cand = json.loads(m.group(0))
-                except json.JSONDecodeError:
-                    continue
-                if cand.get("queries"):
-                    parsed = cand
-        if parsed and parsed.get("queries") and parsed.get("sf") == cur_sf:
-            return (p, parsed)
+    if driver is not None and driver[1].get("queries"):
+        return (driver[0], driver[1], "driver-record")
     return None
 
 
@@ -477,7 +501,7 @@ FROM events WHERE event_type = 'view' GROUP BY 1
 
     prev = _prev_bench(detail["sf"])
     if prev is not None:
-        ppath, pdata = prev
+        ppath, pdata, prev_prov = prev
         pq = pdata.get("queries", {})
         same_sf = pdata.get("sf") == detail["sf"]
         # Compare over the INTERSECTION of query sets: the headline set
@@ -495,6 +519,9 @@ FROM events WHERE event_type = 'view' GROUP BY 1
         prev_pipe = sum(pq[k] for k in common_pipe)
         detail["vs_prev"] = {
             "prev_file": os.path.basename(ppath),
+            # whose run the anchor is: driver round vs local rerun
+            # (r11 advisory — vs_prev semantics depend on this)
+            "prev_provenance": prev_prov,
             "prev_method": pdata.get("method"),  # None = pre-warmpass capture
             "prev_sf": pdata.get("sf"),
             "prev_total": pdata.get("value"),
@@ -530,7 +557,7 @@ FROM events WHERE event_type = 'view' GROUP BY 1
     if prev is not None and detail["vs_prev"].get("total_ratio") is not None:
         compact["vs_prev_total"] = detail["vs_prev"]["total_ratio"]
         compact["vs_prev_pipeline"] = detail["vs_prev"].get("pipeline_ratio")
-        compact["vs_prev_file"] = detail["vs_prev"]["prev_file"]
+        compact["vs_prev_anchor"] = detail["vs_prev"]["prev_provenance"]
     if "same_host_baseline" in detail:
         shb = detail["same_host_baseline"]
         compact["vs_duckdb_same_host"] = shb["ratio_collect_vs_fetchall"]

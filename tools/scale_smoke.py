@@ -403,7 +403,68 @@ def ann_probe_scaling(spark, factors: list[int]) -> dict:
     return out
 
 
+#: Fixed ingest-batch size for the overlay-commit experiment (vec_id
+#: < 4000 — ids present at every factor, so the committed batch is
+#: IDENTICAL while the corpus behind the frozen models grows).
+ANN_COMMIT_BATCH = 4000
+
+
+def ann_commit_scaling(spark, factors: list[int]) -> dict:
+    """Measure the maintained-ANN claim (r12): the OVERLAY COMMIT —
+    encode a FIXED ingest batch against the frozen models and write it
+    cell-partitioned — costs ∝ batch regardless of corpus size, while
+    the rebuild alternative re-encodes the whole corpus and grows with
+    it. Model training (the nightly job) is untimed for both, exactly
+    as in production; the contrast is commit-vs-rebuild at the same
+    frozen model."""
+    from flink_project_userbehavioranalysis_spark.operators import similarity as S
+
+    dirs = [("x1", BASE)] + [
+        (f"x{f}", synthesize_embeddings_growth(spark, f)) for f in factors
+    ]
+    out: dict = {}
+    for tag, d in dirs:
+        emb = load_table(spark, d, "embeddings").select("vec_id", "embedding")
+        sample = S._sample_matrix_frame(emb.filter(F.col("vec_id") % 5 != 0))
+        cents = S._ivf_centroids(sample, 32)
+        books = S._pq_codebooks(sample, 32, 16)
+        batch = emb.filter(F.col("vec_id") < ANN_COMMIT_BATCH)
+
+        def commit(b=batch, c=cents, bk=books, t=tag):
+            S._encode_with_models(b, c, bk).write.mode("overwrite").partitionBy(
+                "cell"
+            ).parquet(f"/tmp/ubx-ann-commit-{t}")
+
+        def rebuild(e=emb, c=cents, bk=books, t=tag):
+            S._encode_with_models(e, c, bk).write.mode("overwrite").partitionBy(
+                "cell"
+            ).parquet(f"/tmp/ubx-ann-rebuild-{t}")
+
+        out[tag] = {
+            "commit_s": round(median_time(commit, runs=2), 3),
+            "rebuild_s": round(median_time(rebuild, runs=2), 3),
+        }
+        print(
+            f"ann overlay commit {tag:<6} commit={out[tag]['commit_s']:>8.2f}s"
+            f"  rebuild={out[tag]['rebuild_s']:>8.2f}s"
+            f"  (batch={ANN_COMMIT_BATCH} fixed)"
+        )
+    return out
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "ann-commit":
+        # maintained-ANN overlay-commit experiment (r12):
+        #   python tools/scale_smoke.py ann-commit [factor ...]  (default 10 100)
+        factors = [int(a) for a in sys.argv[2:]] or [10, 100]
+        spark = get_spark(
+            app_name="ann-commit-scale", master="local[32]",
+            shuffle_partitions=64, streaming=False,
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        commit = ann_commit_scaling(spark, factors)
+        print(json.dumps({"factors": factors, "ann_commit": commit}))
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "ann":
         # standalone ANN probe experiment:
         #   python tools/scale_smoke.py ann [factor ...]   (default 10 100)
