@@ -137,6 +137,11 @@ HEADLINE = [
     "term_associations",        # exact-integer lift co-occurrence mining
     "ivf_topk_indexed",         # persisted IVF inverted-list probe
     "pq_topk_indexed",          # persisted packed-code SDC probe
+    # r12 addition: the persisted-index RAG serving plan (lexical
+    # postings probe + IVF-Flat cell probe + integer RRF fusion; the
+    # query batch is a literal relation resolved at construction, so
+    # collect() times exactly the per-request serving plan)
+    "hybrid_topk_indexed",
     # NOT benched here: item_pagerank / kmeans_lloyd / cluster_canonical
     # eagerly materialize (localCheckpoint / iterate) at
     # DataFrame-construction time, so timing their collect() would

@@ -566,6 +566,33 @@ EXHIBITS = [
         "ride the pruned scan, query side broadcast — the only shuffle "
         "is the per-query row_number over ~n_probe·cell_size candidates.",
     ),
+    (
+        "ivf_probe_topk_maintained",
+        "Maintained-ANN probe (r12): base AND overlay list scans both "
+        "carry the same static probed-cell PartitionFilters (the "
+        "fts_topk_maintained pattern on the vector index); the overlay "
+        "was committed ∝ batch against frozen models, and the union is "
+        "row-identical to a full re-encode (test-pinned), so the cheap "
+        "commit costs nothing in probe-plan shape.",
+    ),
+    (
+        "hybrid_topk_indexed",
+        "Persisted-index hybrid (r12): the complete RAG serving plan — "
+        "lexical side reads the term-partitioned postings index "
+        "(pruned to the queried terms), semantic side reads the "
+        "cell-partitioned IVF-Flat lists (pruned to the probed cells), "
+        "integer RRF fusion on top; NO documents/embeddings table scan "
+        "anywhere (test-pinned) — per-request cost is corpus-independent.",
+    ),
+    (
+        "fts_fuzzy_topk",
+        "Fuzzy retrieval (r12 expansion): the PLANNING-TIME dictionary "
+        "expansion runs as a PassJoin segment equi-join (broadcast "
+        "query probe, no nested-loop over the vocabulary — "
+        "plan-asserted separately in tests); the serving plan shown "
+        "here then rides the literal expanded relation through the "
+        "standard broadcast-pruned postings probe.",
+    ),
 ]
 
 

@@ -520,6 +520,18 @@ def main() -> None:
         got = {(r[0], r[1]) for r in qs[name](spark, BASE).collect()}
         recalls[name] = round(len(got & exact) / len(exact), 4)
         assert recalls[name] >= gate, f"{name} recall {recalls[name]} < {gate} at sf0.1"
+    # maintained-index probe (r12): frozen BASE-trained models over
+    # base ∪ overlay lists — recall for its bounded query batch must
+    # hold at sf0.1 too (0.8 gate: the model never saw the overlay)
+    got_m = {
+        (r[0], r[1])
+        for r in qs["ivf_probe_topk_maintained"](spark, BASE).collect()
+    }
+    exact_b = {t for t in exact if t[0] < 100}
+    recalls["ivf_probe_topk_maintained"] = round(
+        len(got_m & exact_b) / len(exact_b), 4
+    )
+    assert recalls["ivf_probe_topk_maintained"] >= 0.8, recalls
     print(f"ANN recall @ sf0.1: {recalls}")
 
     ingest_probe = ingest_probe_scaling(spark, factor)
