@@ -970,7 +970,7 @@ def ann_overlay_drift(
         F.max("total").alias("max_cell"),
         F.count("*").alias("cells_used"),
     )
-    return stats.select(
+    return stats.filter(F.col("n_total") > 0).select(
         F.col("n_total").cast("bigint").alias("n_total"),
         F.col("n_overlay").cast("bigint").alias("n_overlay"),
         F.round(F.col("n_overlay") / F.col("n_total"), 6).alias("overlay_frac"),
@@ -984,6 +984,8 @@ def ann_overlay_drift(
                 > F.lit(max_cell_growth)
             )
         ).alias("retrain"),
+        # an EMPTY index yields no metric row (the fresh-tenant /
+        # filtered-to-nothing path) rather than a null-metrics row
     )
 
 
@@ -1040,7 +1042,7 @@ def ivf_topk_indexed(
     root = build_ann_index(spark, sf_dir, n_cells=n_cells)
     cents, _books = _load_ann_model(spark, root)
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    lists = spark.read.parquet(f"{root}/enc").select(
+    lists = _read_enc(spark, f"{root}/enc").select(
         F.col("vec_id").alias("neighbor_id"), "cell"
     )
 
@@ -1100,7 +1102,7 @@ def pq_topk_indexed(
         else np.zeros(0)
     )
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    enc = spark.read.parquet(f"{root}/enc")
+    enc = _read_enc(spark, f"{root}/enc")
 
     def probe(batches):
         for pdf in batches:
@@ -1224,7 +1226,7 @@ def ivf_probe_topk(
         "query_id BIGINT, cell BIGINT, qv ARRAY<FLOAT>",
     )
     lists = (
-        spark.read.parquet(f"{root}/enc")
+        _read_enc(spark, f"{root}/enc")
         .filter(F.col("cell").isin(probed))  # static ⇒ partition-pruned
         .select(F.col("vec_id").alias("neighbor_id"), "cell", "embedding")
     )

@@ -26,6 +26,7 @@ from flink_project_userbehavioranalysis_spark.operators import (
     network_flow as NF,
     order_pay as OP,
     relational as R,
+    search as SRCH,
     similarity as SIM,
     skew as SK,
     tpch as TP,
@@ -166,6 +167,33 @@ OPERATORS = [
     NF.value_percentiles_hist,
     NF.value_percentiles_ddsketch,
     MM.decode_meta_mixed3,
+    # r12: the search pillar (previously uncovered here) — including
+    # the maintained-index probes, whose empty-split-side hazard the
+    # r11 advisory flagged (now guarded by declared-schema reads)
+    SRCH.fts_topk,
+    SRCH.fts_topk_indexed,
+    SRCH.fts_topk_maintained,
+    SRCH.fts_topk_any,
+    SRCH.fts_prefix_topk,
+    SRCH.fts_fuzzy_topk,
+    SRCH.hybrid_topk,
+    SRCH.hybrid_topk_indexed,
+    SRCH.phrase_search,
+    SRCH.search_snippets,
+    SRCH.term_associations,
+    SRCH.bm25_topk,
+    SRCH.edit_dup_pairs,
+    SRCH.term_stats_maintain,
+    # r12: persisted-ANN probes over an empty corpus (empty model
+    # tables + empty cell-partitioned lists read under the declared
+    # schema)
+    SIM.ivf_topk_indexed,
+    SIM.pq_topk_indexed,
+    SIM.ivf_probe_topk,
+    SIM.ivf_probe_topk_maintained,
+    SIM.ann_overlay_drift,
+    SIM.pq_topk,
+    SIM.semantic_dedup,
 ]
 
 
