@@ -1,8 +1,9 @@
 """Benchmark harness — warm-session per-query wall times vs BASELINE.md.
 
-Runs every ``__spark_entry__.queries()`` entry at ``$SPARK_GRAFT_SF_DIR``
-(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints
-ONE JSON line::
+Runs the HEADLINE set (BASELINE.md rows + one representative per
+extension pillar) plus the full-invocation PIPELINES set at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
 
     {"metric": "warm_query_total", "value": <sum of headline medians>,
      "pipeline_total": <sum of full-invocation PIPELINES medians>,
@@ -496,6 +497,17 @@ FROM events WHERE event_type = 'view' GROUP BY 1
                 / sum(duck_min_ms[k] for k in comp),
                 3,
             ),
+            # min-pair with the per-job scheduling floor subtracted
+            # from each Spark min: the comparable rows average ~40 ms
+            # in DuckDB, so a ~25 ms Spark job floor alone pins the
+            # raw min-pair near 2× regardless of engine work — this is
+            # the number that extrapolates (BASELINE.md metric
+            # contract: min-pair raw is diagnostic-only)
+            "ratio_min_floor_adj": round(
+                sum(max(0.0, per_query_min[k] - floor) for k in comp)
+                / sum(duck_min_ms[k] for k in comp),
+                3,
+            ),
             "ratio_arrow_vs_df": round(
                 sum(per_query_arrow[k] for k in comp) / sum(duck_df_ms[k] for k in comp), 3
             ),
@@ -567,6 +579,7 @@ FROM events WHERE event_type = 'view' GROUP BY 1
         shb = detail["same_host_baseline"]
         compact["vs_duckdb_same_host"] = shb["ratio_collect_vs_fetchall"]
         compact["vs_duckdb_same_host_min"] = shb["ratio_collect_vs_fetchall_min"]
+        compact["vs_duckdb_min_floor_adj"] = shb["ratio_min_floor_adj"]
         compact["vs_duckdb_same_host_arrow"] = shb["ratio_arrow_vs_df"]
     if "same_host_search" in detail:
         compact["vs_duckdb_search"] = detail["same_host_search"][
