@@ -118,9 +118,13 @@ _TIER1 = [
     "fts_fuzzy_topk",
     "gif_roundtrip",
     "interval_join",
-    # r11 heads (driver-green in CORRECTNESS_r11)
-    "fts_prefix_topk",
-    "fts_topk_maintained",
+    # NEW this round (prove first): proximity + More-Like-This — the
+    # other two r12 search features (faceted_search,
+    # fts_weighted_topk) sit at the tier-2 head with the displaced
+    # r11 heads fts_prefix_topk / fts_topk_maintained (driver-green
+    # in CORRECTNESS_r11)
+    "phrase_near_topk",
+    "more_like_this",
     "user_tier_scd2",
     # per-pillar regression keepers (driver-green in earlier rounds;
     # one per operator module — the invariant test pins coverage)
@@ -182,8 +186,15 @@ _TIER1 = [
 ]
 # --- tier 2: remaining hash-oracled batch ---------------------------
 _TIER2 = [
+    # r12-new hash-oracled search features past the tier-1 budget
+    # (judge-verified via check_all at both SFs; rotate into the
+    # driver window next round)
+    "faceted_search",
+    "fts_weighted_topk",
     # entries displaced by the r12 rotation (all driver-green in r11
     # or earlier); first in line past the budget
+    "fts_prefix_topk",
+    "fts_topk_maintained",
     "order_timeout",
     "hybrid_topk",
     "decode_meta_mixed4",
@@ -562,6 +573,32 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         # side rides engine-specific k-means cells); rank parity vs
         # the exact hybrid + fused recall@k gated in pytest
         "hybrid_topk_indexed": (_srch.hybrid_topk_indexed, None),
+        # r12 search-feature widening — all exact-integer, all
+        # hash-oracled:
+        # proximity (sloppy-pair SpanNear) search: pair counts from an
+        # equi-join on (query, doc) with the |Δpos| ≤ slop residual
+        "phrase_near_topk": (
+            _srch.phrase_near_topk,
+            _srch.phrase_near_topk_oracle_sql(),
+        ),
+        # More-Like-This: doc-as-query retrieval, deterministic
+        # rarest-first interesting-term selection (df ASC, term ASC)
+        "more_like_this": (
+            _srch.more_like_this,
+            _srch.more_like_this_oracle_sql(),
+        ),
+        # faceted search: (lang, source) drill-down counts over the
+        # FULL conjunctive match set
+        "faceted_search": (
+            _srch.faceted_search,
+            _srch.faceted_search_oracle_sql(),
+        ),
+        # field-weighted (title-boost) ranking: same match set as
+        # fts_topk, title occurrences boosted 3x, row-local HOF tf
+        "fts_weighted_topk": (
+            _srch.fts_weighted_topk,
+            _srch.fts_weighted_topk_oracle_sql(),
+        ),
         # snippet/highlight generation over the top-k hits: 5-token
         # window on the query's rarest term (expression-level string
         # algebra, end-clamped identically in both engines ⇒ the

@@ -1620,3 +1620,390 @@ SELECT ta AS term, tb AS assoc,
        CAST(rank AS INTEGER) AS rank
 FROM ranked WHERE rank <= {k}
 """
+
+
+# ------------------------------------- proximity (sloppy-pair) search
+
+#: Proximity query set: (query_id, term_a, term_b, slop) — docs where
+#: the two terms occur within ``slop`` token positions, the Lucene
+#: sloppy-PhraseQuery / SpanNearQuery feature. Slops 1–2 discriminate
+#: on this corpus (most term pairs co-occur somewhere in most docs;
+#: adjacency is rare).
+PROX_QUERIES: list[tuple[int, str, str, int]] = [
+    (0, "slow", "query", 2),
+    (1, "hash", "join", 1),
+    (2, "customer", "order", 2),
+    (3, "dup", "batch", 3),
+]
+
+
+def phrase_near_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Proximity search: for each (a, b, slop) query, the top-k docs
+    by NUMBER OF (posₐ, pos_b) pairs with |posₐ − pos_b| ≤ slop (the
+    unordered SpanNear contract: either term may come first), tie on
+    doc_id. Exact integer counts, so the surface hash-oracles.
+
+    Plan shape: positional postings are probed ONCE by the broadcast
+    term relation (both roles in one pass), split into the a-side and
+    b-side by role, then paired with an EQUI-join on (query, doc) —
+    the range residual |posₐ−pos_b| ≤ slop evaluates inside the join.
+    Per-(query, doc) position lists are short (term frequency), so the
+    pair blow-up is bounded by tf_a·tf_b per doc, never corpus-sized;
+    at 100 TB the (query, doc) key is the shuffle key and the
+    positional index would be the term-partitioned layout the pillar
+    already persists.
+
+    Output: (query_id, doc_id, n_pairs, rank).
+    """
+    docs = _docs(spark, sf_dir)
+    toks = _positional_postings(docs)
+    q = spark.createDataFrame(
+        [(qid, t, role) for qid, a, b, _s in PROX_QUERIES for t, role in ((a, "a"), (b, "b"))],
+        "query_id INT, term STRING, role STRING",
+    )
+    slops = spark.createDataFrame(
+        [(qid, s) for qid, _a, _b, s in PROX_QUERIES], "query_id INT, slop INT"
+    )
+    hits = toks.join(F.broadcast(q), "term")
+    a = hits.filter(F.col("role") == "a").select(
+        "query_id", "doc_id", F.col("pos").alias("pos_a")
+    )
+    b = hits.filter(F.col("role") == "b").select(
+        F.col("query_id").alias("qb"), F.col("doc_id").alias("db"),
+        F.col("pos").alias("pos_b"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("query_id") == F.col("qb")) & (F.col("doc_id") == F.col("db")),
+        )
+        .join(F.broadcast(slops), "query_id")
+        .filter(F.abs(F.col("pos_a") - F.col("pos_b")) <= F.col("slop"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("n_pairs"), F.asc("doc_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def phrase_near_topk_oracle_sql(k: int = 10) -> str:
+    q_vals = ", ".join(
+        f"({qid}, '{a}', '{b}', {s})" for qid, a, b, s in PROX_QUERIES
+    )
+    return f"""
+WITH ptoks AS (
+    SELECT doc_id, t.term, t.pos FROM (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS term,
+               unnest(range(len(string_split(text, ' ')))) AS pos
+        FROM documents WHERE text IS NOT NULL
+    ) t WHERE t.term <> ''
+),
+q(query_id, ta, tb, slop) AS (VALUES {q_vals}),
+pairs AS (
+    SELECT q.query_id, a.doc_id, count(*) AS n_pairs
+    FROM q
+    JOIN ptoks a ON a.term = q.ta
+    JOIN ptoks b ON b.term = q.tb AND b.doc_id = a.doc_id
+    WHERE abs(a.pos - b.pos) <= q.slop
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT query_id, doc_id, n_pairs,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY n_pairs DESC, doc_id
+           ) AS rank
+    FROM pairs
+)
+SELECT query_id, doc_id, CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+# --------------------------------------------- More-Like-This retrieval
+
+#: Seed documents for More-Like-This (doc-as-query retrieval) and the
+#: interesting-terms budget (the Lucene MLT maxQueryTerms dial).
+MLT_SEEDS: list[int] = [0, 7, 13]
+MLT_MAX_TERMS = 5
+
+
+def more_like_this(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """More-Like-This: for each seed document, the top-k most similar
+    docs, scored by shared-term exact-integer tf-idf — the Lucene MLT
+    feature (doc-as-query retrieval; dedup review, related-articles,
+    training-data neighborhood probes).
+
+    INTERESTING-TERM selection is deterministic: the seed's distinct
+    terms ranked by (df ASC, term ASC) — rarest first, the idf-order
+    heuristic MLT uses — truncated to ``MLT_MAX_TERMS``. Candidates
+    are docs sharing ≥1 interesting term (seed itself excluded);
+    score(d) = Σ_t tf_d(t) · ((1e6·N) div df(t)) over the shared
+    terms. Everything BIGINT ⇒ hash-oracles.
+
+    Plan shape: the seed relation is tiny (a request batch) and rides
+    broadcast joins end to end; per-seed interesting terms come from a
+    WindowGroupLimit over the seed's own postings rows (∝ seed doc
+    length, never the corpus); the candidate probe is the pillar's
+    standard broadcast-pruned postings probe. At 100 TB the probe
+    reads only the interesting terms' partitions of the persisted
+    postings index.
+
+    Output: (seed_doc, doc_id, score, rank).
+    """
+    docs = _docs(spark, sf_dir)
+    post = _postings(docs)
+    dic = post.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    seeds = spark.createDataFrame(
+        [(int(s),) for s in MLT_SEEDS], "seed_doc BIGINT"
+    )
+    seed_terms = post.join(
+        F.broadcast(seeds), post["doc_id"] == seeds["seed_doc"]
+    ).select("seed_doc", "term")
+    wi = Window.partitionBy("seed_doc").orderBy(F.asc("df"), F.asc("term"))
+    interesting = (
+        seed_terms.join(dic, "term")
+        .withColumn("tr", F.row_number().over(wi))
+        .filter(F.col("tr") <= MLT_MAX_TERMS)
+        .select("seed_doc", "term", "df")
+    )
+    cand = (
+        post.join(F.broadcast(interesting), "term")
+        .filter(F.col("doc_id") != F.col("seed_doc"))
+        .crossJoin(F.broadcast(n))
+        .groupBy("seed_doc", "doc_id")
+        .agg(
+            F.sum(F.expr(f"tf * (({_IDF_SCALE} * n_docs) div df)")).alias("score")
+        )
+    )
+    w = Window.partitionBy("seed_doc").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "seed_doc",
+            "doc_id",
+            F.col("score").cast("bigint").alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def more_like_this_oracle_sql(k: int = 10) -> str:
+    seed_vals = ", ".join(f"({s})" for s in MLT_SEEDS)
+    return f"""
+WITH {_TOKS_CTE},
+dic AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents WHERE text IS NOT NULL),
+seeds(seed_doc) AS (VALUES {seed_vals}),
+interesting AS (
+    SELECT seed_doc, term, df FROM (
+        SELECT s.seed_doc, p.term, dic.df,
+               row_number() OVER (
+                   PARTITION BY s.seed_doc ORDER BY dic.df ASC, p.term ASC
+               ) AS tr
+        FROM seeds s
+        JOIN post p ON p.doc_id = s.seed_doc
+        JOIN dic USING (term)
+    ) WHERE tr <= {MLT_MAX_TERMS}
+),
+cand AS (
+    SELECT i.seed_doc, p.doc_id,
+           sum(p.tf * (({_IDF_SCALE} * n.n_docs) // i.df)) AS score
+    FROM interesting i
+    JOIN post p USING (term)
+    CROSS JOIN n
+    WHERE p.doc_id <> i.seed_doc
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT seed_doc, doc_id, score,
+           row_number() OVER (
+               PARTITION BY seed_doc ORDER BY score DESC, doc_id
+           ) AS rank
+    FROM cand
+)
+SELECT CAST(seed_doc AS BIGINT) AS seed_doc, doc_id,
+       CAST(score AS BIGINT) AS score, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+# ------------------------------------------------------ faceted search
+
+def faceted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceted search: for each registered conjunctive query, the
+    FACET COUNTS of its full match set by (lang, source) — the
+    drill-down sidebar every search UI ships, and for a corpus
+    pipeline the instant source/language profile of any term-defined
+    subset ("what feeds the docs matching 'dup batch'?").
+
+    Facets aggregate the FULL match set (not the top-k page): the
+    conjunctive match predicate is the pillar's matched-count
+    equality, then one partial-agg shuffle on (query, lang, source).
+    Cost ∝ matching docs; the facet grid is bounded by the dimension
+    cardinalities. Exact counts ⇒ hash-oracles.
+
+    Output: (query_id, lang, source, n_docs).
+    """
+    docs = _docs(spark, sf_dir)
+    post = _postings(docs)
+    q, qn = _query_frames(spark)
+    matched = (
+        post.join(F.broadcast(q), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").alias("matched"))
+        .join(F.broadcast(qn), "query_id")
+        .filter(F.col("matched") == F.col("n_terms"))
+        .select("query_id", "doc_id")
+    )
+    return (
+        matched.join(docs.select("doc_id", "lang", "source"), "doc_id")
+        .groupBy("query_id", "lang", "source")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+
+
+def faceted_search_oracle_sql() -> str:
+    return f"""
+WITH {_TOKS_CTE},
+q(query_id, term) AS (VALUES {_query_values()}),
+qn AS (SELECT query_id, count(*) AS n_terms FROM q GROUP BY 1),
+matched AS (
+    SELECT q.query_id, p.doc_id
+    FROM q JOIN post p USING (term)
+    GROUP BY 1, 2
+    HAVING count(*) = (SELECT n_terms FROM qn WHERE qn.query_id = q.query_id)
+)
+SELECT m.query_id, d.lang, d.source, CAST(count(*) AS BIGINT) AS n_docs
+FROM matched m JOIN documents d USING (doc_id)
+GROUP BY 1, 2, 3
+"""
+
+
+# --------------------------------------- field-weighted (boosted) ranking
+
+#: Title length (tokens) and boost for field-weighted ranking — the
+#: Lucene per-field boost feature with the synthetic title = the
+#: document's first 8 tokens (the corpus has no separate title field).
+TITLE_LEN = 8
+TITLE_BOOST = 3
+
+
+def fts_weighted_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Field-weighted conjunctive retrieval: same match set as
+    :func:`fts_topk`, but a query term occurring in the TITLE (first
+    ``TITLE_LEN`` tokens) counts ``TITLE_BOOST``× — the per-field
+    boost every search engine ships (title/anchor/body weighting).
+
+    score(q, d) = Σ_t (tf_d(t) + (BOOST−1)·tf_title(t)) · idf(t),
+    all BIGINT ⇒ hash-oracles. tf_title is a row-local array-HOF
+    count over the first TITLE_LEN tokens (no second postings
+    relation, no extra shuffle: the weighted tf rides the same
+    (term, doc) grain as the plain postings probe). Conjunctivity is
+    over the FULL text, so the result set equals fts_topk's and only
+    the ordering changes (test-pinned).
+
+    Output: (query_id, doc_id, score, rank).
+    """
+    docs = _docs(spark, sf_dir)
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    title = F.slice(toks, 1, TITLE_LEN)
+    pairs = F.transform(
+        F.array_distinct(toks),
+        lambda t: F.struct(
+            t.alias("term"),
+            F.size(F.filter(toks, lambda x: x == t)).cast("long").alias("tf"),
+            F.size(F.filter(title, lambda x: x == t)).cast("long").alias("tf_title"),
+        ),
+    )
+    post = (
+        docs.select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", "p.term", "p.tf", "p.tf_title")
+    )
+    dic = post.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    q, qn = _query_frames(spark)
+    dfq = dic.join(F.broadcast(q.select("term").distinct()), "term", "left_semi")
+    cand = (
+        post.join(F.broadcast(q), "term")
+        .join(F.broadcast(dfq), "term")
+        .crossJoin(F.broadcast(n))
+    )
+    scored = (
+        cand.groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(
+                F.expr(
+                    f"(tf + {TITLE_BOOST - 1} * tf_title)"
+                    f" * (({_IDF_SCALE} * n_docs) div df)"
+                )
+            ).alias("score"),
+            F.count("*").alias("matched"),
+        )
+        .join(F.broadcast(qn), "query_id")
+        .filter(F.col("matched") == F.col("n_terms"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("score").cast("bigint").alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def fts_weighted_topk_oracle_sql(k: int = 10) -> str:
+    return f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+           unnest(range(len(string_split(text, ' ')))) AS pos
+    FROM documents WHERE text IS NOT NULL
+),
+post AS (
+    SELECT term, doc_id, count(*) AS tf,
+           count(*) FILTER (WHERE pos < {TITLE_LEN}) AS tf_title
+    FROM toks WHERE term <> '' GROUP BY 1, 2
+),
+q(query_id, term) AS (VALUES {_query_values()}),
+qn AS (SELECT query_id, count(*) AS n_terms FROM q GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents WHERE text IS NOT NULL),
+dfq AS (
+    SELECT term, count(*) AS df FROM post
+    WHERE term IN (SELECT term FROM q) GROUP BY 1
+),
+sc AS (
+    SELECT q.query_id, p.doc_id,
+           sum((p.tf + {TITLE_BOOST - 1} * p.tf_title)
+               * (({_IDF_SCALE} * n.n_docs) // dfq.df)) AS score,
+           count(*) AS matched
+    FROM q JOIN post p USING (term) JOIN dfq USING (term) CROSS JOIN n
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT sc.query_id, sc.doc_id, sc.score,
+           row_number() OVER (
+               PARTITION BY sc.query_id ORDER BY sc.score DESC, sc.doc_id
+           ) AS rank
+    FROM sc JOIN qn USING (query_id)
+    WHERE sc.matched = qn.n_terms
+)
+SELECT query_id, doc_id, CAST(score AS BIGINT) AS score,
+       CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {k}
+"""

@@ -842,3 +842,90 @@ def test_hybrid_indexed_no_corpus_scan(spark, sf_dir):
     pruned = [p[:160] for p in parts[1:]]
     assert any("term" in p for p in pruned)
     assert any("cell" in p for p in pruned)
+
+
+# ------------------------ r12 search features: proximity / MLT / facets
+
+
+def test_phrase_near_crafted_pair_counting(spark):
+    """Sloppy-pair algebra on crafted docs: unordered (either term may
+    come first), slop boundary inclusive, every qualifying position
+    pair counted."""
+    import tempfile
+
+    docs = _crafted_docs(spark, ["a b x a", "b x x a", "a x x x b"])
+    d = tempfile.mkdtemp()
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    orig = S.PROX_QUERIES
+    try:
+        S.PROX_QUERIES = [(0, "a", "b", 1), (1, "a", "b", 3)]
+        got = {
+            (r["query_id"], r["doc_id"]): r["n_pairs"]
+            for r in S.phrase_near_topk(spark, d).collect()
+        }
+    finally:
+        S.PROX_QUERIES = orig
+    # doc0 'a b x a': a@{0,3}, b@{1} → |Δ| = {1, 2}: slop1 → 1 pair,
+    # slop3 → 2 pairs
+    assert got[(0, 0)] == 1 and got[(1, 0)] == 2
+    # doc1 'b x x a': b@0, a@3 → Δ3: slop1 no row, slop3 one pair
+    assert (0, 1) not in got and got[(1, 1)] == 1
+    # doc2 'a x x x b': Δ4 — matches neither
+    assert (0, 2) not in got and (1, 2) not in got
+
+
+def test_more_like_this_contract(spark, sf_dir):
+    """MLT: seeds never retrieve themselves; every retrieved doc
+    shares ≥1 of the seed's 5 rarest terms; interesting-term selection
+    is the (df asc, term asc) truncation."""
+    rows = S.more_like_this(spark, sf_dir).collect()
+    assert rows and {r["seed_doc"] for r in rows} == set(S.MLT_SEEDS)
+    assert all(r["seed_doc"] != r["doc_id"] for r in rows)
+    docs = {
+        r["doc_id"]: [t for t in r["text"].split() if t]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("text").isNotNull())
+        .collect()
+    }
+    df = {}
+    for toks in docs.values():
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+    for s in S.MLT_SEEDS:
+        interesting = sorted(set(docs[s]), key=lambda t: (df[t], t))[: S.MLT_MAX_TERMS]
+        for r in rows:
+            if r["seed_doc"] == s:
+                assert set(docs[r["doc_id"]]) & set(interesting), (s, r)
+
+
+def test_faceted_counts_sum_to_match_set(spark, sf_dir):
+    """Per query, facet counts sum to the size of the FULL conjunctive
+    match set (facets aggregate the match set, not the top-k page)."""
+    facets = S.faceted_search(spark, sf_dir).collect()
+    full = S.fts_topk(spark, sf_dir, k=10**6).collect()
+    match_n = {}
+    for r in full:
+        match_n[r["query_id"]] = match_n.get(r["query_id"], 0) + 1
+    got_n = {}
+    for r in facets:
+        got_n[r["query_id"]] = got_n.get(r["query_id"], 0) + r["n_docs"]
+    assert got_n == match_n and got_n
+
+
+def test_weighted_same_match_set_different_order(spark, sf_dir):
+    """Field weighting changes the ORDERING, never the match set: the
+    full (untruncated) doc sets equal fts_topk's per query, and the
+    title boost actually reorders at least one query's top-10 (the
+    boost is non-vacuous on this corpus)."""
+    plain = S.fts_topk(spark, sf_dir, k=10**6).collect()
+    boosted = S.fts_weighted_topk(spark, sf_dir, k=10**6).collect()
+    assert {(r["query_id"], r["doc_id"]) for r in plain} == {
+        (r["query_id"], r["doc_id"]) for r in boosted
+    }
+    top_plain = {
+        (r["query_id"], r["rank"]): r["doc_id"] for r in plain if r["rank"] <= 10
+    }
+    top_boost = {
+        (r["query_id"], r["rank"]): r["doc_id"] for r in boosted if r["rank"] <= 10
+    }
+    assert top_plain != top_boost
