@@ -191,6 +191,7 @@ _TIER2 = [
     # driver window next round)
     "faceted_search",
     "fts_weighted_topk",
+    "spell_suggest",
     # entries displaced by the r12 rotation (all driver-green in r11
     # or earlier); first in line past the budget
     "fts_prefix_topk",
@@ -598,6 +599,13 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "fts_weighted_topk": (
             _srch.fts_weighted_topk,
             _srch.fts_weighted_topk_oracle_sql(),
+        ),
+        # spell suggestion ("did you mean", the DirectSpellChecker
+        # analog): PassJoin candidates at radius 2, ranked (dist ASC,
+        # df DESC, term ASC) — deterministic, hash-oracled
+        "spell_suggest": (
+            _srch.spell_suggest,
+            _srch.spell_suggest_oracle_sql(),
         ),
         # snippet/highlight generation over the top-k hits: 5-token
         # window on the query's rarest term (expression-level string

@@ -2007,3 +2007,81 @@ SELECT query_id, doc_id, CAST(score AS BIGINT) AS score,
        CAST(rank AS INTEGER) AS rank
 FROM ranked WHERE rank <= {k}
 """
+
+
+# ------------------------------------------------- spell suggestion
+
+def spell_suggest(
+    spark: SparkSession, sf_dir: str, k: int = 3, max_edit: int = 2
+) -> DataFrame:
+    """Spell suggestion ("did you mean") — the Lucene
+    DirectSpellChecker analog completing the typo-tolerance story next
+    to :func:`fts_fuzzy_topk`: for every query term, the top-k
+    dictionary suggestions within levenshtein ≤ ``max_edit``, ranked
+    by (distance ASC, document frequency DESC, term ASC) — closest
+    first, popularity breaks ties, all deterministic ⇒ hash-oracles.
+
+    Candidates come from the same PassJoin segment equi-join as fuzzy
+    retrieval (`_fuzzy_expand` at radius 2 ⇒ 3 segments per dictionary
+    term — still (max_edit+1) index rows per term, linear in the
+    vocabulary, no nested loop); the exact distance is recomputed on
+    the matched candidates only. An exact dictionary hit suggests
+    itself at distance 0 (rank 1), which callers use as the
+    "no correction needed" signal.
+
+    Output: (query_id, j, term, dist, df, rank).
+    """
+    docs = _docs(spark, sf_dir)
+    post = _postings(docs)
+    dic = post.groupBy("term").agg(F.count("*").alias("df"))
+    qt = spark.createDataFrame(
+        [(qid, j, t) for qid, s in FTS_FUZZY_QUERIES for j, t in enumerate(s.split())],
+        "query_id INT, j INT, qterm STRING",
+    )
+    cand = _fuzzy_expand(dic, qt, k=max_edit)
+    scored = cand.join(F.broadcast(qt), ["query_id", "j"]).withColumn(
+        "dist", F.levenshtein("term", "qterm")
+    )
+    w = Window.partitionBy("query_id", "j").orderBy(
+        F.asc("dist"), F.desc("df"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "j",
+            "term",
+            F.col("dist").cast("int").alias("dist"),
+            F.col("df").cast("bigint").alias("df"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def spell_suggest_oracle_sql(k: int = 3, max_edit: int = 2) -> str:
+    qt_vals = ", ".join(
+        f"({qid}, {j}, '{t}')"
+        for qid, s in FTS_FUZZY_QUERIES
+        for j, t in enumerate(s.split())
+    )
+    return f"""
+WITH {_TOKS_CTE},
+dic AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+qt(query_id, j, qterm) AS (VALUES {qt_vals}),
+cand AS (
+    SELECT qt.query_id, qt.j, dic.term,
+           levenshtein(dic.term, qt.qterm) AS dist, dic.df
+    FROM dic JOIN qt ON levenshtein(dic.term, qt.qterm) <= {max_edit}
+),
+ranked AS (
+    SELECT query_id, j, term, dist, df,
+           row_number() OVER (
+               PARTITION BY query_id, j ORDER BY dist ASC, df DESC, term ASC
+           ) AS rank
+    FROM cand
+)
+SELECT query_id, j, term, CAST(dist AS INTEGER) AS dist,
+       CAST(df AS BIGINT) AS df, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {k}
+"""

@@ -929,3 +929,69 @@ def test_weighted_same_match_set_different_order(spark, sf_dir):
         (r["query_id"], r["rank"]): r["doc_id"] for r in boosted if r["rank"] <= 10
     }
     assert top_plain != top_boost
+
+
+def test_fuzzy_expand_equals_bruteforce_k2(spark, sf_dir):
+    """The PassJoin expansion stays exact at radius 2 (the
+    spell_suggest configuration: 3 segments per dictionary term)."""
+    docs = S._docs(spark, sf_dir)
+    post = S._postings(docs)
+    dic = post.groupBy("term").agg(F.count("*").alias("df"))
+    qt = spark.createDataFrame(
+        [
+            (qid, j, t)
+            for qid, s in S.FTS_FUZZY_QUERIES
+            for j, t in enumerate(s.split())
+        ],
+        "query_id INT, j INT, qterm STRING",
+    )
+    fast = sorted(map(tuple, S._fuzzy_expand(dic, qt, k=2).collect()))
+    brute = sorted(
+        map(
+            tuple,
+            dic.join(
+                F.broadcast(qt), F.levenshtein(F.col("term"), F.col("qterm")) <= 2
+            )
+            .select("query_id", "j", "term", "df")
+            .distinct()
+            .collect(),
+        )
+    )
+    assert fast == brute and fast
+
+
+def test_spell_suggest_contract(spark, sf_dir):
+    """Suggestions: closest-first ranking, exact dictionary hits
+    suggest themselves at rank 1 / dist 0, every suggestion is within
+    the edit radius of its query term."""
+    rows = S.spell_suggest(spark, sf_dir).collect()
+    assert rows
+    qterms = {
+        (qid, j): t
+        for qid, s in S.FTS_FUZZY_QUERIES
+        for j, t in enumerate(s.split())
+    }
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for jj, cb in enumerate(b, 1):
+                prev, dp[jj] = dp[jj], min(
+                    dp[jj] + 1, dp[jj - 1] + 1, prev + (ca != cb)
+                )
+        return dp[-1]
+
+    by_qj = {}
+    for r in rows:
+        by_qj.setdefault((r["query_id"], r["j"]), []).append(r)
+        assert r["dist"] == lev(r["term"], qterms[(r["query_id"], r["j"])])
+        assert r["dist"] <= 2
+    # 'customer' (a valid dictionary word in query 2) self-suggests
+    for (qid, j), rs in by_qj.items():
+        rs.sort(key=lambda r: r["rank"])
+        dists = [r["dist"] for r in rs]
+        assert dists == sorted(dists)  # closest first
+        if qterms[(qid, j)] == "customer":
+            assert rs[0]["term"] == "customer" and rs[0]["dist"] == 0
