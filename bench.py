@@ -143,6 +143,14 @@ HEADLINE = [
     # query batch is a literal relation resolved at construction, so
     # collect() times exactly the per-request serving plan)
     "hybrid_topk_indexed",
+    # r12 search-feature widening (all hash-oracled; their oracles do
+    # genuinely comparable relational work, so they also join the
+    # interleaved search-comparable set)
+    "phrase_near_topk",          # sloppy-pair proximity search
+    "more_like_this",            # doc-as-query MLT retrieval
+    "faceted_search",            # facet counts over the full match set
+    "fts_weighted_topk",         # title-boost field-weighted ranking
+    "spell_suggest",             # did-you-mean over PassJoin candidates
     # NOT benched here: item_pagerank / kmeans_lloyd / cluster_canonical
     # eagerly materialize (localCheckpoint / iterate) at
     # DataFrame-construction time, so timing their collect() would
@@ -342,6 +350,9 @@ def main() -> None:
         "fts_topk", "phrase_search", "term_associations",
         "term_stats_maintain", "edit_dup_pairs", "search_snippets",
         "fts_topk_any", "fts_prefix_topk", "hybrid_topk", "fts_fuzzy_topk",
+        # r12 features (oracles are comparable relational work)
+        "phrase_near_topk", "more_like_this", "faceted_search",
+        "fts_weighted_topk", "spell_suggest",
     ]
     con = None
     osql: dict[str, str] = {}
