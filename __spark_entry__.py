@@ -36,6 +36,7 @@ from flink_project_userbehavioranalysis_spark.operators import relational as _re
 from flink_project_userbehavioranalysis_spark.operators import search as _srch
 from flink_project_userbehavioranalysis_spark.operators import similarity as _sim
 from flink_project_userbehavioranalysis_spark.operators import skew as _skew
+from flink_project_userbehavioranalysis_spark.operators import timeseries as _ts
 from flink_project_userbehavioranalysis_spark.operators import tpch as _tp
 from flink_project_userbehavioranalysis_spark.streaming import joins as _stj
 from flink_project_userbehavioranalysis_spark.streaming import processors as _stp
@@ -124,7 +125,6 @@ _TIER1 = [
     # r11 heads fts_prefix_topk / fts_topk_maintained (driver-green
     # in CORRECTNESS_r11)
     "phrase_near_topk",
-    "more_like_this",
     "user_tier_scd2",
     # per-pillar regression keepers (driver-green in earlier rounds;
     # one per operator module — the invariant test pins coverage)
@@ -183,9 +183,23 @@ _TIER1 = [
     # streaming ⇒ budgeted window; displaced fts_topk_any — oracled
     # batch — to the tier-2 head)
     "fts_topk_stream_maintained",
+    # r12-new: streaming OHLC bar maintenance (hash-oracled streaming
+    # ⇒ budgeted window; its batch twin shares the SAME oracle, so
+    # this row proves both the incremental fold and the bar math —
+    # displaced more_like_this, an oracled batch search feature, to
+    # the tier-2 head)
+    "ts_ohlc_stream",
 ]
 # --- tier 2: remaining hash-oracled batch ---------------------------
 _TIER2 = [
+    # r12-new time-series gap analytics past the tier-1 budget
+    # (judge-verified via check_all; the OHLC oracle is already
+    # driver-proven through ts_ohlc_stream in tier 1)
+    "ts_ohlc_hourly",
+    "ts_gapfill_locf",
+    "ts_gapfill_interp",
+    "fts_topk_compacted",
+    "more_like_this",
     # r12-new hash-oracled search features past the tier-1 budget
     # (judge-verified via check_all at both SFs; rotate into the
     # driver window next round)
@@ -538,6 +552,14 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         # (the ingest_two_batch_indexed contract on the search pillar)
         "fts_topk_maintained": (
             _srch.fts_topk_maintained,
+            _srch.fts_topk_oracle_sql(),
+        ),
+        # r12: segment-merge compaction — the third lifecycle verb
+        # (build → overlay-commit → compact); probe over the compacted
+        # tree registers under the SAME full-rebuild oracle, so the
+        # hash proves compacted ≡ maintained ≡ rebuilt
+        "fts_topk_compacted": (
+            _srch.fts_topk_compacted,
             _srch.fts_topk_oracle_sql(),
         ),
         # disjunctive (match-ANY) retrieval (r11): the conjunctive
@@ -1452,6 +1474,24 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         # pinned in pytest: emitted set ≡ the batch overlay commit
         # bit-for-bit ≡ rebuilt-encode
         "ann_encode_stream": (_stw.ann_encode_stream, None),
+        # r12: time-series gap analytics — hourly OHLC bars (ordered
+        # open/close via lexicographic struct extrema: ONE partial-agg
+        # shuffle, no per-bucket sort), dense-grid LOCF fill, and
+        # exact-integer linear interpolation at grid points (floor
+        # split q·1000 + (r·1000) div den — overflow-free BIGINTs).
+        # Grid size is bounded by the TIME RANGE (types × hours),
+        # independent of raw row count — the 100 TB story
+        "ts_ohlc_hourly": (_ts.ts_ohlc_hourly, _ts.ts_ohlc_oracle_sql()),
+        "ts_gapfill_locf": (_ts.ts_gapfill_locf, _ts.ts_gapfill_locf_oracle_sql()),
+        "ts_gapfill_interp": (
+            _ts.ts_gapfill_interp,
+            _ts.ts_gapfill_interp_oracle_sql(),
+        ),
+        # r12: streaming OHLC bar maintenance — struct extrema are
+        # declarative aggs, so bars fold incrementally in watermarked
+        # update-mode state (one struct pair + 4 scalars per live bar);
+        # finite replay hash-oracles against the BATCH oracle
+        "ts_ohlc_stream": (_stw.ts_ohlc_stream, _ts.ts_ohlc_oracle_sql()),
     }
 
 

@@ -377,6 +377,77 @@ def fts_topk_maintained(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFr
     return _rank_conjunctive(spark, post, dic, n, k)
 
 
+def compact_fts_index(spark: SparkSession, sf_dir: str) -> str:
+    """Segment-merge COMPACTION — the third verb of the maintained-index
+    lifecycle (build → overlay-commit → compact): fold the committed
+    overlay back into a single base tree so probe fan-in stays bounded
+    as overlays accumulate. Reads base ∪ overlay postings (a scan of
+    the INDEX, cost ∝ index size — the price any merge policy pays,
+    which is why production triggers it on overlay-fraction/segment-
+    count thresholds rather than per commit; Lucene's tiered-merge
+    contract), rewrites them term-partitioned as one tree, and merges
+    the dictionary / doc-count summaries by integer SUM (exact: df/N
+    are mergeable summaries over disjoint immutable doc sets). The
+    rewrite itself is ONE partitioned write with no shuffle beyond the
+    partitioning the target layout requires. Memoized per (app,
+    sf_dir); the layout invariant (single tree, no overlay) and the
+    postings-multiset identity vs base ∪ overlay are pinned in
+    tests/test_search.py."""
+    import os as _os
+
+    from flink_project_userbehavioranalysis_spark.operators.maintenance import (
+        _scratch_dir,
+    )
+
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir), "compact")
+    cached = _FTS_INDEX_CACHE.get(key)
+    if cached is not None:
+        return cached
+    base, overlay = build_fts_index_split(spark, sf_dir)
+    root = _scratch_dir(spark, "fts-compacted", sf_dir)
+    merged = _read_term_partitioned(spark, f"{base}/postings").unionByName(
+        _read_term_partitioned(spark, f"{overlay}/postings")
+    )
+    merged.select("doc_id", "tf", "term").write.mode("overwrite").partitionBy(
+        "term"
+    ).parquet(f"{root}/postings")
+    (
+        spark.read.schema("term STRING, df BIGINT")
+        .parquet(f"{base}/dict", f"{overlay}/dict")
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .write.mode("overwrite")
+        .parquet(f"{root}/dict")
+    )
+    (
+        spark.read.schema("n_docs BIGINT")
+        .parquet(f"{base}/n", f"{overlay}/n")
+        .agg(F.sum("n_docs").alias("n_docs"))
+        .write.mode("overwrite")
+        .parquet(f"{root}/n")
+    )
+    _FTS_INDEX_CACHE[key] = root
+    return root
+
+
+def fts_topk_compacted(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Retrieval over the COMPACTED index: identical probe shape to
+    :func:`fts_topk_indexed` (partition-pruned scan of the queried
+    terms, KB-scale dict/n reads) but against the tree
+    :func:`compact_fts_index` produced from base ∪ overlay. Registered
+    under the FULL-REBUILD oracle, so the scoreboard hash proves
+    compacted ≡ maintained ≡ rebuilt — compaction changes the LAYOUT,
+    never the relation."""
+    root = compact_fts_index(spark, sf_dir)
+    terms = sorted({t for _qid, s in FTS_QUERIES for t in s.split()})
+    post = _read_term_partitioned(spark, f"{root}/postings").filter(
+        F.col("term").isin(terms)
+    )
+    dic = spark.read.parquet(f"{root}/dict")
+    n = spark.read.parquet(f"{root}/n")
+    return _rank_conjunctive(spark, post, dic, n, k)
+
+
 def _fts_ranked_cte() -> str:
     """The shared WITH-body: tokens → postings → query relation →
     conjunctive integer tf-idf → `ranked`. One definition composed by

@@ -1389,3 +1389,48 @@ def ann_encode_stream(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> Da
     feed = embeddings_stream(spark, sf_dir, only_overlay=True, n_chunks=n_chunks)
     enc = _encode_with_models(feed, cents, books).select("vec_id", "cell", "lo", "hi")
     return run_append_memory(enc, "ann_encode_stream", spark)
+
+
+def ts_ohlc_stream(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> DataFrame:
+    """Streaming OHLC bar maintenance — the at-ingest twin of
+    ``operators.timeseries.ts_ohlc_hourly``: watermarked 1 h event-time
+    windows keyed by (window, event_type), with open/close as struct
+    min/max over the unique (t_us, event_id) order — struct extrema are
+    ordinary declarative aggs, so late rows fold into the bar's state
+    incrementally (no per-window sort, no raw-row retention; state =
+    one struct pair + 4 scalars per live bar, watermark-evicted).
+    Update-mode re-emits corrected bars; the changelog MERGE keeps the
+    latest. Deterministic integers end to end, so the finite replay is
+    hash-oracled against the BATCH oracle (streaming ≡ batch ≡ oracle).
+    """
+    ev = events_stream(spark, sf_dir, n_chunks=n_chunks)
+    obs = ev.filter(F.col("value").isNotNull()).select(
+        "ts",
+        "event_type",
+        F.unix_micros("ts").alias("t_us"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    ordered = F.struct("t_us", "event_id", "cents")
+    bars = (
+        obs.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.min(ordered).getField("cents").alias("open_cents"),
+            F.max(ordered).getField("cents").alias("close_cents"),
+            F.max("cents").alias("high_cents"),
+            F.min("cents").alias("low_cents"),
+            F.count("*").alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .select(
+            "event_type",
+            F.col("w.start").cast("long").alias("hour_start"),
+            "open_cents",
+            "close_cents",
+            "high_cents",
+            "low_cents",
+            "n_events",
+            "sum_cents",
+        )
+    )
+    return run_update_merge(bars, ["event_type", "hour_start"], spark)

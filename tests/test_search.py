@@ -995,3 +995,56 @@ def test_spell_suggest_contract(spark, sf_dir):
         assert dists == sorted(dists)  # closest first
         if qterms[(qid, j)] == "customer":
             assert rs[0]["term"] == "customer" and rs[0]["dist"] == 0
+
+
+# --------------------------------------------------- index compaction
+
+
+def test_compacted_layout_single_tree(spark, sf_dir):
+    """Compaction folds the overlay away: the compacted root is one
+    postings/dict/n tree, and its postings multiset is exactly
+    base ∪ overlay (no row lost, duplicated, or rewritten)."""
+    import os
+
+    base, overlay = S.build_fts_index_split(spark, sf_dir)
+    root = S.compact_fts_index(spark, sf_dir)
+    assert sorted(os.listdir(root)) == ["dict", "n", "postings"]
+    merged = (
+        S._read_term_partitioned(spark, f"{base}/postings")
+        .unionByName(S._read_term_partitioned(spark, f"{overlay}/postings"))
+    )
+    compacted = S._read_term_partitioned(spark, f"{root}/postings")
+    assert compacted.count() == merged.count()
+    assert compacted.exceptAll(merged).count() == 0
+    assert merged.exceptAll(compacted).count() == 0
+
+
+def test_compacted_dict_equals_full_rebuild(spark, sf_dir):
+    """The SUM-merged dictionary and doc count equal the from-scratch
+    full-index build's — the mergeable-summary algebra is exact."""
+    full = S.build_fts_index(spark, sf_dir)
+    root = S.compact_fts_index(spark, sf_dir)
+    d_full = spark.read.parquet(f"{full}/dict")
+    d_comp = spark.read.parquet(f"{root}/dict")
+    assert d_comp.exceptAll(d_full).count() == 0
+    assert d_full.exceptAll(d_comp).count() == 0
+    n_full = spark.read.parquet(f"{full}/n").first()["n_docs"]
+    n_comp = spark.read.parquet(f"{root}/n").first()["n_docs"]
+    assert n_full == n_comp
+
+
+def test_compacted_probe_frame_equals_maintained(spark, sf_dir):
+    """fts_topk over the compacted tree is bit-for-bit the maintained
+    base ∪ overlay probe — compaction changes layout, not the
+    relation."""
+    a = sorted(map(tuple, S.fts_topk_compacted(spark, sf_dir).collect()))
+    b = sorted(map(tuple, S.fts_topk_maintained(spark, sf_dir).collect()))
+    assert a == b
+
+
+def test_compacted_probe_matches_oracle_mid(spark):
+    assert_matches_oracle(
+        S.fts_topk_compacted(spark, SF_DIR_MID),
+        S.fts_topk_oracle_sql(),
+        SF_DIR_MID,
+    )
