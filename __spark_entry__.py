@@ -392,6 +392,12 @@ _TIER3 = [
     # same engine-specific-cells reason as their ivf siblings
     "ivf_probe_topk_maintained",
     "ann_overlay_drift",
+    # r12b: the lifecycle's last two verbs — segment-merge compaction
+    # (probe over the compacted tree; layout op, relation unchanged)
+    # and the retrain EXECUTION (stale frozen-models vs retrained
+    # full-corpus models, audited against exact brute force)
+    "ivf_probe_topk_compacted",
+    "ann_retrain_roundtrip",
     "hybrid_topk_indexed",
     "cosine_dup_pairs_lsh",
     "semantic_dedup",
@@ -792,6 +798,12 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         # rides engine-specific cells. Flag-responds-to-metric
         # asserted in tests
         "ann_overlay_drift": (_sim.ann_overlay_drift, None),
+        # r12b: segment-merge compaction of the maintained ANN index
+        # (frozen models copied through; probe ≡ maintained pinned in
+        # pytest) + the retrain execution the drift gate triggers
+        # (stale vs retrained recall vs exact, integer hit counts)
+        "ivf_probe_topk_compacted": (_sim.ivf_probe_topk_compacted, None),
+        "ann_retrain_roundtrip": (_sim.ann_retrain_roundtrip, None),
         # §2.10 embedding-cosine near-dup pairs
         "cosine_dup_pairs": (_sim.cosine_dup_pairs, _sim.cosine_dup_pairs_oracle_sql()),
         # §2.10 cosine near-dup at unbounded scale (sign-LSH candidates +

@@ -989,6 +989,179 @@ def ann_overlay_drift(
     )
 
 
+def compact_ann_index(spark: SparkSession, sf_dir: str, n_cells: int = 32) -> str:
+    """Segment-merge COMPACTION of the maintained ANN index — the same
+    lifecycle verb as ``search.compact_fts_index``: fold the committed
+    overlay's inverted lists back into one cell-partitioned tree so
+    probe fan-in stays bounded as overlays accumulate. Models are
+    FROZEN and copied through unchanged — compaction is a layout
+    operation; re-training is a separate decision owned by
+    :func:`ann_overlay_drift`. Cost ∝ index size (the lists are 16-byte
+    codes + the raw vector, never the corpus re-encoded), triggered on
+    segment-count/overlay-fraction thresholds in production. Because
+    per-row encodings are deterministic given frozen models, the
+    compacted tree's row set is bit-for-bit base ∪ overlay
+    (test-pinned)."""
+    import os as _os
+
+    from flink_project_userbehavioranalysis_spark.operators.maintenance import (
+        _scratch_dir,
+    )
+
+    key = (
+        spark.sparkContext.applicationId,
+        _os.path.abspath(sf_dir),
+        n_cells,
+        "compact",
+    )
+    cached = _ANN_INDEX_CACHE.get(key)
+    if cached is not None:
+        return cached
+    base, overlay = build_ann_index_split(spark, sf_dir, n_cells=n_cells)
+    root = _scratch_dir(spark, "ann-compacted", sf_dir)
+    _read_enc(spark, f"{base}/enc", f"{overlay}/enc").write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(f"{root}/enc")
+    for tbl in ("centroids", "codebooks"):
+        spark.read.parquet(f"{base}/{tbl}").write.mode("overwrite").parquet(
+            f"{root}/{tbl}"
+        )
+    _ANN_INDEX_CACHE[key] = root
+    return root
+
+
+def ivf_probe_topk_compacted(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 100,
+    k: int = 5,
+    n_cells: int = 32,
+    n_probe: int = 16,
+) -> DataFrame:
+    """:func:`ivf_probe_topk` over the COMPACTED tree: after
+    :func:`compact_ann_index` the layout equals a nightly build's
+    (enc + model tables under one root), so the single-root production
+    probe applies verbatim — partition-pruned static-IN-list list scan,
+    broadcast query batch, one bounded shuffle. Registered rows-only
+    (k-means cells are engine-specific); the strong check is pinned in
+    pytest: frame-equality vs the maintained base ∪ overlay probe —
+    compaction changes layout, never the relation."""
+    return _ivf_probe_roots(
+        spark, sf_dir, compact_ann_index(spark, sf_dir, n_cells), n_queries, k, n_probe
+    )
+
+
+def _ivf_probe_roots(
+    spark: SparkSession,
+    sf_dir: str,
+    root: str,
+    n_queries: int,
+    k: int,
+    n_probe: int,
+    enc_roots: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Shared single-model probe body: models from ``root``, inverted
+    lists from ``enc_roots`` (default: ``root``'s own tree). Same
+    contract as :func:`ivf_probe_topk` (driver-side probed cells from
+    the KB-scale request batch → planning-time partition pruning;
+    float64 cosine, round 9 dp, neighbor-id tie-break)."""
+    import numpy as np
+
+    cents, _books = _load_ann_model(spark, root)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qrows = sorted(
+        emb.filter(F.col("vec_id") < n_queries).collect(), key=lambda r: r[0]
+    )
+    if not qrows or not len(cents):
+        return spark.createDataFrame(
+            [], "query_id BIGINT, neighbor_id BIGINT, rn BIGINT"
+        )
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    cells = np.argsort(-(qn @ cents.T), axis=1)[:, :n_probe].astype(np.int64)
+    probed = sorted({int(c) for row in cells for c in row})
+    q = spark.createDataFrame(
+        [
+            (int(r[0]), int(c), [float(x) for x in r[1]])
+            for r, row in zip(qrows, cells)
+            for c in row
+        ],
+        "query_id BIGINT, cell BIGINT, qv ARRAY<FLOAT>",
+    )
+    lists = (
+        _read_enc(spark, *(enc_roots or (f"{root}/enc",)))
+        .filter(F.col("cell").isin(probed))  # static ⇒ partition-pruned
+        .select(F.col("vec_id").alias("neighbor_id"), "cell", "embedding")
+    )
+    vd = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(vd(c), F.lit(0.0), lambda a, x: a + x * x)
+    )
+    dot = F.aggregate(
+        F.zip_with(vd("qv"), vd("embedding"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    scored = (
+        lists.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score", F.round(dot / (nrm("qv") * nrm("embedding")), 9))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+def ann_retrain_roundtrip(
+    spark: SparkSession, sf_dir: str, n_queries: int = 100, k: int = 5
+) -> DataFrame:
+    """Execute the re-train decision :func:`ann_overlay_drift` gates —
+    the last verb of the maintained-ANN lifecycle (build →
+    overlay-commit → drift-gate → RETRAIN): run the nightly build
+    again with the quantizer trained on the FULL current corpus
+    (base ∪ overlay — exactly :func:`build_ann_index`), probe both the
+    stale frozen-base-models index and the retrained one with the same
+    bounded request batch, and emit the audited comparison against the
+    EXACT brute-force neighbors:
+
+        (variant, hits, n_exact)  — one row per index generation.
+
+    hits = |probe top-k ∩ exact top-k| summed over the batch — exact
+    integers, so recall = hits/n_exact is computed by the consumer
+    without float plumbing. Rows-only (k-means cells are
+    engine-specific); pytest gates BOTH variants ≥ the 0.8 recall bar
+    and documents the expected flat delta on this corpus (the overlay
+    is distribution-identical, so retraining must not LOSE recall;
+    under real drift the stale row is the one that sags — the gate
+    that fires is ann_overlay_drift's, this operator is the repair).
+
+    Cost shape: the retrain is the scheduled nightly build (corpus-
+    scale encode, amortized); both probes and the exact check are
+    ∝ batch."""
+    exact = (
+        knn_topk(spark, sf_dir, k=k)
+        .filter(F.col("query_id") < n_queries)
+        .select("query_id", "neighbor_id")
+    )
+    stale = ivf_probe_topk_maintained(spark, sf_dir, n_queries=n_queries, k=k)
+    fresh = ivf_probe_topk(spark, sf_dir, n_queries=n_queries, k=k)
+    n_exact = exact.count()
+
+    def hits(probe: DataFrame) -> int:
+        return probe.join(exact, ["query_id", "neighbor_id"]).count()
+
+    rows = [
+        ("frozen_base_models", hits(stale), n_exact),
+        ("retrained_full_models", hits(fresh), n_exact),
+    ]
+    return spark.createDataFrame(
+        rows, "variant STRING, hits BIGINT, n_exact BIGINT"
+    )
+
+
 def _load_ann_model(spark: SparkSession, root: str):
     """Reload the trained model from the persisted index: bounded
     driver collects (n_cells + m_sub·n_codes rows — KBs regardless of

@@ -548,3 +548,46 @@ def test_ann_encode_stream_equals_batch_overlay(spark, sf_dir):
         )
     )
     assert streamed == batch and streamed
+
+
+# ---------------------------------------- ANN compaction + retrain
+
+
+def test_ann_compacted_layout_and_row_identity(spark, sf_dir):
+    """Compaction folds the overlay away: one enc tree + the frozen
+    model tables, and the enc row set is bit-for-bit base ∪ overlay
+    (deterministic encodes under frozen models)."""
+    import os
+
+    base, overlay = S.build_ann_index_split(spark, sf_dir)
+    root = S.compact_ann_index(spark, sf_dir)
+    assert sorted(os.listdir(root)) == ["centroids", "codebooks", "enc"]
+    merged = S._read_enc(spark, f"{base}/enc", f"{overlay}/enc")
+    compacted = S._read_enc(spark, f"{root}/enc")
+    assert compacted.count() == merged.count()
+    assert compacted.exceptAll(merged).count() == 0
+    assert merged.exceptAll(compacted).count() == 0
+
+
+def test_ann_compacted_probe_equals_maintained(spark, sf_dir):
+    """The compacted-tree probe is frame-equal to the maintained
+    base ∪ overlay probe — compaction is layout, not semantics."""
+    a = sorted(map(tuple, S.ivf_probe_topk_compacted(spark, sf_dir).collect()))
+    b = sorted(map(tuple, S.ivf_probe_topk_maintained(spark, sf_dir).collect()))
+    assert a and a == b
+
+
+def test_ann_retrain_roundtrip_recall_gates(spark, sf_dir):
+    """Both index generations clear the 0.8 recall bar against exact
+    brute force, and retraining on the full corpus does not LOSE
+    recall beyond noise (the overlay is distribution-identical here,
+    so stale ≈ retrained is the expected flat outcome; under real
+    drift the stale row sags and ann_overlay_drift fires first)."""
+    rows = {r["variant"]: r for r in S.ann_retrain_roundtrip(spark, sf_dir).collect()}
+    assert set(rows) == {"frozen_base_models", "retrained_full_models"}
+    n = rows["frozen_base_models"]["n_exact"]
+    assert n > 0 and rows["retrained_full_models"]["n_exact"] == n
+    stale = rows["frozen_base_models"]["hits"] / n
+    fresh = rows["retrained_full_models"]["hits"] / n
+    assert stale >= 0.8 and fresh >= 0.8
+    assert fresh >= stale - 0.05
