@@ -199,6 +199,7 @@ _TIER2 = [
     "ts_gapfill_locf",
     "ts_gapfill_interp",
     "fts_topk_compacted",
+    "keyphrase_textrank",
     "more_like_this",
     # r12-new hash-oracled search features past the tier-1 budget
     # (judge-verified via check_all at both SFs; rotate into the
@@ -1148,6 +1149,14 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         # + one partial-agg shuffle per round; recurrence unrolled in
         # SQL as the oracle)
         "item_pagerank": (_gr.item_pagerank, _gr.item_pagerank_oracle_sql()),
+        # r12: TextRank keyphrase extraction — the item_pagerank
+        # exact-integer recurrence keyed by (lang, term) over the
+        # adjacent-token co-occurrence graph; corpus touched once,
+        # iterations run on vocabulary-sized frames; fully hash-oracled
+        "keyphrase_textrank": (
+            _gr.keyphrase_textrank,
+            _gr.keyphrase_textrank_oracle_sql(),
+        ),
         # graph pillar: Markov next-item top-k with exact (w, wtot)
         # integer probabilities
         "item_next_topk": (_gr.item_next_topk, _gr.item_next_topk_oracle_sql()),

@@ -390,3 +390,205 @@ WITH purch AS (
 SELECT item_id, CAST(count(*) AS BIGINT) AS n_triangles
 FROM corners GROUP BY 1
 """
+
+
+# ------------------------------------------------ TextRank keyphrases
+
+#: Content-token gate for the co-occurrence graph (TextRank's POS
+#: filter stand-in — deterministic and engine-portable).
+_KP_MIN_LEN = 3
+_KP_ITERS = 3
+_KP_TOPK = 10
+
+
+def _kp_edges(docs: DataFrame) -> DataFrame:
+    """Per-language undirected co-occurrence graph of adjacent content
+    tokens (window = 2, the TextRank default): positional explode,
+    self-join at pos+1 replaced by a lead() window (one shuffle on
+    doc_id, no join), both endpoints gated by `_KP_MIN_LEN`, loops
+    dropped, then aggregated to weighted edges and SYMMETRIZED (each
+    pair emitted both directions — an undirected random walk). Edge
+    cardinality is distinct-observed-bigrams per language — vocabulary-
+    bounded, corpus-independent once saturated."""
+    toks = docs.select(
+        "lang",
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "term"),
+    ).filter(F.col("term") != "")
+    nxt = F.lead("term").over(
+        Window.partitionBy("lang", "doc_id").orderBy("pos")
+    )
+    pairs = (
+        toks.withColumn("nxt", nxt)
+        .filter(
+            (F.length("term") >= _KP_MIN_LEN)
+            & (F.length("nxt") >= _KP_MIN_LEN)
+            & (F.col("term") != F.col("nxt"))
+        )
+        .select("lang", F.col("term").alias("a"), F.col("nxt").alias("b"))
+    )
+    und = pairs.unionByName(
+        pairs.select("lang", F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    e = und.groupBy("lang", "a", "b").agg(F.count("*").alias("w"))
+    wtot = Window.partitionBy("lang", "a")
+    return e.withColumn("wtot", F.sum("w").over(wtot)).select(
+        "lang", F.col("a").alias("src"), F.col("b").alias("dst"), "w", "wtot"
+    )
+
+
+def keyphrase_textrank(
+    spark: SparkSession,
+    sf_dir: str,
+    iters: int = _KP_ITERS,
+    k: int = _KP_TOPK,
+    materialize: bool = True,
+) -> DataFrame:
+    """TextRank keyphrase extraction (Mihalcea & Tarau 2004, from the
+    published description): damped weighted PageRank over the per-
+    language adjacent-token co-occurrence graph, ``iters`` exact-
+    integer rounds on the 1/SCALE lattice (the `item_pagerank`
+    arithmetic keyed by (lang, term)), then the top-``k`` terms per
+    language. Every number BIGINT, so the full ranking hash-oracles.
+
+    Output: (lang, term, rank_q, rnk).
+
+    100 TB posture: the graph build is one positional explode + lead
+    window (shuffle on doc_id — corpus-scale but map-reducible) folded
+    to a VOCABULARY-bounded edge relation; the power iteration then
+    runs entirely on vocabulary-sized frames (ranks broadcast into the
+    edge join per round), and the final top-k is a window over vocab
+    rows. The corpus is touched exactly once regardless of iters."""
+    from flink_project_userbehavioranalysis_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    edges = _kp_edges(docs)
+    nodes = edges.select("lang", F.col("src").alias("term")).distinct()
+    if materialize:
+        # persist only when this call also owns the release (below) —
+        # the lazy plan-inspection form must not pin caches the caller
+        # has no handle to unpersist (item_pagerank discipline)
+        edges = edges.persist()
+        nodes = nodes.persist()
+
+    ranks = nodes.select("lang", "term", F.lit(SCALE).cast("long").alias("r"))
+    for _ in range(int(iters)):
+        rk = F.broadcast(
+            ranks.select(
+                F.col("lang").alias("rlang"),
+                F.col("term").alias("rterm"),
+                "r",
+            )
+        )
+        contribs = (
+            edges.join(
+                rk, (F.col("lang") == F.col("rlang")) & (F.col("src") == F.col("rterm"))
+            )
+            .select(
+                "lang",
+                "dst",
+                F.expr("(cast(r as decimal(38,0)) * w) div wtot").alias("c"),
+            )
+            .groupBy("lang", "dst")
+            .agg(F.sum("c").alias("s"))
+            .select(F.col("lang").alias("clang"), "dst", "s")
+        )
+        ranks = (
+            nodes.join(
+                contribs,
+                (F.col("lang") == F.col("clang")) & (F.col("term") == F.col("dst")),
+                "left",
+            )
+            .select(
+                "lang",
+                "term",
+                (
+                    F.lit(15 * SCALE // 100).cast("long")
+                    + F.expr("(85 * cast(coalesce(s, 0L) as decimal(38,0))) div 100")
+                ).alias("r"),
+            )
+        )
+    by_lang = Window.partitionBy("lang").orderBy(F.desc("r"), F.asc("term"))
+    out = (
+        ranks.withColumn("rnk", F.row_number().over(by_lang))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "lang",
+            "term",
+            F.col("r").alias("rank_q"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+    if not materialize:
+        return out
+    # materialize the bounded result (k rows per lang) so the cached
+    # edge/node relations can be released instead of leaking into the
+    # shared session; localCheckpoint also cuts the iters-deep lineage
+    out = out.localCheckpoint(eager=True)
+    edges.unpersist()
+    nodes.unpersist()
+    return out
+
+
+def keyphrase_textrank_oracle_sql(iters: int = _KP_ITERS, k: int = _KP_TOPK) -> str:
+    """The identical recurrence unrolled in DuckDB, keyed by (lang,
+    term): same token gate, same symmetrized edges, same lattice and
+    truncations (`//` ≡ `div` on nonnegative operands)."""
+    parts = [
+        f"""toks AS (
+    SELECT lang, doc_id, pos, term FROM (
+        SELECT lang, doc_id,
+               generate_subscripts(string_split(text, ' '), 1) AS pos,
+               unnest(string_split(text, ' ')) AS term
+        FROM documents WHERE text IS NOT NULL
+    ) WHERE term <> ''
+), pairs AS (
+    SELECT lang, term AS a,
+           lead(term) OVER (PARTITION BY lang, doc_id ORDER BY pos) AS b
+    FROM toks
+), gated AS (
+    SELECT lang, a, b FROM pairs
+    WHERE b IS NOT NULL AND length(a) >= {_KP_MIN_LEN}
+      AND length(b) >= {_KP_MIN_LEN} AND a <> b
+), und AS (
+    SELECT lang, a, b FROM gated
+    UNION ALL
+    SELECT lang, b AS a, a AS b FROM gated
+), e AS (
+    SELECT lang, a AS src, b AS dst, count(*) AS w
+    FROM und GROUP BY 1, 2, 3
+), ew AS (
+    SELECT lang, src, dst, w,
+           sum(w) OVER (PARTITION BY lang, src) AS wtot
+    FROM e
+), nodes AS (
+    SELECT DISTINCT lang, src AS term FROM e
+), r0 AS (
+    SELECT lang, term, CAST({SCALE} AS BIGINT) AS r FROM nodes
+)"""
+    ]
+    for i in range(1, int(iters) + 1):
+        parts.append(
+            f"""c{i} AS (
+    SELECT ew.lang, ew.dst,
+           CAST(sum((CAST(r.r AS HUGEINT) * ew.w) // ew.wtot) AS BIGINT) AS s
+    FROM ew JOIN r{i - 1} r ON r.lang = ew.lang AND r.term = ew.src
+    GROUP BY 1, 2
+), r{i} AS (
+    SELECT n.lang, n.term,
+           CAST({15 * SCALE // 100}
+                + (85 * CAST(COALESCE(c.s, 0) AS HUGEINT)) // 100 AS BIGINT) AS r
+    FROM nodes n LEFT JOIN c{i} c ON c.lang = n.lang AND c.dst = n.term
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT lang, term, r AS rank_q, CAST(rnk AS BIGINT) AS rnk FROM (
+    SELECT lang, term, r,
+           row_number() OVER (PARTITION BY lang ORDER BY r DESC, term) AS rnk
+    FROM r{int(iters)}
+) WHERE rnk <= {k}
+"""
+    )

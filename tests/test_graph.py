@@ -115,3 +115,41 @@ def test_item_triangles_crafted(spark, tmp_path):
     shutil.copy(part, str(d / "events.parquet"))
     got = sorted(tuple(r) for r in G.item_triangles(spark, str(d), max_basket=5).collect())
     assert got == [(1, 2), (2, 2), (3, 1), (4, 1)]
+
+
+# ------------------------------------------------ TextRank keyphrases
+
+
+def test_keyphrase_textrank_matches_oracle(spark, sf_dir):
+    from tests.oracle import assert_matches_oracle
+
+    assert_matches_oracle(
+        G.keyphrase_textrank(spark, sf_dir),
+        G.keyphrase_textrank_oracle_sql(),
+        sf_dir,
+    )
+
+
+def test_keyphrase_textrank_contract(spark, sf_dir):
+    """Per-lang ranks contiguous from 1; every rank ≥ the damping
+    floor 0.15·SCALE; terms pass the content gate."""
+    rows = G.keyphrase_textrank(spark, sf_dir).collect()
+    assert rows
+    per = {}
+    for r in rows:
+        per.setdefault(r["lang"], []).append(r)
+        assert r["rank_q"] >= 15 * G.SCALE // 100
+        assert len(r["term"]) >= G._KP_MIN_LEN
+    for lang, rs in per.items():
+        assert sorted(x["rnk"] for x in rs) == list(range(1, len(rs) + 1))
+
+
+def test_keyphrase_textrank_plan_no_cartesian(spark, sf_dir):
+    plan = (
+        G.keyphrase_textrank(spark, sf_dir, materialize=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
