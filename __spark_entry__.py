@@ -198,6 +198,7 @@ _TIER2 = [
     "ts_ohlc_hourly",
     "ts_gapfill_locf",
     "ts_gapfill_interp",
+    "ts_seasonal_naive",
     "fts_topk_compacted",
     "keyphrase_textrank",
     "more_like_this",
@@ -1513,6 +1514,10 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         # update-mode state (one struct pair + 4 scalars per live bar);
         # finite replay hash-oracles against the BATCH oracle
         "ts_ohlc_stream": (_stw.ts_ohlc_stream, _ts.ts_ohlc_oracle_sql()),
+        # r12b: seasonal-naive forecast backtest — forecast = the
+        # LOCF-filled value one week earlier, scored with exact-integer
+        # absolute error; one lag-168h self-equi-join of the dense grid
+        "ts_seasonal_naive": (_ts.ts_seasonal_naive, _ts.ts_seasonal_naive_oracle_sql()),
     }
 
 

@@ -130,6 +130,7 @@ HEADLINE = [
     # pass — the ingest_accept_batch_indexed cost-split contract).
     "fts_topk_indexed",         # persisted term-partitioned index probe
     "fts_topk_maintained",      # base ∪ overlay probe, SUM-merged dict
+    "fts_topk_compacted",       # segment-merged single-tree probe (r12b)
     "fts_topk_any",             # disjunctive (match-any) retrieval
     "fts_prefix_topk",          # dictionary-expanded prefix retrieval
     "fts_fuzzy_topk",           # planning-time fuzzy expansion + fuzzy-AND
@@ -151,7 +152,14 @@ HEADLINE = [
     "faceted_search",            # facet counts over the full match set
     "fts_weighted_topk",         # title-boost field-weighted ranking
     "spell_suggest",             # did-you-mean over PassJoin candidates
-    # NOT benched here: item_pagerank / kmeans_lloyd / cluster_canonical
+    # r12b time-series tier (hash-oracled; oracles do comparable
+    # relational work, so they join the interleaved timeseries set)
+    "ts_ohlc_hourly",            # struct-extrema OHLC bars, one shuffle
+    "ts_gapfill_locf",           # dense grid + carried-forward fill
+    "ts_gapfill_interp",         # bracketing windows + exact rational fill
+    "ts_seasonal_naive",         # lag-168h grid self-join forecast backtest
+    # NOT benched here: item_pagerank / keyphrase_textrank /
+    # kmeans_lloyd / cluster_canonical
     # eagerly materialize (localCheckpoint / iterate) at
     # DataFrame-construction time, so timing their collect() would
     # measure a block-manager read, not the iteration;
@@ -353,6 +361,16 @@ def main() -> None:
         # r12 features (oracles are comparable relational work)
         "phrase_near_topk", "more_like_this", "faceted_search",
         "fts_weighted_topk", "spell_suggest",
+        # r12b: the compacted-tree probe vs the same full-rebuild oracle
+        "fts_topk_compacted",
+    ]
+    # r12b time-series rows: same interleaved same-moment discipline,
+    # recorded as their own pillar section
+    TS_COMPARABLE = [
+        "ts_ohlc_hourly",
+        "ts_gapfill_locf",
+        "ts_gapfill_interp",
+        "ts_seasonal_naive",
     ]
     con = None
     osql: dict[str, str] = {}
@@ -390,6 +408,7 @@ FROM events WHERE event_type = 'view' GROUP BY 1
     duck_min_ms: dict[str, float] = {}
     duck_df_ms: dict[str, float] = {}
     duck_search_ms: dict[str, float] = {}
+    duck_ts_ms: dict[str, float] = {}
     per_query_min: dict[str, float] = {}
 
     # HEADLINE rows first (r11 hygiene): the PIPELINES set runs ~90 s
@@ -421,6 +440,10 @@ FROM events WHERE event_type = 'view' GROUP BY 1
             )
         elif q and name in SEARCH_COMPARABLE:
             duck_search_ms[name] = round(
+                _median_time(lambda q=q: con.execute(q).fetchall()), 4
+            )
+        elif q and name in TS_COMPARABLE:
+            duck_ts_ms[name] = round(
                 _median_time(lambda q=q: con.execute(q).fetchall()), 4
             )
         # the Arrow client path (toPandas): same engine work, efficient
@@ -487,6 +510,16 @@ FROM events WHERE event_type = 'view' GROUP BY 1
             "ratio_collect_vs_fetchall": round(
                 sum(per_query[k] for k in comp_s)
                 / sum(duck_search_ms[k] for k in comp_s),
+                3,
+            ),
+        }
+    if duck_ts_ms:
+        comp_t = [k for k in duck_ts_ms if k in per_query]
+        detail["same_host_timeseries"] = {
+            "duckdb_fetchall": duck_ts_ms,
+            "ratio_collect_vs_fetchall": round(
+                sum(per_query[k] for k in comp_t)
+                / sum(duck_ts_ms[k] for k in comp_t),
                 3,
             ),
         }

@@ -302,3 +302,55 @@ SELECT event_type,
        CASE WHEN ok THEN den END AS span_us
 FROM calc
 """
+
+
+# ------------------------------------------- seasonal-naive backtest
+
+WEEK_S = 7 * 24 * 3600
+
+
+def ts_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest — the baseline every forecaster
+    must beat, run as a relational operator: forecast(type, hour) =
+    the LOCF-filled value at the same hour one week earlier, scored
+    against the actual hourly last value with exact-integer absolute
+    error. One self-equi-join of the dense LOCF grid at lag 168 h (a
+    narrow keyed join on grid-sized relations — no window over the
+    week, no per-row lag state). Rows: grid points with BOTH a lagged
+    value and an actual observation. Output: (event_type, hour_start,
+    actual_cents, forecast_cents, abs_err)."""
+    filled = ts_gapfill_locf(spark, sf_dir)
+    actual = filled.filter(F.col("obs") == 1).select(
+        "event_type", "hour_start", F.col("cents").alias("actual_cents")
+    )
+    lagged = filled.filter(F.col("cents").isNotNull()).select(
+        "event_type",
+        (F.col("hour_start") + F.lit(WEEK_S)).alias("hour_start"),
+        F.col("cents").alias("forecast_cents"),
+    )
+    return actual.join(lagged, ["event_type", "hour_start"]).select(
+        "event_type",
+        "hour_start",
+        "actual_cents",
+        "forecast_cents",
+        F.abs(F.col("actual_cents") - F.col("forecast_cents")).alias("abs_err"),
+    )
+
+
+def ts_seasonal_naive_oracle_sql() -> str:
+    locf = ts_gapfill_locf_oracle_sql()
+    return f"""
+WITH filled AS ({locf}),
+actual AS (
+    SELECT event_type, hour_start, cents AS actual_cents
+    FROM filled WHERE obs = 1
+),
+lagged AS (
+    SELECT event_type, hour_start + {WEEK_S} AS hour_start,
+           cents AS forecast_cents
+    FROM filled WHERE cents IS NOT NULL
+)
+SELECT event_type, hour_start, actual_cents, forecast_cents,
+       abs(actual_cents - forecast_cents) AS abs_err
+FROM actual JOIN lagged USING (event_type, hour_start)
+"""

@@ -134,3 +134,26 @@ def test_locf_grid_joins_are_bounded(spark, sf_dir):
     grid→hourly attach is a plain join — no corpus-scale cartesian."""
     plan = _plan(T.ts_gapfill_locf(spark, sf_dir))
     assert plan.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_seasonal_naive_matches_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        T.ts_seasonal_naive(spark, sf_dir), T.ts_seasonal_naive_oracle_sql(), sf_dir
+    )
+
+
+def test_seasonal_naive_semantics(spark, sf_dir):
+    """Every backtest row: the forecast equals the filled grid value
+    exactly one week earlier, abs_err consistent, and no row earlier
+    than one week past the series start."""
+    filled = {
+        (r.event_type, r.hour_start): r.cents
+        for r in T.ts_gapfill_locf(spark, sf_dir).collect()
+    }
+    rows = T.ts_seasonal_naive(spark, sf_dir).collect()
+    assert rows
+    h0 = min(h for (_t, h) in filled)
+    for r in rows:
+        assert r.hour_start >= h0 + T.WEEK_S
+        assert r.forecast_cents == filled[(r.event_type, r.hour_start - T.WEEK_S)]
+        assert r.abs_err == abs(r.actual_cents - r.forecast_cents)

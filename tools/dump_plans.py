@@ -593,6 +593,40 @@ EXHIBITS = [
         "here then rides the literal expanded relation through the "
         "standard broadcast-pruned postings probe.",
     ),
+    (
+        "ts_ohlc_hourly",
+        "Time-series OHLC bars (r12b): ordered open/close WITHOUT a sort "
+        "— lexicographic struct min/max fold map-side (partial_min/"
+        "partial_max of named_struct before the single hash Exchange); "
+        "no Window operator anywhere. The shape a 100 TB bar-resample "
+        "needs: one combiner-friendly shuffle at (type, hour) grain.",
+    ),
+    (
+        "ts_gapfill_locf",
+        "Dense-grid LOCF fill (r12b): raw rows fold to the hourly-last "
+        "relation in ONE partial-agg shuffle; the (type × hour) grid is "
+        "generated from that aggregate's bounds (sequence + explode over "
+        "a 1-row frame, broadcast) — the only nested-loop join in the "
+        "plan is this bounded grid cross join, never a corpus-side one; "
+        "the carry-forward is a grid-sized window pass.",
+    ),
+    (
+        "ts_gapfill_interp",
+        "Exact linear interpolation (r12b): observations union grid "
+        "points, ONE per-type sort feeds BOTH bracket-resolving window "
+        "passes (forward last / backward first, frame-bounded, IGNORE "
+        "NULLS) — no point-vs-observation range join, no second sort; "
+        "the rational fill is pure codegen integer arithmetic.",
+    ),
+    (
+        "fts_topk_compacted",
+        "Segment-merged index probe (r12b): after compaction the probe "
+        "reads ONE term-partitioned tree — same pruned-scan shape as "
+        "fts_topk_indexed (PartitionFilters on the queried terms), with "
+        "the base ∪ overlay union fan-in gone. Compaction pays an "
+        "index-sized rewrite once to keep this probe plan flat as "
+        "overlays accumulate.",
+    ),
 ]
 
 

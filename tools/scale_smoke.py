@@ -118,6 +118,18 @@ QUERIES = [
     "audio_features_alaw",
     "adpcm_roundtrip",
     "video_frames_mjpeg",
+    # r12b additions: time-series tier (OHLC = bounded bars per
+    # (type, hour) — output grows with the TIME RANGE, not rows: the
+    # k-hour copy shift widens the range by 3·factor hours on a 720 h
+    # base, so ×10 ⇒ ~1.04× output; the two gap-fills run on the grid
+    # after ONE raw-scan fold — the dense-grid boundedness claim as a
+    # measured ratio) and TextRank (corpus touched once, iterations
+    # vocabulary-sized — flat output, near-flat time)
+    "ts_ohlc_hourly",
+    "ts_gapfill_locf",
+    "ts_gapfill_interp",
+    "ts_seasonal_naive",
+    "keyphrase_textrank",
 ]
 # tpch_q3ish/q6ish are NOT in the smoke: synthesize() scales events/
 # documents/embeddings only, so a lineitem query would report a flat
