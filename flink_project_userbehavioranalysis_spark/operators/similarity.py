@@ -1149,6 +1149,11 @@ def ann_retrain_roundtrip(
     stale = ivf_probe_topk_maintained(spark, sf_dir, n_queries=n_queries, k=k)
     fresh = ivf_probe_topk(spark, sf_dir, n_queries=n_queries, k=k)
     n_exact = exact.count()
+    schema = "variant STRING, hits BIGINT, n_exact BIGINT"
+    if n_exact == 0:
+        # empty corpus / filtered-to-nothing batch: no audit to run
+        # (the empty-input contract — zero rows, not a zero-metrics row)
+        return spark.createDataFrame([], schema)
 
     def hits(probe: DataFrame) -> int:
         return probe.join(exact, ["query_id", "neighbor_id"]).count()
@@ -1157,9 +1162,7 @@ def ann_retrain_roundtrip(
         ("frozen_base_models", hits(stale), n_exact),
         ("retrained_full_models", hits(fresh), n_exact),
     ]
-    return spark.createDataFrame(
-        rows, "variant STRING, hits BIGINT, n_exact BIGINT"
-    )
+    return spark.createDataFrame(rows, schema)
 
 
 def _load_ann_model(spark: SparkSession, root: str):

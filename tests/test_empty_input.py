@@ -29,6 +29,7 @@ from flink_project_userbehavioranalysis_spark.operators import (
     search as SRCH,
     similarity as SIM,
     skew as SK,
+    timeseries as TS,
     tpch as TP,
 )
 
@@ -194,6 +195,17 @@ OPERATORS = [
     SIM.ann_overlay_drift,
     SIM.pq_topk,
     SIM.semantic_dedup,
+    # r12b: index-lifecycle compaction verbs + retrain audit (emits
+    # zero rows on an empty corpus by contract), time-series tier
+    # (empty hourly fold => empty grid spine => empty fills), TextRank
+    SRCH.fts_topk_compacted,
+    SIM.ivf_probe_topk_compacted,
+    SIM.ann_retrain_roundtrip,
+    TS.ts_ohlc_hourly,
+    TS.ts_gapfill_locf,
+    TS.ts_gapfill_interp,
+    TS.ts_seasonal_naive,
+    GR.keyphrase_textrank,
 ]
 
 
