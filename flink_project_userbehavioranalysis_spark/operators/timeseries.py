@@ -229,17 +229,29 @@ def ts_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # "first observation at or after the current row" = last-over-prefix
+    # of the REVERSED total order. Semantically identical to a
+    # first() over [currentRow, unboundedFollowing] on the forward
+    # order, but that frame is Spark's non-incremental one (the
+    # aggregate re-evaluates per row — quadratic per partition);
+    # prefix frames evaluate incrementally on both orders, so the two
+    # passes cost two O(n log n) sorts and one linear scan each.
+    rev = [
+        F.col("t_us").desc(),
+        F.col("is_obs").asc(),
+        F.col("event_id").desc_nulls_first(),
+    ]
     w_bwd = (
         Window.partitionBy("event_type")
-        .orderBy(*order)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(*rev)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     obs_t = F.when(F.col("is_obs") == 1, F.col("t_us"))
     withbr = (
         allr.withColumn("prev_c", F.last("cents", ignorenulls=True).over(w_fwd))
         .withColumn("prev_t", F.last(obs_t, ignorenulls=True).over(w_fwd))
-        .withColumn("next_c", F.first("cents", ignorenulls=True).over(w_bwd))
-        .withColumn("next_t", F.first(obs_t, ignorenulls=True).over(w_bwd))
+        .withColumn("next_c", F.last("cents", ignorenulls=True).over(w_bwd))
+        .withColumn("next_t", F.last(obs_t, ignorenulls=True).over(w_bwd))
         .filter(F.col("is_obs") == 0)
     )
     num = F.col("prev_c") * (F.col("next_t") - F.col("t_us")) + F.col("next_c") * (
