@@ -200,6 +200,7 @@ _TIER2 = [
     "ts_gapfill_interp",
     "ts_seasonal_naive",
     "fts_topk_compacted",
+    "fts_topk_diverse",
     "keyphrase_textrank",
     "more_like_this",
     # r12-new hash-oracled search features past the tier-1 budget
@@ -569,6 +570,14 @@ def _catalog() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "fts_topk_compacted": (
             _srch.fts_topk_compacted,
             _srch.fts_topk_oracle_sql(),
+        ),
+        # r12b: MMR search-result diversification — rank-form integer
+        # objective 2·(pool−rank) − shared-term overlap, k greedy
+        # rounds over the (queries × pool)-bounded candidate set; the
+        # whole selection hash-oracles via the unrolled greedy
+        "fts_topk_diverse": (
+            _srch.fts_topk_diverse,
+            _srch.fts_topk_diverse_oracle_sql(),
         ),
         # disjunctive (match-ANY) retrieval (r11): the conjunctive
         # plan minus the matched-count filter — same integer tf-idf,

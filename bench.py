@@ -152,6 +152,7 @@ HEADLINE = [
     "faceted_search",            # facet counts over the full match set
     "fts_weighted_topk",         # title-boost field-weighted ranking
     "spell_suggest",             # did-you-mean over PassJoin candidates
+    "fts_topk_diverse",          # MMR greedy diversification (r12b)
     # r12b time-series tier (hash-oracled; oracles do comparable
     # relational work, so they join the interleaved timeseries set)
     "ts_ohlc_hourly",            # struct-extrema OHLC bars, one shuffle
@@ -362,7 +363,9 @@ def main() -> None:
         "phrase_near_topk", "more_like_this", "faceted_search",
         "fts_weighted_topk", "spell_suggest",
         # r12b: the compacted-tree probe vs the same full-rebuild oracle
+        # and the MMR greedy (oracle = the unrolled greedy — comparable)
         "fts_topk_compacted",
+        "fts_topk_diverse",
     ]
     # r12b time-series rows: same interleaved same-moment discipline,
     # recorded as their own pillar section

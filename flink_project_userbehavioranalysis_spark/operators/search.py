@@ -2156,3 +2156,196 @@ SELECT query_id, j, term, CAST(dist AS INTEGER) AS dist,
        CAST(df AS BIGINT) AS df, CAST(rank AS INTEGER) AS rank
 FROM ranked WHERE rank <= {k}
 """
+
+
+# --------------------------------------------- MMR diversification
+
+#: MMR pool/output sizes and the integer trade-off: the greedy picks
+#: argmax of 2·(pool − rank) − maxsim — rank-based relevance (the RRF
+#: discipline: ranks fuse across scales, raw scores don't) against the
+#: shared-distinct-term overlap with the already-selected set.
+MMR_POOL = 20
+MMR_K = 5
+
+
+def fts_topk_diverse(
+    spark: SparkSession, sf_dir: str, pool: int = MMR_POOL, k: int = MMR_K
+) -> DataFrame:
+    """Search-result diversification — Maximal Marginal Relevance
+    (Carbonell & Goldstein 1998, from the published description),
+    re-expressed as a bounded relational greedy so the full selection
+    hash-oracles:
+
+      1. candidate pool = the conjunctive tf-idf top-``pool`` per query
+         (:func:`fts_topk` — the relevance list MMR re-orders);
+      2. pairwise redundancy = |shared distinct terms| between pool
+         docs of the same query (the postings self-equi-join on term,
+         both sides semi-join-pruned to the pool — candidate-bounded,
+         never corpus × corpus);
+      3. ``k`` greedy rounds: pick argmax of
+         ``2·(pool − rank) − max_{s ∈ selected} sim(c, s)``
+         (tie → doc_id), exactly the λ=⅔ rank-form MMR on integers.
+
+    Every frame after stage 1 is (queries × pool)-bounded, so the
+    greedy's iterated joins cost KBs regardless of corpus size; the
+    corpus-scale work is exactly the one retrieval pass stage 1 pays.
+
+    Output: (query_id, doc_id, sel_rank, mmr) — mmr is the selection
+    objective at pick time (maxsim ≡ 0 for the first pick).
+    """
+    cand_df = fts_topk(spark, sf_dir, k=pool).select(
+        "query_id", "doc_id", "rank"
+    )
+    docs = _docs(spark, sf_dir)
+    post = _postings(docs).select("term", "doc_id")
+    cd = cand_df.select("query_id", "doc_id")
+    pa = post.join(F.broadcast(cd), "doc_id").select(
+        "query_id", F.col("doc_id").alias("a"), "term"
+    )
+    pb = post.join(F.broadcast(cd), "doc_id").select(
+        "query_id", F.col("doc_id").alias("b"), "term"
+    )
+    sims_df = (
+        pa.join(pb, ["query_id", "term"])
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("query_id", "a", "b")
+        .agg(F.count("*").alias("shared"))
+    )
+    # Materialize the pool and its pairwise overlaps as LITERAL
+    # relations (bounded by contract: |queries|·pool and
+    # |queries|·pool² rows — the ivf_probe_topk bounded-collect
+    # exception class). Without this, each greedy round's frame
+    # re-evaluates the whole corpus-scale ranking lineage — the
+    # iterated joins below must run on KB literals, touching the
+    # corpus exactly once (the ranking pass) plus once for the
+    # candidate-pruned overlap join.
+    n_q = len({qid for qid, _s in FTS_QUERIES})
+    cap_c, cap_s = n_q * pool, n_q * pool * pool
+    cand_rows = cand_df.collect()
+    sims_rows = sims_df.collect()
+    if len(cand_rows) > cap_c or len(sims_rows) > cap_s:
+        raise RuntimeError(
+            f"MMR pool collect exceeded its contract bound: "
+            f"{len(cand_rows)}/{cap_c} candidates, {len(sims_rows)}/{cap_s} sims"
+        )
+    cand = spark.createDataFrame(
+        [(r["query_id"], r["doc_id"], r["rank"]) for r in cand_rows],
+        "query_id INT, doc_id BIGINT, rank INT",
+    )
+    sims = spark.createDataFrame(
+        [(r["query_id"], r["a"], r["b"], r["shared"]) for r in sims_rows],
+        "query_id INT, a BIGINT, b BIGINT, shared BIGINT",
+    )
+
+    rel = (F.lit(pool) - F.col("rank")) * 2
+    selected = (
+        cand.filter(F.col("rank") == 1)
+        .select(
+            "query_id",
+            "doc_id",
+            F.lit(1).alias("sel_rank"),
+            rel.cast("long").alias("mmr"),
+        )
+    )
+    remaining = cand.join(
+        selected.select("query_id", "doc_id"), ["query_id", "doc_id"], "left_anti"
+    )
+    for step in range(2, int(k) + 1):
+        ms = (
+            remaining.join(
+                selected.select("query_id", F.col("doc_id").alias("b")), "query_id"
+            )
+            .join(
+                sims.withColumnRenamed("a", "doc_id"),
+                ["query_id", "doc_id", "b"],
+                "left",
+            )
+            .groupBy("query_id", "doc_id", "rank")
+            .agg(F.max(F.coalesce(F.col("shared"), F.lit(0))).alias("maxsim"))
+        )
+        scored = ms.withColumn("mmr", (rel - F.col("maxsim")).cast("long"))
+        w = Window.partitionBy("query_id").orderBy(F.desc("mmr"), F.asc("doc_id"))
+        pick = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id", "doc_id", F.lit(step).alias("sel_rank"), "mmr"
+            )
+        )
+        selected = selected.unionByName(pick)
+        remaining = remaining.join(
+            pick.select("query_id", "doc_id"), ["query_id", "doc_id"], "left_anti"
+        )
+    return selected.select(
+        "query_id", "doc_id", F.col("sel_rank").cast("int").alias("sel_rank"), "mmr"
+    )
+
+
+def fts_topk_diverse_oracle_sql(pool: int = MMR_POOL, k: int = MMR_K) -> str:
+    """The greedy unrolled in DuckDB: same pool, same pairwise shared
+    counts, same integer objective and tie-breaks."""
+    parts = [
+        f"""{_fts_ranked_cte()},
+cand AS (
+    SELECT query_id, doc_id, rank FROM ranked WHERE rank <= {pool}
+),
+sims AS (
+    SELECT pa.query_id, pa.doc_id AS a, pb.doc_id AS b, count(*) AS shared
+    FROM (SELECT c.query_id, c.doc_id, p.term
+          FROM cand c JOIN post p USING (doc_id)) pa
+    JOIN (SELECT c.query_id, c.doc_id, p.term
+          FROM cand c JOIN post p USING (doc_id)) pb
+      ON pa.query_id = pb.query_id AND pa.term = pb.term
+         AND pa.doc_id <> pb.doc_id
+    GROUP BY 1, 2, 3
+),
+s1 AS (
+    SELECT query_id, doc_id, 1 AS sel_rank,
+           CAST(2 * ({pool} - rank) AS BIGINT) AS mmr
+    FROM cand WHERE rank = 1
+),
+r1 AS (
+    SELECT c.* FROM cand c LEFT JOIN s1 USING (query_id, doc_id)
+    WHERE s1.doc_id IS NULL
+)"""
+    ]
+    for i in range(2, int(k) + 1):
+        p = i - 1
+        parts.append(
+            f"""m{i} AS (
+    SELECT r.query_id, r.doc_id, r.rank,
+           max(COALESCE(s.shared, 0)) AS maxsim
+    FROM r{p} r
+    JOIN (SELECT query_id, doc_id AS b FROM (
+            {"SELECT query_id, doc_id FROM s1" if p == 1 else " UNION ALL ".join("SELECT query_id, doc_id FROM s" + str(j) for j in range(1, p + 1))}
+         )) sel USING (query_id)
+    LEFT JOIN sims s ON s.query_id = r.query_id AND s.a = r.doc_id AND s.b = sel.b
+    GROUP BY 1, 2, 3
+), p{i} AS (
+    SELECT query_id, doc_id, {i} AS sel_rank,
+           CAST(2 * ({pool} - rank) - maxsim AS BIGINT) AS mmr,
+           row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY 2 * ({pool} - rank) - maxsim DESC, doc_id
+           ) AS rn
+    FROM m{i}
+), s{i} AS (
+    SELECT query_id, doc_id, sel_rank, mmr FROM p{i} WHERE rn = 1
+), r{i} AS (
+    SELECT r.query_id, r.doc_id, r.rank
+    FROM r{p} r LEFT JOIN s{i} USING (query_id, doc_id)
+    WHERE s{i}.doc_id IS NULL
+)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT query_id, doc_id, sel_rank, mmr FROM s{j}"
+        for j in range(1, int(k) + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT query_id, doc_id, CAST(sel_rank AS INTEGER) AS sel_rank, mmr
+FROM ({union})
+"""
+    )

@@ -199,6 +199,7 @@ OPERATORS = [
     # zero rows on an empty corpus by contract), time-series tier
     # (empty hourly fold => empty grid spine => empty fills), TextRank
     SRCH.fts_topk_compacted,
+    SRCH.fts_topk_diverse,
     SIM.ivf_probe_topk_compacted,
     SIM.ann_retrain_roundtrip,
     TS.ts_ohlc_hourly,

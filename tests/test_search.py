@@ -1048,3 +1048,57 @@ def test_compacted_probe_matches_oracle_mid(spark):
         S.fts_topk_oracle_sql(),
         SF_DIR_MID,
     )
+
+
+# --------------------------------------------- MMR diversification
+
+
+def test_mmr_matches_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        S.fts_topk_diverse(spark, sf_dir),
+        S.fts_topk_diverse_oracle_sql(),
+        sf_dir,
+    )
+
+
+def test_mmr_greedy_contract(spark, sf_dir):
+    """sel_rank contiguous from 1 per query; first pick = the plain
+    relevance winner; every pick is from the pool; picks distinct; and
+    a Python recompute of the greedy from the pool + pairwise overlaps
+    reproduces the selection exactly."""
+    pool = S.fts_topk(spark, sf_dir, k=S.MMR_POOL).collect()
+    out = sorted(
+        S.fts_topk_diverse(spark, sf_dir).collect(),
+        key=lambda r: (r["query_id"], r["sel_rank"]),
+    )
+    assert out
+    cand = {}
+    for r in pool:
+        cand.setdefault(r["query_id"], {})[r["doc_id"]] = r["rank"]
+    # pairwise shared-term counts among pool docs (python recompute)
+    from collections import defaultdict
+
+    docs = {
+        r["doc_id"]: set(t for t in (r["text"] or "").split(" ") if t)
+        for r in S._docs(spark, sf_dir)
+        .filter(S.F.col("doc_id").isin([r["doc_id"] for r in pool]))
+        .collect()
+    }
+    per_q = defaultdict(list)
+    for r in out:
+        per_q[r["query_id"]].append(r)
+    for qid, picks in per_q.items():
+        assert [p["sel_rank"] for p in picks] == list(range(1, len(picks) + 1))
+        assert len({p["doc_id"] for p in picks}) == len(picks)
+        ranks = cand[qid]
+        sel = []
+        for p in picks:
+            remaining = {d: rk for d, rk in ranks.items() if d not in sel}
+            assert p["doc_id"] in remaining
+            def obj(d):
+                ms = max((len(docs[d] & docs[s]) for s in sel), default=0)
+                return (2 * (S.MMR_POOL - remaining[d]) - ms, -d)
+            best = max(remaining, key=obj)
+            assert p["doc_id"] == best
+            assert p["mmr"] == obj(best)[0]
+            sel.append(best)
