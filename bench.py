@@ -152,7 +152,6 @@ HEADLINE = [
     "faceted_search",            # facet counts over the full match set
     "fts_weighted_topk",         # title-boost field-weighted ranking
     "spell_suggest",             # did-you-mean over PassJoin candidates
-    "fts_topk_diverse",          # MMR greedy diversification (r12b)
     # r12b time-series tier (hash-oracled; oracles do comparable
     # relational work, so they join the interleaved timeseries set)
     "ts_ohlc_hourly",            # struct-extrema OHLC bars, one shuffle
@@ -179,6 +178,11 @@ HEADLINE = [
 # real round-over-round anchor for the maintainer-job class.
 PIPELINES = [
     "retention_rolling",
+    # r12b: MMR materializes its bounded pool/overlap literals at
+    # construction (the corpus-scale retrieval runs then), so a
+    # collect() of the prebuilt frame would time only the KB greedy
+    # tail — full-invocation timing is the honest class for it
+    "fts_topk_diverse",
     "near_dup_clusters_incremental",
     "jsonl_roundtrip",
     "orc_roundtrip",
@@ -363,9 +367,7 @@ def main() -> None:
         "phrase_near_topk", "more_like_this", "faceted_search",
         "fts_weighted_topk", "spell_suggest",
         # r12b: the compacted-tree probe vs the same full-rebuild oracle
-        # and the MMR greedy (oracle = the unrolled greedy — comparable)
         "fts_topk_compacted",
-        "fts_topk_diverse",
     ]
     # r12b time-series rows: same interleaved same-moment discipline,
     # recorded as their own pillar section
