@@ -194,65 +194,109 @@ FROM j
 
 def ts_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear interpolation of the cents series at each hourly grid
-    point, exact to the milli-cent: union raw observations with grid
-    points, sort once per type by (t_us, is_obs DESC, event_id), then
+    point, exact to the milli-cent. For a grid point at time t:
 
-    - prev = last observation at t_obs ≤ t (frame to current row: a
-      simultaneous observation sorts BEFORE its grid point, so ties
-      count as "before" — an exact hit interpolates to itself),
-    - next = first observation strictly after t (frame from current).
+    - prev = last observation at t_obs ≤ t (a simultaneous observation
+      counts as "before" — an exact hit interpolates to itself),
+    - next = first observation strictly after t.
+
+    Bracket resolution never sorts raw observations (r12 optimization:
+    the previous form unioned EVERY raw observation with the grid and
+    ran two window sorts partitioned by event_type alone — a handful
+    of partitions each holding a full type's history, the classic
+    giant-partition shape that cannot scale out). Instead the raw scan
+    collapses map-side to per-(type, hour-bucket) extrema — prev
+    candidates bucketed by CEIL(t_us/hour) so a boundary observation
+    lands with the grid point it ties (ties count as "before"), next
+    candidates by the shifted floor (t_us−1) div hour so a boundary
+    observation is NOT "strictly after" its own grid point — and the
+    carry-forward/backward fills run over the GRID-sized relation
+    (types × hours, bounded by the time range regardless of row
+    count). Semantics are identical by construction: within a bucket
+    the struct extremum picks the same (t_us, event_id)-ordered
+    observation the old total-order window picked, and across buckets
+    the prefix fill is the same carry.
 
     milli = floor(1000·(prev·(t_next−t) + next·(t−t_prev)) / (t_next−
     t_prev)) via the overflow-free split q·1000 + (r·1000) div den.
     Grid points outside the observed bracket emit NULL (span_us shows
     the bracket width where defined)."""
     obs = _obs(spark, sf_dir)
-    hourly = _hourly_last(obs)
-    gridpts = _dense_grid(hourly).select(
-        "event_type",
-        (F.col("hour_start") * F.lit(1_000_000)).cast("long").alias("t_us"),
-        F.lit(0).alias("is_obs"),
-        F.lit(None).cast("long").alias("event_id"),
-        F.lit(None).cast("long").alias("cents"),
+    # prev candidates: last observation per ceil-hour bucket. An obs at
+    # exactly H·3600s has pb = H (ties with grid point H ⇒ eligible);
+    # an obs strictly inside hour H has pb = H+1 (first eligible grid
+    # point is H+1, whose time is after it).
+    prev_b = (
+        obs.groupBy(
+            "event_type",
+            (F.expr(f"(t_us + {HOUR_US - 1}) div {HOUR_US}") * F.lit(3600)).alias(
+                "hour_start"
+            ),
+        )
+        .agg(
+            F.max(F.struct("t_us", "event_id", "cents")).alias("s"),
+            # per-bucket earliest raw time, kept so the observed
+            # floor-hour bounds are recoverable without another pass
+            # over raw rows (the bucket extremum alone cannot tell
+            # whether the bucket's earliest obs sat on the boundary)
+            F.min("t_us").alias("b_lo"),
+        )
+        .select(
+            "event_type",
+            "hour_start",
+            F.col("s.t_us").alias("pb_t"),
+            F.col("s.cents").alias("pb_c"),
+            "b_lo",
+        )
     )
-    allr = obs.select(
-        "event_type", "t_us", F.lit(1).alias("is_obs"), "event_id", "cents"
-    ).unionByName(gridpts)
-
-    order = [
-        F.col("t_us").asc(),
-        F.col("is_obs").desc(),
-        F.col("event_id").asc_nulls_last(),
-    ]
+    # next candidates: first observation per shifted-floor bucket. An
+    # obs at exactly H·3600s has nb = H−1 (it is NOT strictly after
+    # grid point H); an obs strictly inside hour H has nb = H.
+    next_b = (
+        obs.groupBy(
+            "event_type",
+            (F.expr(f"(t_us - 1) div {HOUR_US}") * F.lit(3600)).alias("hour_start"),
+        )
+        .agg(F.min(F.struct("t_us", "event_id", "cents")).alias("s"))
+        .select(
+            "event_type",
+            "hour_start",
+            F.col("s.t_us").alias("nb_t"),
+            F.col("s.cents").alias("nb_c"),
+        )
+    )
+    # grid bounds/types from the BUCKET relation (grid-sized), not a
+    # third aggregation over raw observations: the observed floor-hour
+    # range is recoverable from the buckets' earliest (b_lo) and
+    # latest (the last bucket's pb_t = the global last obs) raw times.
+    floors = prev_b.select(
+        "event_type", (F.expr(f"b_lo div {HOUR_US}") * F.lit(3600)).alias("hour_start")
+    ).unionByName(
+        prev_b.select(
+            "event_type",
+            (F.expr(f"pb_t div {HOUR_US}") * F.lit(3600)).alias("hour_start"),
+        )
+    )
+    grid = _dense_grid(floors)
+    j = grid.join(prev_b.drop("b_lo"), ["event_type", "hour_start"], "left").join(
+        next_b, ["event_type", "hour_start"], "left"
+    )
     w_fwd = (
         Window.partitionBy("event_type")
-        .orderBy(*order)
+        .orderBy("hour_start")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # "first observation at or after the current row" = last-over-prefix
-    # of the REVERSED total order. Semantically identical to a
-    # first() over [currentRow, unboundedFollowing] on the forward
-    # order, but that frame is Spark's non-incremental one (the
-    # aggregate re-evaluates per row — quadratic per partition);
-    # prefix frames evaluate incrementally on both orders, so the two
-    # passes cost two O(n log n) sorts and one linear scan each.
-    rev = [
-        F.col("t_us").desc(),
-        F.col("is_obs").asc(),
-        F.col("event_id").desc_nulls_first(),
-    ]
     w_bwd = (
         Window.partitionBy("event_type")
-        .orderBy(*rev)
+        .orderBy(F.col("hour_start").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    obs_t = F.when(F.col("is_obs") == 1, F.col("t_us"))
     withbr = (
-        allr.withColumn("prev_c", F.last("cents", ignorenulls=True).over(w_fwd))
-        .withColumn("prev_t", F.last(obs_t, ignorenulls=True).over(w_fwd))
-        .withColumn("next_c", F.last("cents", ignorenulls=True).over(w_bwd))
-        .withColumn("next_t", F.last(obs_t, ignorenulls=True).over(w_bwd))
-        .filter(F.col("is_obs") == 0)
+        j.withColumn("prev_c", F.last("pb_c", ignorenulls=True).over(w_fwd))
+        .withColumn("prev_t", F.last("pb_t", ignorenulls=True).over(w_fwd))
+        .withColumn("next_c", F.last("nb_c", ignorenulls=True).over(w_bwd))
+        .withColumn("next_t", F.last("nb_t", ignorenulls=True).over(w_bwd))
+        .withColumn("t_us", (F.col("hour_start") * F.lit(1_000_000)).cast("long"))
     )
     num = F.col("prev_c") * (F.col("next_t") - F.col("t_us")) + F.col("next_c") * (
         F.col("t_us") - F.col("prev_t")

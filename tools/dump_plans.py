@@ -1,706 +1,55 @@
-"""Generate PLANS.md — physical-plan evidence for the scale posture.
+"""Dump .explain("formatted") for registered queries to plans/<tag>/.
 
-For each representative query, emits the AQE-final executed plan (after
-one collect) plus the property the plan must exhibit at 100 TB. Run
-after any operator/plan change:
+Usage: python tools/dump_plans.py <tag-dir> <suffix> [query ...]
 
-    python tools/dump_plans.py     # rewrites PLANS.md
-
-The same properties are *asserted* in tests/test_plans.py and
-tests/test_skew.py; this file is the human-readable exhibit.
+Writes plans/<tag>/<query>_<suffix>.txt for each named query (default:
+the bench HEADLINE + PIPELINES sets). Queries whose construction runs
+eager work (iterative CC, table writes) still produce a plan for the
+RETURNED frame — that is the honest artifact for them, and the file
+notes it. $SPARK_GRAFT_SF_DIR picks the data (default sf0.1, matching
+the bench).
 """
 
 from __future__ import annotations
 
-import re
+import os
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
-import __spark_entry__ as entry_mod
-from flink_project_userbehavioranalysis_spark import get_spark
-
-SF = "/root/testdata/sf0.01"
-
-# (query name, what the plan must show at scale)
-EXHIBITS = [
-    (
-        "hot_items_topn",
-        "Flagship W1 (two-level rollup since r6). Filter + JSON projection "
-        "pushed to the parquet scan (PushedFilters, pruned ReadSchema); "
-        "partial aggregation before BOTH exchanges (slide-grain stage, then "
-        "window stage) with the 12-way explode on aggregated bucket rows; "
-        "WindowGroupLimit keeps Top-N from materializing the full rank.",
-    ),
-    (
-        "pv_hourly",
-        "Tumbling-window count: one exchange total, partial aggregation "
-        "before it. The shape every windowed agg in the engine shares.",
-    ),
-    (
-        "tpch_q1ish",
-        "Engine sanity op: l_shipdate predicate pushed to the scan, unused "
-        "columns pruned from ReadSchema, DECIMAL sums partial-aggregated "
-        "map-side (order-independent, oracle-exact).",
-    ),
-    (
-        "order_timeout",
-        "J3 timeout branch: equi-keyed LeftAnti with NO forced hint — the "
-        "purchase side is unbounded, so strategy is Catalyst/AQE's call: "
-        "shuffled hash/merge anti-join at scale, broadcast only when its "
-        "own size estimate says the filtered side is small (as here at "
-        "sf0.01). No cartesian anywhere.",
-    ),
-    (
-        "interval_join",
-        "J2 range self-join: equi-join on user_id carries the range "
-        "predicate as a post-join filter — SortMergeJoin/ShuffledHashJoin "
-        "on the key, never BroadcastNestedLoopJoin or CartesianProduct.",
-    ),
-    (
-        "revenue_by_priority_salted",
-        "P9 salted join: fact side salted by deterministic hash, dim side "
-        "replicated per salt value, ShuffledHashJoin on (key, salt) — a hot "
-        "orderkey spreads over N reducers instead of one.",
-    ),
-    (
-        "count_by_channel_salted",
-        "A4 two-stage salted agg: two hash exchanges — (key, salt) then "
-        "(key) — each preceded by partial aggregation; result provably "
-        "equals the single-shuffle plan (same driver oracle).",
-    ),
-    (
-        "ad_clicks_by_geo",
-        "Star-schema dimension join: customer→nation→region pre-joined "
-        "into one narrow dim, attached with explicit broadcast — the "
-        "fact side never shuffles for the join; the single hash exchange "
-        "belongs to the windowed aggregation.",
-    ),
-    (
-        "minhash_near_dup",
-        "Near-dup at scale: candidates come from an equi-join on (band, "
-        "signature) buckets — the plan contains a hash join on the bucket "
-        "key and NO cartesian/nested-loop pair generator.",
-    ),
-    (
-        "knn_topk",
-        "Similarity search, bounded-corpus baseline: Arrow-batched "
-        "mapInPandas (BLAS matmul) over a broadcast corpus — "
-        "ArrowEvalPython/MapInPandas nodes, never row-at-a-time "
-        "BatchEvalPython; top-k via per-query rank, no global sort.",
-    ),
-    (
-        "hot_items_topn_direct",
-        "W1 textbook twin: direct F.window(1h,5m) — the 12-way Expand sits "
-        "on RAW events (the map-side cost the rollup flagship avoids); "
-        "map-side partial_count before the single hash exchange; "
-        "WindowGroupLimit present. Same oracle as the flagship proves the "
-        "rollup rewrite exact.",
-    ),
-    (
-        "ann_lsh_topk",
-        "Similarity search, unbounded scale path: band-bucket equi-join "
-        "generates candidates, then scoring joins each pair back to the "
-        "embeddings table on id and folds the cosine in codegen — no "
-        "collected corpus anywhere in the plan (stub-audited in tests), "
-        "no cartesian, rank per query_id only.",
-    ),
-    (
-        "pq_topk",
-        "Similarity search, IVF-PQ scale path: map-only encode to packed "
-        "4-bit codes, cell equi-join whose candidate rows are six int64s "
-        "(both sides ride as codes — 10x narrower than full vectors), "
-        "Arrow-batched symmetric-LUT scoring, then the exact re-rank "
-        "joins full vectors onto only the per-query shortlist. No "
-        "cartesian, no collected corpus.",
-    ),
-    (
-        "normalize_text",
-        "Text normalization: a single map-only WholeStageCodegen stage — "
-        "lower/regexp_replace/trim expressions, zero Exchange. Runs at "
-        "scan speed at any corpus size.",
-    ),
-    (
-        "source_mix_sample",
-        "Token-budget mixture sampling: token counts and hash keys are "
-        "projected map-side, so the single exchange (window partition on "
-        "source) carries (source, hash, ints) — the text column never "
-        "rides the shuffle.",
-    ),
-    (
-        "dedup_incremental",
-        "Ingestion-time dedup: split-id predicates push to both scans, "
-        "batch collapses to min-id survivors per canonical fingerprint "
-        "(partial_min before the exchange), then a LEFT ANTI join against "
-        "the corpus fingerprint set — broadcast while the corpus "
-        "fingerprint index fits (as here), shuffled anti-join on 32-char "
-        "keys beyond that; a bucketed fingerprint index co-locates it.",
-    ),
-    (
-        "dup_span_scrub",
-        "Exact-substring span dedup (removal half): grams are md5-hashed "
-        "map-side; the r8 counting-sketch pre-filter (bucket partial_count "
-        "+ LEFT SEMI hot-bucket probe) drops the singleton tail BEFORE the "
-        "frequency exchange, which then carries 16-byte keys + a (doc_id,p) "
-        "struct occurrence key, never gram text; survivor election "
-        "(count + struct-min) partial-aggregates before it; the span "
-        "probe is an equi-join on the same key; island merge and "
-        "reassembly stay under one doc_id partitioning — reassembly is "
-        "an expression-level filter-with-index, no range join.",
-    ),
-    (
-        "funnel_conversion",
-        "Behavior-analytics funnel: three narrow (user_id, ts) equi-"
-        "joins chained under one user-key partitioning — each stage's "
-        "aggregate partial-aggregates before its exchange, the event "
-        "payload never rides a shuffle, and AQE broadcasts the shrinking "
-        "later stages.",
-    ),
-    (
-        "cohort_retention",
-        "Cohort retention: first-conversion cohort assignment (partial "
-        "min), distinct (user, week) activity projection, and one narrow "
-        "user-key join before the (cohort_week, k) count-distinct — only "
-        "ids and week numbers ever shuffle.",
-    ),
-    (
-        "bpe_pair_stats",
-        "BPE pair statistics: word heavy-hitters collapse in a partial-"
-        "aggregated word count BEFORE the character-pair explosion, so "
-        "the second (pair) aggregation sees distinct words only; both "
-        "exchanges carry (string, count) pairs.",
-    ),
-    (
-        "quantize_embeddings",
-        "Int8 quantization: a single map-only WholeStageCodegen stage — "
-        "array transform/aggregate expressions, zero Exchange, zero "
-        "Python. The shape a 100 TB per-row vector rewrite must have.",
-    ),
-    (
-        "vocab_coverage",
-        "Tokenizer-vocab coverage: global token count tops into a tiny "
-        "LIMIT, which re-enters as a BroadcastHashJoin build side — the "
-        "corpus explode streams map-side against it and only the doc_id "
-        "aggregation shuffles.",
-    ),
-    (
-        "prep_corpus",
-        "End-to-end prep (dedup → gates → packing → manifest) as ONE "
-        "Catalyst plan: dedup exchange, codegen'd gates, narrow id-join "
-        "for source, FlatMapGroupsInPandas packing keyed by source, "
-        "partial-aggregated per-sequence summary. Nothing materializes "
-        "between stages; the only Python is the two-scalar packing state.",
-    ),
-    (
-        "session_paths_topk",
-        "Session path mining: gap-island sessionization and BOTH 3-gram "
-        "leads run inside one user_id-partitioned sort (a single "
-        "exchange of (user, ts, id, type) rows — the payload never "
-        "moves); the path aggregate partial-aggregates into a domain "
-        "bounded by |event_types|^3, so the final rank window over that "
-        "aggregate is trivially small at any corpus size.",
-    ),
-    (
-        "ad_attribution",
-        "Attribution: ONE user_id equi-join with the horizon range "
-        "predicate applied at the join (pair blowup bounded by touches-"
-        "per-horizon); first/last row_numbers are windows over the "
-        "already-joined pairs partitioned by purchase id; final agg "
-        "partial-aggregates over the bounded ad domain. No broadcast "
-        "of an unbounded side; AQE free to split a celebrity-user skew.",
-    ),
-    (
-        "co_purchase_pairs",
-        "Market-basket pairs: basket distinct + self-join + pair agg "
-        "share ONE (user, day) hash partitioning (AQE reuses the "
-        "exchange); the item-count joins attach two narrow aggregates; "
-        "pair blowup is a per-basket property, never a cartesian.",
-    ),
-    (
-        "pv_anomaly",
-        "Traffic spikes: ONE partial-aggregated exchange to hourly "
-        "(item, hour) counts; the trailing-stats window sorts within "
-        "the item partition over AGGREGATE rows (items × active "
-        "hours); the z-score threshold is a codegen filter — raw "
-        "events never reach the window.",
-    ),
-    (
-        "chunk_documents",
-        "Context chunking: map-only — token split staged once per doc, "
-        "sequence-explode starts, slice+concat_ws chunks; ZERO "
-        "Exchange anywhere in the plan (the chunker cost is pure "
-        "scan + project, the shape that pipelines at scan rate).",
-    ),
-    (
-        "rfm_segments",
-        "RFM: per-user rollup is one partial-aggregated exchange on "
-        "user_id; quartile boundaries come from a HISTOGRAM over the "
-        "coarsened value domain (days / counts / whole dollars) — the "
-        "cumulative window partitions by metric over aggregate-"
-        "cardinality rows, never a global ntile sort of raw users; the "
-        "1-row boundary pivot re-enters via BroadcastNestedLoopJoin.",
-    ),
-    (
-        "kmeans_lloyd",
-        "Iterative Lloyd's k-means: per round, the k-row centroid table "
-        "folds to ONE broadcast row (collect_list), the assignment is a "
-        "map-only nested-HOF pass over the points (zip_with inside "
-        "transform, codegen), and the update is one partial-aggregated "
-        "(cid, dim) exchange — points never re-shuffle across rounds; "
-        "no Python eval, no cartesian, no collected corpus.",
-    ),
-    (
-        "bpe_train",
-        "BPE training loop: each round is two (string, count) partial-"
-        "aggregated exchanges over the VOCAB (heavy hitters collapse "
-        "before char explosion), a 1-row argmax winner that re-enters "
-        "via broadcast cross join, and a literal-replace rewrite — the "
-        "corpus is scanned once; the loop operates on vocab cardinality.",
-    ),
-    (
-        "near_dup_incremental",
-        "Ingestion-time near-dup: the incoming batch probes the corpus "
-        "band index via a (band_id, band_key) equi-join — candidate "
-        "cost scales with the batch; the exact-Jaccard verify joins "
-        "shingles only for candidate pairs. No cartesian, no "
-        "BroadcastNestedLoopJoin.",
-    ),
-    (
-        "gopher_quality_filter",
-        "Gopher decision layer: ONE explode feeding a (doc_id, token) "
-        "partial-aggregated tf shuffle, a second narrow per-doc rollup, "
-        "then pure projection for every gate — no join, text never "
-        "shuffles (only the 32-char-bounded tokens + counts).",
-    ),
-    (
-        "embedding_pca",
-        "Distributed PCA projection: after the bounded partial-Gram "
-        "collect, the per-row projection is zip_with/aggregate arithmetic "
-        "inside WholeStageCodegen — zero Exchange, zero Python eval in "
-        "the row path.",
-    ),
-    (
-        "tpch_q3ish",
-        "Q3 star shape: the ONLY forced broadcast is the segment-filtered "
-        "customer dim; the orders-lineitem fact join is size-based "
-        "(shuffles on the order key at scale, broadcasts the tiny slice "
-        "at test SF) and the revenue groupBy reuses the join's order-key "
-        "clustering; top-10 via TakeOrderedAndProject.",
-    ),
-    (
-        "tpch_q6ish",
-        "Q6 pushdown probe: every range predicate (shipdate, quantity) in "
-        "PushedFilters, 4 of 11 lineitem columns in ReadSchema, map-only "
-        "scan into a partial-aggregated single-row DECIMAL aggregate.",
-    ),
-    (
-        "item_pagerank",
-        "Graph fixpoint: per round, the node-cardinality rank relation "
-        "broadcasts into the persisted edge relation (InMemoryTableScan, "
-        "never recomputed) and ONE (dst) partial-aggregated exchange "
-        "updates ranks — events are touched once at edge extraction; "
-        "iteration cost scales with edges, not the event log.",
-    ),
-    (
-        "tpch_q5ish",
-        "Q5 local-supplier volume, the deepest join tree: only the "
-        "geography-bounded dims (region, region-filtered nations) are "
-        "hint-broadcast; the SF-proportional supplier and customer "
-        "joins carry no hint, and the two facts meet in one order-key "
-        "shuffle; final rollup bounded by |nations|.",
-    ),
-    (
-        "tpch_q18ish",
-        "Q18 HAVING-subquery semi-join: ONE partial-aggregated order-key "
-        "rollup (no lineitem re-join — the rollup already carries the "
-        "sum); the big-order list shrinks to ~0.05% of orders, so AQE "
-        "broadcasts it into the orders join unhinted; top-100 is "
-        "TakeOrderedAndProject, never a global sort.",
-    ),
-    (
-        "tpch_q4ish",
-        "Q4 EXISTS: a true LeftSemi on the order key with the late-ship "
-        "comparison riding as a cross-side residual — orders are never "
-        "duplicated however many late lines an order has; the quarter "
-        "filter is pushed to the orders scan; priority rollup bounded "
-        "at 5 groups.",
-    ),
-    (
-        "tpch_q10ish",
-        "Q10 returned-item revenue: returnflag pushed to the lineitem "
-        "scan (~1/3 kept), quarter pushed to orders; facts meet in one "
-        "order-key shuffle, customer join strategy size-based; top-20 "
-        "is TakeOrderedAndProject with a custkey tie-break.",
-    ),
-    (
-        "tpch_q17ish",
-        "Q17 correlated scalar subquery, decorrelated: the brand filter "
-        "prunes part, the per-part mean aggregates only branded "
-        "lineitems, and the threshold re-join lands on the same "
-        "part-key clustering (AQE broadcasts the tiny aggregate side); "
-        "no per-row subquery execution anywhere.",
-    ),
-    (
-        "tpch_q19ish",
-        "Q19 OR-of-ANDs: ONE part-key equi-join with the three-band "
-        "disjunction as a codegen residual (never three join passes "
-        "unioned); the derivable quantity hull [1,30] is pushed to the "
-        "lineitem scan.",
-    ),
-    (
-        "tpch_q22ish",
-        "Q22 dormant-customer: the mean-positive-balance scalar is a "
-        "one-row BroadcastNestedLoopJoin (SF-invariant by construction); "
-        "NOT EXISTS runs as LeftAnti on the customer key with the "
-        "dormancy date pushed to the orders scan.",
-    ),
-    (
-        "tpch_q7ish",
-        "Q7 bilateral trade: nation joined in TWO roles, each pre-filtered "
-        "to the named pair and hint-broadcast (SF-invariant table); the "
-        "cross-pair disjunction is a codegen residual on the attached "
-        "names. NOTE the filtered-lineitem broadcast in this sf0.01 "
-        "capture is a size-based decision that reverses at scale — no "
-        "hint forces it.",
-    ),
-    (
-        "tpch_q15ish",
-        "Q15 argmax-with-ties: per-supplier revenue is one partial-agg "
-        "shuffle; the global max collapses to a single row and broadcasts "
-        "BACK onto the same aggregate (one-row BroadcastNestedLoopJoin), "
-        "keeping all ties — no LIMIT 1, no global sort.",
-    ),
-    (
-        "tpch_q21ish",
-        "Q21 only-this-supplier-late: the EXISTS and NOT EXISTS probes "
-        "run as LeftSemi and LeftAnti joins stacked on the SAME order-key "
-        "clustering against 2-3 column lineitem slices; different-supplier "
-        "and lateness comparisons ride as residuals; top-k is "
-        "TakeOrderedAndProject.",
-    ),
-    (
-        "table_expectations",
-        "Data-quality gate: the five events expectations fuse into ONE "
-        "conditional-sum aggregate scan (events.parquet appears once in "
-        "the final plan); FK orphans are key-only LeftAnti probes; the "
-        "verdict explosion is a map-only stack over 1-row aggregates.",
-    ),
-    (
-        "behavior_pivot",
-        "PIVOT with DECLARED values: compiles to CASE-sum conditional "
-        "aggregation over one scan — no distinct-collect pre-pass over "
-        "the pivot column (the silent extra job an undeclared pivot "
-        "runs at any scale).",
-    ),
-    (
-        "bigram_lm_score",
-        "Bigram LM perplexity: bigram extraction is a map-only array "
-        "transform (NO Window operator — a lag() formulation would "
-        "shuffle the raw corpus by doc_id); the model is two stacked "
-        "partial aggregations off one corpus read, scoring joins it "
-        "back broadcast (or equi-shuffle for open vocab).",
-    ),
-    # --- r7 additions: partsupp wave + long-format centroids ---------
-    (
-        "tpch_q9ish",
-        "TPC-H Q9 (three-fact join): part/supplier/nation dims ride "
-        "broadcasts; lineitem meets the derived partsupp in ONE "
-        "(partkey, suppkey) exchange (ps is pre-clustered on that key "
-        "by its distinct); orders joins on the order key — the second "
-        "and last fact shuffle; the (nation, year) rollup is "
-        "partial-aggregated over a constant-bounded domain.",
-    ),
-    (
-        "tpch_q2ish",
-        "TPC-H Q2 (decorrelated MIN): the regional ps relation is "
-        "built once under a broadcast dim chain; the per-part MIN "
-        "aggregates on the same partkey clustering; the min-cost "
-        "re-join matches on (partkey, cents) — both sides aggregates; "
-        "spec-order top-100 is TakeOrderedAndProject, never a global "
-        "sort.",
-    ),
-    (
-        "embedding_centroids",
-        "Long-format registered centroids: posexplode + ONE "
-        "partial-aggregated (label, dim) exchange — the map-side "
-        "combine collapses each partition to ≤ labels×dims rows before "
-        "the shuffle; no array re-assembly, no collect_list, every "
-        "output cell a scalar (driver-canonicalizer-hashable).",
-    ),
-    (
-        "cdc_apply",
-        "CDC changelog apply (r8): three struct-max stages — compact "
-        "history, compact delta, merge the compacted states — every one "
-        "a partial-aggregated hash exchange on the key (partial_max "
-        "before each shuffle); tombstones filter at the end as a plain "
-        "predicate. No window sort anywhere: LWW is an argmax, not a "
-        "rank.",
-    ),
-    (
-        "item_triangles",
-        "Triangle counting (r8): degree-oriented wedge join — the edge "
-        "relation self-joins on its oriented SOURCE (equi key; the "
-        "orientation inequality is a join residual), the closing probe "
-        "is a LEFT SEMI on the oriented edge set, and the corner rollup "
-        "partial-aggregates. No cartesian/nested-loop; orientation "
-        "bounds each node's wedge fan-out at ~sqrt(E).",
-    ),
-    (
-        "eval_holdout_sample",
-        "Fixed-K holdout (r8): rn <= K over (lang, seeded-md5) compiles "
-        "to WindowGroupLimit — partial per-partition top-K BEFORE the "
-        "lang exchange, final top-K after; each task forwards at most K "
-        "rows per stratum regardless of stratum size.",
-    ),
-    (
-        "decode_meta",
-        "Real mixed BMP/PNG decode (r8/r9): two Arrow-batched python "
-        "stages (MapInPandas encode, MapInPandas per-format header "
-        "parse via the decode_real dispatch) with a true binary column "
-        "flowing between them — zero Exchange (map-only end to end), "
-        "no row-at-a-time BatchEvalPython.",
-    ),
-    (
-        "ingest_accept_batch",
-        "Composed admission cascade (r9): the plan is scans + "
-        "equi-joins + partial aggs only — the staged (doc, token) tf "
-        "relation appears as InMemoryTableScan reads (one explode "
-        "shared by the blocklist/Gopher stats rollup AND the drift "
-        "vocabulary), the fingerprint/LSH-band/gram probes are "
-        "LEFT SEMI / equi joins (never a cartesian), and every dedup "
-        "stage's staged relation is built over the SURVIVORS of the "
-        "prior gates (progressive short-circuit). At 100 TB the "
-        "corpus sides are persisted bucketed indexes; here they "
-        "derive in-query from the corpus half.",
-    ),
-    (
-        "audio_features",
-        "Audio modality (r9): WAV encode + windowed energy/peak decode "
-        "as two Arrow-batched MapInPandas stages; the per-window "
-        "fan-out is a numpy reshape INSIDE the batch — zero Exchange, "
-        "no explode shuffle, no BatchEvalPython.",
-    ),
-    (
-        "value_percentiles_hist",
-        "Mergeable quantile summary (r9): raw events collapse to the "
-        "daily histogram grid in ONE partial-agg Exchange (map-side "
-        "combine at (day,type,bucket) grain), the cross-day merge is "
-        "a second partial agg over SUMMARY rows (KBs, not events), "
-        "and the quantile pick is a per-type cumulative window over "
-        "the merged grid — at 100 TB the first exchange happens once "
-        "per ingest day and persists; queries touch only the grid.",
-    ),
-    (
-        "jpeg_roundtrip",
-        "Lossy JPEG certification (r9): the full baseline T.81 "
-        "encode+decode+compare runs in ONE Arrow-batched MapInPandas "
-        "over the documents scan — zero Exchange (deliberately no "
-        "join back to the source: the UDF rebuilds the closed-form "
-        "source row vector), no BatchEvalPython; at 100 TB this is "
-        "embarrassingly parallel per input split.",
-    ),
-    (
-        "ingest_accept_batch_indexed",
-        "PRODUCTION admission probe (r10): the same cascade with every "
-        "corpus side a PARQUET INDEX SCAN (fingerprints / LSH bands / "
-        "shingles / sizes / grams / vocab / lang counts from the "
-        "memoized nightly build) — all probes LEFT SEMI / ANTI / equi "
-        "joins against those scans, batch-side staging unchanged, no "
-        "cartesian, no BatchEvalPython; admission cost ∝ batch because "
-        "nothing corpus-scale is derived at query time (SCALE.md: "
-        "near-flat at corpus ×100).",
-    ),
-    (
-        "fts_topk_indexed",
-        "PRODUCTION ranked retrieval (late r10): the postings probe is a "
-        "PARTITION-PRUNED parquet scan — the literal query terms appear "
-        "as PartitionFilters, so the scan touches only the queried "
-        "terms' partitions (at real vocabulary: bucketBy(term)); the "
-        "query/dictionary/doc-count relations all broadcast, "
-        "conjunctivity is one partial-agg shuffle on (query, doc), "
-        "top-k is WindowGroupLimit. No full-corpus pass anywhere.",
-    ),
-    (
-        "edit_dup_pairs",
-        "PassJoin pigeonhole edit-join (late r10): candidates come from "
-        "an EQUI-JOIN on literal segment content (probe fan-out ≈405 "
-        "rows/doc — linear in corpus), never a cartesian or a gram "
-        "count-filter blowup; the levenshtein verify runs as a codegen "
-        "filter on the deduped candidate pairs.",
-    ),
-    (
-        "phrase_search",
-        "Positional phrase match (late r10): ONE broadcast join (tokens "
-        "⋈ phrase words) + ONE partial-agg shuffle on (phrase, doc, "
-        "start) covers ALL phrases at once — no per-phrase scan, no "
-        "regex, no self-join chain growing with phrase length.",
-    ),
-    (
-        "fts_prefix_topk",
-        "Prefix retrieval (r11): the prefix relation broadcast against "
-        "the VOCABULARY-sized dictionary (StartsWith residual on a "
-        "BroadcastNestedLoopJoin over the small side — the corpus never "
-        "meets a non-equi join), expanded term set broadcast into the "
-        "same postings probe as the literal-terms path.",
-    ),
-    (
-        "fts_topk_maintained",
-        "Maintained postings index (r11): base ∪ overlay parquet scans "
-        "both PartitionFilter-pruned to the queried terms; dictionary "
-        "and doc-count merged by a KB-scale partial-agg SUM at probe "
-        "time — no corpus touch anywhere in the maintenance read path.",
-    ),
-    (
-        "hybrid_topk",
-        "RRF hybrid fusion (r11): lexical ranking reuses the fts plan; "
-        "the five query vectors ride a broadcast against the embeddings "
-        "scan (cost ∝ corpus × |queries|, the exact-baseline shape); "
-        "fusion is a full-outer merge on (query, doc) with integer "
-        "reciprocal-rank arithmetic — no floats anywhere in the ranking.",
-    ),
-    (
-        "ivf_probe_topk",
-        "Bounded-batch ANN probe (r11): the IVF-Flat list scan carries "
-        "PartitionFilters on the cell column (probed cells computed "
-        "driver-side from the KB-scale query batch), candidate vectors "
-        "ride the pruned scan, query side broadcast — the only shuffle "
-        "is the per-query row_number over ~n_probe·cell_size candidates.",
-    ),
-    (
-        "ivf_probe_topk_maintained",
-        "Maintained-ANN probe (r12): base AND overlay list scans both "
-        "carry the same static probed-cell PartitionFilters (the "
-        "fts_topk_maintained pattern on the vector index); the overlay "
-        "was committed ∝ batch against frozen models, and the union is "
-        "row-identical to a full re-encode (test-pinned), so the cheap "
-        "commit costs nothing in probe-plan shape.",
-    ),
-    (
-        "hybrid_topk_indexed",
-        "Persisted-index hybrid (r12): the complete RAG serving plan — "
-        "lexical side reads the term-partitioned postings index "
-        "(pruned to the queried terms), semantic side reads the "
-        "cell-partitioned IVF-Flat lists (pruned to the probed cells), "
-        "integer RRF fusion on top; NO documents/embeddings table scan "
-        "anywhere (test-pinned) — per-request cost is corpus-independent.",
-    ),
-    (
-        "fts_fuzzy_topk",
-        "Fuzzy retrieval (r12 expansion): the PLANNING-TIME dictionary "
-        "expansion runs as a PassJoin segment equi-join (broadcast "
-        "query probe, no nested-loop over the vocabulary — "
-        "plan-asserted separately in tests); the serving plan shown "
-        "here then rides the literal expanded relation through the "
-        "standard broadcast-pruned postings probe.",
-    ),
-    (
-        "ts_ohlc_hourly",
-        "Time-series OHLC bars (r12b): ordered open/close WITHOUT a sort "
-        "— lexicographic struct min/max fold map-side (partial_min/"
-        "partial_max of named_struct before the single hash Exchange); "
-        "no Window operator anywhere. The shape a 100 TB bar-resample "
-        "needs: one combiner-friendly shuffle at (type, hour) grain.",
-    ),
-    (
-        "ts_gapfill_locf",
-        "Dense-grid LOCF fill (r12b): raw rows fold to the hourly-last "
-        "relation in ONE partial-agg shuffle; the (type × hour) grid is "
-        "generated from that aggregate's bounds (sequence + explode over "
-        "a 1-row frame, broadcast) — the only nested-loop join in the "
-        "plan is this bounded grid cross join, never a corpus-side one; "
-        "the carry-forward is a grid-sized window pass.",
-    ),
-    (
-        "ts_gapfill_interp",
-        "Exact linear interpolation (r12b): observations union grid "
-        "points, ONE per-type sort feeds BOTH bracket-resolving window "
-        "passes (forward last / backward first, frame-bounded, IGNORE "
-        "NULLS) — no point-vs-observation range join, no second sort; "
-        "the rational fill is pure codegen integer arithmetic.",
-    ),
-    (
-        "fts_topk_compacted",
-        "Segment-merged index probe (r12b): after compaction the probe "
-        "reads ONE term-partitioned tree — same pruned-scan shape as "
-        "fts_topk_indexed (PartitionFilters on the queried terms), with "
-        "the base ∪ overlay union fan-in gone. Compaction pays an "
-        "index-sized rewrite once to keep this probe plan flat as "
-        "overlays accumulate.",
-    ),
-]
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def main() -> None:
-    spark = get_spark(app_name="dump-plans", streaming=False)
+def main() -> int:
+    tag = sys.argv[1] if len(sys.argv) > 1 else "r12"
+    suffix = sys.argv[2] if len(sys.argv) > 2 else "before"
+    import __spark_entry__ as entry_mod
+    from bench import HEADLINE, PIPELINES
+    from flink_project_userbehavioranalysis_spark import get_spark
+
+    names = sys.argv[3:] or (HEADLINE + PIPELINES)
+    here = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "plans", tag)
+    os.makedirs(here, exist_ok=True)
+    spark = get_spark(app_name="dump-plans", streaming=True)
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry_mod.queries()
-    out = [
-        "# PLANS — physical-plan exhibits (AQE-final, sf0.01)",
-        "",
-        "Generated by `python tools/dump_plans.py`. Each plan is captured "
-        "*after* execution, so AQE's runtime re-planning (coalesced "
-        "partitions, skew splits) is included. The stated properties are "
-        "asserted in `tests/test_plans.py` / `tests/test_skew.py`.",
-        "",
-    ]
-    for name, why in EXHIBITS:
-        staged = []
-        if name == "ingest_accept_batch":
-            # the registered entry returns a memoized localCheckpoint
-            # (plan = a bare RDD scan); exhibit the live cascade frame
-            from flink_project_userbehavioranalysis_spark.operators.ingest import (
-                _manifest_frame,
+    for name in names:
+        fn = qs.get(name)
+        if fn is None:
+            print(f"{name}: NOT REGISTERED", file=sys.stderr)
+            continue
+        try:
+            df = fn(spark, SF_DIR)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
             )
-
-            df, staged = _manifest_frame(spark, SF)
-        elif name == "ingest_accept_batch_indexed":
-            # same memoization story: exhibit the live probe frame
-            # over the persisted indexes
-            import pyspark.sql.functions as F
-
-            from flink_project_userbehavioranalysis_spark.io import load_table
-            from flink_project_userbehavioranalysis_spark.operators.ingest import (
-                INGEST_DEFAULTS,
-                _cascade_over_indexes,
-                _read_ingest_indexes,
-                build_ingest_indexes,
-            )
-
-            root = build_ingest_indexes(spark, SF)
-            docs = load_table(spark, SF, "documents").select(
-                "doc_id", "lang", "text"
-            )
-            batch = docs.filter(F.col("doc_id") >= INGEST_DEFAULTS["split_id"])
-            df, staged = _cascade_over_indexes(
-                batch, _read_ingest_indexes(spark, [root]), INGEST_DEFAULTS
-            )
-        else:
-            df = qs[name](spark, SF)
-        df.collect()  # finalize AQE
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        for sdf in staged:
-            sdf.unpersist()
-        # trim noisy absolute paths and plan ids for a stable-ish doc
-        plan = re.sub(r"\[plan_id=\d+\]", "", plan)
-        plan = plan.replace("file:" + SF, "<sf>")
-        lines = plan.splitlines()
-        if len(lines) > 200:
-            joins = sum(
-                1 for ln in lines if "Join" in ln and "BroadcastNestedLoop" not in ln
-            )
-            plan = "\n".join(lines[:150]) + (
-                f"\n... [exhibit truncated: {len(lines)} printed plan lines "
-                f"({joins} join-operator prints — toString re-expands shared "
-                "subtrees per reference; the runtime plan reuses the "
-                "persisted InMemoryRelations). All joins are hash/sort-merge "
-                "equi or semi/anti: CartesianProduct and "
-                "BroadcastNestedLoopJoin absence is test-asserted]"
-            )
-        out += [f"## {name}", "", why, "", "```", plan.rstrip(), "```", ""]
-    with open("PLANS.md", "w") as f:
-        f.write("\n".join(out))
-    print(f"PLANS.md written ({len(EXHIBITS)} exhibits)")
+        except Exception as e:  # noqa: BLE001
+            plan = f"PLAN UNAVAILABLE: {type(e).__name__}: {e}"
+        with open(os.path.join(here, f"{name}_{suffix}.txt"), "w") as f:
+            f.write(plan)
+        print(name)
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())
