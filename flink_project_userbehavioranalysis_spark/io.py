@@ -68,6 +68,55 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def spread(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Fan a split-starved source out to the cluster's parallelism
+    ahead of a CPU-bound map stage — and ONLY then. Parquet split
+    planning is BYTE-based (`spark.sql.files.maxPartitionBytes`), so a
+    byte-small documents table (sf0.1 is one row group → ONE split)
+    would serialize an expensive transform (codec synthesis, shingle /
+    w-gram explodes, fingerprint md5s) on a single core no matter how
+    many are free. When the input already has at least as many splits
+    as cores — the 100 TB case, where shuffling payload bytes would be
+    the real cost — this is the identity and the plan stays
+    Exchange-free; otherwise it is one explicit round-robin
+    repartition whose shuffle moves only the small pre-transform rows.
+    The explicit numPartitions makes it a user-specified repartition,
+    which AQE never coalesces back down.
+
+    (Moved from ``operators.multimodal._spread`` in r12 so the text /
+    similarity / ingest pillars can share it; the multimodal name
+    stays as an alias.)
+    """
+    if df.isStreaming:
+        # micro-batch parallelism is the source's (file-chunk / Kafka
+        # partition count); .rdd is illegal on a streaming frame and a
+        # blind repartition would add a per-batch shuffle — pass through
+        return df
+    sc = df.sparkSession.sparkContext
+    if target is None:
+        target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
+def spread_light(df: DataFrame) -> DataFrame:
+    """``spread`` for MODERATELY heavy maps (shingle / w-gram / token
+    explodes, fingerprint md5s): fan out to a quarter of the cores
+    instead of all of them. These transforms cost ~100 µs/row — an
+    order less than the codec stages — so at full width the per-task
+    fixed costs (codegen init, scheduling, result handling) across the
+    cascade's many staged materializations outweigh the extra
+    parallelism: measured at sf0.1 on 32 cores, the admission cascade
+    reads 4.9 s at width 8 vs 6.7 s at width 32 vs 8.4 s unspread, and
+    widths 4/8/16 are within noise of each other. Stays proportional
+    to the session's cores (no constant tied to this box), and is the
+    identity whenever the source already has enough splits — at
+    100 TB both forms never repartition."""
+    sc = df.sparkSession.sparkContext
+    return spread(df, max(4, sc.defaultParallelism // 4))
+
+
 def normalize_events(raw: DataFrame) -> DataFrame:
     """Shared batch/streaming event normalization → TimestampType ``ts``
     + BIGINT-nanos ``ts_ns`` + item_id projection. Works identically on

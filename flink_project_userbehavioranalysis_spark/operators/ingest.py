@@ -58,7 +58,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from flink_project_userbehavioranalysis_spark.io import load_table
+from flink_project_userbehavioranalysis_spark.io import load_table, spread_light
 from flink_project_userbehavioranalysis_spark.operators.corpus_quality import (
     BLOCKLIST_TERMS,
     GOPHER_STOPWORDS,
@@ -180,12 +180,21 @@ def _manifest_frame(
     entry checkpoints-then-unpersists; tests inspect the live plan)."""
     p = {**INGEST_DEFAULTS, **overrides}
     split_id = p["split_id"]
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    # fan the split-starved scan out before the cascade's explode-heavy
+    # staging maps (shingles / w-grams / fingerprints all run BEFORE
+    # the first shuffle; identity when splits >= cores — io.spread),
+    # and persist the fanned-out rows so the many staged
+    # materializations re-read them instead of re-running the
+    # scan + fan-out per action (released with the other staged frames)
+    docs = spread_light(
+        load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    ).persist()
     batch = docs.filter(F.col("doc_id") >= split_id)
     corpus = docs.filter(
         (F.col("doc_id") < split_id) & F.col("text").isNotNull()
     )
-    return _cascade_frame(batch, corpus, p)
+    frame, staged = _cascade_frame(batch, corpus, p)
+    return frame, staged + [docs]
 
 
 # Names of the corpus-side probe indexes the cascade needs. In
@@ -494,7 +503,9 @@ def build_ingest_indexes(spark: SparkSession, sf_dir: str, **overrides) -> str:
     cached = _INGEST_INDEX_CACHE.get(key)
     if cached is not None:
         return cached
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    docs = spread_light(
+        load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    )
     corpus = docs.filter(
         (F.col("doc_id") < p["split_id"]) & F.col("text").isNotNull()
     )
@@ -564,9 +575,12 @@ def ingest_accept_batch_indexed(
         return cached
     root = build_ingest_indexes(spark, sf_dir, **overrides)
     idx = _read_ingest_indexes(spark, [root])
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    docs = spread_light(
+        load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    ).persist()
     batch = docs.filter(F.col("doc_id") >= p["split_id"])
     frame, staged = _cascade_over_indexes(batch, idx, p)
+    staged = staged + [docs]
     out = frame.localCheckpoint(eager=True)
     for df in staged:
         df.unpersist()
@@ -824,7 +838,12 @@ def ingest_two_batch(
     """
     p = {**INGEST_DEFAULTS, **overrides}
     split1 = p["split_id"] if split1 is None else split1
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    # one fan-out + persist shared by BOTH cascades (the lifecycle runs
+    # ~a dozen staged materializations; without the persist each one
+    # re-runs the scan + fan-out shuffle)
+    docs = spread_light(
+        load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    ).persist()
     corpus0 = docs.filter((F.col("doc_id") < split1) & F.col("text").isNotNull())
     batch1 = docs.filter((F.col("doc_id") >= split1) & (F.col("doc_id") < split2))
     batch2 = docs.filter(F.col("doc_id") >= split2)
@@ -842,6 +861,7 @@ def ingest_two_batch(
     out = m2_frame.localCheckpoint(eager=True)
     for df in staged2:
         df.unpersist()
+    docs.unpersist()
     _release_local_ckpt(m1)
     return out
 
@@ -881,7 +901,9 @@ def ingest_two_batch_indexed(
     base_root = build_ingest_indexes(
         spark, sf_dir, **{**overrides, "split_id": split1}
     )
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    docs = spread_light(
+        load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    ).persist()
     batch1 = docs.filter((F.col("doc_id") >= split1) & (F.col("doc_id") < split2))
     batch2 = docs.filter(F.col("doc_id") >= split2)
     m1_frame, staged1 = _cascade_over_indexes(
@@ -907,6 +929,7 @@ def ingest_two_batch_indexed(
     out = m2_frame.localCheckpoint(eager=True)
     for df in staged2:
         df.unpersist()
+    docs.unpersist()
     _release_local_ckpt(m1)
     _MANIFEST_CACHE[key] = out
     while len(_MANIFEST_CACHE) > _MANIFEST_CACHE_MAX:

@@ -23,7 +23,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from flink_project_userbehavioranalysis_spark.io import load_events, load_table
+from flink_project_userbehavioranalysis_spark.io import load_events, load_table, spread
 
 
 def _tokens(df: DataFrame) -> DataFrame:
@@ -1579,7 +1579,11 @@ def _dup_gram_positions(docs: DataFrame, w: int) -> DataFrame:
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.col("n") - w),
-                lambda i: F.array_join(F.slice(F.col("toks"), i + 1, w), " "),
+                # element_at + concat_ws: no per-gram array allocation
+                # (always full-length here — n ≥ w is pre-filtered)
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(F.col("toks"), i + 1 + j) for j in range(w)]
+                ),
             )
         ).alias("p", "gram"),
     ).select(

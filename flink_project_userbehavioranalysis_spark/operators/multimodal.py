@@ -35,33 +35,13 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.functions import pandas_udf
 
-from flink_project_userbehavioranalysis_spark.io import load_events, load_table
+from flink_project_userbehavioranalysis_spark.io import load_events, load_table, spread
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Fan a split-starved source out to the cluster's parallelism
-    ahead of a CPU-bound codec stage — and ONLY then. Parquet split
-    planning is BYTE-based (`spark.sql.files.maxPartitionBytes`), so a
-    byte-small documents table (sf0.1 is one row group → ONE split)
-    would serialize an expensive encode/decode map on a single core no
-    matter how many are free. When the input already has at least as
-    many splits as cores — the 100 TB case, where shuffling payload
-    bytes would be the real cost — this is the identity and the plan
-    stays Exchange-free; otherwise it is one explicit round-robin
-    repartition whose shuffle moves only the tiny pre-synthesis rows.
-    The explicit numPartitions makes it a user-specified repartition,
-    which AQE never coalesces back down.
-    """
-    if df.isStreaming:
-        # micro-batch parallelism is the source's (file-chunk / Kafka
-        # partition count); .rdd is illegal on a streaming frame and a
-        # blind repartition would add a per-batch shuffle — pass through
-        return df
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
-    return df.repartition(target)
+# The codec fan-out now lives in io.spread (shared with the text /
+# similarity / ingest pillars since r12); this module keeps its
+# historical name for the many call sites and tests that import it.
+_spread = spread
 
 
 def attach_binary_payload(docs: DataFrame) -> DataFrame:

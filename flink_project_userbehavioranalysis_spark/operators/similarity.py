@@ -27,7 +27,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from flink_project_userbehavioranalysis_spark.io import load_table
+from flink_project_userbehavioranalysis_spark.io import load_table, spread_light
 
 # --------------------------------------------------------------- shared prep
 
@@ -42,10 +42,17 @@ def _shingles(df: DataFrame, n: int) -> DataFrame:
     column reference inside the lambda is a row-field read, once per
     row."""
     w = F.col("w")
+    # per-position string build via element_at + concat_ws rather than
+    # slice + array_join: no per-shingle array allocation, and
+    # concat_ws skips the NULLs element_at yields past the end, which
+    # reproduces the short-doc (size < n) truncated shingle exactly —
+    # measured ~30% off the explode pass, set-identical (r12)
     sh = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
-            lambda i: F.array_join(F.slice(w, i, n), " "),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, i + j) for j in range(n)]
+            ),
         )
     )
     return df.select("doc_id", F.split("text", " ").alias("w")).select(
@@ -1667,7 +1674,10 @@ def ngram_jaccard_pairs(
 
     Output is float-free: (doc_a, doc_b, n_common, n_union).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # fan a split-starved scan out before the shingle transform (the
+    # expensive map would otherwise run on ONE core at byte-small SFs;
+    # identity when splits >= cores — io.spread)
+    docs = spread_light(load_table(spark, sf_dir, "documents"))
     # per-doc distinct-shingle count rides ON the exploded rows (size of
     # the array before explode — free), so the join sides carry (doc,
     # size, shingle) and Jaccard needs NO separate sizes aggregation and
@@ -2043,7 +2053,7 @@ def near_dup_incremental(
     (incoming, corpus) near-dup pair; a downstream keep/drop gate is
     one groupBy(doc_id) away and stays exact.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_light(load_table(spark, sf_dir, "documents"))
     sh = _shingles(docs, shingle_len).persist()
     banded = _banded(sh, n_hashes, n_bands)
     corpus_index = banded.filter(F.col("doc_id") < split_id)
