@@ -40,7 +40,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from flink_project_userbehavioranalysis_spark.io import load_table
+from flink_project_userbehavioranalysis_spark.io import load_table, spread_light
 from flink_project_userbehavioranalysis_spark.operators.multimodal import (
     _spread,
     _wav_n_samples,
@@ -162,7 +162,7 @@ def audio_features_mulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (doc_id, win_idx, energy, peak) — exact BIGINTs.
     """
     return mulaw_features_projection(
-        _spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+        spread_light(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     )
 
 
@@ -739,7 +739,7 @@ def audio_features_alaw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (doc_id, win_idx, energy, peak) — exact BIGINTs.
     """
-    src = _spread(
+    src = spread_light(
         load_table(spark, sf_dir, "documents").select(
             "doc_id", F.col("text").cast("binary").alias("tb")
         )

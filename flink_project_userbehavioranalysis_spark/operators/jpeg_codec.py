@@ -168,18 +168,30 @@ _C = np.array(
 )
 
 
+_QT_CACHE: dict[tuple[int, bytes], np.ndarray] = {}
+
+
 def quality_scaled_qt(quality: int, base: np.ndarray | None = None) -> np.ndarray:
     """IJG quality scaling of an Annex K table (K.1 luma by default,
     pass ``BASE_CHROMA_QT`` for K.2): scale = 5000/Q for Q < 50 else
     200 - 2Q; each entry floor((base*scale + 50)/100), clamped to
-    [1, 255]."""
+    [1, 255]. Memoized per (quality, base identity) — the encoders
+    rebuild the same table for every one of thousands of tiny corpus
+    images (r12 profile)."""
     if not 1 <= quality <= 100:
         raise ValueError("quality must be in [1, 100]")
     if base is None:
         base = BASE_LUMA_QT
+    key = (quality, base.tobytes())
+    cached = _QT_CACHE.get(key)
+    if cached is not None:
+        return cached
     scale = 5000 // quality if quality < 50 else 200 - 2 * quality
     qt = (base * scale + 50) // 100
-    return np.clip(qt, 1, 255).astype(np.int64)
+    out = np.clip(qt, 1, 255).astype(np.int64)
+    out.setflags(write=False)
+    _QT_CACHE[key] = out
+    return out
 
 
 # -------------------------------------------------- Huffman (Annex C)
@@ -220,20 +232,31 @@ class _BitWriter:
         self._n = 0
 
     def write(self, value: int, length: int) -> None:
+        # accumulate into one big int and drain in bulk: the per-write
+        # cost is two int ops instead of a per-byte Python loop, and
+        # the 0xFF byte-stuffing (spec F.1.2.3) happens once per drain
+        # as a C-speed bytes.replace (r12; byte-identical output)
         self._acc = (self._acc << length) | (value & ((1 << length) - 1))
         self._n += length
-        while self._n >= 8:
-            self._n -= 8
-            b = (self._acc >> self._n) & 0xFF
-            self.buf.append(b)
-            if b == 0xFF:
-                self.buf.append(0x00)
-        self._acc &= (1 << self._n) - 1
+        if self._n >= 8192:
+            self._drain()
+
+    def _drain(self) -> None:
+        nbytes = self._n >> 3
+        if nbytes:
+            rem = self._n & 7
+            chunk = (self._acc >> rem).to_bytes(nbytes, "big")
+            self.buf += chunk.replace(b"\xff", b"\xff\x00")
+            self._acc &= (1 << rem) - 1
+            self._n = rem
 
     def flush(self) -> None:
         """Pad the final partial byte with 1-bits (spec F.1.2.3)."""
-        if self._n:
-            self.write((1 << (8 - self._n)) - 1, 8 - self._n)
+        if self._n & 7:
+            pad = 8 - (self._n & 7)
+            self._acc = (self._acc << pad) | ((1 << pad) - 1)
+            self._n += pad
+        self._drain()
 
     def restart_marker(self, m: int) -> None:
         """Byte-align (1-bit padding, stuffing applies) and emit RSTm
@@ -244,86 +267,91 @@ class _BitWriter:
 
 class _BitReader:
     """MSB-first bit reader that un-stuffs 0xFF 0x00 and raises on a
-    real marker inside the entropy stream (no restart support).
+    real marker inside the entropy stream (restart via
+    ``consume_restart``).
 
-    Windowed for speed: ``peek(16)`` feeds the Huffman LUT in one
-    lookup instead of a per-bit tree walk. Peeking past the end of
-    real data pads with virtual 1-bits (so the final code of a scan
-    can be looked up), but CONSUMING virtual bits raises — a code
-    that needs padding bits means the stream is truncated or a marker
-    interrupted it."""
+    r12 shape: the whole entropy segment (up to the next real marker)
+    is located and un-stuffed ONCE per scan with C-speed
+    ``bytes.find`` / slicing, and ``peek`` is a 4-byte
+    ``int.from_bytes`` window over the un-stuffed buffer — no per-byte
+    Python fill loop, no growing int window. ``peek(16)`` feeds the
+    Huffman LUT in one lookup. Peeking past the end of real data pads
+    with virtual 1-bits (so the final code of a scan can be looked
+    up), but CONSUMING virtual bits raises — a code that needs padding
+    bits means the stream is truncated or a marker interrupted it."""
 
     def __init__(self, data: bytes, pos: int) -> None:
         self.data = data
-        self.pos = pos
-        self._win = 0
-        self._n = 0  # total bits in window (real + virtual pad)
-        self._real = 0  # real bits (always the window head)
-        self._end_reason: str | None = None
-        self._end_marker: int | None = None  # marker that ended the scan
+        self._scan_segment(pos)
 
-    def _fill(self, need: int) -> None:
-        while self._n < need:
-            byte = None
-            if self._end_reason is None and self.pos < len(self.data):
-                c = self.data[self.pos]
-                if c == 0xFF:
-                    nxt = (
-                        self.data[self.pos + 1]
-                        if self.pos + 1 < len(self.data)
-                        else None
-                    )
-                    if nxt == 0x00:
-                        byte = 0xFF
-                        self.pos += 2
-                    else:
-                        self._end_reason = "marker inside entropy-coded stream"
-                        if nxt is not None:
-                            self._end_marker = 0xFF00 | nxt
-                else:
-                    byte = c
-                    self.pos += 1
-            elif self._end_reason is None:
+    def _scan_segment(self, pos: int) -> None:
+        """Un-stuff from ``pos`` up to the first real marker (0xFF
+        followed by anything but 0x00) or end of data."""
+        data = self.data
+        n = len(data)
+        chunks = []
+        i = pos
+        while True:
+            j = data.find(b"\xff", i)
+            if j == -1:
+                chunks.append(data[i:])
+                self._marker_pos = n
+                self._end_marker = None
                 self._end_reason = "truncated entropy-coded stream"
-            if byte is None:
-                self._win = (self._win << 8) | 0xFF  # virtual pad
-                self._n += 8
-            else:
-                self._win = (self._win << 8) | byte
-                self._n += 8
-                self._real += 8
+                break
+            if j + 1 < n and data[j + 1] == 0x00:
+                chunks.append(data[i : j + 1])  # keep the 0xFF, drop stuffing
+                i = j + 2
+                continue
+            chunks.append(data[i:j])
+            self._marker_pos = j
+            self._end_marker = (0xFF00 | data[j + 1]) if j + 1 < n else None
+            self._end_reason = "marker inside entropy-coded stream"
+            break
+        self._bytes = b"".join(chunks)
+        self._nbits = len(self._bytes) * 8
+        self._cur = 0
+
+    def _remaining(self) -> int:
+        return self._nbits - self._cur
 
     def peek(self, k: int) -> int:
-        self._fill(k)
-        return (self._win >> (self._n - k)) & ((1 << k) - 1)
+        byte_i = self._cur >> 3
+        off = self._cur & 7
+        chunk = self._bytes[byte_i : byte_i + 4]
+        word = int.from_bytes(chunk, "big")
+        short = 4 - len(chunk)
+        if short:
+            # virtual 1-bit padding past the real data
+            word = (word << (8 * short)) | ((1 << (8 * short)) - 1)
+        return (word >> (32 - off - k)) & ((1 << k) - 1)
 
     def consume(self, k: int) -> None:
-        if k > self._real:
+        if self._cur + k > self._nbits:
             raise ValueError(self._end_reason or "truncated entropy-coded stream")
-        self._n -= k
-        self._real -= k
-        self._win &= (1 << self._n) - 1
+        self._cur += k
 
     def read_bits(self, n: int) -> int:
-        v = self.peek(n) if n else 0
-        if n:
-            self.consume(n)
+        if not n:
+            return 0
+        v = self.peek(n)
+        self.consume(n)
         return v
 
     def read_bit(self) -> int:
         return self.read_bits(1)
+
+    def at_scan_end(self) -> bool:
+        """True iff only the final partial byte's padding (< 8 real
+        bits) remains unconsumed."""
+        return self._remaining() <= 7
 
     def consume_restart(self, expected_m: int) -> None:
         """Cross an expected RSTm boundary (spec E.1.4): only the
         final partial byte's 1-bit padding may remain before it, the
         marker index must match the modulo-8 sequence, and reading
         resumes bit-aligned right after the two marker bytes."""
-        # bounded: one real (non-padding) byte past the alignment
-        # budget already proves the marker is missing — don't slurp
-        # the rest of a malformed stream into the window
-        while self._end_reason is None and self._real <= 7:
-            self._fill(self._n + 8)
-        if self._real > 7:
+        if not self.at_scan_end():
             raise ValueError("restart marker not byte-aligned")
         if self._end_marker != 0xFFD0 + (expected_m % 8):
             raise ValueError(
@@ -331,12 +359,7 @@ class _BitReader:
                 f"{self._end_marker:#06x}" if self._end_marker is not None
                 else "truncated stream at restart boundary"
             )
-        self.pos += 2
-        self._win = 0
-        self._n = 0
-        self._real = 0
-        self._end_reason = None
-        self._end_marker = None
+        self._scan_segment(self._marker_pos + 2)
 
 
 def _huff_lut(bits: list[int], vals: list[int]) -> list[tuple[int, int]]:
@@ -506,6 +529,18 @@ def _emit_block(
     return int(zz[0])
 
 
+def _edge_pad(img: np.ndarray, pad_h: int, pad_w: int) -> np.ndarray:
+    """Bottom/right edge-replication to the block grid. Equivalent to
+    ``np.pad(..., mode="edge")`` on those two axes but ~5x cheaper —
+    np.pad's generic machinery was visible on the r12 encode profile
+    at thousands of tiny frames. Works for (h, w) and (h, w, 3)."""
+    if pad_w:
+        img = np.concatenate([img, np.repeat(img[:, -1:], pad_w, axis=1)], axis=1)
+    if pad_h:
+        img = np.concatenate([img, np.repeat(img[-1:], pad_h, axis=0)], axis=0)
+    return img
+
+
 def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">HH", marker, len(payload) + 2) + payload
 
@@ -516,9 +551,20 @@ def _dht(table_class: int, table_id: int, bits: list[int], vals: list[int]) -> b
     )
 
 
+_DQT_CACHE: dict[tuple[int, bytes], bytes] = {}
+
+
 def _dqt(table_id: int, qt: np.ndarray) -> bytes:
-    # DQT payload is stored in ZIGZAG order (spec B.2.4.1).
-    return _seg(0xFFDB, bytes([table_id]) + bytes(int(qt[r, c]) for r, c in ZIGZAG))
+    # DQT payload is stored in ZIGZAG order (spec B.2.4.1). Memoized:
+    # the per-entry genexpr showed up on the r12 profile when encoding
+    # thousands of frames with the same table.
+    key = (table_id, qt.tobytes())
+    seg = _DQT_CACHE.get(key)
+    if seg is None:
+        seg = _DQT_CACHE[key] = _seg(
+            0xFFDB, bytes([table_id]) + bytes(int(qt[r, c]) for r, c in ZIGZAG)
+        )
+    return seg
 
 
 _JFIF_APP0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
@@ -541,7 +587,7 @@ def encode_jpeg(
         raise ValueError("dimensions out of JPEG range")
     qt = quality_scaled_qt(quality)
     pad_h, pad_w = (-h) % 8, (-w) % 8
-    padded = np.pad(img, ((0, pad_h), (0, pad_w)), mode="edge")
+    padded = _edge_pad(img, pad_h, pad_w)
 
     bw = _BitWriter()
     prev_dc = 0
@@ -593,7 +639,7 @@ def encode_jpeg_color(
     qt_y = quality_scaled_qt(quality)
     qt_c = quality_scaled_qt(quality, BASE_CHROMA_QT)
     pad_h, pad_w = (-h) % 16, (-w) % 16
-    padded = np.pad(img, ((0, pad_h), (0, pad_w), (0, 0)), mode="edge")
+    padded = _edge_pad(img, pad_h, pad_w)
     y, cb, cr = rgb_to_ycbcr(padded)
     ph, pw = y.shape
 
@@ -884,13 +930,10 @@ def decode_jpeg_components(
                         c["blocks"][row * c["bw"] + col] = zz
     # the scan must terminate at EOI right after the final block — an
     # over-long entropy stream (extra blocks, trailing garbage) is a
-    # decode error, not a silent success. Pull the reader forward to
-    # the terminating marker: only the final byte's padding bits
-    # (< 8 real bits) may remain unconsumed, and the marker must be
-    # EOI.
-    while r._end_reason is None and r._real < 24:
-        r._fill(r._n + 8)
-    if r._real > 7 or r._end_marker != 0xFFD9:
+    # decode error, not a silent success. Only the final byte's
+    # padding bits (< 8 real bits) may remain unconsumed, and the
+    # terminating marker must be EOI.
+    if not r.at_scan_end() or r._end_marker != 0xFFD9:
         raise ValueError("entropy stream does not end at EOI")
     for c in comps:
         del c["dc"], c["ac"], c["prev"]
@@ -1082,7 +1125,7 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 90) -> bytes:
     if h == 0 or w == 0 or h > 65535 or w > 65535:
         raise ValueError("dimensions out of JPEG range")
     qt = quality_scaled_qt(quality)
-    padded = np.pad(img, ((0, (-h) % 8), (0, (-w) % 8)), mode="edge")
+    padded = _edge_pad(img, (-h) % 8, (-w) % 8)
     blocks = forward_blocks(padded, qt)
 
     # --- scan 1: DC first, Al=1 (arithmetic shift, diff-coded)
@@ -1155,7 +1198,7 @@ def encode_jpeg_color_progressive(img: np.ndarray, quality: int = 90) -> bytes:
     qt_y = quality_scaled_qt(quality)
     qt_c = quality_scaled_qt(quality, BASE_CHROMA_QT)
     pad_h, pad_w = (-h) % 16, (-w) % 16
-    padded = np.pad(img, ((0, pad_h), (0, pad_w), (0, 0)), mode="edge")
+    padded = _edge_pad(img, pad_h, pad_w)
     y, cb, cr = rgb_to_ycbcr(padded)
     ph, pw = y.shape
 
@@ -1259,16 +1302,14 @@ def encode_jpeg_color_progressive(img: np.ndarray, quality: int = 90) -> bytes:
 
 
 def _finish_scan(r: _BitReader) -> int:
-    """Drain a finished scan to its terminating marker: only the final
-    partial byte's padding may remain. Returns the byte offset of the
-    marker's 0xFF."""
-    while r._end_reason is None and r._real <= 7:
-        r._fill(r._n + 8)
-    if r._real > 7:
+    """Check a finished scan sits at its terminating marker: only the
+    final partial byte's padding may remain. Returns the byte offset
+    of the marker's 0xFF."""
+    if not r.at_scan_end():
         raise ValueError("scan data not exhausted at scan end")
     if r._end_marker is None:
         raise ValueError(r._end_reason or "truncated scan")
-    return r.pos
+    return r._marker_pos
 
 
 def _dec_ac_first_block(
@@ -1307,10 +1348,14 @@ def _dec_ac_refine_block(
     """Decode one block's AC-refinement band; returns remaining eobrun."""
     pos_bit = 1 << al
     neg_bit = -pos_bit
+    # work on a plain Python list: this loop touches (almost) every
+    # band coefficient per block, and CPython list indexing is several
+    # times cheaper than numpy scalar indexing (r12; written back once)
+    row = coef_row.tolist()
 
     def correct(k: int) -> None:
-        if r.read_bit() and not (abs(int(coef_row[k])) & pos_bit):
-            coef_row[k] += pos_bit if coef_row[k] > 0 else neg_bit
+        if r.read_bit() and not (abs(row[k]) & pos_bit):
+            row[k] += pos_bit if row[k] > 0 else neg_bit
 
     k = ss
     if eobrun == 0:
@@ -1333,7 +1378,7 @@ def _dec_ac_refine_block(
             # the (run+1)-th zero (the slot the new value lands in;
             # the terminal k++ consumes it for ZRL)
             while k <= se:
-                if coef_row[k] != 0:
+                if row[k] != 0:
                     correct(k)
                 else:
                     run -= 1
@@ -1343,16 +1388,17 @@ def _dec_ac_refine_block(
             if newval:
                 if k > se:
                     raise ValueError("refinement run overflows band")
-                coef_row[k] = newval
+                row[k] = newval
             k += 1
     if eobrun:
         # EOB run covers the REST of this block's band: correction
         # bits still arrive for nonzero-history coefficients
         while k <= se:
-            if coef_row[k] != 0:
+            if row[k] != 0:
                 correct(k)
             k += 1
         eobrun -= 1
+    coef_row[ss : se + 1] = row[ss : se + 1]
     return eobrun
 
 

@@ -35,7 +35,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.functions import pandas_udf
 
-from flink_project_userbehavioranalysis_spark.io import load_events, load_table, spread
+from flink_project_userbehavioranalysis_spark.io import load_events, load_table, spread, spread_light
 
 
 # The codec fan-out now lives in io.spread (shared with the text /
@@ -171,7 +171,7 @@ def bmp_scanline(b: bytes, r: int) -> bytes:
 def attach_bmp_payload(docs: DataFrame) -> DataFrame:
     """documents → (doc_id, payload: binary BMP) via an Arrow-batched
     encode pass; NULL text encodes the 0-byte dimensions (total)."""
-    src = _spread(docs.select("doc_id", F.col("text").cast("binary").alias("tb")))
+    src = spread_light(docs.select("doc_id", F.col("text").cast("binary").alias("tb")))
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -373,7 +373,7 @@ def attach_image_payload(docs: DataFrame) -> DataFrame:
     odd as PNG — one mixed-format binary column with typed metadata,
     the shape a real multimodal table arrives in. Arrow-batched
     encode pass; NULL text encodes the 0-byte dimensions."""
-    src = _spread(docs.select("doc_id", F.col("text").cast("binary").alias("tb")))
+    src = spread_light(docs.select("doc_id", F.col("text").cast("binary").alias("tb")))
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -815,7 +815,7 @@ def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import numpy as np
 
-    src = _spread(
+    src = spread_light(
         load_table(spark, sf_dir, "documents").select(
             "doc_id", F.col("text").cast("binary").alias("tb")
         )
@@ -881,7 +881,7 @@ def audio_features_stereo8(spark: SparkSession, sf_dir: str) -> DataFrame:
     phase-shifted closed form."""
     import numpy as np
 
-    src = _spread(
+    src = spread_light(
         load_table(spark, sf_dir, "documents").select(
             "doc_id", F.col("text").cast("binary").alias("tb")
         )
@@ -1076,7 +1076,7 @@ def video_frames(spark: SparkSession, sf_dir: str, n_sample: int = 4) -> DataFra
 
     Output: (doc_id, frame_idx, src_frame, n_frames, frame_md5).
     """
-    src = _spread(
+    src = spread_light(
         load_table(spark, sf_dir, "documents").select(
             "doc_id", F.col("text").cast("binary").alias("tb")
         )
@@ -1351,7 +1351,7 @@ def attach_jpeg_payload(docs: DataFrame) -> DataFrame:
         encode_jpeg,
     )
 
-    src = _spread(docs.select("doc_id", F.col("text").cast("binary").alias("tb")))
+    src = spread_light(docs.select("doc_id", F.col("text").cast("binary").alias("tb")))
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1434,7 +1434,7 @@ def jpeg_roundtrip(spark: SparkSession, sf_dir: str, bound: int = 4) -> DataFram
     # source, decode the produced BYTES through the full scan parser,
     # and compare — the payload round-trips through real serialized
     # form even though both halves run in the same task.
-    src_docs = _spread(
+    src_docs = spread_light(
         load_table(spark, sf_dir, "documents").select(
             "doc_id", F.col("text").cast("binary").alias("tb")
         )
@@ -1493,7 +1493,7 @@ def attach_image3_payload(docs: DataFrame) -> DataFrame:
         encode_jpeg,
     )
 
-    src = _spread(docs.select("doc_id", F.col("text").cast("binary").alias("tb")))
+    src = spread_light(docs.select("doc_id", F.col("text").cast("binary").alias("tb")))
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1771,7 +1771,7 @@ def attach_image4_payload(docs: DataFrame) -> DataFrame:
         encode_jpeg_color,
     )
 
-    src = _spread(docs.select("doc_id", F.col("text").cast("binary").alias("tb")))
+    src = spread_light(docs.select("doc_id", F.col("text").cast("binary").alias("tb")))
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1881,7 +1881,7 @@ def attach_image6_payload(docs: DataFrame) -> DataFrame:
         encode_jpeg_color,
     )
 
-    src = _spread(docs.select("doc_id", F.col("text").cast("binary").alias("tb")))
+    src = spread_light(docs.select("doc_id", F.col("text").cast("binary").alias("tb")))
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2095,7 +2095,7 @@ def attach_image7_payload(docs: DataFrame) -> DataFrame:
         encode_jpeg_color,
     )
 
-    src = _spread(docs.select("doc_id", F.col("text").cast("binary").alias("tb")))
+    src = spread_light(docs.select("doc_id", F.col("text").cast("binary").alias("tb")))
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
