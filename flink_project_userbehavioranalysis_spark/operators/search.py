@@ -2199,12 +2199,16 @@ def fts_topk_diverse(
     docs = _docs(spark, sf_dir)
     post = _postings(docs).select("term", "doc_id")
     cd = cand_df.select("query_id", "doc_id")
-    pa = post.join(F.broadcast(cd), "doc_id").select(
-        "query_id", F.col("doc_id").alias("a"), "term"
+    # one candidate-pruned postings pass, persisted and self-joined —
+    # the previous pa/pb pair derived the corpus-scale postings twice
+    # (r12; the pruned relation is (queries × pool × doc-terms)-bounded)
+    pc = (
+        post.join(F.broadcast(cd), "doc_id")
+        .select("query_id", "doc_id", "term")
+        .persist()
     )
-    pb = post.join(F.broadcast(cd), "doc_id").select(
-        "query_id", F.col("doc_id").alias("b"), "term"
-    )
+    pa = pc.select("query_id", F.col("doc_id").alias("a"), "term")
+    pb = pc.select("query_id", F.col("doc_id").alias("b"), "term")
     sims_df = (
         pa.join(pb, ["query_id", "term"])
         .filter(F.col("a") != F.col("b"))
@@ -2223,61 +2227,59 @@ def fts_topk_diverse(
     cap_c, cap_s = n_q * pool, n_q * pool * pool
     cand_rows = cand_df.collect()
     sims_rows = sims_df.collect()
+    pc.unpersist()
     if len(cand_rows) > cap_c or len(sims_rows) > cap_s:
         raise RuntimeError(
             f"MMR pool collect exceeded its contract bound: "
             f"{len(cand_rows)}/{cap_c} candidates, {len(sims_rows)}/{cap_s} sims"
         )
-    cand = spark.createDataFrame(
-        [(r["query_id"], r["doc_id"], r["rank"]) for r in cand_rows],
-        "query_id INT, doc_id BIGINT, rank INT",
-    )
-    sims = spark.createDataFrame(
-        [(r["query_id"], r["a"], r["b"], r["shared"]) for r in sims_rows],
-        "query_id INT, a BIGINT, b BIGINT, shared BIGINT",
-    )
+    # The k greedy rounds run DRIVER-SIDE over those bounded literals —
+    # the same bounded-collect exception class as the two collects
+    # above (KBs by contract). r12: the previous form unrolled the
+    # rounds into ONE lazy relational plan whose lineage doubled per
+    # round (the selected union and the remaining anti-join both
+    # reference the prior round), ~700 Exchange nodes at k=10 —
+    # Catalyst planning plus hundreds of micro-stages dominated the
+    # invocation (guide §3.3: very large plans; truncate/materialize).
+    # A greedy over ≤ |queries|·pool² integers is a function call; the
+    # selection is still proven relationally, because the registered
+    # DuckDB oracle replays the identical unrolled greedy and the
+    # driver hash-compares the full output.
+    from collections import defaultdict
 
-    rel = (F.lit(pool) - F.col("rank")) * 2
-    selected = (
-        cand.filter(F.col("rank") == 1)
-        .select(
-            "query_id",
-            "doc_id",
-            F.lit(1).alias("sel_rank"),
-            rel.cast("long").alias("mmr"),
-        )
-    )
-    remaining = cand.join(
-        selected.select("query_id", "doc_id"), ["query_id", "doc_id"], "left_anti"
-    )
-    for step in range(2, int(k) + 1):
-        ms = (
-            remaining.join(
-                selected.select("query_id", F.col("doc_id").alias("b")), "query_id"
-            )
-            .join(
-                sims.withColumnRenamed("a", "doc_id"),
-                ["query_id", "doc_id", "b"],
-                "left",
-            )
-            .groupBy("query_id", "doc_id", "rank")
-            .agg(F.max(F.coalesce(F.col("shared"), F.lit(0))).alias("maxsim"))
-        )
-        scored = ms.withColumn("mmr", (rel - F.col("maxsim")).cast("long"))
-        w = Window.partitionBy("query_id").orderBy(F.desc("mmr"), F.asc("doc_id"))
-        pick = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(
-                "query_id", "doc_id", F.lit(step).alias("sel_rank"), "mmr"
-            )
-        )
-        selected = selected.unionByName(pick)
-        remaining = remaining.join(
-            pick.select("query_id", "doc_id"), ["query_id", "doc_id"], "left_anti"
-        )
-    return selected.select(
-        "query_id", "doc_id", F.col("sel_rank").cast("int").alias("sel_rank"), "mmr"
+    by_q: dict[int, list[tuple[int, int]]] = defaultdict(list)
+    for r in cand_rows:
+        by_q[r["query_id"]].append((r["rank"], r["doc_id"]))
+    shared: dict[tuple[int, int, int], int] = {
+        (r["query_id"], r["a"], r["b"]): r["shared"] for r in sims_rows
+    }
+    out_rows: list[tuple[int, int, int, int]] = []
+    for qid in sorted(by_q):
+        rank_of = {d: rk for rk, d in by_q[qid]}
+        first = [d for rk, d in by_q[qid] if rk == 1]
+        if not first:
+            continue
+        sel = [first[0]]
+        out_rows.append((qid, first[0], 1, 2 * (pool - 1)))
+        remaining = {d for _rk, d in by_q[qid] if d != first[0]}
+        for step in range(2, int(k) + 1):
+            if not remaining:
+                break
+            best = None
+            for d in remaining:
+                maxsim = max(
+                    (shared.get((qid, d, s), 0) for s in sel), default=0
+                )
+                mmr = 2 * (pool - rank_of[d]) - maxsim
+                key = (-mmr, d)
+                if best is None or key < best[0]:
+                    best = (key, d, mmr)
+            _key, d, mmr = best
+            out_rows.append((qid, d, step, mmr))
+            sel.append(d)
+            remaining.discard(d)
+    return spark.createDataFrame(
+        out_rows, "query_id INT, doc_id BIGINT, sel_rank INT, mmr BIGINT"
     )
 
 
