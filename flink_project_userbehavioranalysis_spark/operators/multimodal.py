@@ -2017,7 +2017,7 @@ def gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         gif_rgb_row,
     )
 
-    src_docs = _spread(
+    src_docs = spread_light(
         load_table(spark, sf_dir, "documents").select(
             "doc_id", F.col("text").cast("binary").alias("tb")
         )

@@ -1876,18 +1876,37 @@ def _min_label_cc(nodes: DataFrame, pairs: DataFrame, max_iters: int) -> DataFra
     labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint(
         eager=True
     )
+    # the checkpointed frame BACKING the current labels (labels itself
+    # may be a projection over it; releases must target the bare
+    # LogicalRDD frame or the block release silently no-ops)
+    labels_ckpt = labels
     converged = False
     for _ in range(max_iters):
+        # each node's OWN previous label rides through the gather (it
+        # is unique per doc, so max() recovers it), making the
+        # convergence check a flag filter over the round's
+        # checkpointed blocks instead of a second shuffle join per
+        # round against the previous frame (r12)
         msgs = (
             edges.join(labels, edges.doc_a == labels.doc_id)
-            .select(F.col("doc_b").alias("doc_id"), "cluster_id")
+            .select(
+                F.col("doc_b").alias("doc_id"),
+                "cluster_id",
+                F.lit(None).cast("long").alias("old"),
+            )
+        )
+        own = labels.select(
+            "doc_id", "cluster_id", F.col("cluster_id").cast("long").alias("old")
         )
         gathered = (
-            labels.unionByName(msgs)
+            own.unionByName(msgs)
             .groupBy("doc_id")
-            .agg(F.min("cluster_id").alias("cluster_id"))
+            .agg(
+                F.min("cluster_id").alias("cluster_id"),
+                F.max("old").alias("old"),
+            )
         )
-        new_labels = (
+        ckpt = (
             gathered.alias("g")
             .join(
                 gathered.select(
@@ -1896,21 +1915,21 @@ def _min_label_cc(nodes: DataFrame, pairs: DataFrame, max_iters: int) -> DataFra
                 ),
                 "cluster_id",
             )
-            .select("doc_id", F.least("cluster_id", "jumped").alias("cluster_id"))
+            .select(
+                "doc_id",
+                F.least("cluster_id", "jumped").alias("cluster_id"),
+                "old",
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        # the superseded round's blocks are dead once `changed` has
-        # consumed both frames — release them instead of pinning
+        changed = ckpt.filter(F.col("cluster_id") != F.col("old")).count()
+        # the superseded round's blocks are dead once the round is
+        # materialized — release them instead of pinning
         # O(rounds × nodes) blocks per invocation (the final frame
         # stays live for the caller)
-        prev = labels
-        labels = new_labels
+        prev = labels_ckpt
+        labels_ckpt = ckpt
+        labels = ckpt.select("doc_id", "cluster_id")
         _release_local_ckpt(prev)
         if changed == 0:
             converged = True
