@@ -157,3 +157,75 @@ def test_seasonal_naive_semantics(spark, sf_dir):
         assert r.hour_start >= h0 + T.WEEK_S
         assert r.forecast_cents == filled[(r.event_type, r.hour_start - T.WEEK_S)]
         assert r.abs_err == abs(r.actual_cents - r.forecast_cents)
+
+
+def test_interp_boundary_tie_semantics(spark, tmp_path):
+    """Focused r12 regression for the bucketed bracket resolution: the
+    corpus carries no observation exactly ON an hour boundary, so the
+    oracle-parity test cannot exercise the tie rules the rewrite must
+    preserve — an obs at exactly H:00 is "at or before" grid point H
+    (prev; ties broken toward the larger event_id) and NOT "strictly
+    after" it (never next for H). Brute-forced here against the
+    definition over a synthetic table that hits: two same-microsecond
+    boundary observations, a boundary-only hour, an empty hour, and an
+    observation in the final hour after its grid point."""
+    import datetime as dt
+
+    H = 3_600
+    base = 1_700_000_000  # epoch seconds, exact hour multiple? make it one:
+    base -= base % H
+
+    def ts(sec_off_us):
+        return dt.datetime.fromtimestamp(
+            base + sec_off_us / 1_000_000, tz=dt.timezone.utc
+        ).replace(tzinfo=None)
+
+    rows = [
+        # (event_id, offset_us, value)
+        (1, 0, 1.00),                       # exactly at grid H0
+        (2, 0, 2.00),                       # same µs, larger id → wins prev tie
+        (3, 30 * 60 * 1_000_000, 3.00),     # mid hour 0
+        (4, 2 * H * 1_000_000, 4.00),       # exactly at grid H2 (hour 1 empty)
+        (5, int(2.5 * H * 1_000_000), 5.00),  # inside final hour, after grid H2
+    ]
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": [ts(r[1]) for r in rows],
+            "user_id": [1] * len(rows),
+            "event_type": ["view"] * len(rows),
+            "value": [r[2] for r in rows],
+            "props": ["{}"] * len(rows),
+        }
+    )
+    d = str(tmp_path / "tiny")
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    pdf.to_parquet(os.path.join(d, "events.parquet"), index=False)
+    out = {
+        (r.event_type, r.hour_start): (r.milli, r.span_us)
+        for r in T.ts_gapfill_interp(spark, d).collect()
+    }
+    # brute-force the ORIGINAL total-order definition
+    obs = sorted(
+        (base * 1_000_000 + off, eid, int(round(v * 100))) for eid, off, v in rows
+    )
+    grid_hours = [base, base + H, base + 2 * H]
+    assert set(out) == {("view", h) for h in grid_hours}
+    for h in grid_hours:
+        t_us = h * 1_000_000
+        prevs = [o for o in obs if o[0] <= t_us]
+        nexts = [o for o in obs if o[0] > t_us]
+        if prevs and nexts:
+            pt, _, pc = max(prevs)          # last by (t_us, event_id)
+            nt, _, nc = min(nexts)          # first by (t_us, event_id)
+            num = pc * (nt - t_us) + nc * (t_us - pt)
+            den = nt - pt
+            q = num // den
+            milli = q * 1000 + ((num - q * den) * 1000) // den
+            assert out[("view", h)] == (milli, den), h
+        else:
+            assert out[("view", h)] == (None, None), h
