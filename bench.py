@@ -249,6 +249,10 @@ def _prev_bench(cur_sf: float) -> tuple[str, dict] | None:
                 d = json.load(open(p))
             except (OSError, json.JSONDecodeError):
                 continue
+            # a lower-core scaling pass (e.g. BENCH_r12_c8.json, 8
+            # cores) must not anchor a full-width run's vs_prev trend
+            if d.get("cpus") not in (None, CPUS):
+                continue
             parsed = d.get("parsed") if isinstance(d.get("parsed"), dict) else None
             if not parsed:
                 # tail keeps the final stdout chars; the bench line is
@@ -269,7 +273,7 @@ def _prev_bench(cur_sf: float) -> tuple[str, dict] | None:
     detail_path = os.path.join(here, "bench_detail.json")
     try:
         d = json.load(open(detail_path))
-        if d.get("queries") and d.get("sf") == cur_sf:
+        if d.get("queries") and d.get("sf") == cur_sf and d.get("cpus") in (None, CPUS):
             if driver is not None and driver[1].get("value") == d.get("value") and (
                 driver[1].get("method") == d.get("method")
             ):
@@ -634,11 +638,56 @@ FROM events WHERE event_type = 'view' GROUP BY 1
         compact["vs_duckdb_search"] = detail["same_host_search"][
             "ratio_collect_vs_fetchall"
         ]
+    compact["cpus"] = CPUS
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) >= 1900:  # never overflow the tail: totals beat detail
-        compact["queries"] = {}
-        compact["queries_in"] = "bench_detail.json"
-        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) >= 1880:
+        # The driver parses only the LAST ~2000 stdout chars (r04's
+        # overflow recorded parsed:null from a tail-truncated line),
+        # and the 97 benched names alone are ~1.5 KB of JSON — the
+        # full map can never ride the final line whole. r12 "fixed"
+        # this by stripping `queries` entirely, which blinded the
+        # driver's per-query/scaling comparison (PERF_r12 n_common=0).
+        # r13: keep the final line under the tail limit but carry the
+        # highest-information per-query SUBSET that fits, chosen by a
+        # DETERMINISTIC priority (all PIPELINES rows, then the
+        # BASELINE/search/ts comparable sets, then remaining headline
+        # rows in declaration order) so the driver's 32-core and
+        # 8-core runs emit the SAME names and scaling.per_query can
+        # intersect them. Values are rounded to ms. The FULL map still
+        # goes to bench_detail.json (committed) and is also printed on
+        # its own chunked lines just above (readable by anything that
+        # keeps more than the 2000-char tail; the chunks avoid the
+        # literal '{"metric' prefix so tail-scanners can't mistake
+        # them for the contract line).
+        full_q = {k: round(v, 3) for k, v in per_query.items()}
+        for i in range(0, len(HEADLINE) + len(PIPELINES), 40):
+            names = (HEADLINE + PIPELINES)[i : i + 40]
+            chunk = {k: full_q[k] for k in names if k in full_q}
+            if chunk:
+                print(json.dumps(
+                    {"bench_queries_part": i // 40 + 1, "queries": chunk},
+                    separators=(",", ":"),
+                ))
+        priority = list(dict.fromkeys(
+            PIPELINES + BASELINE_COMPARABLE + SEARCH_COMPARABLE
+            + TS_COMPARABLE + HEADLINE
+        ))
+        base = dict(compact)
+        base["queries"] = {}
+        base["queries_in"] = "bench_detail.json"
+        base["queries_n_full"] = len(per_query)
+        budget = 1880 - len(json.dumps(base, separators=(",", ":")))
+        subset: dict[str, float] = {}
+        for k in priority:
+            if k not in full_q:
+                continue
+            cost = len(json.dumps({k: full_q[k]}, separators=(",", ":"))) - 1
+            if budget - cost < 0:
+                continue
+            budget -= cost
+            subset[k] = full_q[k]
+        base["queries"] = subset
+        line = json.dumps(base, separators=(",", ":"))
     print(line)
 
 

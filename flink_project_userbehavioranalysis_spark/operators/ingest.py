@@ -124,6 +124,22 @@ _STAGES = (
 )
 
 
+def _release_staged(frames) -> None:
+    """Release a cascade's staged relations once the manifest is
+    materialized: persisted caches unpersist; the batch-cardinality
+    lazy localCheckpoints (``stage_ckpt`` — their analyzed plan is a
+    bare ``LogicalRDD``) release their block-manager blocks via
+    ``_release_local_ckpt`` (the r8 checkpoint-release discipline)."""
+    for df in frames:
+        if (
+            df._jdf.queryExecution().analyzed().getClass().getSimpleName()
+            == "LogicalRDD"
+        ):
+            _release_local_ckpt(df)
+        else:
+            df.unpersist()
+
+
 def _doc_fingerprint() -> F.Column:
     """Canonical-form fingerprint (md5 of the sorted distinct token
     set) — the same key as ``llm_text.dedup_incremental``."""
@@ -159,8 +175,7 @@ def ingest_accept_batch(
     # the manifest is batch-cardinality: materialize it eagerly so the
     # corpus-scale staged relations can be released immediately
     out = frame.localCheckpoint(eager=True)
-    for df in staged:
-        df.unpersist()
+    _release_staged(staged)
     # session-keyed memo (the io.cache_events discipline): the audit
     # rollup and repeated drives reuse ONE cascade execution; the
     # pinned blocks are batch-cardinality rows, not corpus-scale —
@@ -173,11 +188,12 @@ def ingest_accept_batch(
 
 
 def _manifest_frame(
-    spark: SparkSession, sf_dir: str, **overrides
+    spark: SparkSession, sf_dir: str, *, stage_ckpt: bool = True, **overrides
 ) -> tuple[DataFrame, list]:
     """Builds the (lazy) manifest frame; returns it plus the persisted
     staged relations so the caller controls release (the registered
-    entry checkpoints-then-unpersists; tests inspect the live plan)."""
+    entry checkpoints-then-unpersists; tests inspect the live plan —
+    with ``stage_ckpt=False`` for the fully-composed, uncut tree)."""
     p = {**INGEST_DEFAULTS, **overrides}
     split_id = p["split_id"]
     # fan the split-starved scan out before the cascade's explode-heavy
@@ -193,7 +209,7 @@ def _manifest_frame(
     corpus = docs.filter(
         (F.col("doc_id") < split_id) & F.col("text").isNotNull()
     )
-    frame, staged = _cascade_frame(batch, corpus, p)
+    frame, staged = _cascade_frame(batch, corpus, p, stage_ckpt=stage_ckpt)
     return frame, staged + [docs]
 
 
@@ -236,7 +252,7 @@ def _corpus_index_frames(corpus: DataFrame, p: dict) -> dict[str, DataFrame]:
 
 
 def _cascade_frame(
-    batch: DataFrame, corpus: DataFrame, p: dict
+    batch: DataFrame, corpus: DataFrame, p: dict, stage_ckpt: bool = True
 ) -> tuple[DataFrame, list]:
     """The cascade over EXPLICIT batch/corpus relations (both
     (doc_id, lang, text); corpus pre-filtered to non-null text) — the
@@ -254,17 +270,34 @@ def _cascade_frame(
         .agg(F.count("*").alias("sb"))
         .withColumnRenamed("doc_id", "corpus_doc")
     )
-    frame, staged = _cascade_over_indexes(batch, idx, p)
+    frame, staged = _cascade_over_indexes(batch, idx, p, stage_ckpt=stage_ckpt)
     return frame, staged + [sh_c]
 
 
 def _cascade_over_indexes(
-    batch: DataFrame, idx: dict[str, DataFrame], p: dict
+    batch: DataFrame, idx: dict[str, DataFrame], p: dict, stage_ckpt: bool = True
 ) -> tuple[DataFrame, list]:
     """The admission cascade probing EXPLICIT index relations (see
     ``_INGEST_INDEX_NAMES``) — the production shape: every corpus
     touch is an equi-join against an index, so the job's cost is
-    ∝ batch regardless of corpus size."""
+    ∝ batch regardless of corpus size.
+
+    ``stage_ckpt`` (r13, guide §3.3 plan size / §7.3 driver planning):
+    the cascade chains ~21 joins, and Spark re-analyzes the whole
+    accumulated tree on every one — measured 2.3-2.9 s of pure
+    driver-side py4j/analysis per composed cascade at sf0.1, on par
+    with its entire execution. The batch-cardinality staging points
+    (``pre``, ``exact_ids``, ``sh_b``, ``near_ids``) therefore become
+    LAZY localCheckpoints: each is immediately a ``LogicalRDD`` leaf
+    (analysis downstream sees a truncated tree) while materialization
+    still happens inside the one manifest job, exactly where the old
+    persists materialized — same rows, same single-action execution,
+    quadratic analysis cost cut into segments. Tests that inspect the
+    fully-composed lazy plan pass ``stage_ckpt=False`` to get the
+    uncut tree (same logical dataflow)."""
+
+    def _stage(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=False) if stage_ckpt else df.persist()
 
     # ---- staged token relation: ONE explode + per-(doc, token) tf,
     # persisted so the per-doc stats rollup AND the drift gate's batch
@@ -349,8 +382,8 @@ def _cascade_over_indexes(
             "doc_id", "lang", "text", "n_tokens", "n_blocked",
             pre_verdict.alias("v0"),
         )
-        .persist()
     )
+    pre = _stage(pre)
 
     # ---- exact dedup (stage 4), survivors only: fingerprint-index
     # probe vs the corpus + min-id survivor election within the batch
@@ -368,15 +401,15 @@ def _cascade_over_indexes(
             .select("doc_id")
         )
         .distinct()
-        .persist()
     )
+    exact_ids = _stage(exact_ids)
     surv4 = surv3.join(exact_ids, "doc_id", "left_anti").select("doc_id", "text")
 
     # ---- near-dup vs corpus (stage 5), survivors only: LSH band-index
     # probe + exact shingle-Jaccard verify (recall-1 band params — the
     # near_dup_incremental contract; gated live by
     # tests/test_ingest.py::test_near_stage_lsh_candidate_recall_is_one)
-    sh_b = _shingles(surv4, p["shingle_len"]).persist()
+    sh_b = _stage(_shingles(surv4, p["shingle_len"]))
     cand = (
         _banded(sh_b, p["n_hashes"], p["n_bands"])
         .alias("x")
@@ -417,8 +450,8 @@ def _cascade_over_indexes(
         )
         .select("doc_id")
         .distinct()
-        .persist()
     )
+    near_ids = _stage(near_ids)
     surv5 = surv4.join(near_ids, "doc_id", "left_anti")
 
     # ---- span dedup vs corpus (stage 6), survivors only: gram-index
@@ -529,8 +562,20 @@ def _materialize_indexes(docs: DataFrame, p: dict, root: str) -> None:
         .agg(F.count("*").alias("sb"))
         .withColumnRenamed("doc_id", "corpus_doc")
     )
-    for name in _INGEST_INDEX_NAMES:
+    # materialize the shared shingle pass once, THEN overlap the seven
+    # independent write jobs from a small thread pool (guide §2.6): in
+    # the lifecycle's COMMIT step these are seven tiny batch-sized
+    # writes whose per-job scheduling floors otherwise serialize; the
+    # eager count keeps the pooled writers from racing three concurrent
+    # first-computations of the persisted shingle relation
+    sh_c.count()
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write(name: str) -> None:
         idx[name].write.mode("overwrite").parquet(f"{root}/{name}")
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        list(pool.map(_write, _INGEST_INDEX_NAMES))
     sh_c.unpersist()
 
 
@@ -575,15 +620,19 @@ def ingest_accept_batch_indexed(
         return cached
     root = build_ingest_indexes(spark, sf_dir, **overrides)
     idx = _read_ingest_indexes(spark, [root])
+    # the probe form never touches corpus docs — filter BEFORE the
+    # fan-out/persist so the batch predicate pushes into the parquet
+    # scan and the persisted rows are batch-only (guide §6; r13)
     docs = spread_light(
-        load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .filter(F.col("doc_id") >= p["split_id"])
     ).persist()
-    batch = docs.filter(F.col("doc_id") >= p["split_id"])
+    batch = docs
     frame, staged = _cascade_over_indexes(batch, idx, p)
     staged = staged + [docs]
     out = frame.localCheckpoint(eager=True)
-    for df in staged:
-        df.unpersist()
+    _release_staged(staged)
     _MANIFEST_CACHE[key] = out
     while len(_MANIFEST_CACHE) > _MANIFEST_CACHE_MAX:
         evicted = _MANIFEST_CACHE.pop(next(iter(_MANIFEST_CACHE)))
@@ -847,19 +896,55 @@ def ingest_two_batch(
     corpus0 = docs.filter((F.col("doc_id") < split1) & F.col("text").isNotNull())
     batch1 = docs.filter((F.col("doc_id") >= split1) & (F.col("doc_id") < split2))
     batch2 = docs.filter(F.col("doc_id") >= split2)
-    m1_frame, staged1 = _cascade_frame(batch1, corpus0, p)
+    # r13 (guide §2.1 fewer passes; r12 verdict #3): derive corpus0's
+    # probe indexes ONCE, persisted across BOTH runs; run 2's index set
+    # is idx0 ∪ indexes(accepted batch-1 docs) — the same union-read
+    # discipline ``_read_ingest_indexes`` applies to base ∪ overlay
+    # parquet (disjoint doc-id parts; every consumer is a semi/anti
+    # probe or keyed by corpus doc id; lang_counts SUM-merges), which
+    # the shared two-cascade oracle already proves equal to a full
+    # rebuild. The r12 form re-ran every corpus-scale staging pass
+    # (shingle explode, 32-hash banding, gram md5s, vocab distinct) a
+    # second time over corpus0 ∪ accepted1 for run 2's cascade.
+    idx0 = _corpus_index_frames(corpus0, p)
+    sh0 = idx0["shingles"].persist()
+    for name in ("vocab", "fingerprints", "grams"):
+        idx0[name] = idx0[name].persist()
+    idx0["shingles"] = sh0
+    idx0["bands"] = _banded(sh0, p["n_hashes"], p["n_bands"])
+    idx0["sizes"] = (
+        sh0.groupBy("doc_id")
+        .agg(F.count("*").alias("sb"))
+        .withColumnRenamed("doc_id", "corpus_doc")
+    )
+    m1_frame, staged1 = _cascade_over_indexes(batch1, idx0, p)
     m1 = m1_frame.localCheckpoint(eager=True)
-    for df in staged1:
-        df.unpersist()
+    _release_staged(staged1)
     # the commit: accepted batch-1 docs join the corpus (accept ⇒ not
-    # malformed, so text is non-null by construction)
+    # malformed, so text is non-null by construction); their index
+    # rows extend idx0 — cost ∝ accepted batch
     accepted1 = batch1.join(
         m1.filter(F.col("accept") == 1).select("doc_id"), "doc_id", "left_semi"
     )
-    corpus1 = corpus0.unionByName(accepted1)
-    m2_frame, staged2 = _cascade_frame(batch2, corpus1, p)
+    idx1 = _corpus_index_frames(accepted1, p)
+    sh1 = idx1["shingles"].persist()
+    idx1["shingles"] = sh1
+    idx1["bands"] = _banded(sh1, p["n_hashes"], p["n_bands"])
+    idx1["sizes"] = (
+        sh1.groupBy("doc_id")
+        .agg(F.count("*").alias("sb"))
+        .withColumnRenamed("doc_id", "corpus_doc")
+    )
+    idx01 = {
+        name: idx0[name].unionByName(idx1[name]) for name in _INGEST_INDEX_NAMES
+    }
+    idx01["lang_counts"] = (
+        idx01["lang_counts"].groupBy("lang").agg(F.sum("n_old").alias("n_old"))
+    )
+    m2_frame, staged2 = _cascade_over_indexes(batch2, idx01, p)
     out = m2_frame.localCheckpoint(eager=True)
-    for df in staged2:
+    _release_staged(staged2)
+    for df in (sh0, idx0["vocab"], idx0["fingerprints"], idx0["grams"], sh1):
         df.unpersist()
     docs.unpersist()
     _release_local_ckpt(m1)
@@ -901,17 +986,21 @@ def ingest_two_batch_indexed(
     base_root = build_ingest_indexes(
         spark, sf_dir, **{**overrides, "split_id": split1}
     )
+    # both batches sit at doc_id ≥ split1 and the corpus side comes
+    # from the persisted indexes — filter BEFORE the fan-out/persist so
+    # the scan and the persisted rows are batch-only (guide §6; r13)
     docs = spread_light(
-        load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .filter(F.col("doc_id") >= split1)
     ).persist()
-    batch1 = docs.filter((F.col("doc_id") >= split1) & (F.col("doc_id") < split2))
+    batch1 = docs.filter(F.col("doc_id") < split2)
     batch2 = docs.filter(F.col("doc_id") >= split2)
     m1_frame, staged1 = _cascade_over_indexes(
         batch1, _read_ingest_indexes(spark, [base_root]), p
     )
     m1 = m1_frame.localCheckpoint(eager=True)
-    for df in staged1:
-        df.unpersist()
+    _release_staged(staged1)
     # the commit: accepted batch-1 docs' index rows, written ∝ batch
     # (overwrite mode — repeated invocations are idempotent)
     from flink_project_userbehavioranalysis_spark.operators.maintenance import (
@@ -927,8 +1016,7 @@ def ingest_two_batch_indexed(
         batch2, _read_ingest_indexes(spark, [base_root, overlay]), p
     )
     out = m2_frame.localCheckpoint(eager=True)
-    for df in staged2:
-        df.unpersist()
+    _release_staged(staged2)
     docs.unpersist()
     _release_local_ckpt(m1)
     _MANIFEST_CACHE[key] = out

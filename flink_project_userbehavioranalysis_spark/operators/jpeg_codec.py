@@ -1027,37 +1027,55 @@ def _is_progressive(b: bytes) -> bool:
     return False
 
 
-def _trunc2(v: int, al: int) -> int:
-    """AC point transform (G.1.2.2): |v| / 2^Al truncated toward zero."""
-    return (abs(v) >> al) * (1 if v >= 0 else -1)
-
-
 # ----- per-scan encoders (shared by the gray and color progressive
 # ----- entry points; ``blocks`` is an iterable of zigzag int32[64])
 
 
 def _enc_ac_first(bw: _BitWriter, blocks, ac_codes, al: int) -> None:
     """AC band [1..63] first scan at successive-approximation level
-    ``al`` (truncating point transform), EOB run capped at one block."""
-    for zz in blocks:
-        run = 0
-        for k in range(1, 64):
-            r = _trunc2(int(zz[k]), al)
-            if r == 0:
-                run += 1
-                continue
-            while run > 15:
-                code, length = ac_codes[0xF0]
-                bw.write(code, length)
-                run -= 16
-            s = _bitsize(r)
-            code, length = ac_codes[(run << 4) | s]
-            bw.write(code, length)
-            bw.write(_enc_magnitude(r, s), s)
-            run = 0
-        if run:
-            code, length = ac_codes[0x00]  # EOB (run capped at 1)
-            bw.write(code, length)
+    ``al`` (truncating point transform), EOB run capped at one block.
+
+    r13 shape: the point transform runs BATCHED over the whole scan's
+    block stack and the Python loop visits only the NONZERO
+    coefficients (np.nonzero is row-major, i.e. exactly encoding
+    order) — the r12 per-coefficient loop paid ~63 int()/abs() calls
+    per block for mostly-zero bands. Byte-identical streams
+    (conformance-pinned): runs are reconstructed from the nonzero
+    positions' gaps, trailing zeros become the same capped EOB."""
+    arr = np.asarray(blocks)
+    if arr.size == 0:
+        return
+    a = arr[:, 1:].astype(np.int64)
+    mag = np.abs(a) >> al
+    r = np.where(a < 0, -mag, mag)
+    nzb, nzk = np.nonzero(r)
+    vals = r[nzb, nzk].tolist()
+    blocks_idx = nzb.tolist()
+    ks = (nzk + 1).tolist()  # back to zigzag positions 1..63
+    zrl_code, zrl_len = ac_codes[0xF0]
+    eob_code, eob_len = ac_codes[0x00]
+    bi = 0  # current block
+    prev = 0  # zigzag position of the last nonzero in current block
+    for b, k, v in zip(blocks_idx, ks, vals):
+        while bi < b:
+            if prev != 63:  # trailing zeros (or an all-zero block)
+                bw.write(eob_code, eob_len)
+            bi += 1
+            prev = 0
+        run = k - prev - 1
+        prev = k
+        while run > 15:
+            bw.write(zrl_code, zrl_len)
+            run -= 16
+        s = v.bit_length() if v >= 0 else (-v).bit_length()
+        code, length = ac_codes[(run << 4) | s]
+        bw.write(code, length)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+    while bi < arr.shape[0]:
+        if prev != 63:
+            bw.write(eob_code, eob_len)
+        bi += 1
+        prev = 0
 
 
 def _enc_ac_refine(bw: _BitWriter, blocks, ac_codes, al: int) -> None:
@@ -1065,42 +1083,76 @@ def _enc_ac_refine(bw: _BitWriter, blocks, ac_codes, al: int) -> None:
     newly nonzero coefficients run-length coded over zero-at-this-
     level slots with a sign bit; buffered correction bits for
     nonzero-history positions flush after each symbol."""
-    for zz in blocks:
-        pending: list[int] = []
-        run = 0
-        for k in range(1, 64):
-            t = abs(int(zz[k])) >> al
-            if t == 0:
-                run += 1
-                continue
-            # a visible (t != 0) position guarantees k <= EOB, so any
-            # backlog of >15 zero-at-this-level positions flushes as
-            # ZRL HERE — before the correction-vs-new split, exactly
-            # the spec ordering
-            while run > 15:
-                code, length = ac_codes[0xF0]
-                bw.write(code, length)
-                run -= 16
+    # r13 shape (mirrors _enc_ac_first): batch the point transform,
+    # visit only the VISIBLE (t != 0) coefficients — the zero-at-this-
+    # level run between two visible positions is exactly their zigzag
+    # gap, because every in-between position has t == 0 by definition.
+    # Byte-identical streams (conformance-pinned).
+    arr = np.asarray(blocks)
+    if arr.size == 0:
+        return
+    a = arr[:, 1:].astype(np.int64)
+    t_all = np.abs(a) >> al
+    nzb, nzk = np.nonzero(t_all)
+    ts = t_all[nzb, nzk].tolist()
+    signs = (a[nzb, nzk] > 0).astype(np.int64).tolist()
+    blocks_idx = nzb.tolist()
+    ks = (nzk + 1).tolist()
+    zrl_code, zrl_len = ac_codes[0xF0]
+    eob_code, eob_len = ac_codes[0x00]
+    new_code, new_len = ac_codes[0x01]  # (run 0, size 1) fast path
+    bi = 0
+    prev = 0
+    run = 0
+    pending: list[int] = []
+    for b, k, t, pos in zip(blocks_idx, ks, ts, signs):
+        while bi < b:
+            run += 63 - prev  # trailing zero-at-this-level slots
+            if run or pending:
+                bw.write(eob_code, eob_len)
                 for bit in pending:
                     bw.write(bit, 1)
-                pending = []
-            if t > 1:
-                # nonzero history: one buffered correction bit
-                pending.append(t & 1)
-                continue
-            # newly nonzero at this level: t == 1
-            code, length = ac_codes[(run << 4) | 1]
-            bw.write(code, length)
-            bw.write(1 if int(zz[k]) > 0 else 0, 1)
+            bi += 1
+            prev = 0
+            run = 0
+            pending = []
+        run += k - prev - 1
+        prev = k
+        # a visible (t != 0) position guarantees k <= EOB, so any
+        # backlog of >15 zero-at-this-level positions flushes as
+        # ZRL HERE — before the correction-vs-new split, exactly
+        # the spec ordering
+        while run > 15:
+            bw.write(zrl_code, zrl_len)
+            run -= 16
             for bit in pending:
                 bw.write(bit, 1)
             pending = []
-            run = 0
-        if run or pending:
-            code, length = ac_codes[0x00]  # EOB (run 1)
+        if t > 1:
+            # nonzero history: one buffered correction bit
+            pending.append(t & 1)
+            continue
+        # newly nonzero at this level: t == 1
+        if run:
+            code, length = ac_codes[(run << 4) | 1]
             bw.write(code, length)
+        else:
+            bw.write(new_code, new_len)
+        bw.write(pos, 1)
+        for bit in pending:
+            bw.write(bit, 1)
+        pending = []
+        run = 0
+    while bi < arr.shape[0]:
+        run += 63 - prev
+        if run or pending:
+            bw.write(eob_code, eob_len)
             for bit in pending:
                 bw.write(bit, 1)
+        bi += 1
+        prev = 0
+        run = 0
+        pending = []
 
 
 def _sos_prog(comps: list[tuple[int, int]], ss: int, se: int, ah: int, al: int) -> bytes:

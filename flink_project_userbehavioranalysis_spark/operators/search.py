@@ -2177,28 +2177,55 @@ def fts_topk_diverse(
     hash-oracles:
 
       1. candidate pool = the conjunctive tf-idf top-``pool`` per query
-         (:func:`fts_topk` — the relevance list MMR re-orders);
+         — the relevance list MMR re-orders. r13: retrieved through the
+         PERSISTED postings index (:func:`fts_topk_indexed`, content-
+         equal to :func:`fts_topk` by construction — one `_postings`
+         definition, same registered oracle), so the pool comes off a
+         partition-pruned probe of the queried terms instead of a
+         corpus-scale tokenize+aggregate per invocation (guide §6
+         pushdown/pruning; the r12 verdict's #4);
       2. pairwise redundancy = |shared distinct terms| between pool
-         docs of the same query (the postings self-equi-join on term,
-         both sides semi-join-pruned to the pool — candidate-bounded,
-         never corpus × corpus);
+         docs of the same query. r13: the postings for this join are
+         derived from the documents PRUNED to the pool's doc ids (a
+         literal IN-list — the pool is already a bounded literal), so
+         the tokenize runs over ≤ |queries|·pool docs, never the
+         corpus (guide §2.3 project/filter before the exchange);
       3. ``k`` greedy rounds: pick argmax of
          ``2·(pool − rank) − max_{s ∈ selected} sim(c, s)``
          (tie → doc_id), exactly the λ=⅔ rank-form MMR on integers.
 
     Every frame after stage 1 is (queries × pool)-bounded, so the
     greedy's iterated joins cost KBs regardless of corpus size; the
-    corpus-scale work is exactly the one retrieval pass stage 1 pays.
+    corpus-scale work is the nightly index build (memoized, the
+    ingest_accept_batch_indexed cost-split contract) — the per-request
+    serving plan touches only the queried terms' partitions and the
+    pool docs' rows.
 
     Output: (query_id, doc_id, sel_rank, mmr) — mmr is the selection
     objective at pick time (maxsim ≡ 0 for the first pick).
     """
-    cand_df = fts_topk(spark, sf_dir, k=pool).select(
+    cand_df = fts_topk_indexed(spark, sf_dir, k=pool).select(
         "query_id", "doc_id", "rank"
     )
-    docs = _docs(spark, sf_dir)
+    # Materialize the pool as a LITERAL relation first (bounded by
+    # contract: |queries|·pool rows — the ivf_probe_topk
+    # bounded-collect exception class); its doc ids then prune the
+    # overlap join's document scan below.
+    n_q = len({qid for qid, _s in FTS_QUERIES})
+    cap_c, cap_s = n_q * pool, n_q * pool * pool
+    cand_rows = cand_df.collect()
+    if len(cand_rows) > cap_c:
+        raise RuntimeError(
+            f"MMR pool collect exceeded its contract bound: "
+            f"{len(cand_rows)}/{cap_c} candidates"
+        )
+    pool_ids = sorted({r["doc_id"] for r in cand_rows})
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id").isin(pool_ids))
     post = _postings(docs).select("term", "doc_id")
-    cd = cand_df.select("query_id", "doc_id")
+    cd = spark.createDataFrame(
+        [(r["query_id"], r["doc_id"]) for r in cand_rows],
+        "query_id INT, doc_id BIGINT",
+    )
     # one candidate-pruned postings pass, persisted and self-joined —
     # the previous pa/pb pair derived the corpus-scale postings twice
     # (r12; the pruned relation is (queries × pool × doc-terms)-bounded)
@@ -2215,23 +2242,17 @@ def fts_topk_diverse(
         .groupBy("query_id", "a", "b")
         .agg(F.count("*").alias("shared"))
     )
-    # Materialize the pool and its pairwise overlaps as LITERAL
-    # relations (bounded by contract: |queries|·pool and
-    # |queries|·pool² rows — the ivf_probe_topk bounded-collect
-    # exception class). Without this, each greedy round's frame
-    # re-evaluates the whole corpus-scale ranking lineage — the
-    # iterated joins below must run on KB literals, touching the
-    # corpus exactly once (the ranking pass) plus once for the
-    # candidate-pruned overlap join.
-    n_q = len({qid for qid, _s in FTS_QUERIES})
-    cap_c, cap_s = n_q * pool, n_q * pool * pool
-    cand_rows = cand_df.collect()
+    # The pairwise overlaps join the pool as the second bounded
+    # literal (≤ |queries|·pool² rows). Without these two
+    # materializations, each greedy round's frame re-evaluates the
+    # whole ranking lineage — the iterated rounds below must run on KB
+    # literals.
     sims_rows = sims_df.collect()
     pc.unpersist()
-    if len(cand_rows) > cap_c or len(sims_rows) > cap_s:
+    if len(sims_rows) > cap_s:
         raise RuntimeError(
-            f"MMR pool collect exceeded its contract bound: "
-            f"{len(cand_rows)}/{cap_c} candidates, {len(sims_rows)}/{cap_s} sims"
+            f"MMR sims collect exceeded its contract bound: "
+            f"{len(sims_rows)}/{cap_s} sims"
         )
     # The k greedy rounds run DRIVER-SIDE over those bounded literals —
     # the same bounded-collect exception class as the two collects

@@ -42,16 +42,20 @@ def _shingles(df: DataFrame, n: int) -> DataFrame:
     column reference inside the lambda is a row-field read, once per
     row."""
     w = F.col("w")
-    # per-position string build via element_at + concat_ws rather than
-    # slice + array_join: no per-shingle array allocation, and
-    # concat_ws skips the NULLs element_at yields past the end, which
-    # reproduces the short-doc (size < n) truncated shingle exactly —
-    # measured ~30% off the explode pass, set-identical (r12)
+    # per-position string build via try_element_at + concat_ws rather
+    # than slice + array_join: no per-shingle array allocation, and
+    # concat_ws skips the NULLs try_element_at yields past the end,
+    # which reproduces the short-doc (size < n) truncated shingle
+    # exactly — measured ~30% off the explode pass, set-identical
+    # (r12). try_element_at, not element_at: under ANSI mode (the
+    # Spark 4 default, and this session keeps it) element_at THROWS
+    # past the end, so any doc shorter than n tokens would crash the
+    # job instead of yielding its truncated shingle (r12 ADVICE).
     sh = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1))),
             lambda i: F.concat_ws(
-                " ", *[F.element_at(w, i + j) for j in range(n)]
+                " ", *[F.try_element_at(w, i + j) for j in range(n)]
             ),
         )
     )
@@ -1678,26 +1682,7 @@ def ngram_jaccard_pairs(
     # expensive map would otherwise run on ONE core at byte-small SFs;
     # identity when splits >= cores — io.spread)
     docs = spread_light(load_table(spark, sf_dir, "documents"))
-    # per-doc distinct-shingle count rides ON the exploded rows (size of
-    # the array before explode — free), so the join sides carry (doc,
-    # size, shingle) and Jaccard needs NO separate sizes aggregation and
-    # NO post-joins: r4's shape computed the shingle explode three times
-    # (sizes agg + two join sides) and re-attached sizes with two extra
-    # joins — the r5 rewrite is one explode feeding a self-join whose
-    # group-by keys already hold both sizes (sa/sb are functionally
-    # dependent on doc_a/doc_b, so the grouping is unchanged).
-    w = F.col("w")
-    sh_arr = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(w) - (shingle_len - 1), F.lit(1))),
-            lambda i: F.array_join(F.slice(w, i, shingle_len), " "),
-        )
-    )
-    sh = (
-        docs.select("doc_id", F.split("text", " ").alias("w"))
-        .select("doc_id", sh_arr.alias("shs"))
-        .select("doc_id", F.size("shs").alias("n_sh"), F.explode("shs").alias("shingle"))
-    )
+    sh = _shingle_rows(docs, shingle_len)
     if stop_shingle_df_cap is not None:
         # capping shrinks each doc's shingle universe, so sizes must be
         # recounted AFTER the anti-join — the carried pre-cap n_sh is
@@ -1711,6 +1696,37 @@ def ngram_jaccard_pairs(
         capped = sh.drop("n_sh").join(F.broadcast(stop), "shingle", "left_anti")
         sizes = capped.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
         sh = capped.join(F.broadcast(sizes), "doc_id")
+    return _pairs_from_shingle_rows(sh, threshold)
+
+
+def _shingle_rows(docs: DataFrame, shingle_len: int) -> DataFrame:
+    """(doc_id, n_sh, shingle) — exploded distinct shingles with the
+    per-doc distinct-shingle count riding ON the exploded rows (size of
+    the array before explode — free), so the join sides carry (doc,
+    size, shingle) and Jaccard needs NO separate sizes aggregation and
+    NO post-joins: r4's shape computed the shingle explode three times
+    (sizes agg + two join sides) and re-attached sizes with two extra
+    joins — the r5 rewrite is one explode feeding a self-join whose
+    group-by keys already hold both sizes (sa/sb are functionally
+    dependent on doc_a/doc_b, so the grouping is unchanged)."""
+    w = F.col("w")
+    sh_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(w) - (shingle_len - 1), F.lit(1))),
+            lambda i: F.array_join(F.slice(w, i, shingle_len), " "),
+        )
+    )
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .select("doc_id", sh_arr.alias("shs"))
+        .select("doc_id", F.size("shs").alias("n_sh"), F.explode("shs").alias("shingle"))
+    )
+
+
+def _pairs_from_shingle_rows(sh: DataFrame, threshold: float) -> DataFrame:
+    """The shingle-equi-join Jaccard tail over (doc_id, n_sh, shingle)
+    rows — shared by :func:`ngram_jaccard_pairs` and the cluster
+    maintainer's one-shingle-pass derivation (r13)."""
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("sa"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("sb"), "shingle")
     return (
@@ -2419,8 +2435,10 @@ def near_dup_clusters_incremental(
     via star contraction:
 
     1. New edges: intra-batch exact-Jaccard pairs + batch⇄corpus pairs
-       from the LSH index probe (``near_dup_incremental`` — candidate
-       cost ∝ batch).
+       from the LSH band-index probe (the ``near_dup_incremental``
+       shape — candidate cost ∝ batch; r13 derives the band rows and
+       the exact verify from the SAME shingle pass that produced the
+       stored-state pair set, one pass instead of two).
     2. Contract every touched corpus cluster to its stored label node
        (cluster_id = min member id, so the label node's id IS the
        cluster's min — the min-label invariant survives contraction;
@@ -2457,7 +2475,18 @@ def near_dup_clusters_incremental(
     Output: (doc_id, cluster_id) for every document.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    all_pairs = ngram_jaccard_pairs(spark, sf_dir, shingle_len, threshold).select(
+    # ONE shingle pass feeds everything (r13, guide §2.1 fewer passes /
+    # §2.4 shared derivations): the exact pair set (intra-corpus edges
+    # for the stored state + intra-batch edges + the cross-split exact
+    # verify) and the LSH band index/probe. r12 ran ngram_jaccard_pairs
+    # AND near_dup_incremental back to back — two full tokenize+shingle
+    # passes, two per-doc sizes rollups, and a second batch×corpus
+    # common-shingle join that recounted what the all-pairs join had
+    # already counted.
+    sh = _shingle_rows(
+        spread_light(load_table(spark, sf_dir, "documents")), shingle_len
+    ).persist()
+    all_pairs = _pairs_from_shingle_rows(sh, threshold).select(
         "doc_a", "doc_b"
     ).persist()
     # stored state: the corpus-only clustering (what yesterday's run
@@ -2475,9 +2504,36 @@ def near_dup_clusters_incremental(
     batch_pairs = all_pairs.filter(
         (F.col("doc_a") >= split_id) & (F.col("doc_b") >= split_id)
     )
-    cross = near_dup_incremental(
-        spark, sf_dir, split_id, shingle_len, threshold
-    ).select("doc_id", "corpus_doc")
+    # batch⇄corpus edges: the MinHash-LSH band probe gates candidacy
+    # (same band params and band rows as ``near_dup_incremental`` —
+    # `_banded` over the same shingle relation), and the exact verify
+    # is the cross-split restriction of the exact pair set already
+    # computed above (doc_a < split ≤ doc_b by the a<b orientation),
+    # LSH-gated by a semi-join — set-identical to the r12 form, which
+    # re-derived shingles and recounted common shingles per cross pair.
+    banded = _banded(sh.select("doc_id", "shingle"), n_hashes=32, n_bands=16)
+    cand = (
+        banded.filter(F.col("doc_id") >= split_id).alias("x")
+        .join(
+            banded.filter(F.col("doc_id") < split_id).alias("y"),
+            ["band_id", "band_key"],
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_id"), F.col("y.doc_id").alias("corpus_doc")
+        )
+        .distinct()
+    )
+    # materialize the (batch-proportional) cross pair set eagerly —
+    # the contracted node/edge frames and the CC rounds reference it
+    # repeatedly, and by then the shingle/pair caches are released, so
+    # a lazy form would re-derive the banded self-join per use (this
+    # checkpoint replaces the one ``near_dup_incremental`` returned)
+    cross = (
+        all_pairs.filter((F.col("doc_a") < split_id) & (F.col("doc_b") >= split_id))
+        .select(F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("corpus_doc"))
+        .join(cand, ["doc_id", "corpus_doc"], "left_semi")
+        .localCheckpoint(eager=True)
+    )
     # contract: corpus endpoint -> its stored cluster label
     cross_c = (
         cross.join(
@@ -2490,6 +2546,7 @@ def near_dup_clusters_incremental(
     cnodes = batch_docs.unionByName(touched_labels).distinct()
     cedges = batch_pairs.unionByName(cross_c).localCheckpoint(eager=True)
     all_pairs.unpersist()
+    sh.unpersist()
     contracted = _min_label_cc(cnodes, cedges, max_iters).localCheckpoint(eager=True)
     # fold back: relabel merged clusters, keep the rest byte-identical
     relabel = contracted.select(
@@ -2509,6 +2566,6 @@ def near_dup_clusters_incremental(
     # the staged frames are dead once the assignment is materialized —
     # release their block-manager copies (r8 advisory: checkpoint
     # discipline must free superseded frames, not just create them)
-    for staged in (corpus_labels, cedges, contracted):
+    for staged in (corpus_labels, cross, cedges, contracted):
         _release_local_ckpt(staged)
     return out

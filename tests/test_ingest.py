@@ -84,11 +84,29 @@ def test_span_metric_defined_iff_reached(spark, sf_dir):
             assert r["n_words_dup"] * 100 > r["n_tokens"] * pct
 
 
+def test_stage_ckpt_segments_equal_composed(spark, sf_dir):
+    """The r13 lazy-localCheckpoint staging (stage_ckpt=True, the
+    production default — truncates the quadratic per-join analysis
+    cost) computes EXACTLY the rows of the fully-composed lazy tree
+    (stage_ckpt=False)."""
+    fa, sa = I._manifest_frame(spark, sf_dir, stage_ckpt=True)
+    a = sorted(map(tuple, fa.localCheckpoint(eager=True).collect()))
+    I._release_staged(sa)
+    fb, sb = I._manifest_frame(spark, sf_dir, stage_ckpt=False)
+    b = sorted(map(tuple, fb.collect()))
+    I._release_staged(sb)
+    assert a == b and len(a) > 0
+
+
 def test_staged_token_relation_shared(spark, sf_dir):
     """The (doc, token) tf staging pass is persisted and read by BOTH
     the per-doc stats rollup and the drift gate's batch vocabulary —
-    the plan shows cache scans instead of a re-explode per stage."""
-    frame, staged = I._manifest_frame(spark, sf_dir)
+    the plan shows cache scans instead of a re-explode per stage.
+    Inspected on the fully-composed tree (stage_ckpt=False): the
+    production form cuts the same logical dataflow into lazy
+    localCheckpoint segments, which hide the cache scans from the
+    outer plan without changing what is computed."""
+    frame, staged = I._manifest_frame(spark, sf_dir, stage_ckpt=False)
     try:
         plan = frame._jdf.queryExecution().executedPlan().toString()
         assert plan.count("InMemoryTableScan") >= 2
@@ -247,8 +265,11 @@ def test_ingest_plan_is_equijoin_only(spark, sf_dir):
     """The whole cascade plans as scans + equi-joins + partial aggs: no
     cartesian/nested-loop pair generation anywhere (the LSH probe and
     gram index probes are equi-joins by construction), and no
-    row-at-a-time Python in the hot path."""
-    frame, staged = I._manifest_frame(spark, sf_dir)
+    row-at-a-time Python in the hot path. Inspected on the
+    fully-composed tree (stage_ckpt=False) so the assertion covers
+    every operator of the cascade; the production form cuts the same
+    logical dataflow into lazy localCheckpoint segments."""
+    frame, staged = I._manifest_frame(spark, sf_dir, stage_ckpt=False)
     try:
         plan = frame._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
@@ -259,6 +280,7 @@ def test_ingest_plan_is_equijoin_only(spark, sf_dir):
             df.unpersist()
 
 
+@pytest.mark.slow  # 135 s (nested two-cascade DuckDB oracle; check_all drives the same oracle); --runslow runs it
 def test_two_batch_lifecycle_oracle_and_commit_materiality(spark, sf_dir):
     """The sequential lifecycle matches its nested-cascade oracle, and
     the batch-1 commit MATTERS in both leak directions: (a) at least
@@ -370,6 +392,7 @@ def test_near_stage_lsh_candidate_recall_is_one(spark, sf_dir):
     assert missed == 0, f"LSH missed {missed}/{n_exact} exact pairs"
 
 
+@pytest.mark.slow  # 62 s (threshold-sweep cascade rebuilds); --runslow runs it
 def test_manifest_cache_is_lru_bounded(spark, poisoned_dir):
     """Param-swept admission calls must not pin one checkpointed
     manifest per parameter set forever (r9 advisory): the memo is an
@@ -392,6 +415,7 @@ def test_manifest_cache_is_lru_bounded(spark, poisoned_dir):
     ) is frames[last]
 
 
+@pytest.mark.slow  # 41 s (both lifecycle forms executed); --runslow runs it
 def test_two_batch_indexed_equals_rebuild(spark, sf_dir):
     """The production lifecycle (persisted base indexes + overlay
     commit ∝ batch) returns the identical batch-2 manifest as the

@@ -15,6 +15,26 @@ _BATCH_ORACLE = sorted(
     if sql is not None and "stream" not in name
 )
 
+# Entries whose oracle drive costs tens of seconds each (nested
+# two-cascade DuckDB recomputes, eager lifecycle constructions) —
+# default-skipped so the suite fits the driver's pytest budget
+# (r12 VERIFY truncated at ~46 min). Their oracle coverage is NOT
+# reduced: tools/check_all.py drives all of them (it is the
+# authoritative full-matrix gate), and --runslow runs them here.
+_SLOW_ORACLE_DRIVES = {
+    "ingest_two_batch",
+    "ingest_two_batch_indexed",
+    "ingest_accept_batch",
+    "ingest_accept_batch_indexed",
+    "ingest_audit",
+    "fts_topk_diverse",
+    "near_dup_clusters_incremental",
+}
+_BATCH_ORACLE_PARAMS = [
+    pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_ORACLE_DRIVES else n
+    for n in _BATCH_ORACLE
+]
+
 
 def test_driver_order_invariants():
     """The driver's correctness pass is time-budgeted (~50 rows), so
@@ -69,6 +89,9 @@ def _has_nonscalar(dt):
     return False
 
 
+@pytest.mark.slow  # constructs EVERY tier-1/2 frame (eager lifecycle
+# entries execute at construction): 277 s in the r13 durations run —
+# the single biggest row of the suite; --runslow / check_all cover it
 def test_oracled_registry_schemas_are_driver_hashable(spark, sf_dir):
     """Registry-wide guard for the r6 red-row failure class: the
     DRIVER's canonicalizer sorts a pandas frame by every column before
@@ -89,7 +112,7 @@ def test_oracled_registry_schemas_are_driver_hashable(spark, sf_dir):
     assert not offenders, f"driver-unhashable columns on the oracled surface: {offenders}"
 
 
-@pytest.mark.parametrize("name", _BATCH_ORACLE)
+@pytest.mark.parametrize("name", _BATCH_ORACLE_PARAMS)
 def test_registry_batch_query_matches_oracle(spark, sf_dir, name):
     """Every registered batch query with an oracle is auto-covered —
     a new queries() entry gets this test without touching tests/."""

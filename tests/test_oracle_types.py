@@ -54,7 +54,17 @@ def test_oracle_types_are_hash_safe(con, name):
     )
 
 
-@pytest.mark.parametrize("name", sorted(ORACLES))
+@pytest.mark.parametrize(
+    "name",
+    [
+        # the nested two-cascade oracles take ~40 s each in DuckDB:
+        # default-skipped (check_all executes them for real)
+        pytest.param(n, marks=pytest.mark.slow)
+        if n in ("ingest_two_batch", "ingest_two_batch_indexed")
+        else n
+        for n in sorted(ORACLES)
+    ],
+)
 def test_oracle_executes(con, name):
     # Runtime check: DESCRIBE only binds; CAST errors on '' appear at
     # execution. sf0.001 keeps even the shingle self-joins fast.

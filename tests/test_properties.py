@@ -10,6 +10,7 @@ boundary, Top-N tie-break, and horizon-edge semantics.
 import os
 
 import pyspark.sql.functions as F
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -65,6 +66,7 @@ def _materialize(spark, tmp_path, evs):
     return write_events(spark, str(tmp_path), rows)
 
 
+@pytest.mark.slow  # 37-67 s hypothesis drive (r13 durations); --runslow runs it
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(evs=events_strategy)
 def test_pv_conservation_and_uv_bound(spark, tmp_path_factory, evs):
@@ -79,6 +81,7 @@ def test_pv_conservation_and_uv_bound(spark, tmp_path_factory, evs):
         assert 1 <= u <= pv[w]
 
 
+@pytest.mark.slow  # 37-67 s hypothesis drive (r13 durations); --runslow runs it
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(evs=events_strategy)
 def test_topn_is_prefix_of_full_ranking(spark, tmp_path_factory, evs):
@@ -98,6 +101,7 @@ def test_topn_is_prefix_of_full_ranking(spark, tmp_path_factory, evs):
         assert counts == sorted(counts, reverse=True)
 
 
+@pytest.mark.slow  # 37-67 s hypothesis drive (r13 durations); --runslow runs it
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(evs=events_strategy)
 def test_every_signup_matched_xor_timeout(spark, tmp_path_factory, evs):
@@ -213,6 +217,7 @@ def test_pq_code_packing_roundtrip(codes):
     assert (out == arr).all()
 
 
+@pytest.mark.slow  # 37-67 s hypothesis drive (r13 durations); --runslow runs it
 @given(
     texts=st.lists(
         st.text(
@@ -267,6 +272,7 @@ rfm_events_strategy = st.lists(
 )
 
 
+@pytest.mark.slow  # 37-67 s hypothesis drive (r13 durations); --runslow runs it
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(evs=rfm_events_strategy)
 def test_rfm_matches_python_reference(spark, tmp_path_factory, evs):
@@ -344,6 +350,7 @@ def _write_docs(spark, tmp_path, word_lists):
     return str(tmp_path)
 
 
+@pytest.mark.slow  # 37-67 s hypothesis drive (r13 durations); --runslow runs it
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(docs=docs_strategy)
 def test_dup_span_invariants(spark, tmp_path_factory, docs):
@@ -396,6 +403,7 @@ cdc_feed_strategy = st.lists(
 )
 
 
+@pytest.mark.slow  # 37-67 s hypothesis drive (r13 durations); --runslow runs it
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(feed=cdc_feed_strategy, split=st.integers(0, 40))
 def test_cdc_compact_is_associative(spark, tmp_path_factory, feed, split):

@@ -35,6 +35,24 @@ def test_ngram_jaccard_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_shingles_short_doc_truncates_not_crashes(spark):
+    # ANSI mode (the Spark 4 default, kept by get_spark) makes
+    # element_at THROW past the array end; _shingles must use the
+    # try_ variant so a doc shorter than n tokens yields its single
+    # truncated shingle instead of crashing the job (r12 ADVICE).
+    docs = spark.createDataFrame(
+        [(1, "just two"), (2, "one"), (3, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    rows = {(r.doc_id, r.shingle) for r in S._shingles(docs, 3).collect()}
+    assert rows == {
+        (1, "just two"),
+        (2, "one"),
+        (3, "alpha beta gamma"),
+        (3, "beta gamma delta"),
+    }
+
+
 def test_minhash_equals_exact(spark, sf_dir):
     """Banded MinHash + exact verify recovers every planted near-dup
     (recall 1 at these band params on this corpus) — so its output is
