@@ -1990,15 +1990,23 @@ def _banded(sh: DataFrame, n_hashes: int, n_bands: int) -> DataFrame:
     production band index). All expression-level: per-hash-salted
     xxhash64 minima, bands of r = n_hashes/n_bands hashed to one key."""
     r = n_hashes // n_bands
+    # expressions built as single SQL strings: the nested builder form
+    # (F.min(F.xxhash64(F.concat(...)))) costs ~8 py4j round trips per
+    # hash — ~0.5 s of driver-side construction per _banded call, paid
+    # up to four times per two-batch admission invocation (r13, guide
+    # §7.3 driver time); one expr() parse per hash is one round trip,
+    # and Catalyst resolves both to the identical expression tree
     sig = sh.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64(F.concat(F.col("shingle"), F.lit(f"#s{i}")))).alias(f"mh{i}")
+            F.expr(f"min(xxhash64(concat(shingle, '#s{i}'))) AS mh{i}")
             for i in range(n_hashes)
         ]
     )
     band_keys = F.array(
         *[
-            F.xxhash64(*[F.col(f"mh{b * r + j}") for j in range(r)])
+            F.expr(
+                "xxhash64(" + ", ".join(f"mh{b * r + j}" for j in range(r)) + ")"
+            )
             for b in range(n_bands)
         ]
     )

@@ -22,6 +22,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def main() -> int:
     runs = int(sys.argv[1])
     names = sys.argv[2:]
@@ -36,6 +42,12 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     cache_events(spark, SF_DIR)
     qs = entry_mod.queries()
+    # per-run floor: the host is a noisy-neighbor VM (r11/r12 bracket
+    # analyses) — two captures are comparable ONLY at similar floors
+    spark.range(1).collect()
+    floor = statistics.median(
+        [_timed(lambda: spark.range(1).collect()) for _ in range(7)]
+    )
     out: dict[str, dict] = {}
     for name in names:
         fn = qs[name]
@@ -55,7 +67,9 @@ def main() -> int:
             "min": round(min(ts), 4),
         }
         print(f"{name}: {out[name]}", file=sys.stderr)
-    print(json.dumps({"sf": SF_DIR, "runs": runs, "entries": out}))
+    print(json.dumps(
+        {"sf": SF_DIR, "runs": runs, "floor": round(floor, 4), "entries": out}
+    ))
     return 0
 
 
