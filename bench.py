@@ -676,18 +676,20 @@ FROM events WHERE event_type = 'view' GROUP BY 1
         base["queries"] = {}
         base["queries_in"] = "bench_detail.json"
         base["queries_n_full"] = len(per_query)
-        budget = 1880 - len(json.dumps(base, separators=(",", ":")))
-        subset: dict[str, float] = {}
-        for k in priority:
-            if k not in full_q:
-                continue
-            cost = len(json.dumps({k: full_q[k]}, separators=(",", ":"))) - 1
-            if budget - cost < 0:
-                continue
-            budget -= cost
-            subset[k] = full_q[k]
+        # FIXED-SIZE priority prefix, not a byte-budget greedy: the
+        # greedy's cutoff moved with value widths, so the 32-core and
+        # 8-core runs emitted DIFFERENT name sets (59 vs 63) and the
+        # driver's scaling intersection shrank. A 50-name prefix fits
+        # under the tail limit even at worst-case value widths
+        # (≤1794 B); the while-loop is a safety trim that drops from
+        # the prefix END, preserving the prefix property.
+        subset = {k: full_q[k] for k in priority[:50] if k in full_q}
         base["queries"] = subset
         line = json.dumps(base, separators=(",", ":"))
+        while len(line) >= 1880 and subset:
+            subset.pop(next(reversed(subset)))
+            base["queries"] = subset
+            line = json.dumps(base, separators=(",", ":"))
     print(line)
 
 
